@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One engine query: a Spark DataFrame builder plus (when the semantics are
+  * ANSI-SQL-expressible) an equivalent DuckDB oracle query over the same
+  * parquet tables. Queries with no oracle get the driver's weaker
+  * rows-only check.
+  */
+final case class QueryDef(
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Session factory with the engine's standard tuning. Local mode here, but
+  * every knob is chosen to also be the right default on a real cluster:
+  * AQE re-plans shuffles at runtime (partition coalescing + skew-join
+  * splitting), shuffle partitions sized to the core count instead of the
+  * 200 default, UTC so timestamp semantics match the DuckDB oracle.
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark 4 only
+      // reads it as a long when this legacy flag is on (see FIXTURES.md).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+}
+
+/** Loaders for the driver testdata tables ({sfDir}/{name}.parquet).
+  * Plain parquet scans: Catalyst pushes filters/projections down to the
+  * reader, so callers should NOT pre-select columns "for performance" —
+  * declare the query and let column pruning do it.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String)    = table(s, d, "region")
+  def nation(s: SparkSession, d: String)    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String)  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String)  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String)      = table(s, d, "part")
+  def orders(s: SparkSession, d: String)    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
+  /** `ts` arrives as BIGINT nanoseconds since epoch (nanosAsLong). */
+  def events(s: SparkSession, d: String)    = table(s, d, "events")
+  def documents(s: SparkSession, d: String) = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
+}
+
+/** Deterministic aggregation helpers.
+  *
+  * Floating-point SUM is order-dependent, and Spark's partial aggregation
+  * order differs run-to-run and engine-to-engine — a double sum can never
+  * hash-match a DuckDB oracle reliably. Casting each term to DECIMAL makes
+  * the sum exact integer arithmetic (associative + commutative), so Spark
+  * and DuckDB produce bit-identical results; we cast back to double at the
+  * end. The same trick at 100 TB also removes run-to-run result jitter.
+  */
+object Det {
+  /** 2-dp money values (o_totalprice, l_quantity, value): exact as-is. */
+  val Money: DecimalType = DecimalType(18, 2)
+  /** Derived double terms (price*(1-disc), products for corr): 10 dp is far
+    * below one double ULP of these magnitudes, so the decimal rounding is
+    * itself deterministic across engines.
+    */
+  val Fine: DecimalType = DecimalType(30, 10)
+
+  def moneySum(c: Column): Column = sum(c.cast(Money)).cast("double")
+  def fineSum(c: Column): Column  = sum(c.cast(Fine)).cast("double")
+
+  /** Engine-portable rounding: floor(x·10^k + 0.5)/10^k. Built-in round()
+    * differs between Spark (BigDecimal HALF_UP on the exact binary value)
+    * and DuckDB at half-way boundaries; this formulation is pure IEEE
+    * double arithmetic, so both engines produce the identical bit pattern.
+    * SQL equivalent: floor((x)*1eK + 0.5)/1eK  (Det.roundSql).
+    */
+  def detRound(c: Column, k: Int): Column = {
+    val p = math.pow(10.0, k)
+    floor(c * p + lit(0.5)) / p
+  }
+
+  /** DuckDB-side twin of detRound. */
+  def roundSql(e: String, k: Int): String = {
+    val p = s"1e$k"
+    s"floor(($e)*$p + 0.5)/$p"
+  }
+}

@@ -1,0 +1,289 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** E-commerce batch analytics: the reference's Spark + MongoDB query
+  * surface re-expressed over the driver's TPC-H-ish tables
+  * (transactions→orders, transactions.items→lineitem, products→part;
+  * see SURVEY.md §7.1).
+  *
+  * Scale notes (100 TB design intent):
+  *  - `part` is a dimension table → broadcast joins, no shuffle of the
+  *    fact side by p_partkey.
+  *  - co-purchase pairs use the one-shuffle collect_set + in-row pair
+  *    expansion instead of a distinct + self-join (4 shuffles → 2); the
+  *    reference's Mongo pipeline does exactly this shape with
+  *    $reduce/$map (ref: "PRODUCTS BOUGHT IN PAIRS  MOST FREQUENTLY":14–42).
+  *  - every ordered output carries a total-order tie-breaker so results
+  *    are deterministic under any parallelism.
+  */
+object Commerce {
+
+  /** Per-customer lifetime spend, top 10.
+    * Ref: spark_analysis.py:90–103 and "Retrieval of top 10 customers by
+    * total revenue spent.py":3–25 (Mongo $group/$sum/$sort/$limit).
+    */
+  def topSpenders(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        Det.detRound(Det.moneySum(col("o_totalprice")), 2).as("total_spent"),
+        count(col("o_orderkey")).as("num_orders"))
+      .orderBy(desc("total_spent"), asc("o_custkey"))
+      .limit(10)
+  }
+
+  private val topSpendersSql =
+    s"""SELECT o_custkey,
+       |       ${Det.roundSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS total_spent,
+       |       count(o_orderkey) AS num_orders
+       |FROM orders
+       |GROUP BY o_custkey
+       |ORDER BY total_spent DESC, o_custkey
+       |LIMIT 10""".stripMargin
+
+  /** Revenue per category (p_brand ≈ category_id), via a broadcast left
+    * join so unmatched parts keep a null category group.
+    * Ref: spark_analysis.py:70–79 (join at :72, agg at :73–78).
+    */
+  def revenueByCategory(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      .groupBy(col("p_brand"))
+      .agg(
+        Det.detRound(
+          Det.fineSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        Det.moneySum(col("l_quantity")).as("total_qty"),
+        count(col("l_orderkey")).as("num_items"))
+      .orderBy(desc("revenue"), asc_nulls_first("p_brand"))
+  }
+
+  private val revenueByCategorySql =
+    s"""SELECT p.p_brand,
+       |       ${Det.roundSql("CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS revenue,
+       |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       |       count(l.l_orderkey) AS num_items
+       |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+       |GROUP BY p.p_brand
+       |ORDER BY revenue DESC NULLS LAST, p_brand ASC NULLS FIRST""".stripMargin
+
+  /** Distinct products per order, sorted — shared by the pair queries.
+    * One shuffle (by l_orderkey); collect_set reproduces the reference's
+    * dropna+dropDuplicates semantics (spark_analysis.py:117–118), and
+    * sort_array canonicalizes so pair (x, y) always has x < y.
+    */
+  private def orderProductSets(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .na.drop()
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+
+  /** Unordered co-purchase pairs with frequencies, top 50.
+    * Ref: spark_analysis.py:114–140 (self-join form) and the Mongo
+    * $reduce/$map pair pipeline. Implemented as in-row combination
+    * expansion (i < j) over the per-order distinct product set: 2 shuffles
+    * total vs 4 for distinct + self-join + agg, and no join skew. Guarded
+    * by the oracle's self-join formulation, so both shapes are verified
+    * equivalent.
+    */
+  def alsoBoughtPairs(spark: SparkSession, dir: String): DataFrame = {
+    orderProductSets(spark, dir)
+      .select(
+        explode(
+          expr(
+            """flatten(transform(parts, (x, i) ->
+              |  transform(slice(parts, i + 2, size(parts)), y ->
+              |    struct(x AS part_x, y AS part_y))))""".stripMargin))
+          .as("p"))
+      .select(col("p.part_x"), col("p.part_y"))
+      .groupBy(col("part_x"), col("part_y"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(desc("pair_count"), asc("part_x"), asc("part_y"))
+      .limit(50)
+  }
+
+  private val alsoBoughtPairsSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      |)
+      |SELECT a.l_partkey AS part_x, b.l_partkey AS part_y, count(*) AS pair_count
+      |FROM items a JOIN items b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY pair_count DESC, part_x, part_y
+      |LIMIT 50""".stripMargin
+
+  /** Product popularity: quantity, revenue, distinct orders per product,
+    * top 10 by quantity. Ref: PDF §7.2(B) Mongo product-popularity
+    * pipeline ($unwind items → $group by product → $sum).
+    */
+  def productPopularity(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(
+        Det.moneySum(col("l_quantity")).as("total_qty"),
+        Det.detRound(
+          Det.fineSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        countDistinct(col("l_orderkey")).as("num_orders"))
+      .orderBy(desc("total_qty"), desc("revenue"), asc("l_partkey"))
+      .limit(10)
+  }
+
+  private val productPopularitySql =
+    s"""SELECT l_partkey,
+       |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+       |       ${Det.roundSql("CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS revenue,
+       |       count(DISTINCT l_orderkey) AS num_orders
+       |FROM lineitem
+       |GROUP BY l_partkey
+       |ORDER BY total_qty DESC, revenue DESC, l_partkey
+       |LIMIT 10""".stripMargin
+
+  /** Daily revenue with a 7-day moving average (PDF §12.2 "revenue trends"
+    * recommendation; window-function extension per SURVEY.md §2.7).
+    * The unpartitioned window runs on one task, but only AFTER the
+    * per-day aggregation — at 100 TB that is still just one row per day.
+    * Dates are emitted as ISO strings for cross-engine type stability.
+    */
+  def revenueByDay(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables
+      .orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(
+        sum(col("o_totalprice").cast(Det.Money)).as("rev_dec"),
+        count(lit(1)).as("num_orders"))
+    val w = Window.orderBy(col("order_date")).rowsBetween(-6, 0)
+    daily
+      .select(
+        col("order_date"),
+        Det.detRound(col("rev_dec").cast("double"), 2).as("revenue"),
+        col("num_orders"),
+        Det.detRound(
+          sum(col("rev_dec")).over(w).cast("double") / count(lit(1)).over(w), 2)
+          .as("ma7_revenue"))
+      .orderBy(col("order_date"))
+  }
+
+  private val revenueByDaySql =
+    s"""WITH daily AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+       |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+       |         count(*) AS num_orders
+       |  FROM orders GROUP BY 1
+       |)
+       |SELECT order_date,
+       |       ${Det.roundSql("CAST(rev_dec AS DOUBLE)", 2)} AS revenue,
+       |       num_orders,
+       |       ${Det.roundSql("CAST(SUM(rev_dec) OVER w AS DOUBLE) / (count(*) OVER w)", 2)} AS ma7_revenue
+       |FROM daily
+       |WINDOW w AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY order_date""".stripMargin
+
+  /** Report-formatting query: top pairs labelled with truncated part names
+    * (ref: plots_from_spark_outputs.py:17–20,114 — shorten_label + " + ").
+    */
+  def pairLabels(spark: SparkSession, dir: String): DataFrame = {
+    def shorten(c: Column): Column =
+      when(length(c) > 22, concat(substring(c, 1, 22), lit("..."))).otherwise(c)
+    val pairs = alsoBoughtPairs(spark, dir)
+    val names = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"))
+    pairs
+      .join(broadcast(names), pairs("part_x") === names("p_partkey"))
+      .withColumnRenamed("p_name", "name_x")
+      .drop("p_partkey")
+      .join(broadcast(names), col("part_y") === names("p_partkey"))
+      .withColumnRenamed("p_name", "name_y")
+      .select(
+        col("part_x"),
+        col("part_y"),
+        col("pair_count"),
+        concat_ws(" + ", shorten(col("name_x")), shorten(col("name_y"))).as("pair_label"))
+      .orderBy(desc("pair_count"), asc("part_x"), asc("part_y"))
+  }
+
+  private val pairLabelsSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      |), pairs AS (
+      |  SELECT a.l_partkey AS part_x, b.l_partkey AS part_y, count(*) AS pair_count
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  ORDER BY pair_count DESC, part_x, part_y
+      |  LIMIT 50
+      |)
+      |SELECT part_x, part_y, pair_count,
+      |       (CASE WHEN length(nx.p_name) > 22 THEN substring(nx.p_name, 1, 22) || '...' ELSE nx.p_name END)
+      |       || ' + ' ||
+      |       (CASE WHEN length(ny.p_name) > 22 THEN substring(ny.p_name, 1, 22) || '...' ELSE ny.p_name END)
+      |         AS pair_label
+      |FROM pairs JOIN part nx ON pairs.part_x = nx.p_partkey
+      |           JOIN part ny ON pairs.part_y = ny.p_partkey
+      |ORDER BY pair_count DESC, part_x, part_y""".stripMargin
+
+  /** RFM segmentation (PDF §12.2 recommendation): recency / frequency /
+    * monetary quartiles via ntile(4) with total-order tie-breaks.
+    * The unpartitioned ntile windows run on the small post-agg side
+    * (one row per customer); at extreme scale swap for percentile-based
+    * bucketing.
+    */
+  def rfm(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        Det.detRound(Det.moneySum(col("o_totalprice")), 2).as("monetary"))
+    val wR = Window.orderBy(desc("last_order"), asc("o_custkey"))
+    val wF = Window.orderBy(desc("frequency"), asc("o_custkey"))
+    val wM = Window.orderBy(desc("monetary"), asc("o_custkey"))
+    base
+      .withColumn("r_score", ntile(4).over(wR).cast("long"))
+      .withColumn("f_score", ntile(4).over(wF).cast("long"))
+      .withColumn("m_score", ntile(4).over(wM).cast("long"))
+      .withColumn(
+        "rfm_cell",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy(col("o_custkey"))
+  }
+
+  private val rfmSql =
+    s"""WITH base AS (
+       |  SELECT o_custkey,
+       |         max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order,
+       |         count(*) AS frequency,
+       |         ${Det.roundSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS monetary
+       |  FROM orders GROUP BY o_custkey
+       |)
+       |SELECT o_custkey, last_order, frequency, monetary,
+       |       ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+       |       ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+       |       ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
+       |       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS VARCHAR)
+       |       || CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
+       |       || CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR) AS rfm_cell
+       |FROM base
+       |ORDER BY o_custkey""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "top_spenders"        -> QueryDef(topSpenders, Some(topSpendersSql)),
+    "revenue_by_category" -> QueryDef(revenueByCategory, Some(revenueByCategorySql)),
+    "also_bought_pairs"   -> QueryDef(alsoBoughtPairs, Some(alsoBoughtPairsSql)),
+    "product_popularity"  -> QueryDef(productPopularity, Some(productPopularitySql)),
+    "revenue_by_day"      -> QueryDef(revenueByDay, Some(revenueByDaySql)),
+    "pair_labels"         -> QueryDef(pairLabels, Some(pairLabelsSql)),
+    "rfm"                 -> QueryDef(rfm, Some(rfmSql)))
+}
