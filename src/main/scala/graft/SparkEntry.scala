@@ -10,7 +10,8 @@ import graft.operators._
 object SparkEntry {
 
   private def all: Map[String, QueryDef] =
-    Commerce.defs ++ Engagement.defs
+    Commerce.defs ++ Engagement.defs ++ TextAnalysis.defs ++ Dedup.defs ++
+      Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The integrated engagement-vs-spend analysis — the reference's most

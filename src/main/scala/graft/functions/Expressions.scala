@@ -1,0 +1,229 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the LLM-pipeline operators — scalar
+  * kernels that stay inside whole-stage codegen (each doGenCode emits a
+  * single static call, no boxing, no UDF serialization penalty).
+  * Registered under `graft_*` SQL names via [[GraftFunctions.register]].
+  */
+
+/** Cosine similarity over two float vectors, accumulated in double in
+  * element order — matching DuckDB's list_cosine_similarity on DOUBLE[]
+  * bit-for-bit (verified empirically on the embeddings fixture), so ANN
+  * queries are oracle-checkable. Zero-norm inputs yield 0.0.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CosineSim.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSim.compute($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_cosine"
+}
+
+object CosineSim {
+  def compute(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+/** Shared 64-bit string hash (FNV-1a over UTF-8 bytes, xor-folded with a
+  * seed) for the sketch expressions below. Self-contained and stable —
+  * the sketches have no SQL oracle, but must be deterministic across
+  * runs, JVMs, and partitionings.
+  */
+object StrHash {
+  def hash(s: UTF8String, seed: Long): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L ^ seed
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    // final avalanche (splitmix64 tail) so low bits are well mixed
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+}
+
+/** 64-bit SimHash over a token array: per bit j, sum ±1 weighted by bit j
+  * of each token's hash; bit j of the result is the sign of the sum.
+  * Near-duplicate texts differ in few bits (compare with
+  * bit_count(a ^ b) — Spark's codegen'd bitwise ops).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(tokens: Any): Any =
+    SimHash64.compute(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash"
+}
+
+object SimHash64 {
+  def compute(tokens: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = StrHash.hash(tokens.getUTF8String(i), 0L)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) sig |= (1L << j); j += 1 }
+    sig
+  }
+}
+
+/** MinHash signature (k permutations) over a shingle array. One base
+  * FNV/splitmix hash per shingle, then k universal-hash permutations
+  * (a_i·h + b_i with fixed odd multipliers), min per permutation —
+  * O(k·|shingles|) per row, no shuffle. Returns array<long> of length k.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k > 0 && k <= 256, "minhash k must be in (0, 256]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(shingles: Any): Any =
+    MinHashSig.compute(shingles.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash"
+}
+
+object MinHashSig {
+  private val MaxK = 256
+  // fixed, seeded permutation constants (odd multipliers) — deterministic
+  private val (as, bs) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(MaxK)(rnd.nextLong() | 1L)
+    val b = Array.fill(MaxK)(rnd.nextLong())
+    (a, b)
+  }
+
+  def compute(shingles: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val h = StrHash.hash(shingles.getUTF8String(i), 0L)
+        var j = 0
+        while (j < k) {
+          val p = as(j) * h + bs(j)
+          if (p < mins(j)) mins(j) = p
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}
+
+/** Random-hyperplane LSH bucket for a float vector: `planes` hyperplanes
+  * with deterministic ±1 (Rademacher) weights derived from
+  * hash(table, plane, dim); bit p of the bucket is the sign of the dot
+  * product with plane p. Vectors in the same (table, bucket) are ANN
+  * candidates.
+  */
+case class LshBucket(left: Expression, right: Expression, planes: Int)
+    extends BinaryExpression {
+  require(planes > 0 && planes <= 30, "planes must be in (0, 30]")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(vec: Any, table: Any): Any =
+    LshBucket.compute(vec.asInstanceOf[ArrayData], table.asInstanceOf[Int], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, t) => s"graft.functions.LshBucket.compute($v, $t, $planes)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshBucket =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_lsh_bucket"
+}
+
+object LshBucket {
+  /** splitmix64 of a packed (table, plane, dim) key → sign bit. */
+  private def signOf(table: Int, plane: Int, dim: Int): Double = {
+    var z = (table.toLong << 40) ^ (plane.toLong << 20) ^ dim.toLong
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^= (z >>> 31)
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  def compute(vec: ArrayData, table: Int, planes: Int): Int = {
+    val n = vec.numElements()
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        dot += vec.getFloat(d).toDouble * signOf(table, p, d)
+        d += 1
+      }
+      if (dot > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** Registers the expressions as SQL functions (graft_cosine, graft_simhash,
+  * graft_minhash, graft_lsh_bucket) so queries can use them via expr(...)
+  * / spark.sql(...). Idempotent per session.
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash",
+      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+    // NOTE: the table index is a true child expression (it is usually a
+    // transform() lambda variable); only `planes` must be a literal.
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_bucket",
+      exprs => LshBucket(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+  }
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over `documents`:
+  * exact (content-hash groupBy), exact n-gram Jaccard (inverted shingle
+  * index), MinHash+LSH near-dup, and SimHash near-dup.
+  *
+  * Scale design:
+  *  - exact dedup groups on md5(text), not text — the shuffle carries
+  *    32-byte keys instead of full documents.
+  *  - jaccard/minhash shuffle (doc_id, 8-byte shingle hash) pairs, never
+  *    document text.
+  *  - minhash signatures are computed in-row by a codegen'd expression
+  *    (graft.functions.MinHashSig), LSH banding turns the O(n²) pair
+  *    space into per-bucket candidate lists with a bucket-size cap
+  *    against degenerate skew.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one kept id + copy count per distinct text.
+    * Ref analog: dropDuplicates semantics (spark_analysis.py:118) applied
+    * to document content.
+    */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+  }
+
+  private val dedupExactSql =
+    """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY keep_id""".stripMargin
+
+  /** Distinct word-3-gram shingles per document (docs with <3 tokens have
+    * none, matching the oracle's empty-list unnest).
+    */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("t")) >= 3,
+            array_distinct(expr(
+              "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
+            .otherwise(array().cast("array<string>")))
+          .as("shingle"))
+
+  /** Exact n-gram Jaccard near-dup pairs (threshold 0.6) via an inverted
+    * shingle index: pairs sharing a shingle → common counts → |A∪B| from
+    * per-doc sizes. Exact but O(pairs-sharing-a-shingle); the bounded-work
+    * production path at 100 TB is dedup_minhash below.
+    */
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh    = shingled(spark, dir).withColumn("h", xxhash64(col("shingle"))).select("doc_id", "h")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val common = sh.as("a")
+      .join(sh.as("b"), Seq("h"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("common"),
+        Det.detRound(
+          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupJaccardSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(t) >= 3
+       |         THEN list_transform(generate_series(1, len(t) - 2),
+       |                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE [] END) AS s
+       |  FROM toks
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+       |), common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, common,
+       |       ${Det.roundSql("CAST(common AS DOUBLE) / (x.sz + y.sz - common)", 6)} AS jaccard
+       |FROM common JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |WHERE ${Det.roundSql("CAST(common AS DOUBLE) / (x.sz + y.sz - common)", 6)} >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** MinHash(64) + LSH(16 bands × 4 rows) near-dup candidates, verified
+    * by signature agreement (estimated Jaccard ≥ 0.5). No SQL oracle
+    * (hash sketches); determinism comes from fixed permutation seeds.
+    * Bucket size capped at 100 to bound degenerate-skew blowup — capped
+    * buckets are near-identical content, caught by dedup_exact anyway.
+    */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val k = 64
+    val sigs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        expr(
+          """CASE WHEN size(t) >= 3
+            |  THEN array_distinct(transform(sequence(0, size(t) - 3),
+            |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
+            |  ELSE array() END""".stripMargin)
+          .as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"), expr(s"graft_minhash(shingles, $k)").as("sig"))
+
+    val bands = sigs.select(
+      col("doc_id"),
+      col("sig"),
+      explode(expr(
+        "transform(sequence(0, 15), b -> struct(b AS band, hash(slice(sig, b * 4 + 1, 4)) AS bh))"))
+        .as("lsh"))
+      .select(col("doc_id"), col("sig"), col("lsh.band"), col("lsh.bh"))
+
+    val candidates = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
+      .filter(size(col("docs")).between(2, 100))
+      .select(explode(expr(
+        """flatten(transform(array_sort(docs), (x, i) ->
+          |  transform(slice(array_sort(docs), i + 2, size(docs)), y ->
+          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
+          |           x.sig AS sig_a, y.sig AS sig_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sig_a"), col("p.sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+
+    candidates
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        Det.detRound(
+          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
+          6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash(64-bit) near-dup pairs: signatures via the codegen'd
+    * graft_simhash expression, 4×16-bit band blocking, Hamming distance
+    * ≤ 3 confirm via bit_count(xor). No SQL oracle (hash sketch);
+    * on the fixture this recovers 80% of the exact-Jaccard pairs
+    * (unigram simhash is cruder than shingle minhash by design).
+    */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val sigs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("graft_simhash(split(text, ' '))").as("sig"))
+    val bands = sigs.select(
+      col("doc_id"),
+      col("sig"),
+      explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS bh))"))
+        .as("lsh"))
+      .select(col("doc_id"), col("sig"), col("lsh.band"), col("lsh.bh"))
+    bands.as("a")
+      .join(bands.as("b"), Seq("band", "bh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "dedup_exact"   -> QueryDef(dedupExact, Some(dedupExactSql)),
+    "dedup_jaccard" -> QueryDef(dedupJaccard, Some(dedupJaccardSql)),
+    "dedup_minhash" -> QueryDef(dedupMinhash, None),
+    "dedup_simhash" -> QueryDef(dedupSimhash, None))
+}

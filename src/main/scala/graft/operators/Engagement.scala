@@ -125,7 +125,7 @@ object Engagement {
   private val eventsPropsJsonSql =
     s"""SELECT event_type,
        |       count(*) AS n_events,
-       |       SUM(TRY_CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)) AS sum_k,
+       |       CAST(SUM(TRY_CAST(NULLIF(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS BIGINT)) AS BIGINT) AS sum_k,
        |       ${Det.roundSql("CAST(SUM(TRY_CAST(NULLIF(regexp_extract(props, '\"k\":\\s*(\\d+)', 1), '') AS BIGINT)) AS DOUBLE) / count(*)", 4)} AS avg_k
        |FROM events
        |GROUP BY event_type
@@ -360,8 +360,8 @@ object Engagement {
        |                 THEN 1 ELSE 0 END AS new_sess
        |  FROM e
        |), sessions AS (
-       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
        |  FROM marked
        |)
        |SELECT user_id, session_id, count(*) AS n_events,

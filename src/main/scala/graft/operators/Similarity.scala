@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (array<float> vectors).
+  *
+  *  - ann_cosine_topk: brute-force exact top-k — the correctness baseline,
+  *    oracle-checked against DuckDB list_cosine_similarity (the codegen'd
+  *    graft_cosine expression matches it bit-for-bit at 6 dp).
+  *  - embedding_neardup: global most-similar pairs (near-dup detection
+  *    form for embedded documents).
+  *  - ann_lsh: the scale path — random-hyperplane LSH (8 tables × 6
+  *    planes) bounds candidates per query instead of scanning the corpus;
+  *    recall vs the brute-force baseline is asserted in the test suite.
+  *
+  * Scale notes: queries are broadcast (small side), the corpus is never
+  * shuffled for brute force — one pass, partial top-k per partition via
+  * the rank window on (query, candidate) pairs. For ann_lsh the corpus is
+  * shuffled once by (table, bucket).
+  */
+object Similarity {
+
+  private val NumQueries = 10
+  private val TopK       = 10
+  private val LshTables  = 8
+  private val LshPlanes  = 6
+
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+
+  private def queries(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+  /** Exact cosine top-10 neighbors for the first 10 vectors. */
+  def annCosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val sims = corpus(spark, dir)
+      .crossJoin(broadcast(queries(spark, dir)))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("vec_id").as("neighbor_id"),
+        Det.detRound(expr("graft_cosine(q_vec, embedding)"), 6).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    sims
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val annCosineTopKSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), sims AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${Det.roundSql("list_cosine_similarity(q.v, c.v)", 6)} AS cos
+       |  FROM e q JOIN e c ON c.vec_id != q.vec_id
+       |  WHERE q.vec_id < $NumQueries
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM sims
+       |)
+       |SELECT q_id, neighbor_id, cos, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+
+  /** Embedding-cosine near-duplicate detection: globally most-similar 20
+    * pairs (vec_a < vec_b). On clustered corpora swap the limit form for
+    * a `cos >= threshold` filter.
+    */
+  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val e = corpus(spark, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    a.crossJoin(b)
+      .filter(col("vec_a") < col("vec_b"))
+      .select(
+        col("vec_a"),
+        col("vec_b"),
+        Det.detRound(expr("graft_cosine(va, vb)"), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
+      .limit(20)
+  }
+
+  private val embeddingNeardupSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${Det.roundSql("list_cosine_similarity(a.v, b.v)", 6)} AS cos
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |ORDER BY cos DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin
+
+  /** LSH-bucketed approximate top-k: corpus + queries hashed into
+    * (table, bucket) cells by the codegen'd graft_lsh_bucket expression;
+    * only same-cell candidates are scored. Rows-only check (approximate
+    * by design); recall vs ann_cosine_topk is asserted in SimilaritySpec.
+    */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    def bucketed(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      df.select(
+        col(idCol),
+        col(vecCol),
+        explode(expr(
+          s"""transform(sequence(0, ${LshTables - 1}),
+             |  t -> struct(t AS tbl, graft_lsh_bucket($vecCol, t, $LshPlanes) AS bucket))""".stripMargin))
+          .as("lsh"))
+        .select(col(idCol), col(vecCol), col("lsh.tbl"), col("lsh.bucket"))
+
+    val c = bucketed(corpus(spark, dir), "vec_id", "embedding")
+    val q = bucketed(queries(spark, dir), "q_id", "q_vec")
+
+    val candidates = c
+      .join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("q_vec"), col("embedding"))
+      .dropDuplicates("q_id", "neighbor_id")
+
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    candidates
+      .select(
+        col("q_id"),
+        col("neighbor_id"),
+        Det.detRound(expr("graft_cosine(q_vec, embedding)"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "ann_cosine_topk"   -> QueryDef(annCosineTopK, Some(annCosineTopKSql)),
+    "embedding_neardup" -> QueryDef(embeddingNeardup, Some(embeddingNeardupSql)),
+    "ann_lsh"           -> QueryDef(annLsh, None))
+}

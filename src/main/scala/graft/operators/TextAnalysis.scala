@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * token counting (whitespace + BPE-ish regex), quality scoring,
+  * n-gram-heuristic language ID, and polynomial document fingerprinting.
+  * Everything is per-row scalar work inside whole-stage codegen (no
+  * shuffles except the final aggregates/sorts) — embarrassingly parallel
+  * at 100 TB. All formulas are integer/exact arithmetic so the DuckDB
+  * oracles hash-match.
+  */
+object TextAnalysis {
+
+  /** Per-language stopword profiles for the heuristic language scorer.
+    * Order matters: it is the deterministic tie-break preference.
+    */
+  private val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "los", "se"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "que", "est"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "ein"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "人", "这"))
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
+  /** BPE-ish tokenizer regex: letter runs, digit runs, single punctuation. */
+  private val TokRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Whitespace/regex token counts per source — corpus-level token
+    * accounting (the "how many tokens am I training on" query).
+    */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("source"),
+        size(split(col("text"), " ")).cast("long").as("ws_toks"),
+        size(regexp_extract_all(col("text"), lit(TokRe), lit(0))).cast("long").as("re_toks"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ws_toks")).as("ws_tokens"),
+        sum(col("re_toks")).as("regex_tokens"))
+      .select(
+        col("source"), col("n_docs"), col("ws_tokens"), col("regex_tokens"),
+        Det.detRound(col("ws_tokens").cast("double") / col("n_docs"), 4)
+          .as("avg_doc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val tokenCountSql =
+    s"""SELECT source,
+       |       count(*) AS n_docs,
+       |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+       |       CAST(SUM(len(regexp_extract_all(text, '$TokRe'))) AS BIGINT) AS regex_tokens,
+       |       ${Det.roundSql("CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / count(*)", 4)} AS avg_doc_tokens
+       |FROM documents
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  /** Per-document quality metrics + composite score (length, token shape,
+    * stopword density — the usual pre-training quality heuristics).
+    */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val enStops = sqlList(LangProfiles.head._2)
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr("CAST(aggregate(t, 0, (a, w) -> a + length(w)) AS BIGINT)").as("token_chars"),
+        expr(s"CAST(size(filter(t, x -> x IN ($enStops))) AS BIGINT)").as("n_stopwords"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_tokens"),
+        Det.detRound(col("token_chars").cast("double") / col("n_tokens"), 4)
+          .as("avg_token_len"),
+        Det.detRound(col("n_stopwords").cast("double") / col("n_tokens"), 6)
+          .as("stopword_ratio"))
+      .withColumn(
+        "quality_score",
+        Det.detRound(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.5 +
+            (lit(1.0) - col("stopword_ratio")) * 0.3 +
+            least(col("avg_token_len") / 10.0, lit(1.0)) * 0.2,
+          4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val textStatsSql = {
+    val enStops = sqlList(LangProfiles.head._2)
+    s"""WITH base AS (
+       |  SELECT doc_id, n_chars, string_split(text, ' ') AS t
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, n_chars,
+       |         len(t) AS n_tokens,
+       |         list_reduce(list_prepend(0, list_transform(t, w -> length(w))), (a, b) -> a + b) AS token_chars,
+       |         len(list_filter(t, x -> x IN ($enStops))) AS n_stopwords
+       |  FROM base
+       |), r AS (
+       |  SELECT doc_id, n_chars, n_tokens,
+       |         ${Det.roundSql("CAST(token_chars AS DOUBLE) / n_tokens", 4)} AS avg_token_len,
+       |         ${Det.roundSql("CAST(n_stopwords AS DOUBLE) / n_tokens", 6)} AS stopword_ratio
+       |  FROM m
+       |)
+       |SELECT doc_id, n_chars, n_tokens, avg_token_len, stopword_ratio,
+       |       ${Det.roundSql(
+          "least(CAST(n_tokens AS DOUBLE)/100.0, 1.0)*0.5 + (1.0 - stopword_ratio)*0.3 + least(avg_token_len/10.0, 1.0)*0.2",
+          4)} AS quality_score
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Heuristic language ID: score each language's stopword profile
+    * against the token set, argmax with profile-order preference
+    * (deterministic). Emits the dataset's label alongside for agreement
+    * analysis.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
+    val scored = LangProfiles.foldLeft(base) { case (df, (l, words)) =>
+      df.withColumn(
+        s"score_$l",
+        expr(s"CAST(size(filter(t, x -> x IN (${sqlList(words)}))) AS BIGINT)"))
+    }
+    val scores = LangProfiles.map { case (l, _) => col(s"score_$l") }
+    val best   = greatest(scores: _*)
+    val pred = LangProfiles
+      .foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
+        c.when(col(s"score_$l") === best, l)
+      }
+      .otherwise("und")
+    scored
+      .select(
+        col("doc_id"),
+        col("lang"),
+        when(best === 0, "und").otherwise(pred).as("predicted_lang"))
+      .withColumn("agrees", col("predicted_lang") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql = {
+    val scoreExprs = LangProfiles
+      .map { case (l, words) =>
+        s"len(list_filter(t, x -> x IN (${sqlList(words)}))) AS score_$l"
+      }
+      .mkString(",\n         ")
+    val scoreCols = LangProfiles.map { case (l, _) => s"score_$l" }
+    val best      = s"greatest(${scoreCols.mkString(", ")})"
+    val pick = LangProfiles
+      .map { case (l, _) => s"WHEN score_$l = $best THEN '$l'" }
+      .mkString(" ")
+    s"""WITH base AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+       |), scored AS (
+       |  SELECT doc_id, lang,
+       |         $scoreExprs
+       |  FROM base
+       |)
+       |SELECT doc_id, lang,
+       |       CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS predicted_lang,
+       |       (CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) = lang AS agrees
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Polynomial rolling fingerprint over the token stream
+    * (h ← (31·h + wordval) mod 1e9+7): order-sensitive document identity
+    * that exact-dedup variants can key on. Pure integer arithmetic —
+    * oracle-exact.
+    */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(t, CAST(0 AS BIGINT), (acc, w) ->
+            |  (acc * 31 + (ascii(w) * 1000 + length(w) * 7 + ascii(right(w, 1)))) % 1000000007)""".stripMargin)
+          .as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docFingerprintSql =
+    """SELECT doc_id,
+      |       list_reduce(
+      |         list_prepend(CAST(0 AS BIGINT),
+      |           list_transform(string_split(text, ' '),
+      |             w -> CAST(ascii(w) * 1000 + length(w) * 7 + ascii(right(w, 1)) AS BIGINT))),
+      |         (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "token_count"     -> QueryDef(tokenCount, Some(tokenCountSql)),
+    "text_stats"      -> QueryDef(textStats, Some(textStatsSql)),
+    "lang_id"         -> QueryDef(langId, Some(langIdSql)),
+    "doc_fingerprint" -> QueryDef(docFingerprint, Some(docFingerprintSql)))
+}

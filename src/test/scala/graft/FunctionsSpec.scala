@@ -1,0 +1,72 @@
+package graft
+
+import graft.functions._
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit kernels of the custom Catalyst expressions. */
+class FunctionsSpec extends AnyFunSuite {
+
+  private def arr(xs: Float*) = new GenericArrayData(xs.toArray)
+  private def toks(ws: String*) =
+    new GenericArrayData(ws.map(UTF8String.fromString).toArray[Any])
+
+  test("cosine: identical vectors → 1.0 (within fp)") {
+    val v = arr(0.1f, -0.2f, 0.3f)
+    assert(math.abs(CosineSim.compute(v, v) - 1.0) < 1e-12)
+  }
+
+  test("cosine: orthogonal vectors → 0.0") {
+    assert(CosineSim.compute(arr(1f, 0f), arr(0f, 1f)) === 0.0)
+  }
+
+  test("cosine: opposite vectors → -1.0") {
+    val d = CosineSim.compute(arr(1f, 2f), arr(-1f, -2f))
+    assert(math.abs(d + 1.0) < 1e-12)
+  }
+
+  test("cosine: zero vector → 0.0 (guarded)") {
+    assert(CosineSim.compute(arr(0f, 0f), arr(1f, 2f)) === 0.0)
+  }
+
+  test("simhash: deterministic, order-insensitive for same multiset") {
+    val a = SimHash64.compute(toks("spark", "scala", "data"))
+    val b = SimHash64.compute(toks("data", "spark", "scala"))
+    assert(a === b)
+  }
+
+  test("simhash: near-identical token sets differ in few bits") {
+    val base  = (1 to 60).map(i => s"tok$i")
+    val a     = SimHash64.compute(toks(base: _*))
+    val b     = SimHash64.compute(toks((base.drop(2) :+ "other" :+ "extra"): _*))
+    val dist  = java.lang.Long.bitCount(a ^ b)
+    assert(dist <= 16, s"hamming $dist too large for near-identical sets")
+  }
+
+  test("minhash: identical shingle sets → identical signatures") {
+    val a = MinHashSig.compute(toks("a b c", "b c d", "c d e"), 64)
+    val b = MinHashSig.compute(toks("c d e", "a b c", "b c d"), 64)
+    assert((0 until 64).forall(i => a.getLong(i) == b.getLong(i)))
+  }
+
+  test("minhash: signature agreement approximates jaccard") {
+    val xs = (1 to 100).map(i => s"sh$i")
+    val ys = (21 to 120).map(i => s"sh$i") // jaccard = 80/120 ≈ 0.667
+    val k  = 128
+    val a  = MinHashSig.compute(toks(xs: _*), k)
+    val b  = MinHashSig.compute(toks(ys: _*), k)
+    val eq = (0 until k).count(i => a.getLong(i) == b.getLong(i))
+    val est = eq.toDouble / k
+    assert(math.abs(est - 0.667) < 0.15, s"estimate $est too far from 0.667")
+  }
+
+  test("lsh bucket: deterministic and within plane range") {
+    val v  = arr(0.3f, -0.1f, 0.7f, 0.2f)
+    val b1 = LshBucket.compute(v, 0, 6)
+    val b2 = LshBucket.compute(v, 0, 6)
+    assert(b1 === b2 && b1 >= 0 && b1 < 64)
+    // a different table gives (almost surely) a different projection
+    assert(LshBucket.compute(v, 1, 6) >= 0)
+  }
+}

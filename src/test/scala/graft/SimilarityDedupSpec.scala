@@ -1,0 +1,51 @@
+package graft
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilarityDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("minhash-LSH pairs match exact jaccard pairs on the fixture") {
+    val exact = Dedup.dedupJaccard(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.dedupMinhash(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain near-duplicates")
+    // LSH with 16x4 bands at est>=0.5 should recover all >=0.6 pairs
+    assert((exact -- lsh).isEmpty, s"missed pairs: ${exact -- lsh}")
+  }
+
+  test("ann_lsh achieves reasonable recall of exact top-k") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact  = pairs(Similarity.annCosineTopK(spark, TestSpark.Sf))
+    val approx = pairs(Similarity.annLsh(spark, TestSpark.Sf))
+    val recall = (exact & approx).size.toDouble / exact.size
+    // 8 tables x 6 planes on 64-dim data: top-1/2 neighbors land in
+    // shared buckets much more often than random; full top-10 won't.
+    assert(recall >= 0.2, s"LSH recall $recall unexpectedly low")
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
+  test("exact dedup keeps one id per distinct text") {
+    val out = Dedup.dedupExact(spark, TestSpark.Sf)
+    assert(out.count() === out.select("keep_id").distinct().count())
+  }
+
+  test("text_stats ratios are within [0, 1]") {
+    val rows = TextAnalysis.textStats(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val stop = r.getDouble(4); val q = r.getDouble(5)
+      assert(stop >= 0.0 && stop <= 1.0)
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
+  test("lang_id emits a prediction for every document") {
+    val df = TextAnalysis.langId(spark, TestSpark.Sf)
+    assert(df.filter("predicted_lang IS NULL").count() === 0)
+    assert(df.count() === Tables.documents(spark, TestSpark.Sf).count())
+  }
+}
