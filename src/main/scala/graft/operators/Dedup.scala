@@ -129,29 +129,39 @@ object Dedup {
           .as("shingles"))
       .filter(size(col("shingles")) > 0)
       .select(col("doc_id"), expr(s"graft_minhash(shingles, $k)").as("sig"))
+      // The sketch feeds three consumers (banding + both sides of the
+      // verify join); persist so shingling+hashing runs once. At
+      // production scale this is the materialized sketch stage table.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    // Bucket on doc_id only — signatures are NOT carried through the
+    // band explosion / bucket lists (they are 64 longs each; shipping
+    // them through the shuffle + collect_list dominated runtime). The
+    // distinct candidate pairs join the signatures back afterwards.
     val bands = sigs.select(
       col("doc_id"),
-      col("sig"),
       explode(expr(
         "transform(sequence(0, 15), b -> struct(b AS band, hash(slice(sig, b * 4 + 1, 4)) AS bh))"))
         .as("lsh"))
-      .select(col("doc_id"), col("sig"), col("lsh.band"), col("lsh.bh"))
+      .select(col("doc_id"), col("lsh.band"), col("lsh.bh"))
 
     val candidates = bands
       .groupBy(col("band"), col("bh"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("docs"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
       .filter(size(col("docs")).between(2, 100))
       .select(explode(expr(
-        """flatten(transform(array_sort(docs), (x, i) ->
-          |  transform(slice(array_sort(docs), i + 2, size(docs)), y ->
-          |    struct(x.doc_id AS doc_a, y.doc_id AS doc_b,
-          |           x.sig AS sig_a, y.sig AS sig_b))))""".stripMargin))
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin))
         .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.sig_a"), col("p.sig_b"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
 
+    val sa = sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val sb = sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"))
     candidates
+      .join(sa, "doc_a")
+      .join(sb, "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),

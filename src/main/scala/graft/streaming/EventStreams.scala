@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time processing over the `events` stream. The transforms are
+  * written against a plain DataFrame so the SAME code runs in batch
+  * (Tables.events) and in Structured Streaming (spark.readStream) — the
+  * Spark-native generalization of the reference's chunked/incremental
+  * ingest (SURVEY.md §2.8: ijson chunks, batched HBase puts).
+  *
+  * Streaming usage (exercised in StreamingSpec):
+  * {{{
+  *   val stream = spark.readStream.schema(schema).parquet(dir)
+  *   EventStreams.tumblingCounts(stream, "1 day", "1 hour")
+  *     .writeStream.outputMode("append")...
+  * }}}
+  */
+object EventStreams {
+
+  /** nanos-long ts → proper event-time timestamp column (µs precision,
+    * matching the engine-wide µs convention).
+    */
+  def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+
+  /** Tumbling event-time window counts + value sums per event type.
+    * In streaming mode the watermark bounds state and handles late data.
+    */
+  def tumblingCounts(events: DataFrame, width: String, watermark: String): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), width), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.detRound(Det.moneySum(col("value")), 2).as("total_value"))
+
+  /** Gap-based session windows per user (streaming analog of
+    * operators.Engagement.sessionize).
+    */
+  def sessionWindows(events: DataFrame, gap: String, watermark: String): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .groupBy(col("user_id"), session_window(col("event_time"), gap))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.detRound(Det.moneySum(col("value")), 2).as("total_value"))
+
+  /** Batch-registered form: daily tumbling windows by event type, emitted
+    * with string window bounds for cross-engine type stability. Oracle:
+    * DuckDB time_bucket (same epoch alignment as Spark's window()).
+    */
+  def eventTimeWindows(spark: SparkSession, dir: String): DataFrame =
+    tumblingCounts(Tables.events(spark, dir), "1 day", "0 seconds")
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  private val eventTimeWindowsSql =
+    s"""SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |       event_type,
+       |       count(*) AS n_events,
+       |       ${Det.roundSql("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY window_start, event_type""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "event_time_windows" -> QueryDef(eventTimeWindows, Some(eventTimeWindowsSql)))
+}

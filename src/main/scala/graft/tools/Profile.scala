@@ -1,0 +1,32 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry}
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling entry: time named queries (after a warmup) and print
+  * formatted plans. Usage: runMain graft.tools.Profile <sfDir> <name>...
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // warm the JIT/codegen path once
+    SparkEntry.queries(names.head)(spark, sfDir).write.mode("overwrite").format("noop").save()
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      if (sys.env.contains("PROFILE_EXPLAIN")) {
+        println(s"===== PLAN $n"); df.explain("formatted")
+      }
+      val runs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"===== TIME $n%-24s ${runs.min}%.3f s (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Structured Streaming: the same transforms must produce the batch
+  * answer when driven through a file-source stream.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def streamedCounts(): Array[(String, Long)] = {
+    // copy events.parquet into a temp dir to act as a file-source stream
+    val dir = Files.createTempDirectory("graft-stream").toFile
+    dir.deleteOnExit()
+    val batch = Tables.events(spark, TestSpark.Sf)
+    batch.write.mode("overwrite").parquet(dir.getAbsolutePath)
+
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .parquet(dir.getAbsolutePath)
+    val q = EventStreams
+      .tumblingCounts(stream, "1 day", "0 seconds")
+      .select(col("window.start").as("ws"), col("event_type"), col("n_events"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_counts")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    spark.sql("SELECT event_type, sum(n_events) FROM stream_counts GROUP BY 1 ORDER BY 1")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+  }
+
+  test("streaming tumbling counts equal the batch result") {
+    val streamed = streamedCounts()
+    val batch = EventStreams
+      .tumblingCounts(Tables.events(spark, TestSpark.Sf), "1 day", "0 seconds")
+      .groupBy("event_type")
+      .agg(sum("n_events").as("n"))
+      .orderBy("event_type")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("session windows run in streaming mode with state") {
+    val dir = Files.createTempDirectory("graft-stream-sess").toFile
+    dir.deleteOnExit()
+    val batch = Tables.events(spark, TestSpark.Sf)
+    batch.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.getAbsolutePath)
+    val q = EventStreams
+      .sessionWindows(stream, "12 hours", "1 hour")
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.sql("SELECT sum(n_events) FROM stream_sessions").collect().head.getLong(0)
+    assert(n === batch.count())
+  }
+}
