@@ -11,7 +11,7 @@ object SparkEntry {
 
   private def all: Map[String, QueryDef] =
     Commerce.defs ++ Engagement.defs ++ TextAnalysis.defs ++ Dedup.defs ++
-      Similarity.defs ++ graft.streaming.EventStreams.defs ++
+      Similarity.defs ++ Extended.defs ++ graft.streaming.EventStreams.defs ++
       graft.multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extended analytics beyond the reference's literal surface: snowflake
+  * dimension joins, funnel analysis, set operations, and grouping-set
+  * rollups — the queries the reference's PDF recommends as future work
+  * (§12.2) and that any production deployment of it would add next.
+  */
+object Extended {
+
+  /** Revenue by region/nation: orders ⋈ customer (both fact-sized →
+    * shuffle join on custkey) with nation/region broadcast — the
+    * geo_data analytics the reference stores but never aggregates
+    * (users.geo_data, data_generator.py:196–205).
+    */
+  def revenueByRegion(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        Det.detRound(Det.moneySum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val revenueByRegionSql =
+    s"""SELECT r.r_name, n.n_name,
+       |       ${Det.roundSql("CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS revenue,
+       |       count(*) AS n_orders,
+       |       count(DISTINCT o.o_custkey) AS n_customers
+       |FROM orders o
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY r.r_name, n.n_name
+       |ORDER BY r_name, n_name""".stripMargin
+
+  /** Event funnel view → click → purchase: per-user conditional
+    * aggregation then one global stage-count row with conversion rates
+    * (the "conversion funnel" extension the reference's session
+    * conversion_status implies, PDF §12.2).
+    */
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables
+      .events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+    perUser
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("views") > 0, 1L).otherwise(0L)).as("n_viewers"),
+        sum(when(col("views") > 0 && col("clicks") > 0, 1L).otherwise(0L)).as("n_clickers"),
+        sum(when(col("views") > 0 && col("clicks") > 0 && col("purchases") > 0, 1L)
+          .otherwise(0L)).as("n_converters"))
+      .select(
+        col("n_users"), col("n_viewers"), col("n_clickers"), col("n_converters"),
+        Det.detRound(col("n_converters").cast("double") / col("n_viewers"), 6)
+          .as("view_to_purchase_rate"))
+  }
+
+  private val conversionFunnelSql =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,
+       |         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicks,
+       |         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+       |  FROM events GROUP BY user_id
+       |)
+       |SELECT count(*) AS n_users,
+       |       CAST(SUM(CASE WHEN views > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewers,
+       |       CAST(SUM(CASE WHEN views > 0 AND clicks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clickers,
+       |       CAST(SUM(CASE WHEN views > 0 AND clicks > 0 AND purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converters,
+       |       ${Det.roundSql(
+        "CAST(SUM(CASE WHEN views > 0 AND clicks > 0 AND purchases > 0 THEN 1 ELSE 0 END) AS DOUBLE) / SUM(CASE WHEN views > 0 THEN 1 ELSE 0 END)",
+        6)} AS view_to_purchase_rate
+       |FROM per_user""".stripMargin
+
+  /** Customers who buy but never generated a session event — set
+    * difference (EXCEPT ≡ left-anti join) across the two fact tables.
+    */
+  def customersWithoutSessions(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.orders(spark, dir).select(col("o_custkey").as("user_id")).distinct()
+    val active = Tables.events(spark, dir).select(col("user_id")).distinct()
+    buyers.except(active).orderBy(col("user_id"))
+  }
+
+  private val customersWithoutSessionsSql =
+    """SELECT * FROM (
+      |  SELECT DISTINCT o_custkey AS user_id FROM orders
+      |  EXCEPT
+      |  SELECT DISTINCT user_id FROM events
+      |) ORDER BY user_id""".stripMargin
+
+  /** Revenue rollup over (brand, returnflag) — grouping-set aggregation
+    * with explicit grouping indicators (portable across engines).
+    */
+  def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+      .rollup(col("p_brand"), col("l_returnflag"))
+      .agg(
+        Det.detRound(
+          Det.fineSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"),
+        grouping(col("p_brand")).cast("long").as("g_brand"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"))
+      .orderBy(
+        col("g_brand"), col("g_flag"),
+        asc_nulls_last("p_brand"), asc_nulls_last("l_returnflag"))
+  }
+
+  private val revenueRollupSql =
+    s"""SELECT p.p_brand, l.l_returnflag,
+       |       ${Det.roundSql("CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS revenue,
+       |       count(*) AS n_items,
+       |       CAST(GROUPING(p.p_brand) AS BIGINT) AS g_brand,
+       |       CAST(GROUPING(l.l_returnflag) AS BIGINT) AS g_flag
+       |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+       |GROUP BY ROLLUP(p.p_brand, l.l_returnflag)
+       |ORDER BY g_brand, g_flag, p_brand ASC NULLS LAST, l_returnflag ASC NULLS LAST""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "revenue_by_region"         -> QueryDef(revenueByRegion, Some(revenueByRegionSql)),
+    "conversion_funnel"         -> QueryDef(conversionFunnel, Some(conversionFunnelSql)),
+    "customers_without_sessions" -> QueryDef(customersWithoutSessions, Some(customersWithoutSessionsSql)),
+    "revenue_rollup"            -> QueryDef(revenueRollup, Some(revenueRollupSql)))
+}

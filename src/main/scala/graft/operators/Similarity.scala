@@ -135,8 +135,56 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** IVF-flat approximate top-k: a fixed coarse quantizer (first 16
+    * vectors as cell centroids — deterministic, no training loop), each
+    * corpus vector assigned to its nearest cell in one broadcast pass
+    * (max-of-struct argmax, no shuffle before the cell groupBy), queries
+    * probe their 2 nearest cells. The other standard ANN shape next to
+    * ann_lsh; recall vs brute force asserted in SimilarityDedupSpec.
+    */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = corpus(spark, dir)
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+
+    val assigned = corpus(spark, dir)
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"), col("embedding"), col("cent_id"),
+        expr("graft_cosine(embedding, cent_vec)").as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("ccos"), col("cent_id"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"), col("embedding"))
+
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("ccos"), asc("cell"))
+    val probed = queries(spark, dir)
+      .crossJoin(broadcast(cents))
+      .select(
+        col("q_id"), col("q_vec"), col("cent_id").as("cell"),
+        expr("graft_cosine(q_vec, cent_vec)").as("ccos"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 2)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    assigned
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("vec_id").as("neighbor_id"),
+        Det.detRound(expr("graft_cosine(q_vec, embedding)"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ann_cosine_topk"   -> QueryDef(annCosineTopK, Some(annCosineTopKSql)),
     "embedding_neardup" -> QueryDef(embeddingNeardup, Some(embeddingNeardupSql)),
-    "ann_lsh"           -> QueryDef(annLsh, None))
+    "ann_lsh"           -> QueryDef(annLsh, None),
+    "ann_ivf"           -> QueryDef(annIvf, None))
 }

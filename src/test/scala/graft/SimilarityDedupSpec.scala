@@ -28,6 +28,16 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("ann_ivf achieves reasonable recall of exact top-k") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact  = pairs(Similarity.annCosineTopK(spark, TestSpark.Sf))
+    val approx = pairs(Similarity.annIvf(spark, TestSpark.Sf))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.1, s"IVF recall $recall unexpectedly low")
+    assert(approx.forall { case (q, n) => q != n })
+  }
+
   test("exact dedup keeps one id per distinct text") {
     val out = Dedup.dedupExact(spark, TestSpark.Sf)
     assert(out.count() === out.select("keep_id").distinct().count())

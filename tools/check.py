@@ -48,8 +48,8 @@ def main(sf_dir, out_dir):
         for c in s.columns:
             sv, dv = s[c], d[c]
             try:
-                eq = (sv.astype(object).where(sv.notna(), None) ==
-                      dv.astype(object).where(dv.notna(), None))
+                # null-aware: pandas `==` treats None/NaN as never-equal
+                eq = (sv.isna() & dv.isna()) | (sv.astype(object) == dv.astype(object))
             except Exception:
                 eq = pd.Series([False] * len(s))
             bad = (~eq)
