@@ -127,15 +127,24 @@ object Commerce {
     * pipeline ($unwind items → $group by product → $sum).
     */
   def productPopularity(spark: SparkSession, dir: String): DataFrame = {
-    Tables
+    // Two-stage exact distinct: pre-aggregate by (part, order) — decimal
+    // partial sums compose exactly — then count the groups. Avoids the
+    // Expand (row-doubling) plan countDistinct-with-other-aggs needs;
+    // the first shuffle's map-side partial aggregation also shrinks the
+    // skewed hot-product partitions before they concentrate.
+    val pre = Tables
       .lineitem(spark, dir)
+      .groupBy(col("l_partkey"), col("l_orderkey"))
+      .agg(
+        sum(col("l_quantity").cast(Det.Money)).as("q_dec"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Det.Fine))
+          .as("r_dec"))
+    pre
       .groupBy(col("l_partkey"))
       .agg(
-        Det.moneySum(col("l_quantity")).as("total_qty"),
-        Det.detRound(
-          Det.fineSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
-        countDistinct(col("l_orderkey")).as("num_orders"))
+        sum(col("q_dec")).cast("double").as("total_qty"),
+        Det.detRound(sum(col("r_dec")).cast("double"), 2).as("revenue"),
+        count(lit(1)).as("num_orders"))
       .orderBy(desc("total_qty"), desc("revenue"), asc("l_partkey"))
       .limit(10)
   }
