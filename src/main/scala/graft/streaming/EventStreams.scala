@@ -1,8 +1,9 @@
 package graft.streaming
 
 import graft.{Det, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-time processing over the `events` stream. The transforms are
   * written against a plain DataFrame so the SAME code runs in batch
@@ -46,6 +47,32 @@ object EventStreams {
       .agg(
         count(lit(1)).as("n_events"),
         Det.detRound(Det.moneySum(col("value")), 2).as("total_value"))
+
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom streaming state: per-user running event count + value sum via
+    * flatMapGroupsWithState — the KeyValueGroupedDataset stateful-op
+    * surface (SURVEY.md §2.8's "custom state" extension point). State is
+    * one (count, sum) pair per user; each micro-batch emits the updated
+    * running totals for the users it touched. StreamingSpec drives it
+    * across multiple micro-batches and checks state carries over.
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) => {
+          val (n0, v0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var v = v0
+          rows.foreach { case (_, value) => n += 1; v += value }
+          state.update((n, v))
+          Iterator(UserRunning(uid, n, v))
+        })
+  }
 
   /** Batch-registered form: daily tumbling windows by event type, emitted
     * with string window bounds for cross-engine type stability. Oracle:

@@ -49,6 +49,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("flatMapGroupsWithState carries running totals across micro-batches") {
+    val dir = Files.createTempDirectory("graft-stream-state").toFile
+    dir.deleteOnExit()
+    val batch = Tables.events(spark, TestSpark.Sf)
+    // two files → with maxFilesPerTrigger=1, two micro-batches
+    val Array(h1, h2) = batch.randomSplit(Array(0.5, 0.5), seed = 42)
+    h1.coalesce(1).write.parquet(dir.getAbsolutePath + "/f1")
+    h2.coalesce(1).write.parquet(dir.getAbsolutePath + "/f2")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath + "/f*")
+    val q = EventStreams
+      .runningUserTotals(stream)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("running_totals")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // the LAST update per user must equal the batch totals
+    val finalTotals = spark
+      .sql("SELECT user_id, max(n_events) AS n FROM running_totals GROUP BY 1")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = batch.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(finalTotals === expected)
+    // more than one batch actually ran (state was exercised)
+    val updates = spark.sql("SELECT count(*) FROM running_totals").collect().head.getLong(0)
+    assert(updates > expected.size, "expected multiple micro-batch updates")
+  }
+
   test("session windows run in streaming mode with state") {
     val dir = Files.createTempDirectory("graft-stream-sess").toFile
     dir.deleteOnExit()
