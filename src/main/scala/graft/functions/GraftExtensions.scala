@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       builder)
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
     e.injectFunction(fn(
       "graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float vectors",

@@ -83,6 +83,25 @@ object Engagement {
       |) WHERE rn <= 5
       |ORDER BY user_id, rn""".stripMargin
 
+  /** Same query through the engine's custom TopKPerKey operator
+    * (LogicalPlan + Strategy + SparkPlan, see
+    * org.apache.spark.sql.graft.TopKPerKey): bounded per-key heaps —
+    * O(n log k), no partition sort, no window buffer. Verified against
+    * the identical DuckDB oracle as the window formulation.
+    */
+  def userSessionsTopKCustom(spark: SparkSession, dir: String): DataFrame = {
+    val base = eventsUs(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    org.apache.spark.sql.graft.TopK
+      .perKey(
+        base,
+        Seq("user_id"),
+        Seq("ts" -> true, "event_id" -> true),
+        k = 5,
+        rankName = "rn")
+      .orderBy(col("user_id"), col("rn"))
+  }
+
   /** Single-user prefix scan (HBase `PrefixFilter('user_000042|')` LIMIT 5,
     * PDF p.10 §7.5): predicate + limit, pushed to the parquet scan.
     */
@@ -374,6 +393,7 @@ object Engagement {
   val defs: Map[String, QueryDef] = Map(
     "user_engagement"       -> QueryDef(userEngagement, Some(userEngagementSql)),
     "user_sessions_topk"    -> QueryDef(userSessionsTopK, Some(userSessionsTopKSql)),
+    "user_sessions_topk_custom" -> QueryDef(userSessionsTopKCustom, Some(userSessionsTopKSql)),
     "session_prefix_scan"   -> QueryDef(sessionPrefixScan, Some(sessionPrefixScanSql)),
     "events_props_json"     -> QueryDef(eventsPropsJson, Some(eventsPropsJsonSql)),
     "engagement_vs_spend"   -> QueryDef(engagementVsSpend, Some(engagementVsSpendSql)),
