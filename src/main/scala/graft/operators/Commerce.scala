@@ -73,39 +73,41 @@ object Commerce {
        |GROUP BY p.p_brand
        |ORDER BY revenue DESC NULLS LAST, p_brand ASC NULLS FIRST""".stripMargin
 
-  /** Distinct products per order, sorted — shared by the pair queries.
-    * One shuffle (by l_orderkey); collect_set reproduces the reference's
-    * dropna+dropDuplicates semantics (spark_analysis.py:117–118), and
-    * sort_array canonicalizes so pair (x, y) always has x < y.
+  /** Unordered co-purchase pairs with frequencies, top 50.
+    * Ref: spark_analysis.py:114–140 (self-join form) and the Mongo
+    * $reduce/$map pair pipeline. One shuffle by l_orderkey, where
+    * collect_set reproduces the reference's dropna+dropDuplicates
+    * semantics (spark_analysis.py:117–118) and sort_array canonicalizes
+    * so pair (x, y) always has x < y; then in-row combination expansion
+    * (i < j): 2 shuffles total vs 4 for distinct + self-join + agg, and
+    * no join skew. Guarded by the oracle's self-join formulation, so
+    * both shapes are verified equivalent.
     */
-  private def orderProductSets(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
+  /** Pair expansion + counting over an (l_orderkey, l_partkey) frame —
+    * the reusable core of the co-purchase queries (also unit-tested on
+    * micro-fixtures in CommerceSpec).
+    *
+    * Two-level expansion: posexplode the per-order set, then explode
+    * each suffix. A single flatten(transform(...)) would materialize
+    * all C(n,2) pair structs of an order in ONE row buffer — a memory
+    * cliff for a degenerate mega-basket; here per-row memory is bounded
+    * by the basket size, while the pair stream is identical.
+    */
+  def pairCounts(items: DataFrame): DataFrame =
+    items
       .na.drop()
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-
-  /** Unordered co-purchase pairs with frequencies, top 50.
-    * Ref: spark_analysis.py:114–140 (self-join form) and the Mongo
-    * $reduce/$map pair pipeline. Implemented as in-row combination
-    * expansion (i < j) over the per-order distinct product set: 2 shuffles
-    * total vs 4 for distinct + self-join + agg, and no join skew. Guarded
-    * by the oracle's self-join formulation, so both shapes are verified
-    * equivalent.
-    */
-  def alsoBoughtPairs(spark: SparkSession, dir: String): DataFrame = {
-    orderProductSets(spark, dir)
+      .select(posexplode(col("parts")).as(Seq("i", "part_x")), col("parts"))
       .select(
-        explode(
-          expr(
-            """flatten(transform(parts, (x, i) ->
-              |  transform(slice(parts, i + 2, size(parts)), y ->
-              |    struct(x AS part_x, y AS part_y))))""".stripMargin))
-          .as("p"))
-      .select(col("p.part_x"), col("p.part_y"))
+        col("part_x"),
+        explode(expr("slice(parts, i + 2, size(parts))")).as("part_y"))
       .groupBy(col("part_x"), col("part_y"))
       .agg(count(lit(1)).as("pair_count"))
+
+  def alsoBoughtPairs(spark: SparkSession, dir: String): DataFrame = {
+    pairCounts(
+      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
       .orderBy(desc("pair_count"), asc("part_x"), asc("part_y"))
       .limit(50)
   }
@@ -243,10 +245,11 @@ object Commerce {
       |ORDER BY pair_count DESC, part_x, part_y""".stripMargin
 
   /** RFM segmentation (PDF §12.2 recommendation): recency / frequency /
-    * monetary quartiles via ntile(4) with total-order tie-breaks.
-    * The unpartitioned ntile windows run on the small post-agg side
-    * (one row per customer); at extreme scale swap for percentile-based
-    * bucketing.
+    * monetary quartile scores (1–4) against exact percentile thresholds
+    * broadcast from a one-row frame. Originally ntile(4) over
+    * unpartitioned windows — the 10× scale probe measured that at 12 s
+    * on 1.5M customers (single-partition sort); threshold scoring is
+    * one hash aggregate + a broadcast, and scales linearly.
     */
   def rfm(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables
@@ -254,38 +257,64 @@ object Commerce {
       .groupBy(col("o_custkey"))
       .agg(
         max(date_format(col("o_orderdate"), "yyyy-MM-dd")).as("last_order"),
+        max(unix_date(to_date(col("o_orderdate")))).cast("long").as("recency_days"),
         count(lit(1)).as("frequency"),
         Det.detRound(Det.moneySum(col("o_totalprice")), 2).as("monetary"))
-    val wR = Window.orderBy(desc("last_order"), asc("o_custkey"))
-    val wF = Window.orderBy(desc("frequency"), asc("o_custkey"))
-    val wM = Window.orderBy(desc("monetary"), asc("o_custkey"))
+    val thresholds = base.agg(
+      Det.detRound(expr("percentile(recency_days, 0.25)"), 6).as("r25"),
+      Det.detRound(expr("percentile(recency_days, 0.5)"), 6).as("r50"),
+      Det.detRound(expr("percentile(recency_days, 0.75)"), 6).as("r75"),
+      Det.detRound(expr("percentile(frequency, 0.25)"), 6).as("f25"),
+      Det.detRound(expr("percentile(frequency, 0.5)"), 6).as("f50"),
+      Det.detRound(expr("percentile(frequency, 0.75)"), 6).as("f75"),
+      Det.detRound(expr("percentile(monetary, 0.25)"), 6).as("m25"),
+      Det.detRound(expr("percentile(monetary, 0.5)"), 6).as("m50"),
+      Det.detRound(expr("percentile(monetary, 0.75)"), 6).as("m75"))
+    def score(v: String, q25: String, q50: String, q75: String) =
+      (lit(1L) + (col(v) >= col(q25)).cast("long") +
+        (col(v) >= col(q50)).cast("long") + (col(v) >= col(q75)).cast("long"))
     base
-      .withColumn("r_score", ntile(4).over(wR).cast("long"))
-      .withColumn("f_score", ntile(4).over(wF).cast("long"))
-      .withColumn("m_score", ntile(4).over(wM).cast("long"))
+      .crossJoin(broadcast(thresholds))
+      .select(
+        col("o_custkey"), col("last_order"), col("recency_days"),
+        col("frequency"), col("monetary"),
+        score("recency_days", "r25", "r50", "r75").as("r_score"),
+        score("frequency", "f25", "f50", "f75").as("f_score"),
+        score("monetary", "m25", "m50", "m75").as("m_score"))
       .withColumn(
         "rfm_cell",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy(col("o_custkey"))
   }
 
-  private val rfmSql =
+  private val rfmSql = {
+    def q(v: String, p: String) =
+      Det.roundSql(s"quantile_cont(CAST($v AS DOUBLE), $p)", 6)
+    def score(v: String, m: String) =
+      s"1 + CAST($v >= t.${m}25 AS BIGINT) + CAST($v >= t.${m}50 AS BIGINT) + CAST($v >= t.${m}75 AS BIGINT)"
     s"""WITH base AS (
        |  SELECT o_custkey,
        |         max(strftime(o_orderdate, '%Y-%m-%d')) AS last_order,
+       |         CAST(max(CAST(o_orderdate AS DATE) - DATE '1970-01-01') AS BIGINT) AS recency_days,
        |         count(*) AS frequency,
        |         ${Det.roundSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS monetary
        |  FROM orders GROUP BY o_custkey
+       |), t AS (
+       |  SELECT ${q("recency_days", "0.25")} AS r25, ${q("recency_days", "0.5")} AS r50, ${q("recency_days", "0.75")} AS r75,
+       |         ${q("frequency", "0.25")} AS f25, ${q("frequency", "0.5")} AS f50, ${q("frequency", "0.75")} AS f75,
+       |         ${q("monetary", "0.25")} AS m25, ${q("monetary", "0.5")} AS m50, ${q("monetary", "0.75")} AS m75
+       |  FROM base
        |)
-       |SELECT o_custkey, last_order, frequency, monetary,
-       |       ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
-       |       ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
-       |       ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
-       |       CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS VARCHAR)
-       |       || CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS VARCHAR)
-       |       || CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS VARCHAR) AS rfm_cell
-       |FROM base
+       |SELECT o_custkey, last_order, recency_days, frequency, monetary,
+       |       ${score("recency_days", "r")} AS r_score,
+       |       ${score("frequency", "f")} AS f_score,
+       |       ${score("monetary", "m")} AS m_score,
+       |       CAST(${score("recency_days", "r")} AS VARCHAR)
+       |       || CAST(${score("frequency", "f")} AS VARCHAR)
+       |       || CAST(${score("monetary", "m")} AS VARCHAR) AS rfm_cell
+       |FROM base CROSS JOIN t
        |ORDER BY o_custkey""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
     "top_spenders"        -> QueryDef(topSpenders, Some(topSpendersSql)),

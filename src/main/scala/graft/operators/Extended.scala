@@ -21,14 +21,20 @@ object Extended {
     val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
     val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
     val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    // Two-stage exact distinct (same pattern as productPopularity):
+    // pre-aggregate per customer, then per nation — no Expand plan.
     o.join(c, o("o_custkey") === c("c_custkey"))
       .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
       .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"), col("o_custkey"))
+      .agg(
+        sum(col("o_totalprice").cast(Det.Money)).as("rev_dec"),
+        count(lit(1)).as("cust_orders"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        Det.detRound(Det.moneySum(col("o_totalprice")), 2).as("revenue"),
-        count(lit(1)).as("n_orders"),
-        countDistinct(col("o_custkey")).as("n_customers"))
+        Det.detRound(sum(col("rev_dec")).cast("double"), 2).as("revenue"),
+        sum(col("cust_orders")).as("n_orders"),
+        count(lit(1)).as("n_customers"))
       .orderBy(col("r_name"), col("n_name"))
   }
 

@@ -1,0 +1,69 @@
+package graft.tools
+
+import graft.{GraftSession, SparkEntry, Tables}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only 10× scale probe: replicates the sf0.1 fact tables with
+  * shifted entity keys (dimensions keep their cardinality — realistic
+  * fact growth), then times the heavy queries on ~6M lineitem rows /
+  * 1.5M orders / 1M events. Answers "does the plan survive a 10×
+  * scale-up" with evidence rather than argument.
+  */
+object ScaleProbe {
+  private val Src  = "/root/testdata/sf0.1"
+  private val Dest = "/tmp/graft-scale"
+  private val Copies = 10
+
+  private def replicate(
+      spark: SparkSession, df: DataFrame, shifts: Map[String, Long]): DataFrame = {
+    val replicas = (0 until Copies).map { i =>
+      shifts.foldLeft(df) { case (d, (c, base)) =>
+        d.withColumn(c, col(c) + lit(i * base))
+      }
+    }
+    replicas.reduce(_ union _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if (!new java.io.File(s"$Dest/lineitem.parquet").exists()) {
+      val K = 10_000_000L
+      replicate(spark, Tables.lineitem(spark, Src), Map("l_orderkey" -> K))
+        .write.mode(SaveMode.Overwrite).parquet(s"$Dest/lineitem.parquet")
+      replicate(spark, Tables.orders(spark, Src),
+        Map("o_orderkey" -> K, "o_custkey" -> K))
+        .write.mode(SaveMode.Overwrite).parquet(s"$Dest/orders.parquet")
+      replicate(spark, Tables.events(spark, Src),
+        Map("user_id" -> K, "event_id" -> K))
+        .write.mode(SaveMode.Overwrite).parquet(s"$Dest/events.parquet")
+      replicate(spark, Tables.customer(spark, Src), Map("c_custkey" -> K))
+        .write.mode(SaveMode.Overwrite).parquet(s"$Dest/customer.parquet")
+      Seq("part", "supplier", "nation", "region", "documents", "embeddings")
+        .foreach { t =>
+          Tables.table(spark, Src, t)
+            .write.mode(SaveMode.Overwrite).parquet(s"$Dest/$t.parquet")
+        }
+      println("### scale data built")
+    }
+
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else Seq(
+        "also_bought_pairs", "revenue_by_category", "product_popularity",
+        "top_spenders", "user_engagement", "engagement_vs_spend",
+        "sessionize", "user_sessions_topk", "user_sessions_topk_custom",
+        "revenue_by_region", "rfm")
+    // warm codegen infra
+    SparkEntry.queries("top_spenders")(spark, Dest)
+      .write.mode("overwrite").format("noop").save()
+    names.foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, Dest).write.mode("overwrite").format("noop").save()
+      println(f"### SCALE10x $n%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}

@@ -9,19 +9,11 @@ class CommerceSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def pairsOf(rows: Seq[(Long, Long)]) = {
-    // same in-row combination expansion Commerce.alsoBoughtPairs uses
-    rows
-      .toDF("l_orderkey", "l_partkey")
-      .na.drop()
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"l_partkey")).as("parts"))
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)), y ->
-          |    struct(x AS part_x, y AS part_y))))""".stripMargin)).as("p"))
-      .select($"p.part_x", $"p.part_y")
-  }
+  private def pairsOf(rows: Seq[(Long, Long)]) =
+    // the production pair-expansion path, on a micro-fixture
+    Commerce
+      .pairCounts(rows.toDF("l_orderkey", "l_partkey"))
+      .select($"part_x", $"part_y", $"pair_count")
 
   test("single-product order yields no pairs") {
     assert(pairsOf(Seq((1L, 10L))).count() === 0)
@@ -37,6 +29,13 @@ class CommerceSpec extends AnyFunSuite {
     val got = pairsOf(Seq((1L, 30L), (1L, 10L), (1L, 20L))).collect()
     assert(got.length === 3) // C(3,2)
     assert(got.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
+  test("mega-basket (5k items) expands without materializing C(n,2) in one row") {
+    // 5000-item order → 12,497,500 pairs, streamed not buffered
+    val rows = (1L to 5000L).map(p => (1L, p))
+    val total = pairsOf(rows).agg(sum($"pair_count")).collect().head.getLong(0)
+    assert(total === 5000L * 4999L / 2)
   }
 
   test("revenue_by_category keeps the null group for unmatched parts") {
