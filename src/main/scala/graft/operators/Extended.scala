@@ -139,7 +139,30 @@ object Extended {
        |GROUP BY ROLLUP(p.p_brand, l.l_returnflag)
        |ORDER BY g_brand, g_flag, p_brand ASC NULLS LAST, l_returnflag ASC NULLS LAST""".stripMargin
 
+  /** Customers having at least one order over 400k — an explicit
+    * left-semi join (EXISTS), the join type the reference's funnel
+    * recommendation implies (SURVEY.md §2.3 note).
+    */
+  def bigSpenderCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    val big = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_custkey"))
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .orderBy(col("c_custkey"))
+  }
+
+  private val bigSpenderCustomersSql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+      |ORDER BY c_custkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "big_spender_customers"     -> QueryDef(bigSpenderCustomers, Some(bigSpenderCustomersSql)),
     "revenue_by_region"         -> QueryDef(revenueByRegion, Some(revenueByRegionSql)),
     "conversion_funnel"         -> QueryDef(conversionFunnel, Some(conversionFunnelSql)),
     "customers_without_sessions" -> QueryDef(customersWithoutSessions, Some(customersWithoutSessionsSql)),

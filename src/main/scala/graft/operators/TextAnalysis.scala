@@ -205,7 +205,30 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic stratified sampling: keep ~30% of documents per
+    * language via arithmetic key hashing ((id·Knuth) mod 100) — the
+    * standard reproducible-sampling idiom for training-data pipelines
+    * (same rows selected on any cluster, any partitioning, any engine —
+    * unlike RNG-based sample()). Exactly mirrored in the oracle.
+    */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .filter(pmod(col("doc_id") * 2654435761L, lit(100)) < 30)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("lang"))
+  }
+
+  private val sampleStratifiedSql =
+    """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+      |FROM documents
+      |WHERE (doc_id * 2654435761) % 100 < 30
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "sample_stratified" -> QueryDef(sampleStratified, Some(sampleStratifiedSql)),
     "token_count"     -> QueryDef(tokenCount, Some(tokenCountSql)),
     "text_stats"      -> QueryDef(textStats, Some(textStatsSql)),
     "lang_id"         -> QueryDef(langId, Some(langIdSql)),

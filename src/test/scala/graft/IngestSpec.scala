@@ -40,6 +40,33 @@ class IngestSpec extends AnyFunSuite {
     assert(pruned.rdd.getNumPartitions <= spark.read.parquet(path).rdd.getNumPartitions)
   }
 
+  test("malformed JSON rows are skipped, not fatal (defensive-skip parity)") {
+    // reference's loader counts `skipped` rows and continues
+    // (load_hbase_sessions_stream.py:85–95); Spark analog: PERMISSIVE
+    // mode + corrupt-record column
+    import org.apache.spark.sql.types._
+    val dir = Files.createTempDirectory("graft-badjson").toFile
+    dir.deleteOnExit()
+    val f = new java.io.PrintWriter(dir.getAbsolutePath + "/data.json")
+    f.println("""{"id": 1, "v": 10.5}""")
+    f.println("""{"id": broken not json""")
+    f.println("""{"id": 3, "v": 2.25}""")
+    f.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", DoubleType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read
+      .schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.getAbsolutePath)
+      .cache()
+    assert(df.count() === 3)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+    assert(df.filter(col("id").isNotNull).count() === 2)
+    df.unpersist()
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val wh = Files.createTempDirectory("graft-wh").toFile
     wh.deleteOnExit()
