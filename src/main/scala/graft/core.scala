@@ -53,8 +53,16 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  /** `ts` arrives as BIGINT nanoseconds since epoch (nanosAsLong). */
-  def events(s: SparkSession, d: String)    = table(s, d, "events")
+  /** `ts` arrives as BIGINT nanoseconds since epoch (nanosAsLong).
+    * The flag is (re)set at runtime so queries also work when invoked
+    * from a caller-built session (e.g. the driver's entry() smoke) that
+    * lacks GraftSession's config.
+    */
+  def events(s: SparkSession, d: String) = {
+    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    catch { case _: Throwable => () } // static-conf refusal: assume preset
+    table(s, d, "events")
+  }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 }

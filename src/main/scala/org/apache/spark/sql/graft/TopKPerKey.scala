@@ -137,8 +137,16 @@ object TopK {
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }
     val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
+    // Defensive: callers may run in a session built without
+    // GraftExtensions (e.g. the driver's own session) — the strategy is
+    // also injectable at runtime via experimental.extraStrategies.
+    val session = classicDf.sparkSession
+    if (!session.experimental.extraStrategies.contains(TopKStrategy)) {
+      session.experimental.extraStrategies =
+        session.experimental.extraStrategies :+ TopKStrategy
+    }
     org.apache.spark.sql.classic.Dataset.ofRows(
-      classicDf.sparkSession,
+      session,
       TopKPerKey(keys, order, k, rankAttr, analyzed))
   }
 }
