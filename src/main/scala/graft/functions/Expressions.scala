@@ -113,17 +113,21 @@ object SimHash64 {
   * (a_i·h + b_i with fixed odd multipliers), min per permutation —
   * O(k·|shingles|) per row, no shuffle. Returns array<long> of length k.
   */
-case class MinHashSig(child: Expression, k: Int)
+case class MinHashSig(child: Expression, k: Int, tokenMode: Boolean = false)
     extends UnaryExpression {
   require(k > 0 && k <= 256, "minhash k must be in (0, 256]")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def nullSafeEval(shingles: Any): Any =
-    MinHashSig.compute(shingles.asInstanceOf[ArrayData], k)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.compute($c, $k)")
+  override def nullSafeEval(arr: Any): Any =
+    if (tokenMode) MinHashSig.computeTokens(arr.asInstanceOf[ArrayData], k)
+    else MinHashSig.compute(arr.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (tokenMode) "computeTokens" else "compute"
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.$fn($c, $k)")
+  }
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
-  override def prettyName: String = "graft_minhash"
+  override def prettyName: String =
+    if (tokenMode) "graft_minhash_tokens" else "graft_minhash"
 }
 
 object MinHashSig {
@@ -136,21 +140,58 @@ object MinHashSig {
     (a, b)
   }
 
+  private def updateMins(mins: Array[Long], h: Long, k: Int): Unit = {
+    var j = 0
+    while (j < k) {
+      val p = as(j) * h + bs(j)
+      if (p < mins(j)) mins(j) = p
+      j += 1
+    }
+  }
+
   def compute(shingles: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
     val n = shingles.numElements()
     var i = 0
     while (i < n) {
       if (!shingles.isNullAt(i)) {
-        val h = StrHash.hash(shingles.getUTF8String(i), 0L)
-        var j = 0
-        while (j < k) {
-          val p = as(j) * h + bs(j)
-          if (p < mins(j)) mins(j) = p
-          j += 1
-        }
+        updateMins(mins, StrHash.hash(shingles.getUTF8String(i), 0L), k)
       }
       i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** In-kernel 3-gram shingling: one hash per TOKEN, shingle hashes via
+    * sliding-window mixing — no 3-word string concat, no intermediate
+    * shingle array, and duplicate shingles need no dedup (min is
+    * idempotent). ~3× less per-row allocation than shingling in the
+    * plan. Note: a different hash basis than compute(shingles, k), so
+    * signatures are not interchangeable between the two forms.
+    */
+  def computeTokens(tokens: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = tokens.numElements()
+    if (n >= 3) {
+      val th = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        th(i) =
+          if (tokens.isNullAt(i)) 0L
+          else StrHash.hash(tokens.getUTF8String(i), 0L)
+        i += 1
+      }
+      i = 0
+      while (i <= n - 3) {
+        // order-sensitive 3-token mix (splitmix-style avalanche)
+        var h = th(i) * 0x9e3779b97f4a7c15L + th(i + 1)
+        h = (h ^ (h >>> 30)) * 0xbf58476d1ce4e5b9L
+        h = h * 31L + th(i + 2)
+        h = (h ^ (h >>> 27)) * 0x94d049bb133111ebL
+        h ^= (h >>> 31)
+        updateMins(mins, h, k)
+        i += 1
+      }
     }
     new GenericArrayData(mins)
   }
@@ -218,6 +259,11 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_minhash",
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_tokens",
+      exprs =>
+        MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int], tokenMode = true),
       "built-in")
     // NOTE: the table index is a true child expression (it is usually a
     // transform() lambda variable); only `planes` must be a literal.

@@ -131,19 +131,13 @@ object Dedup {
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val k = 64
+    // in-kernel shingling (graft_minhash_tokens): one hash per token and
+    // a sliding 3-gram mix — no shingle strings or arrays materialized
     val sigs = Tables
       .documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(
-        col("doc_id"),
-        expr(
-          """CASE WHEN size(t) >= 3
-            |  THEN array_distinct(transform(sequence(0, size(t) - 3),
-            |         i -> concat_ws(' ', t[i], t[i+1], t[i+2])))
-            |  ELSE array() END""".stripMargin)
-          .as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), expr(s"graft_minhash(shingles, $k)").as("sig"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), expr(s"graft_minhash_tokens(t, $k)").as("sig"))
       // The sketch feeds three consumers (banding + both sides of the
       // verify join); persist so shingling+hashing runs once. At
       // production scale this is the materialized sketch stage table.
