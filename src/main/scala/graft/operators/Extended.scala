@@ -161,10 +161,96 @@ object Extended {
       |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Month-over-month revenue growth: lag window over the tiny post-agg
+    * monthly frame (PDF §12.2 "revenue trends"). Growth is computed in
+    * double from exact decimal monthly sums → cross-engine exact; the
+    * first month's growth is NULL in both engines.
+    */
+  def monthlyRevenueGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables
+      .orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(
+        sum(col("o_totalprice").cast(Det.Money)).as("rev_dec"),
+        count(lit(1)).as("num_orders"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev_dec", lag(col("rev_dec"), 1).over(w))
+      .select(
+        col("month"),
+        Det.detRound(col("rev_dec").cast("double"), 2).as("revenue"),
+        col("num_orders"),
+        Det.detRound(
+          (col("rev_dec").cast("double") - col("prev_dec").cast("double")) /
+            col("prev_dec").cast("double") * 100.0,
+          4).as("growth_pct"))
+      .orderBy(col("month"))
+  }
+
+  private val monthlyRevenueGrowthSql =
+    s"""WITH monthly AS (
+       |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+       |         count(*) AS num_orders
+       |  FROM orders GROUP BY 1
+       |), lagged AS (
+       |  SELECT month, rev_dec, num_orders,
+       |         lag(rev_dec) OVER (ORDER BY month) AS prev_dec
+       |  FROM monthly
+       |)
+       |SELECT month,
+       |       ${Det.roundSql("CAST(rev_dec AS DOUBLE)", 2)} AS revenue,
+       |       num_orders,
+       |       ${Det.roundSql("(CAST(rev_dec AS DOUBLE) - CAST(prev_dec AS DOUBLE)) / CAST(prev_dec AS DOUBLE) * 100.0", 4)} AS growth_pct
+       |FROM lagged
+       |ORDER BY month""".stripMargin
+
+  /** View→purchase conversion latency: per-user first view / first
+    * purchase timestamps (µs), one summary row. Conditional min-aggs +
+    * exact decimal mean; median via matching percentile semantics.
+    */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables
+      .events(spark, dir)
+      .withColumn("ts", expr("ts div 1000"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_view").isNotNull && col("first_purchase").isNotNull &&
+        col("first_purchase") >= col("first_view"))
+      .select(((col("first_purchase") - col("first_view")) / 3600e6).as("hours"))
+    perUser.agg(
+      count(lit(1)).as("n_converting_users"),
+      Det.detRound(
+        sum(col("hours").cast(Det.Fine)).cast("double") / count(lit(1)), 4)
+        .as("avg_hours_to_convert"),
+      Det.detRound(expr("percentile(hours, 0.5)"), 4).as("median_hours_to_convert"))
+  }
+
+  private val timeToConvertSql =
+    s"""WITH per_user AS (
+       |  SELECT user_id,
+       |         min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+       |         min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase
+       |  FROM events GROUP BY user_id
+       |), conv AS (
+       |  SELECT (first_purchase - first_view) / 3600e6 AS hours
+       |  FROM per_user
+       |  WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+       |    AND first_purchase >= first_view
+       |)
+       |SELECT count(*) AS n_converting_users,
+       |       ${Det.roundSql("CAST(SUM(CAST(hours AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS avg_hours_to_convert,
+       |       ${Det.roundSql("quantile_cont(hours, 0.5)", 4)} AS median_hours_to_convert
+       |FROM conv""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "big_spender_customers"     -> QueryDef(bigSpenderCustomers, Some(bigSpenderCustomersSql)),
     "revenue_by_region"         -> QueryDef(revenueByRegion, Some(revenueByRegionSql)),
     "conversion_funnel"         -> QueryDef(conversionFunnel, Some(conversionFunnelSql)),
     "customers_without_sessions" -> QueryDef(customersWithoutSessions, Some(customersWithoutSessionsSql)),
-    "revenue_rollup"            -> QueryDef(revenueRollup, Some(revenueRollupSql)))
+    "revenue_rollup"            -> QueryDef(revenueRollup, Some(revenueRollupSql)),
+    "monthly_revenue_growth"    -> QueryDef(monthlyRevenueGrowth, Some(monthlyRevenueGrowthSql)),
+    "time_to_convert"           -> QueryDef(timeToConvert, Some(timeToConvertSql)))
 }
