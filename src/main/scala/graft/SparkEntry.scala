@@ -11,8 +11,8 @@ object SparkEntry {
 
   private def all: Map[String, QueryDef] =
     Commerce.defs ++ Engagement.defs ++ TextAnalysis.defs ++ Dedup.defs ++
-      Similarity.defs ++ Extended.defs ++ graft.streaming.EventStreams.defs ++
-      graft.multimodal.Multimodal.defs
+      Similarity.defs ++ Extended.defs ++ AsOf.defs ++
+      graft.streaming.EventStreams.defs ++ graft.multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The integrated engagement-vs-spend analysis — the reference's most

@@ -1,0 +1,90 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (point-in-time) join — the canonical "operator Spark lacks"
+  * (builder brief's example). Composed Spark-first via the scalable
+  * union + last-value-carry-forward idiom rather than a per-key
+  * nested-loop: tag both sides, sort each key's merged timeline once,
+  * carry the latest right-side row forward, keep left rows. One shuffle
+  * + one sort over the union — the same cost profile as a sort-merge
+  * join, at any data size. Verified against DuckDB's native ASOF JOIN.
+  */
+object AsOf {
+
+  /** For each left row, attach the latest right row with
+    * `right(rightKey) == left(leftKey)` and
+    * `right(rightTime) <= left(leftTime)` (nulls when none exists).
+    * Caller guarantees disjoint output column names across the sides.
+    */
+  def joinAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: String,
+      rightTime: String): DataFrame = {
+    val lStruct = struct(left.columns.map(left(_)): _*)
+    val rStruct = struct(right.columns.map(right(_)): _*)
+    val lType   = org.apache.spark.sql.types.StructType(left.schema.fields)
+    val rType   = org.apache.spark.sql.types.StructType(right.schema.fields)
+    val lT = left.select(
+      left(leftKey).as("__k"), left(leftTime).as("__t"), lit(1).as("__kind"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"))
+    val rT = right.select(
+      right(rightKey).as("__k"), right(rightTime).as("__t"), lit(0).as("__kind"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"))
+
+    // right rows sort before left rows at equal timestamps (<= semantics);
+    // __r as the final key makes same-timestamp right rows deterministic
+    val w = Window
+      .partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__kind"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val leftCols  = left.columns.map(c => col(s"__l.$c").as(c))
+    val rightCols = right.columns.map(c => col(s"__carried.$c").as(c))
+    lT.unionByName(rT)
+      .withColumn("__carried", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__kind") === 1)
+      .select(leftCols ++ rightCols: _*)
+  }
+
+  /** Purchase attribution: each purchase event matched to the user's
+    * latest view event at-or-before it (the classic clickstream as-of).
+    * Oracle: DuckDB's native ASOF LEFT JOIN — a strong differential
+    * (two completely different algorithms, same result).
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).withColumn("ts", expr("ts div 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pt"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("vid"), col("user_id").as("vuser"), col("ts").as("vt"))
+    joinAsOf(purchases, views,
+      leftKey = "user_id", rightKey = "vuser", leftTime = "pt", rightTime = "vt")
+      .select(
+        col("pid"), col("user_id"), col("pt"), col("vid"), col("vt"),
+        Det.detRound((col("pt") - col("vt")) / 1e6, 4).as("gap_seconds"))
+      .orderBy(col("pid"))
+  }
+
+  private val purchaseAttributionSql =
+    s"""WITH p AS (
+       |  SELECT event_id AS pid, user_id, epoch_us(ts) AS pt
+       |  FROM events WHERE event_type = 'purchase'
+       |), v AS (
+       |  SELECT event_id AS vid, user_id AS vuser, epoch_us(ts) AS vt
+       |  FROM events WHERE event_type = 'view'
+       |)
+       |SELECT p.pid, p.user_id, p.pt, v.vid, v.vt,
+       |       ${Det.roundSql("(p.pt - v.vt) / 1e6", 4)} AS gap_seconds
+       |FROM p ASOF LEFT JOIN v ON p.user_id = v.vuser AND v.vt <= p.pt
+       |ORDER BY pid""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "purchase_attribution" -> QueryDef(purchaseAttribution, Some(purchaseAttributionSql)))
+}
