@@ -85,6 +85,45 @@ object AsOf {
        |FROM p ASOF LEFT JOIN v ON p.user_id = v.vuser AND v.vt <= p.pt
        |ORDER BY pid""".stripMargin
 
+  private val BandUs: Long = 24L * 3600 * 1000 * 1000 // 24h range window, µs
+
+  /** Banded range join: per-user ordered event pairs within 24 hours.
+    * The scalable formulation of an inequality (range) join — band each
+    * timestamp by the window width; a pair within the window can only
+    * span adjacent bands, so the right side emits its band and band-1
+    * and the join becomes EQUI on (user, band) with a residual range
+    * filter. Candidate volume is O(pairs-in-2W) instead of O(n² per
+    * user). Oracle: DuckDB's native inequality join — same result from
+    * a different algorithm.
+    */
+  def nearEventPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+    val a = ev.select(
+      col("user_id"), col("event_id").as("a_id"), col("t").as("at"),
+      expr(s"t div $BandUs").as("band"))
+    val b = ev.select(
+      col("user_id"), col("event_id").as("b_id"), col("t").as("bt"),
+      explode(expr(s"array(t div $BandUs, t div $BandUs - 1)")).as("band"))
+    a.join(b, Seq("user_id", "band"))
+      .filter(col("bt") > col("at") && col("bt") - col("at") <= BandUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("bt") - col("at")).as("min_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val nearEventPairsSql =
+    s"""SELECT a.user_id, count(*) AS n_pairs,
+       |       min(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us
+       |FROM events a JOIN events b
+       |  ON a.user_id = b.user_id
+       | AND epoch_us(b.ts) > epoch_us(a.ts)
+       | AND epoch_us(b.ts) - epoch_us(a.ts) <= $BandUs
+       |GROUP BY a.user_id
+       |ORDER BY a.user_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "purchase_attribution" -> QueryDef(purchaseAttribution, Some(purchaseAttributionSql)))
+    "purchase_attribution" -> QueryDef(purchaseAttribution, Some(purchaseAttributionSql)),
+    "near_event_pairs"     -> QueryDef(nearEventPairs, Some(nearEventPairsSql)))
 }
