@@ -213,7 +213,53 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Duplicate-cluster assignment: connected components over the
+    * near-dup pair graph via iterative min-label propagation (the
+    * standard distributed CC — converges in O(graph diameter)
+    * iterations, each one join + one aggregate; lineage truncated per
+    * round with localCheckpoint). cluster_id = smallest doc_id in the
+    * component, i.e. the canonical document to keep. Rows-only check
+    * (iterative; graph properties asserted in SimilarityDedupSpec).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var converged = false
+    var iter      = 0
+    while (!converged && iter < 15) {
+      val prop = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), "src")
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(prop, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_clusters" -> QueryDef(dedupClusters, None),
     "dedup_exact"   -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_jaccard" -> QueryDef(dedupJaccard, Some(dedupJaccardSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, None),

@@ -227,7 +227,51 @@ object TextAnalysis {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Unigram language-model scoring: build the corpus unigram
+    * distribution (one aggregate), then score each document by its mean
+    * token negative log2-probability — the standard cheap "perplexity"
+    * quality filter for pre-training data. Two hash aggregates + one
+    * shuffle join on token; the LM itself is tiny and broadcast.
+    */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val total = toks.agg(count(lit(1)).as("corpus_tokens"))
+    val lm = toks
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"), (col("tf").cast("double") / col("corpus_tokens")).as("p"))
+    toks
+      .join(broadcast(lm), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        Det.detRound(
+          sum((-log2(col("p"))).cast(Det.Fine)).cast("double") / count(lit(1)), 4)
+          .as("mean_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmScoreSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), total AS (
+       |  SELECT count(*) AS corpus_tokens FROM toks
+       |), lm AS (
+       |  SELECT tok, CAST(count(*) AS DOUBLE) / (SELECT corpus_tokens FROM total) AS p
+       |  FROM toks GROUP BY tok
+       |)
+       |SELECT t.doc_id,
+       |       count(*) AS n_tokens,
+       |       ${Det.roundSql("CAST(SUM(CAST(-log2(lm.p) AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS mean_nll
+       |FROM toks t JOIN lm ON t.tok = lm.tok
+       |GROUP BY t.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "lm_score"          -> QueryDef(lmScore, Some(lmScoreSql)),
     "sample_stratified" -> QueryDef(sampleStratified, Some(sampleStratifiedSql)),
     "token_count"     -> QueryDef(tokenCount, Some(tokenCountSql)),
     "text_stats"      -> QueryDef(textStats, Some(textStatsSql)),

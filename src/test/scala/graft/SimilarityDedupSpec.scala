@@ -38,6 +38,21 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("dedup clusters: every near-dup pair lands in one cluster, canonical id is min") {
+    val pairs = Dedup.dedupJaccard(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Dedup.dedupClusters(spark, TestSpark.Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    // canonical = smallest member of its component
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid === members.keys.min)
+    }
+  }
+
   test("exact dedup keeps one id per distinct text") {
     val out = Dedup.dedupExact(spark, TestSpark.Sf)
     assert(out.count() === out.select("keep_id").distinct().count())
