@@ -245,12 +245,96 @@ object Extended {
        |       ${Det.roundSql("quantile_cont(hours, 0.5)", 4)} AS median_hours_to_convert
        |FROM conv""".stripMargin
 
-  val defs: Map[String, QueryDef] = Map(
+  // lazy: entries reference SQL vals declared later in the file; an eager
+  // val would capture them as null (object-init order)
+  lazy val defs: Map[String, QueryDef] = Map(
     "big_spender_customers"     -> QueryDef(bigSpenderCustomers, Some(bigSpenderCustomersSql)),
     "revenue_by_region"         -> QueryDef(revenueByRegion, Some(revenueByRegionSql)),
     "conversion_funnel"         -> QueryDef(conversionFunnel, Some(conversionFunnelSql)),
     "customers_without_sessions" -> QueryDef(customersWithoutSessions, Some(customersWithoutSessionsSql)),
     "revenue_rollup"            -> QueryDef(revenueRollup, Some(revenueRollupSql)),
     "monthly_revenue_growth"    -> QueryDef(monthlyRevenueGrowth, Some(monthlyRevenueGrowthSql)),
-    "time_to_convert"           -> QueryDef(timeToConvert, Some(timeToConvertSql)))
+    "time_to_convert"           -> QueryDef(timeToConvert, Some(timeToConvertSql)),
+    "revenue_pivot"             -> QueryDef(revenuePivot, Some(revenuePivotSql)),
+    "nation_revenue_share"      -> QueryDef(nationRevenueShare, Some(nationRevenueShareSql)))
+
+  /** Month × region revenue matrix via pivot with an explicit value
+    * list (explicit values keep the output schema static — the only
+    * scalable pivot: no extra distinct-values job, deterministic
+    * columns). Regions are the 5 TPC-H names.
+    */
+  private val RegionNames =
+    Seq("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+  def revenuePivot(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"), col("o_totalprice"), col("o_orderdate"))
+    val c = Tables.customer(spark, dir).select(col("c_custkey"), col("c_nationkey"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_regionkey"))
+    val r = Tables.region(spark, dir).select(col("r_regionkey"), col("r_name"))
+    val joined = o
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("r_name"),
+        col("o_totalprice"))
+    joined
+      .groupBy(col("month"))
+      .pivot("r_name", RegionNames)
+      .agg(Det.detRound(Det.moneySum(col("o_totalprice")), 2))
+      .na.fill(0.0)
+      .orderBy(col("month"))
+  }
+
+  private val revenuePivotSql = {
+    val cols = RegionNames
+      .map { rn =>
+        s"""coalesce(${Det.roundSql(
+            s"CAST(SUM(CASE WHEN r.r_name = '$rn' THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)",
+            2)}, 0.0) AS "$rn""""
+      }
+      .mkString(",\n       ")
+    s"""SELECT strftime(o.o_orderdate, '%Y-%m') AS month,
+       |       $cols
+       |FROM orders o
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |JOIN region r ON n.n_regionkey = r.r_regionkey
+       |GROUP BY 1
+       |ORDER BY month""".stripMargin
+  }
+
+  /** Percent-of-total via window: each nation's share of its region's
+    * revenue — partitioned window sum over the small post-agg frame.
+    */
+  def nationRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val perNation = revenueByRegion(spark, dir)
+      .select(col("r_name"), col("n_name"), col("revenue"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+    perNation
+      .withColumn(
+        "region_share_pct",
+        Det.detRound(
+          col("revenue") / sum(col("revenue").cast(Det.Fine)).over(w).cast("double") * 100.0,
+          4))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  private val nationRevenueShareSql =
+    s"""WITH per_nation AS (
+       |  SELECT r.r_name, n.n_name,
+       |         ${Det.roundSql("CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS revenue
+       |  FROM orders o
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |  JOIN region r ON n.n_regionkey = r.r_regionkey
+       |  GROUP BY r.r_name, n.n_name
+       |)
+       |SELECT r_name, n_name, revenue,
+       |       ${Det.roundSql(
+          "revenue / CAST(SUM(CAST(revenue AS DECIMAL(30,10))) OVER (PARTITION BY r_name) AS DOUBLE) * 100.0",
+          4)} AS region_share_pct
+       |FROM per_nation
+       |ORDER BY r_name, n_name""".stripMargin
 }
