@@ -182,6 +182,11 @@ object Engagement {
       .na.fill(0.0, Seq("total_spent"))
       .na.fill(0L, Seq("num_orders"))
 
+    // Exact percentile buffers one entry per DISTINCT value; fine for
+    // small-int sessions_count at any scale, and for 2-dp money until the
+    // distinct-value count rivals executor memory — at true 100 TB swap
+    // to approx_percentile (the oracle would then use the same sketch
+    // semantics or a tolerance compare).
     val thresholds = joined.agg(
       Det.detRound(expr("percentile(sessions_count, 0.75)"), 6).as("ses_q"),
       Det.detRound(expr("percentile(total_spent, 0.75)"), 6).as("spend_q"))
