@@ -395,7 +395,38 @@ object Engagement {
        |GROUP BY user_id, session_id
        |ORDER BY user_id, session_id""".stripMargin
 
+  /** Per-event-type latency-style percentiles (p50/p95/p99 of value) —
+    * the standard telemetry aggregation; exact percentiles over a
+    * small-cardinality group key.
+    */
+  def eventValuePercentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.detRound(expr("percentile(value, 0.5)"), 4).as("p50"),
+        Det.detRound(expr("percentile(value, 0.95)"), 4).as("p95"),
+        Det.detRound(expr("percentile(value, 0.99)"), 4).as("p99"),
+        Det.detRound(
+          sum(col("value").cast(Det.Money)).cast("double") / count(lit(1)), 4)
+          .as("mean"))
+      .orderBy(col("event_type"))
+  }
+
+  private val eventValuePercentilesSql =
+    s"""SELECT event_type,
+       |       count(*) AS n_events,
+       |       ${Det.roundSql("quantile_cont(value, 0.5)", 4)} AS p50,
+       |       ${Det.roundSql("quantile_cont(value, 0.95)", 4)} AS p95,
+       |       ${Det.roundSql("quantile_cont(value, 0.99)", 4)} AS p99,
+       |       ${Det.roundSql("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*)", 4)} AS mean
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "event_value_percentiles" -> QueryDef(eventValuePercentiles, Some(eventValuePercentilesSql)),
     "user_engagement"       -> QueryDef(userEngagement, Some(userEngagementSql)),
     "user_sessions_topk"    -> QueryDef(userSessionsTopK, Some(userSessionsTopKSql)),
     "user_sessions_topk_custom" -> QueryDef(userSessionsTopKCustom, Some(userSessionsTopKSql)),
