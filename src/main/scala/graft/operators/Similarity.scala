@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over the `embeddings` table (array<float> vectors).
+/** Similarity search over the `embeddings` table (array<float> vectors) —
+  * north-star extension per BASELINE.json / SURVEY.md §0 (the reference
+  * has no vector operations).
   *
   *  - ann_cosine_topk: brute-force exact top-k — the correctness baseline,
   *    oracle-checked against DuckDB list_cosine_similarity (the codegen'd

@@ -4,7 +4,10 @@ import graft.{Det, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Text-analysis operators for a training-data pipeline over `documents`:
+/** Text-analysis operators for a training-data pipeline over `documents`
+  * (north-star extension per BASELINE.json / SURVEY.md §0 — no reference
+  * analog; the reference's only text handling is label truncation,
+  * plots_from_spark_outputs.py:17–20):
   * token counting (whitespace + BPE-ish regex), quality scoring,
   * n-gram-heuristic language ID, and polynomial document fingerprinting.
   * Everything is per-row scalar work inside whole-stage codegen (no

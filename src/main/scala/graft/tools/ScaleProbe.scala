@@ -11,9 +11,9 @@ import org.apache.spark.sql.functions._
   * scale-up" with evidence rather than argument.
   */
 object ScaleProbe {
-  private val Src  = "/root/testdata/sf0.1"
-  private val Dest = "/tmp/graft-scale"
-  private val Copies = 10
+  private val Src    = "/root/testdata/sf0.1"
+  private val Copies = sys.env.getOrElse("SCALE_COPIES", "10").toInt
+  private val Dest   = s"/tmp/graft-scale-x$Copies"
 
   private def replicate(
       spark: SparkSession, df: DataFrame, shifts: Map[String, Long]): DataFrame = {
@@ -62,7 +62,7 @@ object ScaleProbe {
     names.foreach { n =>
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, Dest).write.mode("overwrite").format("noop").save()
-      println(f"### SCALE10x $n%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"### SCALE${Copies}x $n%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
   }
