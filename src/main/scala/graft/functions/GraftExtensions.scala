@@ -37,6 +37,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "graft_minhash(shingles, k) - k-permutation minhash signature",
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int])))
     e.injectFunction(fn(
+      "graft_minhash_tokens",
+      "graft_minhash_tokens(tokens, k) - minhash with in-kernel 3-gram shingling",
+      exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int], tokenMode = true)))
+    e.injectFunction(fn(
       "graft_lsh_bucket",
       "graft_lsh_bucket(vec, table, planes) - random-hyperplane LSH bucket",
       exprs => LshBucket(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int])))
