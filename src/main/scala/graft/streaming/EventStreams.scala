@@ -74,6 +74,15 @@ object EventStreams {
         })
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same event_id
+    * within the watermark horizon — the streaming face of dedup_exact
+    * (state bounded by the watermark instead of growing forever).
+    */
+  def dedupedStream(events: DataFrame, watermark: String): DataFrame =
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Batch-registered form: daily tumbling windows by event type, emitted
     * with string window bounds for cross-engine type stability. Oracle:
     * DuckDB time_bucket (same epoch alignment as Spark's window()).

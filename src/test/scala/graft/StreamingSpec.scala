@@ -82,6 +82,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(updates > expected.size, "expected multiple micro-batch updates")
   }
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    val dir = Files.createTempDirectory("graft-stream-dedup").toFile
+    dir.deleteOnExit()
+    val batch = Tables.events(spark, TestSpark.Sf).limit(200).cache()
+    // deliver the same 200 events twice (two files → duplicated stream)
+    batch.coalesce(1).write.parquet(dir.getAbsolutePath + "/f1")
+    batch.coalesce(1).write.parquet(dir.getAbsolutePath + "/f2")
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.getAbsolutePath + "/f*")
+    val q = EventStreams
+      .dedupedStream(stream, "1 hour")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("deduped_stream")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.sql("SELECT count(DISTINCT event_id), count(*) FROM deduped_stream")
+      .collect().head
+    assert(n.getLong(0) === 200L, "all distinct events must survive")
+    assert(n.getLong(1) === 200L, s"duplicates must be dropped, got ${n.getLong(1)}")
+    batch.unpersist()
+  }
+
   test("session windows run in streaming mode with state") {
     val dir = Files.createTempDirectory("graft-stream-sess").toFile
     dir.deleteOnExit()
