@@ -316,7 +316,64 @@ object Commerce {
        |ORDER BY o_custkey""".stripMargin
   }
 
+  /** Association-rule metrics over the co-purchase pairs (PDF §12.2
+    * "pair lift/confidence" recommendation): support, directional
+    * confidence, and lift from exact integer counts. Top 20 by lift.
+    */
+  def pairLift(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables
+      .lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .na.drop()
+      .distinct()
+    // order total as a broadcast one-row frame — no driver-side count()
+    val nOrders = items.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+    val itemCounts = items.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_item"))
+    val pairs = pairCounts(items)
+    pairs
+      .join(itemCounts.withColumnRenamed("l_partkey", "part_x").withColumnRenamed("n_item", "n_x"), "part_x")
+      .join(itemCounts.withColumnRenamed("l_partkey", "part_y").withColumnRenamed("n_item", "n_y"), "part_y")
+      .crossJoin(broadcast(nOrders))
+      .select(
+        col("part_x"), col("part_y"), col("pair_count"), col("n_x"), col("n_y"),
+        Det.detRound(col("pair_count").cast("double") / col("n_orders"), 6).as("support"),
+        Det.detRound(col("pair_count").cast("double") / col("n_x"), 6).as("conf_x_to_y"),
+        Det.detRound(
+          col("pair_count").cast("double") * col("n_orders") /
+            (col("n_x") * col("n_y")).cast("double"),
+          6).as("lift"))
+      .orderBy(desc("lift"), desc("pair_count"), asc("part_x"), asc("part_y"))
+      .limit(20)
+  }
+
+  private val pairLiftSql =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+       |), n AS (
+       |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+       |), ic AS (
+       |  SELECT l_partkey, count(*) AS n_item FROM items GROUP BY 1
+       |), pairs AS (
+       |  SELECT a.l_partkey AS part_x, b.l_partkey AS part_y, count(*) AS pair_count
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |)
+       |SELECT part_x, part_y, pair_count,
+       |       x.n_item AS n_x, y.n_item AS n_y,
+       |       ${Det.roundSql("CAST(pair_count AS DOUBLE) / n.n_orders", 6)} AS support,
+       |       ${Det.roundSql("CAST(pair_count AS DOUBLE) / x.n_item", 6)} AS conf_x_to_y,
+       |       ${Det.roundSql("CAST(pair_count AS DOUBLE) * n.n_orders / CAST(x.n_item * y.n_item AS DOUBLE)", 6)} AS lift
+       |FROM pairs
+       |JOIN ic x ON pairs.part_x = x.l_partkey
+       |JOIN ic y ON pairs.part_y = y.l_partkey
+       |CROSS JOIN n
+       |ORDER BY lift DESC, pair_count DESC, part_x, part_y
+       |LIMIT 20""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "pair_lift"           -> QueryDef(pairLift, Some(pairLiftSql)),
     "top_spenders"        -> QueryDef(topSpenders, Some(topSpendersSql)),
     "revenue_by_category" -> QueryDef(revenueByCategory, Some(revenueByCategorySql)),
     "also_bought_pairs"   -> QueryDef(alsoBoughtPairs, Some(alsoBoughtPairsSql)),
