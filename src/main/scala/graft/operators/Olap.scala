@@ -1,0 +1,207 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** OLAP surface widening (round 2): CUBE grouping sets, FULL OUTER and
+  * INTERSECT set algebra, value-bucket histograms, and a second
+  * deployment of the custom TopKPerKey operator on the commerce star —
+  * the remaining relational shapes the reference's PDF §12.2 roadmap
+  * implies (multi-dimensional summaries, cross-entity reconciliation)
+  * that round 1 did not yet register as named queries.
+  *
+  * Scale notes:
+  *  - CUBE multiplies each input row by the number of grouping sets
+  *    (4 here) AFTER partial aggregation — the Expand sits above a
+  *    per-partition pre-aggregate, so shuffle volume is ~4× the distinct
+  *    group count, not 4× the fact table.
+  *  - the full-outer join runs on two post-aggregate frames (≤ nation
+  *    cardinality) — broadcast-sized by construction.
+  *  - the histogram buckets in-row (pure arithmetic, codegen'd) and only
+  *    then aggregates: one shuffle of bucket-count partials.
+  */
+object Olap {
+
+  /** Revenue cube over (order status, order priority): every grouping
+    * set — (status, priority), (status), (priority), () — in one pass.
+    * NULL grouping cells are folded to 'ALL' so the output schema is
+    * engine-portable (DuckDB renders cube nulls identically, but
+    * explicit labels keep the hash-compare unambiguous).
+    */
+  def revenueCube(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.detRound(Det.moneySum(col("o_totalprice")), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"),
+        col("revenue"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  private val revenueCubeSql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |       COALESCE(o_orderpriority, 'ALL') AS priority,
+       |       count(*) AS n_orders,
+       |       ${Det.roundSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS revenue
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY status, priority""".stripMargin
+
+  /** Order-value histogram: 20k-wide buckets of o_totalprice with count,
+    * revenue, bucket bounds, and share-of-orders. The share window runs
+    * over the post-aggregate frame (≤ dozens of buckets), not the fact
+    * table.
+    */
+  def orderSizeHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables
+      .orders(spark, dir)
+      .select((floor(col("o_totalprice") / 20000.0) * 20000).cast("long").as("bucket_lo"))
+      .groupBy(col("bucket_lo"))
+      .agg(count(lit(1)).as("n_orders"))
+      .withColumn(
+        "share",
+        Det.detRound(
+          col("n_orders").cast("double") / sum(col("n_orders")).over(Window.partitionBy()),
+          6))
+      .orderBy(col("bucket_lo"))
+  }
+
+  private val orderSizeHistogramSql =
+    s"""SELECT CAST(FLOOR(o_totalprice / 20000.0) * 20000 AS BIGINT) AS bucket_lo,
+       |       count(*) AS n_orders,
+       |       ${Det.roundSql("CAST(count(*) AS DOUBLE) / SUM(count(*)) OVER ()", 6)} AS share
+       |FROM orders
+       |GROUP BY 1
+       |ORDER BY bucket_lo""".stripMargin
+
+  /** Per-nation reconciliation of the customer ledger vs the supplier
+    * ledger — FULL OUTER join of two aggregates so nations present on
+    * only one side survive with zeroed counts. Customer side restricted
+    * to the BUILDING market segment so the two sides genuinely differ.
+    */
+  def nationBalanceFulljoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables
+      .customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        Det.detRound(Det.moneySum(col("c_acctbal")), 2).as("cust_bal"))
+    val supp = Tables
+      .supplier(spark, dir)
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        Det.detRound(Det.moneySum(col("s_acctbal")), 2).as("supp_bal"))
+    val n = Tables.nation(spark, dir).select(col("n_nationkey"), col("n_name"))
+    cust
+      .join(supp, cust("c_nationkey") === supp("s_nationkey"), "full_outer")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("cust_bal"), lit(0.0)).as("cust_bal"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"),
+        coalesce(col("supp_bal"), lit(0.0)).as("supp_bal"))
+      .join(broadcast(n), col("nationkey") === n("n_nationkey"))
+      .select(
+        col("nationkey"), col("n_name"),
+        col("n_customers"), col("cust_bal"),
+        col("n_suppliers"), col("supp_bal"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val nationBalanceFulljoinSql =
+    s"""WITH cust AS (
+       |  SELECT c_nationkey,
+       |         count(*) AS n_customers,
+       |         ${Det.roundSql("CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS cust_bal
+       |  FROM customer WHERE c_mktsegment = 'BUILDING'
+       |  GROUP BY c_nationkey
+       |), supp AS (
+       |  SELECT s_nationkey,
+       |         count(*) AS n_suppliers,
+       |         ${Det.roundSql("CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS supp_bal
+       |  FROM supplier
+       |  GROUP BY s_nationkey
+       |)
+       |SELECT COALESCE(c.c_nationkey, s.s_nationkey) AS nationkey,
+       |       n.n_name,
+       |       COALESCE(c.n_customers, 0) AS n_customers,
+       |       COALESCE(c.cust_bal, 0.0) AS cust_bal,
+       |       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       |       COALESCE(s.supp_bal, 0.0) AS supp_bal
+       |FROM cust c FULL OUTER JOIN supp s ON c.c_nationkey = s.s_nationkey
+       |JOIN nation n ON COALESCE(c.c_nationkey, s.s_nationkey) = n.n_nationkey
+       |ORDER BY nationkey""".stripMargin
+
+  /** Users active on BOTH channels — INTERSECT of order custkeys and
+    * event user_ids (the dual of customers_without_sessions' EXCEPT).
+    * Spark plans INTERSECT DISTINCT as a left-semi join over distincts.
+    */
+  def buyersWithSessions(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = Tables.orders(spark, dir).select(col("o_custkey").as("user_id")).distinct()
+    val active = Tables.events(spark, dir).select(col("user_id")).distinct()
+    buyers.intersect(active).orderBy(col("user_id"))
+  }
+
+  private val buyersWithSessionsSql =
+    """SELECT * FROM (
+      |  SELECT DISTINCT o_custkey AS user_id FROM orders
+      |  INTERSECT
+      |  SELECT DISTINCT user_id FROM events
+      |) ORDER BY user_id""".stripMargin
+
+  /** Top-5 revenue parts per brand through the custom TopKPerKey
+    * operator (bounded per-key heaps — no partition sort, no window
+    * buffer; see org.apache.spark.sql.graft.TopKPerKey). Second
+    * deployment of the operator, on the commerce star rather than the
+    * event log; oracle is the equivalent row_number window query.
+    */
+  def topPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p  = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
+    val perPart = li
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(
+        Det.detRound(
+          Det.fineSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    org.apache.spark.sql.graft.TopK
+      .perKey(
+        perPart,
+        Seq("p_brand"),
+        Seq("revenue" -> false, "p_partkey" -> true),
+        k = 5,
+        rankName = "rn")
+      .orderBy(col("p_brand"), col("rn"))
+  }
+
+  private val topPartsPerBrandSql =
+    s"""WITH per_part AS (
+       |  SELECT p.p_brand, p.p_partkey,
+       |         ${Det.roundSql("CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS revenue
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  GROUP BY p.p_brand, p.p_partkey
+       |)
+       |SELECT p_brand, p_partkey, revenue, rn FROM (
+       |  SELECT p_brand, p_partkey, revenue,
+       |         row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rn
+       |  FROM per_part
+       |) WHERE rn <= 5
+       |ORDER BY p_brand, rn""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "revenue_cube"           -> QueryDef(revenueCube, Some(revenueCubeSql)),
+    "order_size_histogram"   -> QueryDef(orderSizeHistogram, Some(orderSizeHistogramSql)),
+    "nation_balance_fulljoin" -> QueryDef(nationBalanceFulljoin, Some(nationBalanceFulljoinSql)),
+    "buyers_with_sessions"   -> QueryDef(buyersWithSessions, Some(buyersWithSessionsSql)),
+    "top_parts_per_brand"    -> QueryDef(topPartsPerBrand, Some(topPartsPerBrandSql)))
+}

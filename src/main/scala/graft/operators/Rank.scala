@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking (round 2).
+  *
+  * `percent_rank() OVER (ORDER BY x)` — no PARTITION BY — is the classic
+  * single-partition window cliff: Spark moves the ENTIRE input through one
+  * task (the same cliff the round-1 scale probe caught in the ntile-based
+  * rfm, BASELINE.md). This module computes exact global percent_rank /
+  * cume_dist distributively:
+  *
+  *  1. sample ~255 approximate quantile boundaries (driver-side, tiny);
+  *  2. assign each row a range bucket in-row (codegen'd array scan over
+  *     the broadcast boundaries — equal values always land in the same
+  *     bucket, so ties never straddle buckets);
+  *  3. count rows per bucket (one tiny aggregate) → cumulative base
+  *     offset per bucket, broadcast back;
+  *  4. rank WITHIN each bucket (parallel windows, ~n/256 rows each) and
+  *     add the base: global rank, exact, no global sort.
+  *
+  * Boundary quality only affects balance, never correctness. This is the
+  * general recipe for any "rank everything" query at 100 TB.
+  */
+object Rank {
+
+  /** Adds exact global `rank` (SQL rank() semantics: ties share the rank
+    * of their first row), `pct_rank` and `cume_dist` over `valueCol`
+    * ascending, without a single-partition window.
+    */
+  def withGlobalRank(df: DataFrame, valueCol: String, buckets: Int = 256): DataFrame = {
+    val n = df.count()
+    // ~(buckets-1) split points; dedup keeps bucketing well-defined when
+    // the distribution is spiky.
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bnds  = df.stat.approxQuantile(valueCol, probs, 0.001).distinct.sorted
+    val bucketed =
+      if (bnds.isEmpty) df.withColumn("__bucket", lit(0))
+      else {
+        val bndArr: Column = array(bnds.map(lit(_)): _*)
+        df.withColumn("__bucket", size(filter(bndArr, b => b <= col(valueCol))))
+      }
+    val bases = bucketed
+      .groupBy(col("__bucket"))
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__bucket"))
+      .collect()
+      .scanLeft((Int.MinValue, 0L)) { case ((_, cum), r) =>
+        (r.getInt(0), cum + r.getLong(1))
+      }
+      .sliding(2)
+      .collect { case Array((_, prior), (b, _)) => (b, prior) }
+      .toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = bases.toDF("__bucket", "__base")
+    val wRank = Window.partitionBy(col("__bucket")).orderBy(col(valueCol))
+    val wTies = Window.partitionBy(col("__bucket"), col(valueCol))
+    bucketed
+      .join(broadcast(baseDf), "__bucket")
+      .withColumn("rank", col("__base") + rank().over(wRank))
+      .withColumn("__ties", count(lit(1)).over(wTies))
+      .withColumn(
+        "pct_rank",
+        if (n > 1) (col("rank") - 1).cast("double") / lit((n - 1).toDouble)
+        else lit(0.0))
+      .withColumn(
+        "cume_dist",
+        (col("rank") - 1 + col("__ties")).cast("double") / lit(n.toDouble))
+      .drop("__bucket", "__base", "__ties")
+  }
+
+  /** Every customer's lifetime spend with exact global percent_rank and
+    * cume_dist — oracle is DuckDB's native window functions, so the
+    * distributed formulation is verified bit-exact against the
+    * single-partition definition.
+    */
+  def customerSpendRank(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(Det.moneySum(col("o_totalprice")).as("total_spent"))
+    withGlobalRank(spend, "total_spent")
+      .select(
+        col("o_custkey"),
+        Det.detRound(col("total_spent"), 2).as("total_spent"),
+        col("rank"),
+        Det.detRound(col("pct_rank"), 9).as("pct_rank"),
+        Det.detRound(col("cume_dist"), 9).as("cum_dist"))
+      .orderBy(desc("total_spent"), asc("o_custkey"))
+      .limit(1000)
+  }
+
+  private val customerSpendRankSql =
+    s"""WITH spend AS (
+       |  SELECT o_custkey,
+       |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+       |  FROM orders GROUP BY o_custkey
+       |)
+       |SELECT o_custkey,
+       |       ${Det.roundSql("total_spent", 2)} AS total_spent,
+       |       rank() OVER (ORDER BY total_spent) AS rank,
+       |       ${Det.roundSql("percent_rank() OVER (ORDER BY total_spent)", 9)} AS pct_rank,
+       |       ${Det.roundSql("cume_dist() OVER (ORDER BY total_spent)", 9)} AS cum_dist
+       |FROM spend
+       |ORDER BY total_spent DESC, o_custkey
+       |LIMIT 1000""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "customer_spend_rank" -> QueryDef(customerSpendRank, Some(customerSpendRankSql)))
+}

@@ -1,0 +1,111 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Customer-lifecycle analytics (round 2): cohort retention triangles and
+  * inter-order gap statistics — the "customer lifetime" queries the
+  * reference's PDF recommends as future work (§12.2 RFM / trend analysis)
+  * expressed as windowed event-sequence analysis over `orders`.
+  *
+  * Scale notes:
+  *  - cohort join is custkey↔custkey between two frames that are BOTH
+  *    outputs of a groupBy on custkey — AQE reuses the same hash
+  *    partitioning, so the join adds no extra shuffle of the fact table.
+  *  - the gap window partitions by customer (thousands of small
+  *    partitions, no single-partition cliff) and carries a total-order
+  *    tie-breaker so lag() is deterministic under any parallelism.
+  */
+object Retention {
+
+  /** Month index (year*12 + month - 1) — integer month arithmetic that is
+    * identical in Spark and DuckDB, avoiding interval/months_between
+    * semantics differences.
+    */
+  private def ymIdx(dateCol: String) =
+    (year(col(dateCol)) * 12 + month(col(dateCol)) - 1).as("ym")
+
+  /** Classic retention triangle: customers grouped by first-order month
+    * (cohort), counted in each subsequent month they ordered again.
+    * Output: cohort month label, month offset (0 = acquisition month),
+    * active-customer count.
+    */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables
+      .orders(spark, dir)
+      .select(col("o_custkey"), ymIdx("o_orderdate"))
+    val firsts = o.groupBy(col("o_custkey")).agg(min(col("ym")).as("cohort_ym"))
+    val active = o.distinct()
+    active
+      .join(firsts, "o_custkey")
+      .groupBy(col("cohort_ym"), (col("ym") - col("cohort_ym")).as("month_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .select(
+        format_string(
+          "%04d-%02d",
+          (col("cohort_ym") / 12).cast("int"),
+          (col("cohort_ym") % 12 + 1).cast("int")).as("cohort_month"),
+        col("month_offset"),
+        col("n_active"))
+      .orderBy(col("cohort_month"), col("month_offset"))
+  }
+
+  private val cohortRetentionSql =
+    """WITH o AS (
+      |  SELECT o_custkey, year(o_orderdate)*12 + month(o_orderdate) - 1 AS ym
+      |  FROM orders
+      |), firsts AS (
+      |  SELECT o_custkey, min(ym) AS cohort_ym FROM o GROUP BY o_custkey
+      |), active AS (
+      |  SELECT DISTINCT o_custkey, ym FROM o
+      |)
+      |SELECT printf('%04d-%02d', CAST(cohort_ym // 12 AS INT), CAST(cohort_ym % 12 + 1 AS INT)) AS cohort_month,
+      |       ym - cohort_ym AS month_offset,
+      |       count(*) AS n_active
+      |FROM active JOIN firsts USING (o_custkey)
+      |GROUP BY cohort_ym, ym - cohort_ym
+      |ORDER BY cohort_month, month_offset""".stripMargin
+
+  /** Global statistics over per-customer inter-order gaps: lag() per
+    * customer (ordered by date with orderkey tie-break), then one exact
+    * aggregate row — count, mean (exact integer sum / count), exact
+    * linear-interpolation median and p90 (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`).
+    */
+  def orderGapStats(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        Det.detRound(sum(col("gap")).cast("double") / count(lit(1)), 6).as("avg_gap_days"),
+        expr("percentile(gap, 0.5)").as("median_gap_days"),
+        expr("percentile(gap, 0.9)").as("p90_gap_days"))
+  }
+
+  private val orderGapStatsSql =
+    s"""WITH seq AS (
+       |  SELECT o_custkey, o_orderdate,
+       |         lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+       |  FROM orders
+       |), gaps AS (
+       |  SELECT date_diff('day', prev, o_orderdate) AS gap FROM seq WHERE prev IS NOT NULL
+       |)
+       |SELECT count(*) AS n_gaps,
+       |       ${Det.roundSql("CAST(SUM(gap) AS DOUBLE) / count(*)", 6)} AS avg_gap_days,
+       |       quantile_cont(gap, 0.5) AS median_gap_days,
+       |       quantile_cont(gap, 0.9) AS p90_gap_days
+       |FROM gaps""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "cohort_retention" -> QueryDef(cohortRetention, Some(cohortRetentionSql)),
+    "order_gap_stats"  -> QueryDef(orderGapStats, Some(orderGapStatsSql)))
+}
