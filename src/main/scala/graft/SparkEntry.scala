@@ -12,7 +12,7 @@ object SparkEntry {
   private def all: Map[String, QueryDef] =
     Commerce.defs ++ Engagement.defs ++ TextAnalysis.defs ++ Dedup.defs ++
       Similarity.defs ++ Extended.defs ++ AsOf.defs ++ Olap.defs ++
-      Retention.defs ++ Rank.defs ++
+      Retention.defs ++ Rank.defs ++ TextNgrams.defs ++ Sketches.defs ++
       graft.streaming.EventStreams.defs ++ graft.multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

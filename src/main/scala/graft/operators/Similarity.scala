@@ -184,9 +184,76 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Distributed Lloyd's k-means over the embedding corpus (k = 8,
+    * 3 iterations, deterministic init = the k lowest vec_ids) — the
+    * trained-quantizer counterpart to ann_ivf's fixed coarse quantizer.
+    *
+    * Per iteration: centroids broadcast → in-row squared-L2 argmin
+    * (min-of-struct, codegen'd — no shuffle) → dimension-exploded
+    * DECIMAL mean (exact, partition-order-invariant) → k×dim rows to
+    * the driver. This is exactly the MLlib KMeans dataflow shape (scan
+    * corpus once per iteration, reduce k×dim numbers), so it scales to
+    * any corpus a cluster can scan; determinism comes from the exact
+    * decimal sums. Output is cluster sizes + within-cluster inertia.
+    * Rows-only check (no SQL analog); invariants asserted in
+    * SimilaritySpec round 2.
+    */
+  def embeddingKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val k     = 8
+    val iters = 3
+    val e = corpus(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+    val distExpr =
+      "aggregate(zip_with(v, cent_vec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"
+
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      import spark.implicits._
+      val centsDf = broadcast(cents.toDF("cent_id", "cent_vec"))
+      e.crossJoin(centsDf)
+        .select(
+          col("vec_id"), col("v"), col("cent_id"),
+          expr(distExpr).as("d2"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d2"), col("cent_id"))).as("m"), first(col("v")).as("v"))
+        .select(col("vec_id"), col("m.cent_id").as("cell"), col("m.d2").as("d2"), col("v"))
+    }
+
+    var cents: Seq[(Int, Seq[Double])] = e
+      .filter(col("vec_id") < k)
+      .orderBy(col("vec_id"))
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Double](1)) }
+      .toSeq
+
+    for (_ <- 1 to iters) {
+      val means = assign(cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg((Det.fineSum(col("x")) / count(lit(1))).as("mean"))
+        .collect()
+      cents = means
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          (cell, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }
+        .toSeq
+        .sortBy(_._1)
+    }
+
+    assign(cents)
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        Det.detRound(Det.fineSum(col("d2")), 6).as("inertia"))
+      .orderBy(col("cell"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ann_cosine_topk"   -> QueryDef(annCosineTopK, Some(annCosineTopKSql)),
     "embedding_neardup" -> QueryDef(embeddingNeardup, Some(embeddingNeardupSql)),
     "ann_lsh"           -> QueryDef(annLsh, None),
-    "ann_ivf"           -> QueryDef(annIvf, None))
+    "ann_ivf"           -> QueryDef(annIvf, None),
+    "embedding_kmeans"  -> QueryDef(embeddingKmeans, None))
 }

@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** N-gram and corpus-statistics operators over `documents` (round 2 of
+  * the training-data-pipeline tier): bigram frequency, TF-IDF term
+  * extraction, composite quality filtering, and per-language length
+  * percentiles.
+  *
+  * Scale notes:
+  *  - bigrams are generated IN-ROW (transform over the token array —
+  *    codegen'd, no explode of unigrams first): one shuffle of
+  *    (w1, w2) partial counts, nothing else.
+  *  - TF-IDF joins the doc-term frame to the vocabulary frame on term;
+  *    the vocabulary side is output of a groupBy on the same key, so the
+  *    join reuses its partitioning. At 100 TB with a bounded vocabulary,
+  *    broadcast the DF side instead (one-line change, noted inline).
+  *  - top-terms-per-doc goes through the custom TopKPerKey operator
+  *    (bounded heaps) — no per-doc window sort.
+  */
+object TextNgrams {
+
+  /** Corpus-wide top-40 word bigrams. Tokens are lowercase alnum runs;
+    * pairs are built by a single in-row transform over the token array.
+    */
+  def bigramTopK(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(
+        expr("transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("w1"), asc("w2"))
+      .limit(40)
+  }
+
+  private val bigramTopKSql =
+    """WITH toks AS (
+      |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT t[i] AS w1, t[i+1] AS w2
+      |  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+      |  WHERE len(t) >= 2
+      |)
+      |SELECT w1, w2, count(*) AS cnt
+      |FROM pairs
+      |GROUP BY w1, w2
+      |ORDER BY cnt DESC, w1, w2
+      |LIMIT 40""".stripMargin
+
+  /** Top-3 TF-IDF terms per document (idf = ln(N/df), raw counts — the
+    * classic keyword extraction). Ranking runs on the unrounded score so
+    * Spark and the oracle order identically; the emitted score is
+    * deterministically rounded.
+    */
+  def tfidfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // vocabulary frame: same key as the join → partitioning reused; at
+    // 100 TB with a capped vocab, wrap in broadcast(...) instead.
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val scored = tf
+      .join(df, "term")
+      .withColumn("tfidf", col("tf") * log(lit(nDocs.toDouble) / col("df_docs")))
+    org.apache.spark.sql.graft.TopK
+      .perKey(
+        scored,
+        Seq("doc_id"),
+        Seq("tfidf" -> false, "term" -> true),
+        k = 3,
+        rankName = "rn")
+      .select(
+        col("doc_id"), col("rn"), col("term"), col("tf"), col("df_docs"),
+        Det.detRound(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val tfidfTopKSql =
+    s"""WITH tf AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |  FROM documents
+       |), tfc AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+       |), dfc AS (
+       |  SELECT term, count(*) AS df_docs FROM tfc GROUP BY term
+       |), scored AS (
+       |  SELECT t.doc_id, t.term, t.tf, d.df_docs,
+       |         t.tf * ln((SELECT count(*) FROM documents) / CAST(d.df_docs AS DOUBLE)) AS tfidf
+       |  FROM tfc t JOIN dfc d ON t.term = d.term
+       |)
+       |SELECT doc_id, rn, term, tf, df_docs,
+       |       ${Det.roundSql("tfidf", 6)} AS tfidf
+       |FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+       |  FROM scored
+       |) WHERE rn <= 3
+       |ORDER BY doc_id, rn""".stripMargin
+
+  /** Composite quality gate: per-language pass counts for the standard
+    * pre-training filters (document length, token count, mean token
+    * length band). Pure per-row arithmetic inside codegen; one tiny
+    * aggregate.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(
+        col("lang"),
+        col("n_chars"),
+        split(col("text"), " ").as("t"))
+      .select(
+        col("lang"),
+        col("n_chars"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr("CAST(aggregate(t, 0, (a, w) -> a + length(w)) AS BIGINT)").as("token_chars"))
+      .withColumn(
+        "passes",
+        col("n_chars") >= 150 && col("n_tokens") >= 30 &&
+          col("token_chars").cast("double") / col("n_tokens") >= 3.8 &&
+          col("token_chars").cast("double") / col("n_tokens") <= 5.5)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"))
+      .select(
+        col("lang"), col("n_docs"), col("n_pass"),
+        Det.detRound(col("n_pass").cast("double") / col("n_docs"), 6).as("pass_rate"))
+      .orderBy(col("lang"))
+  }
+
+  private val qualityFilterSql =
+    s"""WITH m AS (
+       |  SELECT lang, n_chars,
+       |         len(string_split(text, ' ')) AS n_tokens,
+       |         list_reduce(list_prepend(0, list_transform(string_split(text, ' '), w -> length(w))), (a, b) -> a + b) AS token_chars
+       |  FROM documents
+       |), flags AS (
+       |  SELECT lang,
+       |         (n_chars >= 150 AND n_tokens >= 30
+       |          AND CAST(token_chars AS DOUBLE) / n_tokens >= 3.8
+       |          AND CAST(token_chars AS DOUBLE) / n_tokens <= 5.5) AS passes
+       |  FROM m
+       |)
+       |SELECT lang,
+       |       count(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |       ${Det.roundSql("CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS pass_rate
+       |FROM flags
+       |GROUP BY lang
+       |ORDER BY lang""".stripMargin
+
+  /** Exact linear-interpolation length percentiles per language —
+    * grouped percentile coverage (the global form lives in
+    * event_value_percentiles).
+    */
+  def docLenPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.25)").as("p25"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.75)").as("p75"),
+        expr("percentile(n_chars, 0.95)").as("p95"))
+      .orderBy(col("lang"))
+  }
+
+  private val docLenPercentilesSql =
+    """SELECT lang,
+      |       count(*) AS n_docs,
+      |       quantile_cont(n_chars, 0.25) AS p25,
+      |       quantile_cont(n_chars, 0.5)  AS p50,
+      |       quantile_cont(n_chars, 0.75) AS p75,
+      |       quantile_cont(n_chars, 0.95) AS p95
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "bigram_topk"         -> QueryDef(bigramTopK, Some(bigramTopKSql)),
+    "tfidf_topk"          -> QueryDef(tfidfTopK, Some(tfidfTopKSql)),
+    "quality_filter"      -> QueryDef(qualityFilter, Some(qualityFilterSql)),
+    "doc_len_percentiles" -> QueryDef(docLenPercentiles, Some(docLenPercentilesSql)))
+}

@@ -105,6 +105,39 @@ object EventStreams {
        |GROUP BY 1, 2
        |ORDER BY window_start, event_type""".stripMargin
 
+  /** Sliding event-time windows (1 h wide, 30 min slide): each event
+    * lands in exactly width/slide = 2 windows. Spark materializes the
+    * window replication in-row before the aggregate (one shuffle of
+    * per-window partials). Oracle: every event belongs to the windows
+    * starting at floor30(ts) and floor30(ts) − 30 min — generated by a
+    * 2-row offset cross join, which is exactly Spark's expansion.
+    */
+  def eventSlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    withEventTime(Tables.events(spark, dir))
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.detRound(Det.moneySum(col("value")), 2).as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n_events"),
+        col("total_value"))
+      .orderBy(col("window_start"))
+
+  private val eventSlidingWindowsSql =
+    s"""WITH expanded AS (
+       |  SELECT time_bucket(INTERVAL '30 minutes', ts) - o.off * INTERVAL '30 minutes' AS ws,
+       |         value
+       |  FROM events, (VALUES (0), (1)) AS o(off)
+       |)
+       |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       |       count(*) AS n_events,
+       |       ${Det.roundSql("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS total_value
+       |FROM expanded
+       |GROUP BY ws
+       |ORDER BY window_start""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "event_time_windows" -> QueryDef(eventTimeWindows, Some(eventTimeWindowsSql)))
+    "event_time_windows"    -> QueryDef(eventTimeWindows, Some(eventTimeWindowsSql)),
+    "event_sliding_windows" -> QueryDef(eventSlidingWindows, Some(eventSlidingWindowsSql)))
 }

@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Sketches, Similarity, TextNgrams}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextNgramsSketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bigram_topk: counts positive, non-increasing, and words are alnum tokens") {
+    val rows = TextNgrams.bigramTopK(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 40)
+    val counts = rows.map(_.getLong(2)).toSeq
+    assert(counts === counts.sorted.reverse)
+    assert(rows.forall(r => r.getString(0).matches("[a-z0-9]+") && r.getString(1).matches("[a-z0-9]+")))
+  }
+
+  test("tfidf_topk: 3 ranked terms per doc, tfidf non-increasing, df consistent") {
+    val rows = TextNgrams.tfidfTopK(spark, TestSpark.Sf).collect()
+    val nDocs = Tables.documents(spark, TestSpark.Sf).count()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getLong(1))
+      assert(byRank.map(_.getLong(1)).toSeq === (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getDouble(5)).toSeq
+      assert(scores === scores.sorted.reverse)
+    }
+    // a term appearing in every doc has idf 0 → tfidf 0; never negative
+    assert(rows.forall(_.getDouble(5) >= 0.0))
+    assert(rows.forall(_.getLong(4) <= nDocs))
+  }
+
+  test("quality_filter: pass counts bounded by doc counts and rates consistent") {
+    val rows = TextNgrams.qualityFilter(spark, TestSpark.Sf).collect()
+    val total = Tables.documents(spark, TestSpark.Sf).count()
+    assert(rows.map(_.getLong(1)).sum === total)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
+
+  test("doc_len_percentiles: monotone percentiles within each language") {
+    TextNgrams.docLenPercentiles(spark, TestSpark.Sf).collect().foreach { r =>
+      val Seq(p25, p50, p75, p95) = Seq(2, 3, 4, 5).map(r.getDouble)
+      assert(p25 <= p50 && p50 <= p75 && p75 <= p95)
+    }
+  }
+
+  test("event_sliding_windows: each event counted in exactly width/slide windows") {
+    val out = EventStreams.eventSlidingWindows(spark, TestSpark.Sf)
+    val totalCounted = out.agg(sum($"n_events")).collect().head.getLong(0)
+    val nEvents = Tables.events(spark, TestSpark.Sf).count()
+    assert(totalCounted === 2 * nEvents)
+  }
+
+  test("distinct_users_sketch: estimates within 15% of exact for both sketches") {
+    val rows = Sketches.distinctUsersSketch(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(4) <= 0.15, s"kmv err ${r.getDouble(4)}")
+      assert(r.getDouble(5) <= 0.15, s"hll err ${r.getDouble(5)}")
+    }
+  }
+
+  test("embedding_kmeans: partitions the corpus, inertia non-negative and improves on init") {
+    val out = Similarity.embeddingKmeans(spark, TestSpark.Sf).collect()
+    val n = Tables.embeddings(spark, TestSpark.Sf).count()
+    assert(out.map(_.getLong(1)).sum === n)
+    assert(out.forall(_.getDouble(2) >= 0.0))
+    // determinism: a second run returns the identical frame
+    val again = Similarity.embeddingKmeans(spark, TestSpark.Sf).collect()
+    assert(out.toSeq === again.toSeq)
+  }
+}
