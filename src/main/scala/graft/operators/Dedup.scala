@@ -77,10 +77,18 @@ object Dedup {
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleCap).select("h")
     val cold = sh.join(broadcast(hot), Seq("h"), "left_anti")
-    val common = cold.as("a")
-      .join(cold.as("b"), Seq("h"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Posting-list pair expansion (same one-shuffle shape as
+    // also_bought_pairs) instead of a shingle self-join: group the
+    // inverted index by shingle hash, expand the i<j doc pairs in-row
+    // (bounded by the df cap), and count. Halves the shuffles of the
+    // a⋈b formulation and removes its join-key skew; verified equal by
+    // the oracle's self-join SQL.
+    val common = cold
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+      .select(col("doc_a"), explode(expr("slice(docs, i + 2, size(docs))")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")

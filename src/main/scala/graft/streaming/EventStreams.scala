@@ -137,7 +137,77 @@ object EventStreams {
        |GROUP BY ws
        |ORDER BY window_start""".stripMargin
 
+  /** Per-user interval join of two event streams: each view matched to
+    * the same user's clicks in (view, view + horizon]. In streaming this
+    * is the canonical stream-stream join — both sides buffer watermarked
+    * state and the time bound lets Spark GC it; in batch it is an
+    * equi-join on user_id with a residual band predicate (no range
+    * explosion). StreamingSpec drives the same function through
+    * readStream on both sides.
+    */
+  def viewClickPairs(views: DataFrame, clicks: DataFrame, horizonMin: Int = 10): DataFrame = {
+    val v = withEventTime(views)
+      .withWatermark("event_time", "1 hour")
+      .select(
+        col("user_id").as("v_user"),
+        col("event_id").as("view_id"),
+        col("event_time").as("v_time"))
+    val c = withEventTime(clicks)
+      .withWatermark("event_time", "1 hour")
+      .select(
+        col("user_id").as("c_user"),
+        col("event_id").as("click_id"),
+        col("event_time").as("c_time"))
+    v.join(
+      c,
+      col("v_user") === col("c_user") &&
+        col("c_time") > col("v_time") &&
+        col("c_time") <= col("v_time") + expr(s"INTERVAL $horizonMin MINUTES"))
+  }
+
+  /** Batch-registered aggregate over the interval join: pair count,
+    * matched-view count (two-stage distinct) and exact mean
+    * view→click latency. Oracle: the same join in ANSI SQL on µs
+    * timestamps.
+    */
+  def viewClickAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val pairs = viewClickPairs(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "click"))
+      .select(
+        col("view_id"),
+        (unix_micros(col("c_time")) - unix_micros(col("v_time"))).as("lat_us"))
+    val perView = pairs
+      .groupBy(col("view_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("lat_us")).as("lat_sum"))
+    perView.agg(
+      sum(col("n_clicks")).as("n_pairs"),
+      count(lit(1)).as("n_views_matched"),
+      Det.detRound(
+        sum(col("lat_sum")).cast("double") / sum(col("n_clicks")) / 1e6, 6)
+        .as("avg_latency_sec"))
+  }
+
+  private val viewClickAttributionSql =
+    s"""WITH v AS (
+       |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS vt
+       |  FROM events WHERE event_type = 'view'
+       |), c AS (
+       |  SELECT user_id, epoch_us(ts) AS ct
+       |  FROM events WHERE event_type = 'click'
+       |), p AS (
+       |  SELECT v.view_id, c.ct - v.vt AS lat_us
+       |  FROM v JOIN c ON v.user_id = c.user_id
+       |  WHERE c.ct > v.vt AND c.ct <= v.vt + 600000000
+       |)
+       |SELECT count(*) AS n_pairs,
+       |       count(DISTINCT view_id) AS n_views_matched,
+       |       ${Det.roundSql("CAST(SUM(lat_us) AS DOUBLE) / count(*) / 1e6", 6)} AS avg_latency_sec
+       |FROM p""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "event_time_windows"    -> QueryDef(eventTimeWindows, Some(eventTimeWindowsSql)),
-    "event_sliding_windows" -> QueryDef(eventSlidingWindows, Some(eventSlidingWindowsSql)))
+    "event_time_windows"      -> QueryDef(eventTimeWindows, Some(eventTimeWindowsSql)),
+    "event_sliding_windows"   -> QueryDef(eventSlidingWindows, Some(eventSlidingWindowsSql)),
+    "view_click_attribution"  -> QueryDef(viewClickAttribution, Some(viewClickAttributionSql)))
 }

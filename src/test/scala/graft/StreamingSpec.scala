@@ -106,6 +106,55 @@ class StreamingSpec extends AnyFunSuite {
     batch.unpersist()
   }
 
+  test("stream-stream interval join matches the batch pair count") {
+    val dir = Files.createTempDirectory("graft-stream-join").toFile
+    dir.deleteOnExit()
+    val batch = Tables.events(spark, TestSpark.Sf)
+    batch.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    def side(t: String) = spark.readStream
+      .schema(batch.schema)
+      .parquet(dir.getAbsolutePath)
+      .filter(col("event_type") === t)
+    val q = EventStreams
+      .viewClickPairs(side("view"), side("click"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("vc_pairs")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT count(*) FROM vc_pairs").collect().head.getLong(0)
+    val expected = EventStreams
+      .viewClickPairs(
+        batch.filter(col("event_type") === "view"),
+        batch.filter(col("event_type") === "click"))
+      .count()
+    assert(streamed === expected && expected > 0)
+  }
+
+  test("sliding windows in streaming mode count each event twice") {
+    val dir = Files.createTempDirectory("graft-stream-slide").toFile
+    dir.deleteOnExit()
+    val batch = Tables.events(spark, TestSpark.Sf)
+    batch.write.mode("overwrite").parquet(dir.getAbsolutePath)
+    val stream = spark.readStream.schema(batch.schema).parquet(dir.getAbsolutePath)
+    val q = EventStreams
+      .withEventTime(stream)
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("stream_sliding")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val total = spark.sql("SELECT sum(n_events) FROM stream_sliding").collect().head.getLong(0)
+    assert(total === 2 * batch.count())
+  }
+
   test("session windows run in streaming mode with state") {
     val dir = Files.createTempDirectory("graft-stream-sess").toFile
     dir.deleteOnExit()
