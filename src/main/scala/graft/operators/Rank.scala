@@ -31,12 +31,21 @@ object Rank {
     * of their first row), `pct_rank` and `cume_dist` over `valueCol`
     * ascending, without a single-partition window.
     */
-  def withGlobalRank(df: DataFrame, valueCol: String, buckets: Int = 256): DataFrame = {
+  def withGlobalRank(dfIn: DataFrame, valueCol: String, buckets: Int = 256): DataFrame = {
+    // The input frame feeds four consumers (row count, quantile probe,
+    // bucket counts, final ranked join) — persist it so an expensive
+    // upstream (e.g. the spend aggregation) runs once, not four times.
+    // The 10× scale probe caught the recomputation as 16× growth.
+    val df = dfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = df.count()
     // ~(buckets-1) split points; dedup keeps bucketing well-defined when
     // the distribution is spiky.
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
-    val bnds  = df.stat.approxQuantile(valueCol, probs, 0.001).distinct.sorted
+    // loose accuracy: boundaries only balance buckets, they never affect
+    // the computed ranks — 0.5/buckets keeps worst-case skew ~1.5×
+    val bnds = df.stat
+      .approxQuantile(valueCol, probs, 0.5 / buckets)
+      .distinct.sorted
     val bucketed =
       if (bnds.isEmpty) df.withColumn("__bucket", lit(0))
       else {
