@@ -53,3 +53,69 @@ object KmvDistinct {
   def udf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new KmvDistinct(k), Encoders.scalaLong)
 }
+
+/** Mergeable Misra-Gries frequent-items summary as a typed
+  * `Aggregator[Long, mutable.HashMap[Long, Long], Seq[(Long, Long)]]`.
+  *
+  * Buffer = item → count, exact until it exceeds 2k entries, then
+  * compressed by subtracting the (k+1)-th largest count and dropping
+  * non-positives (the classic decrement step, applied in batch so
+  * per-row cost stays O(1) amortized). Merge = count-sum + the same
+  * compression. The standard bound holds under ANY merge tree: a final
+  * count undercounts the true frequency by at most n/(k+1), so every
+  * item with true frequency ≥ n/(k+1) is guaranteed to survive as a
+  * candidate. Exact-answer recipe (HeavyHitters query): MG pass for
+  * candidates → exact count of candidates → threshold filter; the
+  * result is provably identical to the full groupBy as long as the
+  * threshold exceeds n/(k+1) — which the query asserts.
+  */
+class FrequentItems(k: Int)
+  extends Aggregator[Long, scala.collection.mutable.HashMap[Long, Long], Seq[(Long, Long)]] {
+  import scala.collection.mutable
+  require(k >= 16, "FrequentItems needs k >= 16")
+  private val cap = 2 * k
+
+  override def zero: mutable.HashMap[Long, Long] = mutable.HashMap.empty
+
+  private def compress(
+      m: mutable.HashMap[Long, Long], target: Int): mutable.HashMap[Long, Long] = {
+    if (m.size <= target) return m
+    val counts = m.values.toArray
+    java.util.Arrays.sort(counts)
+    val pivot = counts(counts.length - target - 1) // (target+1)-th largest
+    val out = mutable.HashMap.empty[Long, Long]
+    m.foreach { case (item, c) => if (c > pivot) out.update(item, c - pivot) }
+    out
+  }
+
+  override def reduce(
+      m: mutable.HashMap[Long, Long], x: Long): mutable.HashMap[Long, Long] = {
+    m.update(x, m.getOrElse(x, 0L) + 1L)
+    if (m.size > cap) compress(m, k) else m
+  }
+
+  override def merge(
+      a: mutable.HashMap[Long, Long],
+      b: mutable.HashMap[Long, Long]): mutable.HashMap[Long, Long] = {
+    val (big, small) = if (a.size >= b.size) (a, b) else (b, a)
+    small.foreach { case (item, c) => big.update(item, big.getOrElse(item, 0L) + c) }
+    if (big.size > k) compress(big, k) else big
+  }
+
+  /** Candidates sorted by (count desc, item asc) — deterministic output
+    * for a given buffer; counts are lower bounds, not exact.
+    */
+  override def finish(m: scala.collection.mutable.HashMap[Long, Long]): Seq[(Long, Long)] =
+    m.toSeq.sortBy { case (item, c) => (-c, item) }
+
+  override def bufferEncoder: Encoder[scala.collection.mutable.HashMap[Long, Long]] =
+    Encoders.javaSerialization[scala.collection.mutable.HashMap[Long, Long]]
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
+}
+
+object FrequentItems {
+  /** Untyped form: returns array<struct<_1: item, _2: mg_count>>. */
+  def udf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new FrequentItems(k), Encoders.scalaLong)
+}

@@ -82,6 +82,50 @@ object Rank {
       .drop("__bucket", "__base", "__ties")
   }
 
+  /** Adds an exact inclusive running sum of `valueCol` (long) in
+    * `orderCol` order WITHOUT a single-partition window — the same
+    * range-bucket recipe as withGlobalRank: bucket by sampled ranges of
+    * the (unique) order key, window-cumsum within each bucket in
+    * parallel, add broadcast per-bucket base offsets. Integer sums, so
+    * the distributed result is bit-identical to the global window.
+    */
+  def withPrefixSum(
+      dfIn: DataFrame, orderCol: String, valueCol: String, buckets: Int = 256): DataFrame = {
+    val df = dfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probs = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bnds = df.stat
+      .approxQuantile(orderCol, probs, 0.5 / buckets)
+      .distinct.sorted
+    val bucketed =
+      if (bnds.isEmpty) df.withColumn("__bucket", lit(0))
+      else {
+        val bndArr: Column = array(bnds.map(lit(_)): _*)
+        df.withColumn("__bucket", size(filter(bndArr, b => b <= col(orderCol))))
+      }
+    val bases = bucketed
+      .groupBy(col("__bucket"))
+      .agg(sum(col(valueCol)).as("__sum"))
+      .orderBy(col("__bucket"))
+      .collect()
+      .scanLeft((Int.MinValue, 0L)) { case ((_, cum), r) =>
+        (r.getInt(0), cum + r.getLong(1))
+      }
+      .sliding(2)
+      .collect { case Array((_, prior), (b, _)) => (b, prior) }
+      .toSeq
+    val spark = df.sparkSession
+    import spark.implicits._
+    val baseDf = bases.toDF("__bucket", "__base")
+    val w = Window
+      .partitionBy(col("__bucket"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .join(broadcast(baseDf), "__bucket")
+      .withColumn("cum", col("__base") + sum(col(valueCol)).over(w))
+      .drop("__bucket", "__base")
+  }
+
   /** Every customer's lifetime spend with exact global percent_rank and
     * cume_dist — oracle is DuckDB's native window functions, so the
     * distributed formulation is verified bit-exact against the

@@ -105,7 +105,53 @@ object Retention {
        |       quantile_cont(gap, 0.9) AS p90_gap_days
        |FROM gaps""".stripMargin
 
+  /** First vs latest order per customer — first_value/last_value over a
+    * full-partition frame (the remaining window-frame shape the engine
+    * had not yet registered), plus basket growth between them. Top 100
+    * by growth for a bounded output.
+    */
+  def customerOrderSpan(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        first_value(col("o_totalprice")).over(w).as("first_price"),
+        last_value(col("o_totalprice")).over(w).as("last_price"),
+        count(lit(1)).over(w).as("n_orders"))
+      .distinct()
+      .filter(col("n_orders") >= 2)
+      .withColumn(
+        "growth",
+        Det.detRound(col("last_price") - col("first_price"), 2))
+      .orderBy(desc("growth"), asc("o_custkey"))
+      .limit(100)
+      .select(col("o_custkey"), col("first_price"), col("last_price"),
+        col("n_orders"), col("growth"))
+  }
+
+  private val customerOrderSpanSql =
+    s"""WITH spans AS (
+       |  SELECT DISTINCT o_custkey,
+       |         first_value(o_totalprice) OVER w AS first_price,
+       |         last_value(o_totalprice) OVER w AS last_price,
+       |         count(*) OVER w AS n_orders
+       |  FROM orders
+       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+       |)
+       |SELECT o_custkey, first_price, last_price, n_orders,
+       |       ${Det.roundSql("last_price - first_price", 2)} AS growth
+       |FROM spans
+       |WHERE n_orders >= 2
+       |ORDER BY growth DESC, o_custkey
+       |LIMIT 100""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "cohort_retention" -> QueryDef(cohortRetention, Some(cohortRetentionSql)),
-    "order_gap_stats"  -> QueryDef(orderGapStats, Some(orderGapStatsSql)))
+    "cohort_retention"    -> QueryDef(cohortRetention, Some(cohortRetentionSql)),
+    "order_gap_stats"     -> QueryDef(orderGapStats, Some(orderGapStatsSql)),
+    "customer_order_span" -> QueryDef(customerOrderSpan, Some(customerOrderSpanSql)))
 }

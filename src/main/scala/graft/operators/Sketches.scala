@@ -49,6 +49,46 @@ object Sketches {
       .orderBy(col("event_type"))
   }
 
+  /** Exact frequent-items via the two-pass Misra-Gries recipe: one MG
+    * sweep (k = 16383 counters) produces a candidate set guaranteed to
+    * contain every part with frequency ≥ n/(k+1); a second pass counts
+    * ONLY the candidates exactly (broadcast semi-join — the fact table
+    * never shuffles by part) and applies the support threshold
+    * n div 15000 > n/(k+1). The output is therefore provably identical
+    * to the full groupBy + HAVING the oracle runs, while the first pass
+    * moves k counters per partition instead of one count per distinct
+    * key — the aggregation-pushdown shape for "find the hot keys in
+    * 100 TB" where the distinct-key count itself is shuffle-sized.
+    */
+  def frequentParts(spark: SparkSession, dir: String): DataFrame = {
+    val k  = 16383
+    val li = Tables.lineitem(spark, dir).select(col("l_partkey"))
+    val n  = li.count()
+    val thr = n / 15000
+    // exactness condition: any item that can pass the HAVING filter
+    // (freq ≥ max(thr, 1)) must beat the MG undercount bound n/(k+1)
+    require(math.max(thr, 1L) > n.toDouble / (k + 1),
+      "support threshold must exceed the MG error bound")
+    val mg = graft.functions.FrequentItems.udf(k)
+    val cands = li
+      .agg(mg(col("l_partkey")).as("cand"))
+      .select(explode(col("cand")).as("c"))
+      .select(col("c._1").as("l_partkey"))
+    li.join(broadcast(cands), "l_partkey")
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") >= thr)
+      .orderBy(desc("n_items"), asc("l_partkey"))
+  }
+
+  private val frequentPartsSql =
+    """SELECT l_partkey, count(*) AS n_items
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING count(*) >= (SELECT count(*) // 15000 FROM lineitem)
+      |ORDER BY n_items DESC, l_partkey""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "distinct_users_sketch" -> QueryDef(distinctUsersSketch, None))
+    "distinct_users_sketch" -> QueryDef(distinctUsersSketch, None),
+    "frequent_parts"        -> QueryDef(frequentParts, Some(frequentPartsSql)))
 }

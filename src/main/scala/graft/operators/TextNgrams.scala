@@ -188,7 +188,56 @@ object TextNgrams {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** Sequence packing for training: documents assigned to fixed-capacity
+    * token bins (capacity 2048) by prefix-sum division in doc_id order —
+    * bin = floor(tokens-before / capacity), the standard "chunked
+    * packing" pass that turns a shuffled corpus into near-full context
+    * windows. The running sum uses Rank.withPrefixSum (range-bucketed
+    * distributed prefix sum — no single-partition window), and the
+    * integer arithmetic makes the distributed result bit-identical to
+    * the oracle's global window cumsum. Output is per-bin packing stats.
+    */
+  def docPackBins(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048
+    val toks = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    Rank
+      .withPrefixSum(toks, "doc_id", "n_tokens")
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / cap).cast("long"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn(
+        "utilization",
+        Det.detRound(col("total_tokens").cast("double") / cap, 6))
+      .orderBy(col("bin"))
+  }
+
+  private val docPackBinsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t
+       |)
+       |SELECT CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
+       |       count(*) AS n_docs,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |       min(doc_id) AS first_doc,
+       |       max(doc_id) AS last_doc,
+       |       ${Det.roundSql("CAST(SUM(n_tokens) AS DOUBLE) / 2048", 6)} AS utilization
+       |FROM c
+       |GROUP BY 1
+       |ORDER BY bin""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "doc_pack_bins"       -> QueryDef(docPackBins, Some(docPackBinsSql)),
     "bigram_topk"         -> QueryDef(bigramTopK, Some(bigramTopKSql)),
     "tfidf_topk"          -> QueryDef(tfidfTopK, Some(tfidfTopKSql)),
     "quality_filter"      -> QueryDef(qualityFilter, Some(qualityFilterSql)),
