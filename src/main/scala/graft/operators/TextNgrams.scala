@@ -236,7 +236,75 @@ object TextNgrams {
        |GROUP BY 1
        |ORDER BY bin""".stripMargin
 
+  /** Benchmark-contamination check: which corpus documents share word
+    * 5-grams with a held-out benchmark set (here: doc_id < 20), and how
+    * much. The benchmark's distinct shingle set is broadcast — the
+    * corpus is scanned once and never shuffled by shingle; per-doc
+    * matched/total counts give the contamination score. Shingles join
+    * as strings for oracle-exactness; at 100 TB the join key would be
+    * xxhash64(shingle) with the same plan shape (collision risk
+    * acceptable there, not in an exactness gate).
+    */
+  def contaminationCheck(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("t")) >= 5,
+            array_distinct(expr(
+              "transform(sequence(0, size(t) - 5), i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]))")))
+            .otherwise(array().cast("array<string>")))
+          .as("s"))
+    val bench  = sh.filter(col("doc_id") < 20).select(col("s")).distinct()
+    val corpus = sh.filter(col("doc_id") >= 20)
+    val sizes = corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("total_shingles"))
+    val matched = corpus
+      .join(broadcast(bench), "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("matched_shingles"))
+    matched
+      .join(sizes, "doc_id")
+      .select(
+        col("doc_id"),
+        col("matched_shingles"),
+        col("total_shingles"),
+        Det.detRound(
+          col("matched_shingles").cast("double") / col("total_shingles"), 6)
+          .as("contamination"))
+      .orderBy(desc("contamination"), asc("doc_id"))
+  }
+
+  private val contaminationCheckSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(t) >= 5
+       |         THEN list_transform(generate_series(1, len(t) - 4),
+       |                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+       |         ELSE [] END) AS s
+       |  FROM t
+       |), bench AS (
+       |  SELECT DISTINCT s FROM sh WHERE doc_id < 20
+       |), corpus AS (
+       |  SELECT * FROM sh WHERE doc_id >= 20
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS total_shingles FROM corpus GROUP BY doc_id
+       |), matched AS (
+       |  SELECT doc_id, count(*) AS matched_shingles
+       |  FROM corpus WHERE s IN (SELECT s FROM bench)
+       |  GROUP BY doc_id
+       |)
+       |SELECT m.doc_id, m.matched_shingles, z.total_shingles,
+       |       ${Det.roundSql("CAST(m.matched_shingles AS DOUBLE) / z.total_shingles", 6)} AS contamination
+       |FROM matched m JOIN sizes z ON m.doc_id = z.doc_id
+       |ORDER BY contamination DESC, m.doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "contamination_check" -> QueryDef(contaminationCheck, Some(contaminationCheckSql)),
     "doc_pack_bins"       -> QueryDef(docPackBins, Some(docPackBinsSql)),
     "bigram_topk"         -> QueryDef(bigramTopK, Some(bigramTopKSql)),
     "tfidf_topk"          -> QueryDef(tfidfTopK, Some(tfidfTopKSql)),

@@ -55,6 +55,16 @@ class TextNgramsSketchSpec extends AnyFunSuite {
     assert(totalCounted === 2 * nEvents)
   }
 
+  test("contamination_check: scores in (0,1], corpus side only, benchmark docs self-match") {
+    val rows = TextNgrams.contaminationCheck(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty, "fixture corpus contains planted near-dups of benchmark docs")
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 20, "benchmark docs must not appear in the output")
+      assert(r.getLong(1) <= r.getLong(2))
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("distinct_users_sketch: estimates within 15% of exact for both sketches") {
     val rows = Sketches.distinctUsersSketch(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
