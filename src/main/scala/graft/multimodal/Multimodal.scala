@@ -102,6 +102,65 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Media manifest: per-origin blob accounting over the binary column —
+    * counts, total/avg payload bytes, distinct payloads (two-stage on
+    * md5 of the binary — never shuffles payloads), and the frame count a
+    * 64-byte frame slicer would produce. Unlike the stub decoder these
+    * are all REAL byte-level operations, and because the fixture payload
+    * is the UTF-8 text, every measure has an exact SQL twin over the
+    * text column — so the binary pipeline is oracle-checked end to end.
+    */
+  def mediaManifest(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaTable(Tables.documents(spark, dir))
+    val perPayload = media
+      .select(
+        col("meta.origin").as("origin"),
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("payload_md5"),
+        ceil(length(col("content")) / lit(64.0)).cast("long").as("n_frames"))
+    perPayload
+      .groupBy(col("origin"), col("payload_md5"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        sum(col("n_bytes")).as("bytes_sum"),
+        sum(col("n_frames")).as("frames_sum"))
+      .groupBy(col("origin"))
+      .agg(
+        sum(col("n_copies")).as("n_blobs"),
+        count(lit(1)).as("n_distinct_payloads"),
+        sum(col("bytes_sum")).as("total_bytes"),
+        sum(col("frames_sum")).as("total_frames_64b"))
+      .select(
+        col("origin"), col("n_blobs"), col("n_distinct_payloads"),
+        col("total_bytes"),
+        graft.Det.detRound(col("total_bytes").cast("double") / col("n_blobs"), 4)
+          .as("avg_bytes"),
+        col("total_frames_64b"))
+      .orderBy(col("origin"))
+  }
+
+  private val mediaManifestSql =
+    s"""WITH per AS (
+       |  SELECT source AS origin, md5(text) AS payload_md5,
+       |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+       |         CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames
+       |  FROM documents
+       |), grouped AS (
+       |  SELECT origin, payload_md5, count(*) AS n_copies,
+       |         SUM(n_bytes) AS bytes_sum, SUM(n_frames) AS frames_sum
+       |  FROM per GROUP BY origin, payload_md5
+       |)
+       |SELECT origin,
+       |       CAST(SUM(n_copies) AS BIGINT) AS n_blobs,
+       |       count(*) AS n_distinct_payloads,
+       |       CAST(SUM(bytes_sum) AS BIGINT) AS total_bytes,
+       |       ${graft.Det.roundSql("CAST(SUM(bytes_sum) AS DOUBLE) / SUM(n_copies)", 4)} AS avg_bytes,
+       |       CAST(SUM(frames_sum) AS BIGINT) AS total_frames_64b
+       |FROM grouped
+       |GROUP BY origin
+       |ORDER BY origin""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "multimodal_features" -> QueryDef(multimodalFeatures, None))
+    "multimodal_features" -> QueryDef(multimodalFeatures, None),
+    "media_manifest"      -> QueryDef(mediaManifest, Some(mediaManifestSql)))
 }

@@ -266,7 +266,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Edit-distance verification of the Jaccard near-dup candidates:
+    * Levenshtein distance + normalized similarity for each candidate
+    * pair (codegen'd built-in, no UDF). The expensive O(len²) kernel
+    * runs only on the shingle-filtered pair list — the standard
+    * "cheap filter, exact verify" cascade; both stages are
+    * oracle-checked.
+    */
+  def dedupEditdist(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    dedupJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("jaccard"),
+        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        Det.detRound(
+          lit(1.0) - levenshtein(col("text_a"), col("text_b")) /
+            greatest(length(col("text_a")), length(col("text_b"))).cast("double"),
+          6).as("edit_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val dedupEditdistSql =
+    s"""WITH pairs AS (
+       |${dedupJaccardSql.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT p.doc_a, p.doc_b, p.jaccard,
+       |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |       ${Det.roundSql(
+        "1.0 - levenshtein(a.text, b.text) / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)",
+        6)} AS edit_sim
+       |FROM pairs p
+       |JOIN documents a ON p.doc_a = a.doc_id
+       |JOIN documents b ON p.doc_b = b.doc_id
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, None),
     "dedup_exact"   -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_jaccard" -> QueryDef(dedupJaccard, Some(dedupJaccardSql)),

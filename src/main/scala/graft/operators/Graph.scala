@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics on the co-purchase graph (round 2) — the
+  * "products bought together" pair frequencies (Commerce.pairCounts)
+  * reinterpreted as an undirected weighted graph. Complements the
+  * connected-components pass in Dedup.dedupClusters with the other
+  * classic label-propagation workload.
+  *
+  * Scale notes: the edge list is built once and localCheckpoint'd
+  * (truncates the growing lineage — the standard guard for iterative
+  * DataFrame jobs); each PageRank iteration is one join + one
+  * aggregation, both hash-partitioned on the node key so AQE reuses the
+  * partitioning across iterations. Rank sums use exact DECIMAL
+  * arithmetic, making the fixed-iteration result deterministic under
+  * any parallelism (spec-asserted).
+  */
+object Graph {
+
+  /** 3-iteration PageRank (d = 0.85) over parts connected by appearing
+    * in the same order (pair support ≥ 2 to prune noise edges). Output:
+    * top-50 parts by rank. Rows-only check (fixed-iteration PageRank has
+    * no tractable SQL twin); invariants in GraphSpec — rank mass
+    * conservation and cross-run determinism.
+    */
+  def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
+    val iters = 3
+    val pairs = Commerce
+      .pairCounts(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+      .filter(col("pair_count") >= 2)
+    // undirected → both directions; weight = pair support
+    val edges = pairs
+      .select(col("part_x").as("src"), col("part_y").as("dst"), col("pair_count").as("w"))
+      .union(pairs.select(col("part_y").as("src"), col("part_x").as("dst"), col("pair_count").as("w")))
+      .localCheckpoint()
+    val outWeight = edges
+      .groupBy(col("src"))
+      .agg(sum(col("w")).as("w_out"))
+    val nodes = outWeight.select(col("src").as("node")).localCheckpoint()
+
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contribs = edges
+        .join(outWeight, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(
+          col("dst").as("node"),
+          (col("rank") * col("w") / col("w_out")).as("contrib"))
+        .groupBy(col("node"))
+        .agg(Det.fineSum(col("contrib")).as("in_rank"))
+      ranks = nodes
+        .join(contribs, Seq("node"), "left")
+        .select(
+          col("node"),
+          (lit(0.15) + lit(0.85) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+    }
+    ranks
+      .select(col("node").as("l_partkey"), Det.detRound(col("rank"), 8).as("rank"))
+      .orderBy(desc("rank"), asc("l_partkey"))
+      .limit(50)
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "pagerank_parts" -> QueryDef(pagerankParts, None))
+}

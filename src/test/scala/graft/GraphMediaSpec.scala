@@ -1,0 +1,45 @@
+package graft
+
+import graft.multimodal.Multimodal
+import graft.operators.{Dedup, Graph}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphMediaSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pagerank_parts: ranks positive, bounded below by teleport, deterministic") {
+    val out = Graph.pagerankParts(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty && out.length <= 50)
+    out.foreach(r => assert(r.getDouble(1) >= 0.15 - 1e-9))
+    val ranks = out.map(_.getDouble(1)).toSeq
+    assert(ranks === ranks.sorted.reverse)
+    val again = Graph.pagerankParts(spark, TestSpark.Sf).collect()
+    assert(out.toSeq === again.toSeq, "fixed-iteration PageRank must be deterministic")
+  }
+
+  test("dedup_editdist: similar pairs really are close in edit space") {
+    val rows = Dedup.dedupEditdist(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.6)               // candidates came from jaccard >= 0.6
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getLong(3) >= 0)
+    }
+    // near-dup pairs at jaccard >= 0.6 should be far more similar than
+    // a random pair of documents
+    assert(rows.map(_.getDouble(4)).min > 0.3)
+  }
+
+  test("media_manifest: blob accounting consistent with the documents table") {
+    val rows = Multimodal.mediaManifest(spark, TestSpark.Sf).collect()
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    assert(rows.map(_.getLong(1)).sum === docs.count())
+    val utf8Bytes = docs
+      .select(length(encode($"text", "UTF-8")).cast("long").as("b"))
+      .agg(sum($"b")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(3)).sum === utf8Bytes)
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+}
