@@ -33,8 +33,24 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
     distinct.take(k)
   }
 
-  override def reduce(buf: Array[Long], x: Long): Array[Long] =
-    keepSmallest(buf :+ hash(x))
+  /** Buffer invariant: sorted ascending, distinct, ≤ k entries. The hot
+    * per-row path is a binary search + (only when the hash belongs in
+    * the sketch) one arraycopy insertion — O(log k) for the common
+    * "hash too large, ignore" case instead of the naive sort-per-row.
+    */
+  override def reduce(buf: Array[Long], x: Long): Array[Long] = {
+    val h = hash(x)
+    if (buf.length == k && h >= buf(buf.length - 1)) return buf
+    val pos = java.util.Arrays.binarySearch(buf, h)
+    if (pos >= 0) return buf // already present
+    val ins = -pos - 1
+    val outLen = math.min(buf.length + 1, k)
+    val out = new Array[Long](outLen)
+    System.arraycopy(buf, 0, out, 0, ins)
+    out(ins) = h
+    System.arraycopy(buf, ins, out, ins + 1, outLen - ins - 1)
+    out
+  }
 
   override def merge(a: Array[Long], b: Array[Long]): Array[Long] =
     keepSmallest(a ++ b)
