@@ -206,6 +206,39 @@ object EventStreams {
        |       ${Det.roundSql("CAST(SUM(lat_us) AS DOUBLE) / count(*) / 1e6", 6)} AS avg_latency_sec
        |FROM p""".stripMargin
 
+  /** foreachBatch incremental sink: maintains a parquet "materialized
+    * view" of per-user totals by merging each micro-batch's partial
+    * aggregate into the stored view (read → union → re-aggregate →
+    * localCheckpoint to cut the read-write cycle → overwrite). The
+    * standard streaming-upsert-to-batch-table pattern when the sink has
+    * no native merge; exactly-once here comes from overwrite idempotence.
+    * Driven across micro-batches in StreamingSpec.
+    */
+  def incrementalUserTotals(
+      events: DataFrame, viewDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val partial = batch
+          .groupBy(col("user_id"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            sum(col("value").cast(Det.Money)).as("total_value"))
+        val merged =
+          if (new java.io.File(viewDir).exists()) {
+            spark.read.parquet(viewDir)
+              .unionByName(partial)
+              .groupBy(col("user_id"))
+              .agg(
+                sum(col("n_events")).as("n_events"),
+                sum(col("total_value")).as("total_value"))
+          } else partial
+        // materialize BEFORE overwriting the directory being read
+        merged.localCheckpoint().write.mode("overwrite").parquet(viewDir)
+        ()
+      }
+
   val defs: Map[String, QueryDef] = Map(
     "event_time_windows"      -> QueryDef(eventTimeWindows, Some(eventTimeWindowsSql)),
     "event_sliding_windows"   -> QueryDef(eventSlidingWindows, Some(eventSlidingWindowsSql)),

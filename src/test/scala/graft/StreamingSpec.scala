@@ -106,6 +106,30 @@ class StreamingSpec extends AnyFunSuite {
     batch.unpersist()
   }
 
+  test("foreachBatch incremental view converges to the batch aggregate") {
+    val dir = Files.createTempDirectory("graft-stream-view").toFile
+    dir.deleteOnExit()
+    val viewDir = dir.getAbsolutePath + "/view"
+    val batch = Tables.events(spark, TestSpark.Sf)
+    val Array(h1, h2) = batch.randomSplit(Array(0.5, 0.5), seed = 7)
+    h1.coalesce(1).write.parquet(dir.getAbsolutePath + "/src/f1")
+    h2.coalesce(1).write.parquet(dir.getAbsolutePath + "/src/f2")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath + "/src/f*")
+    val q = EventStreams
+      .incrementalUserTotals(stream, viewDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val view = spark.read.parquet(viewDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = batch.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(view === expected)
+  }
+
   test("stream-stream interval join matches the batch pair count") {
     val dir = Files.createTempDirectory("graft-stream-join").toFile
     dir.deleteOnExit()
