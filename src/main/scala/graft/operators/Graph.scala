@@ -33,23 +33,31 @@ object Graph {
         Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
       .filter(col("pair_count") >= 2)
     // undirected → both directions; weight = pair support
-    val edges = pairs
+    val rawEdges = pairs
       .select(col("part_x").as("src"), col("part_y").as("dst"), col("pair_count").as("w"))
       .union(pairs.select(col("part_y").as("src"), col("part_x").as("dst"), col("pair_count").as("w")))
-      .localCheckpoint()
-    val outWeight = edges
+    val outWeight = rawEdges
       .groupBy(col("src"))
       .agg(sum(col("w")).as("w_out"))
-    val nodes = outWeight.select(col("src").as("node")).localCheckpoint()
+    // iteration-invariant: fold the out-weight normalization into the
+    // edge list ONCE (w/w_out), checkpoint, and repartition by src so
+    // every iteration's ranks join reuses the partitioning — the loop
+    // body is then a single join + aggregation per iteration.
+    val edges = rawEdges
+      .join(outWeight, "src")
+      .select(col("src"), col("dst"), (col("w") / col("w_out")).as("frac"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    // derive nodes from the CHECKPOINTED edges — deriving from outWeight
+    // would re-run the whole pair-generation a second time (eager
+    // localCheckpoint), which the 10× probe surfaced as doubled runtime
+    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
 
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
       val contribs = edges
-        .join(outWeight, "src")
         .join(ranks.withColumnRenamed("node", "src"), "src")
-        .select(
-          col("dst").as("node"),
-          (col("rank") * col("w") / col("w_out")).as("contrib"))
+        .select(col("dst").as("node"), (col("rank") * col("frac")).as("contrib"))
         .groupBy(col("node"))
         .agg(Det.fineSum(col("contrib")).as("in_rank"))
       ranks = nodes
