@@ -198,7 +198,60 @@ object Olap {
        |) WHERE rn <= 5
        |ORDER BY p_brand, rn""".stripMargin
 
+  /** Cart-contents map parity (reference: sessions.cart_contents —
+    * map<product_id, {quantity, price}>, data_generator.py:279–284):
+    * per-order cart built as a real MapType column
+    * (map_from_entries of per-part quantity/spend structs), then
+    * consumed with map_keys/map_values + a higher-order aggregate —
+    * exercising the map build→access→fold surface end to end. The
+    * emitted measures have a map-free SQL twin, so the whole MapType
+    * path is oracle-checked. Top 100 carts by distinct items.
+    */
+  def cartContentsMap(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val carts = li
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(
+        sum(col("l_quantity").cast(Det.Money)).as("qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Det.Fine))
+          .as("spend"))
+      .groupBy(col("l_orderkey"))
+      .agg(
+        map_from_entries(
+          sort_array(collect_list(struct(col("l_partkey"), struct(col("qty"), col("spend"))))))
+          .as("cart"))
+    carts
+      .select(
+        col("l_orderkey"),
+        size(map_keys(col("cart"))).cast("long").as("cart_distinct_items"),
+        expr("CAST(aggregate(map_values(cart), CAST(0 AS DECIMAL(18,2)), (a, v) -> CAST(a + v.qty AS DECIMAL(18,2))) AS DOUBLE)")
+          .as("cart_total_qty"),
+        Det.detRound(
+          expr("CAST(aggregate(map_values(cart), CAST(0 AS DECIMAL(30,10)), (a, v) -> CAST(a + v.spend AS DECIMAL(30,10))) AS DOUBLE)"),
+          2).as("cart_total_spend"))
+      .orderBy(desc("cart_distinct_items"), desc("cart_total_spend"), asc("l_orderkey"))
+      .limit(100)
+  }
+
+  private val cartContentsMapSql =
+    s"""WITH per_part AS (
+       |  SELECT l_orderkey, l_partkey,
+       |         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+       |         SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS spend
+       |  FROM lineitem
+       |  GROUP BY l_orderkey, l_partkey
+       |)
+       |SELECT l_orderkey,
+       |       count(*) AS cart_distinct_items,
+       |       CAST(SUM(qty) AS DOUBLE) AS cart_total_qty,
+       |       ${Det.roundSql("CAST(SUM(spend) AS DOUBLE)", 2)} AS cart_total_spend
+       |FROM per_part
+       |GROUP BY l_orderkey
+       |ORDER BY cart_distinct_items DESC, cart_total_spend DESC, l_orderkey
+       |LIMIT 100""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "cart_contents_map"      -> QueryDef(cartContentsMap, Some(cartContentsMapSql)),
     "revenue_cube"           -> QueryDef(revenueCube, Some(revenueCubeSql)),
     "order_size_histogram"   -> QueryDef(orderSizeHistogram, Some(orderSizeHistogramSql)),
     "nation_balance_fulljoin" -> QueryDef(nationBalanceFulljoin, Some(nationBalanceFulljoinSql)),
