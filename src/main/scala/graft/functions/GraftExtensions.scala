@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.WindowTopKRewrite)
     e.injectFunction(fn(
       "graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float vectors",

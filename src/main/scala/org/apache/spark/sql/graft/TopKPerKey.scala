@@ -86,11 +86,16 @@ case class TopKPerKeyExec(
       val outProj = UnsafeProjection.create(outAttrs, outAttrs)
       val rankRow = new GenericInternalRow(1)
       val joined  = new JoinedRow
+      // rank type follows the declared attribute: LongType from the
+      // TopK.perKey API, IntegerType when standing in for row_number()
+      // via the WindowTopKRewrite optimizer rule
+      val rankIsInt = rankAttr.dataType == org.apache.spark.sql.types.IntegerType
       heaps.iterator.flatMap { case (_, heap) =>
         val ascending: IndexedSeq[InternalRow] =
           heap.dequeueAll[InternalRow].toIndexedSeq.reverse
         ascending.iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, (i + 1).toLong)
+          if (rankIsInt) rankRow.update(0, i + 1)
+          else rankRow.update(0, (i + 1).toLong)
           outProj(joined(row, rankRow)).copy(): InternalRow
         }
       }
