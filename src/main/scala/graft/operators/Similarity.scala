@@ -184,6 +184,47 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Scale path for embedding near-dup: LSH-bucketed candidate pairs
+    * instead of the all-pairs cross join (embedding_neardup is O(n²) —
+    * correct as the small-corpus oracle baseline, unusable at 100 TB).
+    * Vectors hash into 16 tables × 4 hyperplanes; within each
+    * (table, bucket) cell the i<j pairs are expanded in-row from a
+    * size-capped sorted posting list (same shape as dedup_minhash),
+    * deduplicated across tables, then exactly cosine-scored. Rows-only
+    * check; recall vs the brute-force top pairs is spec-asserted.
+    */
+  def embeddingNeardupLsh(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val tables = 16
+    val planes = 4
+    val bucketCap = 200
+    val e = corpus(spark, dir)
+    val buckets = e
+      .select(
+        col("vec_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${tables - 1}),
+             |  t -> struct(t AS tbl, graft_lsh_bucket(embedding, t, $planes) AS bucket))""".stripMargin))
+          .as("lsh"))
+      .select(col("vec_id"), col("lsh.tbl"), col("lsh.bucket"))
+    val pairs = buckets
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(slice(sort_array(collect_list(col("vec_id"))), 1, bucketCap).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("i", "vec_a")), col("ids"))
+      .select(col("vec_a"), explode(expr("slice(ids, i + 2, size(ids))")).as("vec_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
+    pairs
+      .join(va, "vec_a")
+      .join(vb, "vec_b")
+      .select(
+        col("vec_a"), col("vec_b"),
+        Det.detRound(expr("graft_cosine(va, vb)"), 6).as("cos"))
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
+      .limit(20)
+  }
+
   /** Distributed Lloyd's k-means over the embedding corpus (k = 8,
     * 3 iterations, deterministic init = the k lowest vec_ids) — the
     * trained-quantizer counterpart to ann_ivf's fixed coarse quantizer.
@@ -255,5 +296,6 @@ object Similarity {
     "embedding_neardup" -> QueryDef(embeddingNeardup, Some(embeddingNeardupSql)),
     "ann_lsh"           -> QueryDef(annLsh, None),
     "ann_ivf"           -> QueryDef(annIvf, None),
-    "embedding_kmeans"  -> QueryDef(embeddingKmeans, None))
+    "embedding_kmeans"  -> QueryDef(embeddingKmeans, None),
+    "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, None))
 }

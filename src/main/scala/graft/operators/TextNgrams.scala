@@ -303,7 +303,52 @@ object TextNgrams {
        |FROM matched m JOIN sizes z ON m.doc_id = z.doc_id
        |ORDER BY contamination DESC, m.doc_id""".stripMargin
 
+  /** One-row corpus report card — the S14 text-report analog for the
+    * training-data tier: document and token totals, exact-duplicate
+    * count (docs minus distinct md5 payloads), benchmark-contaminated
+    * doc count, and the overall quality-gate pass rate. Four independent
+    * 1-row aggregates cross-joined (each side is a single row, so the
+    * "joins" are free); oracle = the same measures as scalar subqueries.
+    */
+  def corpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val counts = docs
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("h"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_ws_tokens"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dup_docs"))
+    val contaminated = contaminationCheck(spark, dir)
+      .agg(count(lit(1)).as("n_contaminated_docs"))
+    val quality = qualityFilter(spark, dir)
+      .agg(
+        Det.detRound(
+          sum(col("n_pass")).cast("double") / sum(col("n_docs")), 6)
+          .as("quality_pass_rate"))
+    counts
+      .crossJoin(contaminated)
+      .crossJoin(quality)
+      .select(
+        col("n_docs"), col("total_ws_tokens"), col("n_exact_dup_docs"),
+        col("n_contaminated_docs"), col("quality_pass_rate"))
+  }
+
+  // lazy: interpolates contaminationCheckSql/qualityFilterSql, which are
+  // initialized later in the object body
+  private lazy val corpusReportSql =
+    s"""SELECT
+       |  (SELECT count(*) FROM documents) AS n_docs,
+       |  (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) FROM documents) AS total_ws_tokens,
+       |  (SELECT count(*) - count(DISTINCT md5(text)) FROM documents) AS n_exact_dup_docs,
+       |  (SELECT count(*) FROM ($contaminationCheckSql)) AS n_contaminated_docs,
+       |  (SELECT ${Det.roundSql("CAST(SUM(n_pass) AS DOUBLE) / SUM(n_docs)", 6)}
+       |   FROM ($qualityFilterSql)) AS quality_pass_rate""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "corpus_report"       -> QueryDef(corpusReport, Some(corpusReportSql)),
     "contamination_check" -> QueryDef(contaminationCheck, Some(contaminationCheckSql)),
     "doc_pack_bins"       -> QueryDef(docPackBins, Some(docPackBinsSql)),
     "bigram_topk"         -> QueryDef(bigramTopK, Some(bigramTopKSql)),

@@ -74,6 +74,16 @@ class TextNgramsSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding_neardup_lsh: recalls at least half of the brute-force top-10 pairs") {
+    import graft.operators.Similarity
+    def pairSet(df: org.apache.spark.sql.DataFrame, n: Int) =
+      df.limit(n).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairSet(Similarity.embeddingNeardup(spark, TestSpark.Sf), 10)
+    val lsh   = pairSet(Similarity.embeddingNeardupLsh(spark, TestSpark.Sf), 20)
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.5, s"LSH recall $recall of brute top-10")
+  }
+
   test("embedding_kmeans: partitions the corpus, inertia non-negative and improves on init") {
     val out = Similarity.embeddingKmeans(spark, TestSpark.Sf).collect()
     val n = Tables.embeddings(spark, TestSpark.Sf).count()
