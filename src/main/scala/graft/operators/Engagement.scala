@@ -425,7 +425,40 @@ object Engagement {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Composite rowkey encode (reference: HBase rowkey
+    * `user_id|start_time|session_id`, load_hbase_sessions_stream.py:34–38,
+    * with newline sanitization at :20–22): zero-padded fields so the
+    * string ordering IS the (user, time, event) ordering — the rowkey
+    * design rule — plus the P15 sanitize pass on the free-text field.
+    * Top-100 by rowkey; oracle = identical string assembly in SQL.
+    */
+  def rowkeyEncode(spark: SparkSession, dir: String): DataFrame = {
+    eventsUs(spark, dir)
+      .select(
+        concat_ws(
+          "|",
+          lpad(col("user_id").cast("string"), 8, "0"),
+          lpad(col("ts").cast("string"), 20, "0"),
+          lpad(col("event_id").cast("string"), 10, "0")).as("rowkey"),
+        trim(regexp_replace(col("event_type"), "[\\n\\r]", " ")).as("event_type"),
+        col("value"))
+      .orderBy(col("rowkey"))
+      .limit(100)
+  }
+
+  private val rowkeyEncodeSql =
+    """SELECT concat_ws('|',
+      |         lpad(CAST(user_id AS VARCHAR), 8, '0'),
+      |         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0'),
+      |         lpad(CAST(event_id AS VARCHAR), 10, '0')) AS rowkey,
+      |       trim(regexp_replace(event_type, '[\n\r]', ' ', 'g')) AS event_type,
+      |       value
+      |FROM events
+      |ORDER BY rowkey
+      |LIMIT 100""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "rowkey_encode"         -> QueryDef(rowkeyEncode, Some(rowkeyEncodeSql)),
     "event_value_percentiles" -> QueryDef(eventValuePercentiles, Some(eventValuePercentilesSql)),
     "user_engagement"       -> QueryDef(userEngagement, Some(userEngagementSql)),
     "user_sessions_topk"    -> QueryDef(userSessionsTopK, Some(userSessionsTopKSql)),
