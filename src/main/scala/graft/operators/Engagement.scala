@@ -309,6 +309,67 @@ object Engagement {
           .as("corr_spend_duration"))
   }
 
+  /** Least-squares regression of spend on session count over the same
+    * integrated frame — slope/intercept/r² from the same exact decimal
+    * power sums as the correlation query (the regr_slope/regr_r2
+    * builtin family, hand-assembled because the builtins' double sums
+    * are partition-order-dependent and can never hash-match an oracle).
+    */
+  def engagementSpendRegression(spark: SparkSession, dir: String): DataFrame = {
+    val buyers = integrated(spark, dir)
+      .filter(col("total_spent") > 0)
+      .select(
+        col("sessions_count").cast("double").as("x"),
+        col("total_spent").as("y"))
+    val n    = col("n").cast("double")
+    val varx = n * col("sxx") - col("sx") * col("sx")
+    val vary = greatest(n * col("syy") - col("sy") * col("sy"), lit(0.0))
+    val num  = n * col("sxy") - col("sx") * col("sy")
+    val slope = when(col("n") < 2 || varx <= 0.0, 0.0).otherwise(num / varx)
+    buyers
+      .agg(
+        count(lit(1)).as("n"),
+        Det.fineSum(col("x")).as("sx"),
+        Det.fineSum(col("y")).as("sy"),
+        Det.fineSum(col("x") * col("x")).as("sxx"),
+        Det.fineSum(col("y") * col("y")).as("syy"),
+        Det.fineSum(col("x") * col("y")).as("sxy"))
+      .select(
+        col("n").as("num_buyers"),
+        Det.detRound(slope, 6).as("slope"),
+        Det.detRound((col("sy") - slope * col("sx")) / n, 6).as("intercept"),
+        Det.detRound(
+          when(col("n") < 2 || varx <= 0.0 || vary === 0.0, 0.0)
+            .otherwise(num * num / (varx * vary)),
+          6).as("r2"))
+  }
+
+  private lazy val engagementSpendRegressionSql = {
+    val slope =
+      """CASE WHEN n < 2 OR (n*sxx - sx*sx) <= 0.0 THEN 0.0
+        | ELSE (n*sxy - sx*sy) / (n*sxx - sx*sx) END""".stripMargin.replaceAll("\n", " ")
+    integratedSqlBody +
+      s""",
+         |sums AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, count(*) AS num_buyers,
+         |         CAST(SUM(CAST(CAST(sessions_count AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+         |         CAST(SUM(CAST(total_spent AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+         |         CAST(SUM(CAST(CAST(sessions_count AS DOUBLE) * CAST(sessions_count AS DOUBLE) AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+         |         CAST(SUM(CAST(total_spent * total_spent AS DECIMAL(30,10))) AS DOUBLE) AS syy,
+         |         CAST(SUM(CAST(CAST(sessions_count AS DOUBLE) * total_spent AS DECIMAL(30,10))) AS DOUBLE) AS sxy
+         |  FROM seg WHERE total_spent > 0
+         |)
+         |SELECT num_buyers,
+         |       ${Det.roundSql(slope, 6)} AS slope,
+         |       ${Det.roundSql(s"(sy - ($slope) * sx) / n", 6)} AS intercept,
+         |       ${Det.roundSql(
+          """CASE WHEN n < 2 OR (n*sxx - sx*sx) <= 0.0 OR greatest(n*syy - sy*sy, 0.0) = 0.0 THEN 0.0
+            | ELSE (n*sxy - sx*sy) * (n*sxy - sx*sy) / ((n*sxx - sx*sx) * greatest(n*syy - sy*sy, 0.0)) END"""
+            .stripMargin.replaceAll("\n", " "),
+          6)} AS r2
+         |FROM sums""".stripMargin
+  }
+
   /** corr = (n·Sxy − Sx·Sy) / sqrt((n·Sxx − Sx²)(n·Syy − Sy²)), 0.0 when
     * degenerate. Shared expression shape with the DuckDB oracle below.
     */
@@ -458,6 +519,8 @@ object Engagement {
       |LIMIT 100""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "engagement_spend_regression" ->
+      QueryDef(engagementSpendRegression, Some(engagementSpendRegressionSql)),
     "rowkey_encode"         -> QueryDef(rowkeyEncode, Some(rowkeyEncodeSql)),
     "event_value_percentiles" -> QueryDef(eventValuePercentiles, Some(eventValuePercentilesSql)),
     "user_engagement"       -> QueryDef(userEngagement, Some(userEngagementSql)),

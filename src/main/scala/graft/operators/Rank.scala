@@ -31,7 +31,17 @@ object Rank {
     * of their first row), `pct_rank` and `cume_dist` over `valueCol`
     * ascending, without a single-partition window.
     */
-  def withGlobalRank(dfIn: DataFrame, valueCol: String, buckets: Int = 256): DataFrame = {
+  /** As `withGlobalRank`, optionally with `tieBreak` columns: when
+    * given, the output also carries `rn` — the exact global row_number
+    * under the total order (valueCol, tieBreak...) — which positional
+    * functions (ntile) need. Same recipe: per-bucket window + broadcast
+    * base offsets.
+    */
+  def withGlobalRank(
+      dfIn: DataFrame,
+      valueCol: String,
+      buckets: Int = 256,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     // The input frame feeds four consumers (row count, quantile probe,
     // bucket counts, final ranked join) — persist it so an expensive
     // upstream (e.g. the spend aggregation) runs once, not four times.
@@ -68,10 +78,16 @@ object Rank {
     val baseDf = bases.toDF("__bucket", "__base")
     val wRank = Window.partitionBy(col("__bucket")).orderBy(col(valueCol))
     val wTies = Window.partitionBy(col("__bucket"), col(valueCol))
-    bucketed
+    val wRn = Window
+      .partitionBy(col("__bucket"))
+      .orderBy((col(valueCol) +: tieBreak.map(col)): _*)
+    val joined = bucketed
       .join(broadcast(baseDf), "__bucket")
       .withColumn("rank", col("__base") + rank().over(wRank))
       .withColumn("__ties", count(lit(1)).over(wTies))
+    (if (tieBreak.nonEmpty)
+       joined.withColumn("rn", col("__base") + row_number().over(wRn))
+     else joined)
       .withColumn(
         "pct_rank",
         if (n > 1) (col("rank") - 1).cast("double") / lit((n - 1).toDouble)
@@ -162,6 +178,57 @@ object Rank {
        |ORDER BY total_spent DESC, o_custkey
        |LIMIT 1000""".stripMargin
 
+  /** Distributed ntile: the round-1 scale probe showed ntile's
+    * single-partition window cliff (rfm was rewritten to broadcast
+    * thresholds, trading exact tile boundaries for scale). This query
+    * restores EXACT SQL-ntile semantics distributively — global
+    * row_number from the range-bucket recipe, then the ntile remainder
+    * rule (first n mod t tiles get one extra row) as pure integer
+    * arithmetic. Per-tile summary output; oracle = DuckDB's native
+    * ntile window.
+    */
+  def spendNtile(spark: SparkSession, dir: String): DataFrame = {
+    val tiles = 10
+    val spend = Tables
+      .orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(Det.moneySum(col("o_totalprice")).as("total_spent"))
+    val ranked = withGlobalRank(spend, "total_spent", tieBreak = Seq("o_custkey"))
+    val n = spend.count()
+    val q = n / tiles
+    val r = n % tiles
+    val cut = (q + 1) * r
+    val tile = expr(
+      s"CASE WHEN rn <= $cut THEN (rn - 1) DIV ${q + 1} + 1 " +
+        s"ELSE $r + (rn - 1 - $cut) DIV ${math.max(q, 1L)} + 1 END")
+    ranked
+      .withColumn("tile", tile)
+      .groupBy(col("tile"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        Det.detRound(min(col("total_spent")), 2).as("min_spent"),
+        Det.detRound(max(col("total_spent")), 2).as("max_spent"))
+      .orderBy(col("tile"))
+  }
+
+  private val spendNtileSql =
+    s"""WITH spend AS (
+       |  SELECT o_custkey,
+       |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+       |  FROM orders GROUP BY o_custkey
+       |), tiled AS (
+       |  SELECT total_spent,
+       |         ntile(10) OVER (ORDER BY total_spent, o_custkey) AS tile
+       |  FROM spend
+       |)
+       |SELECT tile, count(*) AS n_customers,
+       |       ${Det.roundSql("min(total_spent)", 2)} AS min_spent,
+       |       ${Det.roundSql("max(total_spent)", 2)} AS max_spent
+       |FROM tiled
+       |GROUP BY tile
+       |ORDER BY tile""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "customer_spend_rank" -> QueryDef(customerSpendRank, Some(customerSpendRankSql)))
+    "customer_spend_rank" -> QueryDef(customerSpendRank, Some(customerSpendRankSql)),
+    "spend_ntile"         -> QueryDef(spendNtile, Some(spendNtileSql)))
 }

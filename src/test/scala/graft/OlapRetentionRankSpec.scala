@@ -74,6 +74,17 @@ class OlapRetentionRankSpec extends AnyFunSuite {
     assert(r.getDouble(3) >= r.getDouble(2)) // p90 >= median
   }
 
+  test("spend_ntile: tile sizes differ by at most 1 and ranges are ordered") {
+    val rows = graft.operators.Rank.spendNtile(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length.toLong))
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, s"ntile sizes must be balanced: ${sizes.toSeq}")
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) <= b.getDouble(2) + 0.01)
+      case _           =>
+    }
+  }
+
   test("distributed percent_rank matches the single-partition window exactly") {
     // spiky distribution with heavy ties to stress bucket boundaries
     val df = spark.range(10000)
