@@ -74,6 +74,51 @@ object EventStreams {
         })
   }
 
+  final case class ClosedDailySession(
+      user_id: Long, day: String, n_events: Long)
+
+  /** Stateful sessionization with EVENT-TIME TIMEOUT — the state-
+    * eviction surface (GroupStateTimeout.EventTimeTimeout) that
+    * runningUserTotals' NoTimeout form does not exercise. State is a
+    * per-(user, day) event count; when the watermark passes the day's
+    * last event + the gap, the group times out and emits one closed
+    * session, freeing the state. This is how unbounded keyspaces stay
+    * bounded in a production stream. Driven across time-split
+    * micro-batches in StreamingSpec.
+    */
+  def dailySessionsWithTimeout(
+      events: DataFrame, watermark: String, gapMs: Long): Dataset[ClosedDailySession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    withEventTime(events)
+      .withWatermark("event_time", watermark)
+      // the watermarked column itself must flow into the stateful op —
+      // projecting it into a plain long would drop the watermark tag
+      .select(
+        col("user_id"),
+        date_format(col("event_time"), "yyyy-MM-dd").as("day"),
+        col("event_time"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey { case (uid, day, _) => (uid, day) }
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (key: (Long, String), rows: Iterator[(Long, String, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) => {
+          if (state.hasTimedOut) {
+            val (n, _) = state.get
+            state.remove()
+            Iterator(ClosedDailySession(key._1, key._2, n))
+          } else {
+            val (n0, last0) = state.getOption.getOrElse((0L, 0L))
+            var n = n0; var last = last0
+            rows.foreach { case (_, _, t) => n += 1; if (t.getTime > last) last = t.getTime }
+            state.update((n, last))
+            state.setTimeoutTimestamp(last + gapMs)
+            Iterator.empty
+          }
+        })
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same event_id
     * within the watermark horizon — the streaming face of dedup_exact
     * (state bounded by the watermark instead of growing forever).

@@ -106,6 +106,49 @@ class StreamingSpec extends AnyFunSuite {
     batch.unpersist()
   }
 
+  test("event-time timeout closes per-day sessions once the watermark passes") {
+    val dir = Files.createTempDirectory("graft-stream-timeout").toFile
+    dir.deleteOnExit()
+    val raw = Tables.events(spark, TestSpark.Sf)
+    // time-split into two micro-batch files: early 45 days, then the rest
+    val minTs = raw.agg(min(col("ts"))).collect().head.getLong(0)
+    val cutoff = minTs + 45L * 86400 * 1000000000L // ts is nanos
+    raw.filter(col("ts") < cutoff).coalesce(1)
+      .write.parquet(dir.getAbsolutePath + "/src/f1")
+    raw.filter(col("ts") >= cutoff).coalesce(1)
+      .write.parquet(dir.getAbsolutePath + "/src/f2")
+    val stream = spark.readStream
+      .schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath + "/src/f*")
+    val q = EventStreams
+      .dailySessionsWithTimeout(stream, "0 seconds", gapMs = 3600L * 1000)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("closed_sessions")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val closed = spark.sql("SELECT user_id, day, n_events FROM closed_sessions")
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val early = EventStreams.withEventTime(raw.filter(col("ts") < cutoff))
+      .groupBy(col("user_id"), date_format(col("event_time"), "yyyy-MM-dd").as("day"))
+      .count()
+      .collect().map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    // every closed session must exactly match the early-file counts
+    assert(closed.nonEmpty, "watermark advance must have closed sessions")
+    closed.foreach { case (k, n) =>
+      assert(early.contains(k), s"closed session $k not from the early file")
+      assert(early(k) === n, s"closed count mismatch for $k")
+    }
+    // all early days except possibly the boundary day must have closed
+    val lastEarlyDay = early.keys.map(_._2).max
+    early.keys.filter(_._2 < lastEarlyDay).foreach { k =>
+      assert(closed.contains(k), s"early session $k should have timed out")
+    }
+  }
+
   test("foreachBatch incremental view converges to the batch aggregate") {
     val dir = Files.createTempDirectory("graft-stream-view").toFile
     dir.deleteOnExit()
