@@ -75,6 +75,26 @@ class FrequentPrefixSpec extends AnyFunSuite {
     }
   }
 
+  test("withGlobalRank edge cases: empty, single row, all-equal values") {
+    val empty = spark.range(0).select($"id".cast("double").as("v"))
+    assert(Rank.withGlobalRank(empty, "v").count() === 0)
+    val single = spark.range(1).select(lit(7.0).as("v"))
+    val s = Rank.withGlobalRank(single, "v").collect().head
+    assert(s.getAs[Long]("rank") === 1L && s.getAs[Double]("pct_rank") === 0.0
+      && s.getAs[Double]("cume_dist") === 1.0)
+    val equal = spark.range(100).select(lit(3.5).as("v"))
+    val rows = Rank.withGlobalRank(equal, "v", buckets = 8).collect()
+    assert(rows.forall(_.getAs[Long]("rank") === 1L))
+    assert(rows.forall(_.getAs[Double]("cume_dist") === 1.0))
+  }
+
+  test("withPrefixSum edge cases: empty and single-row frames") {
+    val empty = spark.range(0).select($"id".as("k"), $"id".as("v"))
+    assert(Rank.withPrefixSum(empty, "k", "v").count() === 0)
+    val single = spark.range(1).select(lit(5L).as("k"), lit(9L).as("v"))
+    assert(Rank.withPrefixSum(single, "k", "v").collect().head.getAs[Long]("cum") === 9L)
+  }
+
   test("customer_order_span: growth = last - first, only multi-order customers") {
     val rows = Retention.customerOrderSpan(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
