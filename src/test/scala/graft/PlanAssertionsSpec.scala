@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset => CDataset}
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Locks in the physical-plan properties the scale design depends on —
+  * a regression here (a broadcast silently becoming a sort-merge join,
+  * a filter no longer reaching the scan, an Expand reappearing) is a
+  * 100 TB performance bug even when results stay correct.
+  */
+class PlanAssertionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSpark.Sf)
+      .asInstanceOf[CDataset[Row]].queryExecution.executedPlan.toString
+
+  test("dimension joins broadcast (no sort-merge join on the fact side)") {
+    Seq("revenue_by_category", "revenue_by_region", "frequent_parts",
+      "contamination_check", "top_parts_per_brand").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast join")
+      assert(!p.contains("SortMergeJoin"), s"$q grew a sort-merge join:\n$p")
+    }
+  }
+
+  test("entity predicate pushes to the parquet scan") {
+    val p = plan("session_prefix_scan")
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(user_id,42)"),
+      s"prefix-scan predicate not pushed:\n$p")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("top_spenders")
+    assert(p.contains("TakeOrderedAndProject"), s"top_spenders plan:\n$p")
+  }
+
+  test("exact-distinct queries avoid the Expand plan (two-stage distinct)") {
+    Seq("product_popularity", "revenue_by_region").foreach { q =>
+      assert(!plan(q).contains("Expand"), s"$q reintroduced Expand")
+    }
+  }
+
+  test("per-key top-k queries run on TopKPerKey (explicit or via rewrite)") {
+    Seq("user_sessions_topk", "user_sessions_topk_custom",
+      "ann_cosine_topk", "tfidf_topk").foreach { q =>
+      assert(plan(q).contains("TopKPerKey"), s"$q not using TopKPerKey")
+    }
+  }
+
+  test("rfm has no global-window cliff (no empty-partition Window)") {
+    val p = plan("rfm")
+    assert(!p.matches("(?s).*Window .*partitionBy.*\\[\\].*"), s"rfm plan:\n$p")
+  }
+}
