@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Skew-handling helpers. AQE's skew-join splitting covers joins; for
@@ -33,4 +34,34 @@ object Skew {
         sum(col("__n")).as("n_rows"),
         partials.map { case (n, _) => sum(col(s"__$n")).as(n) }: _*)
   }
+
+  /** The salted path as a registered query on a REAL hot-key workload:
+    * `event_type` has ~5 distinct values over every event row, so the
+    * unsalted plan funnels 1/5 of the table through single reducers.
+    * Salting spreads each type over 32 reducers; the decimal partials
+    * compose exactly, so the oracle is the plain GROUP BY.
+    */
+  def eventTypeTotalsSalted(spark: SparkSession, dir: String): DataFrame =
+    saltedSumCount(
+      Tables.events(spark, dir),
+      "event_type",
+      salt = 32,
+      Seq("value_sum" -> col("value").cast(Det.Money)))
+      .select(
+        col("event_type"),
+        col("n_rows"),
+        Det.detRound(col("value_sum").cast("double"), 2).as("value_sum"))
+      .orderBy(col("event_type"))
+
+  private val eventTypeTotalsSaltedSql =
+    s"""SELECT event_type,
+       |       count(*) AS n_rows,
+       |       ${Det.roundSql("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS value_sum
+       |FROM events
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "event_type_totals_salted" ->
+      QueryDef(eventTypeTotalsSalted, Some(eventTypeTotalsSaltedSql)))
 }
