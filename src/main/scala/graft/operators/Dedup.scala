@@ -231,38 +231,9 @@ object Dedup {
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    val edges = pairs
-      .union(pairs.select(col("doc_b"), col("doc_a")))
-      .toDF("src", "dst")
-      .localCheckpoint()
-    var labels = edges
-      .select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("label", col("doc_id"))
-      .localCheckpoint()
-    var converged = false
-    var iter      = 0
-    while (!converged && iter < 15) {
-      val prop = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), "src")
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("nbr_min"))
-      val next = labels
-        .join(prop, Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint()
-      converged = next
-        .as("n")
-        .join(labels.as("o"), "doc_id")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
-      iter += 1
-    }
-    labels
-      .select(col("doc_id"), col("label").as("cluster_id"))
+    Graph
+      .connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
 

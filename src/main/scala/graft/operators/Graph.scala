@@ -72,6 +72,64 @@ object Graph {
       .limit(50)
   }
 
+  /** Connected components by iterative min-label propagation over an
+    * undirected edge list `(src, dst)` — converges in O(diameter)
+    * rounds, each one join + one aggregate, with localCheckpoint
+    * truncating the lineage per round. Extracted from (and used by)
+    * Dedup.dedupClusters; near-dup graphs have tiny diameters, so the
+    * 15-round cap is never the binding constraint in practice.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
+    val fwd = pairs.toDF("src", "dst")
+    val edges = fwd
+      .union(fwd.select(col("dst"), col("src")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges
+      .select(col("src").as("node"))
+      .distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var converged = false
+    var iter      = 0
+    while (!converged && iter < maxIters) {
+      val prop = edges
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(prop, Seq("node"), "left")
+        .select(
+          col("node"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next
+        .as("n")
+        .join(labels.as("o"), "node")
+        .filter(col("n.label") =!= col("o.label"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters over the EMBEDDING space: connected
+    * components of the LSH candidate pairs above a cosine threshold —
+    * the embedding-side twin of the text-shingle dedup_clusters.
+    * Rows-only check; cluster-graph invariants in GraphSpec.
+    */
+  def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Similarity
+      .embeddingNeardupLsh(spark, dir)
+      .filter(col("cos") >= 0.3)
+      .select(col("vec_a"), col("vec_b"))
+    connectedComponents(pairs)
+      .select(col("node").as("vec_id"), col("label").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    "pagerank_parts" -> QueryDef(pagerankParts, None))
+    "pagerank_parts"     -> QueryDef(pagerankParts, None),
+    "embedding_clusters" -> QueryDef(embeddingClusters, None))
 }

@@ -19,6 +19,22 @@ class GraphMediaSpec extends AnyFunSuite {
     assert(out.toSeq === again.toSeq, "fixed-iteration PageRank must be deterministic")
   }
 
+  test("embedding_clusters: every LSH pair lands in one cluster, canonical id is min") {
+    val clusters = Graph.embeddingClusters(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = graft.operators.Similarity
+      .embeddingNeardupLsh(spark, TestSpark.Sf)
+      .filter(col("cos") >= 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty && clusters.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(clusters(a) === clusters(b), s"pair ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(label === members.keys.min, "cluster id must be the minimum member")
+    }
+  }
+
   test("dedup_editdist: similar pairs really are close in edit space") {
     val rows = Dedup.dedupEditdist(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
