@@ -81,6 +81,20 @@ class WindowTopKRewriteSpec extends AnyFunSuite {
     assert(conj.count() > 0)
   }
 
+  test("pass-through projection between filter and window still rewrites") {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val df = base
+      .withColumn("rn", row_number().over(w))
+      .select($"rn", $"user_id", $"event_id") // attribute-only reorder
+      .filter($"rn" <= 3)
+    assert(usesTopK(df), s"projected shape not rewritten:\n${executedPlan(df)}")
+    val ref = base
+      .withColumn("rn", rank().over(w))
+      .select($"rn", $"user_id", $"event_id")
+      .filter($"rn" <= 3)
+    assert(df.exceptAll(ref).isEmpty && ref.exceptAll(df).isEmpty)
+  }
+
   test("registered window query user_sessions_topk now runs on the custom operator") {
     val df = graft.operators.Engagement.userSessionsTopK(spark, TestSpark.Sf)
     assert(usesTopK(df), "user_sessions_topk should be rewritten by the rule")
