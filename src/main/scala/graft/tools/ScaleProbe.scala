@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Src    = "/root/testdata/sf0.1"
   private val Copies = sys.env.getOrElse("SCALE_COPIES", "10").toInt
-  private val Dest   = s"/tmp/graft-scale-x$Copies"
+  private val Dest =
+    if (sys.env.get("SCALE_DOCS").contains("1")) s"/tmp/graft-scale-docs-x$Copies"
+    else s"/tmp/graft-scale-x$Copies"
 
   private def replicate(
       spark: SparkSession, df: DataFrame, shifts: Map[String, Long]): DataFrame = {
@@ -41,7 +43,28 @@ object ScaleProbe {
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/events.parquet")
       replicate(spark, Tables.customer(spark, Src), Map("c_custkey" -> K))
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/customer.parquet")
-      Seq("part", "supplier", "nation", "region", "documents", "embeddings")
+      // documents/embeddings grow too (SCALE_DOCS=1): each copy keeps the
+      // content but appends a copy-marker token / shifts ids — cross-copy
+      // rows are near-dups of each other, which is exactly the shape a
+      // duplicated 100 TB corpus has (and what makes exact all-pairs
+      // methods blow up while the capped LSH paths stay bounded).
+      if (sys.env.get("SCALE_DOCS").contains("1")) {
+        val docReplicas = (0 until Copies).map { i =>
+          Tables.documents(spark, Src)
+            .withColumn("doc_id", col("doc_id") + lit(i * K))
+            .withColumn("text", concat(col("text"), lit(s" copymark$i")))
+        }
+        docReplicas.reduce(_ union _)
+          .write.mode(SaveMode.Overwrite).parquet(s"$Dest/documents.parquet")
+        replicate(spark, Tables.embeddings(spark, Src), Map("vec_id" -> K))
+          .write.mode(SaveMode.Overwrite).parquet(s"$Dest/embeddings.parquet")
+      } else {
+        Seq("documents", "embeddings").foreach { t =>
+          Tables.table(spark, Src, t)
+            .write.mode(SaveMode.Overwrite).parquet(s"$Dest/$t.parquet")
+        }
+      }
+      Seq("part", "supplier", "nation", "region")
         .foreach { t =>
           Tables.table(spark, Src, t)
             .write.mode(SaveMode.Overwrite).parquet(s"$Dest/$t.parquet")
