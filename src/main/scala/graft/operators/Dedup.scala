@@ -287,9 +287,25 @@ object Dedup {
        |JOIN documents b ON p.doc_b = b.doc_id
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
+  /** Cluster assignment on the BOUNDED-work candidate graph: connected
+    * components over the minhash-LSH pairs instead of the exact
+    * inverted-index pairs — the 100 TB form of dedup_clusters (the
+    * exact form is output-quadratic on duplicated corpora; see
+    * BASELINE.md's 10×-documents probe). Same canonical min-id labels;
+    * agreement with the exact clusters is spec-asserted on the fixture.
+    */
+  def dedupClustersMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    Graph
+      .connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, None),
+    "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, None),
     "dedup_exact"   -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_jaccard" -> QueryDef(dedupJaccard, Some(dedupJaccardSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, None),

@@ -48,6 +48,23 @@ class GraphMediaSpec extends AnyFunSuite {
     assert(rows.map(_.getDouble(4)).min > 0.3)
   }
 
+  test("minhash-based clusters agree with exact-jaccard clusters on the fixture") {
+    val exact = Dedup.dedupClusters(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sketch = Dedup.dedupClustersMinhash(spark, TestSpark.Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every exact-jaccard near-dup pair should co-cluster in the sketch
+    // graph for at least 80% of pairs (minhash recall)
+    val pairs = Dedup.dedupJaccard(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val agree = pairs.count { case (a, b) =>
+      sketch.get(a).zip(sketch.get(b)).exists { case (x, y) => x == y }
+    }
+    assert(agree.toDouble / pairs.length >= 0.8,
+      s"minhash clusters recall ${agree.toDouble / pairs.length}")
+    assert(exact.nonEmpty && sketch.nonEmpty)
+  }
+
   test("media_manifest: blob accounting consistent with the documents table") {
     val rows = Multimodal.mediaManifest(spark, TestSpark.Sf).collect()
     val docs = Tables.documents(spark, TestSpark.Sf)
