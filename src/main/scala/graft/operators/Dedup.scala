@@ -136,31 +136,38 @@ object Dedup {
     * Bucket size capped at 100 to bound degenerate-skew blowup — capped
     * buckets are near-identical content, caught by dedup_exact anyway.
     */
-  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val k = 64
-    // in-kernel shingling (graft_minhash_tokens): one hash per token and
-    // a sliding 3-gram mix — no shingle strings or arrays materialized
+  private val MinhashK = 64
+
+  /** Shared minhash stage: per-doc signatures (in-kernel 3-gram
+    * shingling via graft_minhash_tokens — no shingle strings or arrays
+    * materialized) and their 16×4 LSH band rows. The sketch feeds
+    * multiple consumers (banding + both sides of verify joins), so it
+    * is persisted — at production scale this is the materialized sketch
+    * stage table. Signatures are NOT carried through the band explosion
+    * (64 longs each; shipping them through the shuffle dominated
+    * runtime) — consumers join them back by doc_id.
+    */
+  private def minhashBands(
+      spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
     val sigs = Tables
       .documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), expr(s"graft_minhash_tokens(t, $k)").as("sig"))
-      // The sketch feeds three consumers (banding + both sides of the
-      // verify join); persist so shingling+hashing runs once. At
-      // production scale this is the materialized sketch stage table.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Bucket on doc_id only — signatures are NOT carried through the
-    // band explosion / bucket lists (they are 64 longs each; shipping
-    // them through the shuffle + collect_list dominated runtime). The
-    // distinct candidate pairs join the signatures back afterwards.
     val bands = sigs.select(
       col("doc_id"),
       explode(expr(
         "transform(sequence(0, 15), b -> struct(b AS band, hash(slice(sig, b * 4 + 1, 4)) AS bh))"))
         .as("lsh"))
       .select(col("doc_id"), col("lsh.band"), col("lsh.bh"))
+    (sigs, bands)
+  }
+
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val k = MinhashK
+    val (sigs, bands) = minhashBands(spark, dir, k)
 
     val candidates = bands
       .groupBy(col("band"), col("bh"))
@@ -295,9 +302,34 @@ object Dedup {
     * agreement with the exact clusters is spec-asserted on the fixture.
     */
   def dedupClustersMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    GraftFunctions.register(spark)
+    val k = MinhashK
+    val (sigs, bands) = minhashBands(spark, dir, k)
+    // Star edges, not all pairs: clustering needs CONNECTIVITY, so each
+    // bucket contributes (m-1) hub↔member edges — every member reaches
+    // every other through the bucket minimum — instead of C(m,2) pairs.
+    // Candidate work is linear in bucket size (the cap rises 100→1000),
+    // which removes the copies² blowup on duplicated corpora: 34 s → see
+    // BASELINE 30×-docs probe. Each edge is still signature-verified;
+    // the trade-off is that two docs similar to each other but not to
+    // their bucket hub can lose the link — ≥80% pair agreement with the
+    // exact clusters is spec-asserted.
+    val starEdges = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, 1000))
+      .select(
+        element_at(col("docs"), 1).as("doc_a"),
+        explode(expr("slice(docs, 2, size(docs))")).as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val verified = starEdges
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(
+        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
     Graph
-      .connectedComponents(pairs)
+      .connectedComponents(verified)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
