@@ -518,7 +518,35 @@ object Engagement {
       |ORDER BY rowkey
       |LIMIT 100""".stripMargin
 
+  /** Activity heatmap: events bucketed by (day-of-week, hour-of-day) —
+    * the calendar-extraction surface (dow/hour on event timestamps).
+    * Spark's dayofweek is 1-based Sunday-first; DuckDB's 0-based — the
+    * query normalizes to 0=Sunday in both engines.
+    */
+  def eventsHourlyHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    graft.streaming.EventStreams
+      .withEventTime(Tables.events(spark, dir))
+      .groupBy(
+        (dayofweek(col("event_time")) - 1).as("dow"),
+        hour(col("event_time")).as("hour_of_day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.detRound(Det.moneySum(col("value")), 2).as("total_value"))
+      .orderBy(col("dow"), col("hour_of_day"))
+  }
+
+  private val eventsHourlyHeatmapSql =
+    s"""SELECT dayofweek(ts) AS dow,
+       |       CAST(hour(ts) AS INT) AS hour_of_day,
+       |       count(*) AS n_events,
+       |       ${Det.roundSql("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS total_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY dow, hour_of_day""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "events_hourly_heatmap" ->
+      QueryDef(eventsHourlyHeatmap, Some(eventsHourlyHeatmapSql)),
     "engagement_spend_regression" ->
       QueryDef(engagementSpendRegression, Some(engagementSpendRegressionSql)),
     "rowkey_encode"         -> QueryDef(rowkeyEncode, Some(rowkeyEncodeSql)),

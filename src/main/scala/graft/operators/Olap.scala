@@ -250,7 +250,51 @@ object Olap {
        |ORDER BY cart_distinct_items DESC, cart_total_spend DESC, l_orderkey
        |LIMIT 100""".stripMargin
 
+  /** Category-hierarchy parsing (reference analog: category →
+    * subcategory tree, data_generator.py:133–148): `p_type` is a
+    * 3-token hierarchy string ("STANDARD ANODIZED TIN") split into
+    * levels and rolled up with explicit grouping labels — the
+    * string-parse + hierarchy-aggregate shape.
+    */
+  def partTypeHierarchy(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .part(spark, dir)
+      .select(
+        // get() is the null-safe subscript (ANSI mode throws on
+        // out-of-range getItem; single-token types yield null l2,
+        // matching DuckDB's out-of-range list index)
+        expr("get(split(p_type, ' '), 0)").as("l1"),
+        expr("get(split(p_type, ' '), 1)").as("l2"),
+        col("p_retailprice"))
+      .rollup(col("l1"), col("l2"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        Det.detRound(Det.moneySum(col("p_retailprice")), 2).as("retail_value"))
+      .select(
+        coalesce(col("l1"), lit("ALL")).as("l1"),
+        coalesce(col("l2"), lit("ALL")).as("l2"),
+        col("n_parts"),
+        col("retail_value"))
+      .orderBy(col("l1"), col("l2"))
+  }
+
+  private val partTypeHierarchySql =
+    s"""WITH levels AS (
+       |  SELECT string_split(p_type, ' ')[1] AS l1,
+       |         string_split(p_type, ' ')[2] AS l2,
+       |         p_retailprice
+       |  FROM part
+       |)
+       |SELECT COALESCE(l1, 'ALL') AS l1,
+       |       COALESCE(l2, 'ALL') AS l2,
+       |       count(*) AS n_parts,
+       |       ${Det.roundSql("CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS retail_value
+       |FROM levels
+       |GROUP BY ROLLUP (l1, l2)
+       |ORDER BY l1, l2""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "part_type_hierarchy"    -> QueryDef(partTypeHierarchy, Some(partTypeHierarchySql)),
     "cart_contents_map"      -> QueryDef(cartContentsMap, Some(cartContentsMapSql)),
     "revenue_cube"           -> QueryDef(revenueCube, Some(revenueCubeSql)),
     "order_size_histogram"   -> QueryDef(orderSizeHistogram, Some(orderSizeHistogramSql)),
