@@ -28,6 +28,10 @@ object Bench {
       val t0 = System.nanoTime()
       try run(fn)
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      // drop per-query persist()s (minhash sigs, rank inputs) so cached
+      // partitions don't accumulate across the 81-query run and evict
+      // or spill against later queries
+      spark.catalog.clearCache()
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results

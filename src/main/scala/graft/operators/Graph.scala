@@ -116,12 +116,13 @@ object Graph {
 
   /** Near-duplicate clusters over the EMBEDDING space: connected
     * components of the LSH candidate pairs above a cosine threshold —
-    * the embedding-side twin of the text-shingle dedup_clusters.
-    * Rows-only check; cluster-graph invariants in GraphSpec.
+    * the embedding-side twin of the text-shingle dedup_clusters. Edges
+    * come from the UN-limited candidate pair frame (lshScoredPairs),
+    * not embedding_neardup_lsh's top-20 display projection.
     */
   def embeddingClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Similarity
-      .embeddingNeardupLsh(spark, dir)
+      .lshScoredPairs(spark, dir)
       .filter(col("cos") >= 0.3)
       .select(col("vec_a"), col("vec_b"))
     connectedComponents(pairs)

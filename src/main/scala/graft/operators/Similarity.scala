@@ -193,7 +193,17 @@ object Similarity {
     * deduplicated across tables, then exactly cosine-scored. Rows-only
     * check; recall vs the brute-force top pairs is spec-asserted.
     */
-  def embeddingNeardupLsh(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNeardupLsh(spark: SparkSession, dir: String): DataFrame =
+    lshScoredPairs(spark, dir)
+      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
+      .limit(20)
+
+  /** The un-limited LSH candidate pair set with exact cosine scores —
+    * the frame embedding_neardup_lsh projects its top-20 from, and the
+    * edge source for embedding_clusters (which must see EVERY candidate
+    * pair above its threshold, not a display-size cut).
+    */
+  def lshScoredPairs(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val tables = 16
     val planes = 4
@@ -221,8 +231,6 @@ object Similarity {
       .select(
         col("vec_a"), col("vec_b"),
         Det.detRound(expr("graft_cosine(va, vb)"), 6).as("cos"))
-      .orderBy(desc("cos"), asc("vec_a"), asc("vec_b"))
-      .limit(20)
   }
 
   /** Distributed Lloyd's k-means over the embedding corpus (k = 8,

@@ -50,8 +50,8 @@ object Sketches {
   }
 
   /** Exact frequent-items via the two-pass Misra-Gries recipe: one MG
-    * sweep (k = 16383 counters) produces a candidate set guaranteed to
-    * contain every part with frequency ≥ n/(k+1); a second pass counts
+    * sweep (k counters, derived from n below) produces a candidate set
+    * guaranteed to contain every part with frequency ≥ n/(k+1); a second pass counts
     * ONLY the candidates exactly (broadcast semi-join — the fact table
     * never shuffles by part) and applies the support threshold
     * n div 15000 > n/(k+1). The output is therefore provably identical
@@ -61,14 +61,18 @@ object Sketches {
     * 100 TB" where the distinct-key count itself is shuffle-sized.
     */
   def frequentParts(spark: SparkSession, dir: String): DataFrame = {
-    val k  = 16383
     val li = Tables.lineitem(spark, dir).select(col("l_partkey"))
     val n  = li.count()
     val thr = n / 15000
     // exactness condition: any item that can pass the HAVING filter
-    // (freq ≥ max(thr, 1)) must beat the MG undercount bound n/(k+1)
-    require(math.max(thr, 1L) > n.toDouble / (k + 1),
-      "support threshold must exceed the MG error bound")
+    // (freq ≥ support = max(thr, 1)) must beat the MG undercount bound
+    // n/(k+1). Derive k FROM n so the bound sits at half the support
+    // threshold at every input size (a fixed k leaves whole bands of n
+    // where the condition fails): k+1 = 2·(n/support + 1) ⇒ n/(k+1) ≤
+    // support/2 < support. k is O(1/support-fraction), not O(n), so the
+    // sketch stays small at any scale.
+    val support = math.max(thr, 1L)
+    val k       = math.max(16L, 2L * (n / support + 1L)).toInt
     val mg = graft.functions.FrequentItems.udf(k)
     val cands = li
       .agg(mg(col("l_partkey")).as("cand"))

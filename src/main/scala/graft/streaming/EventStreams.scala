@@ -113,7 +113,12 @@ object EventStreams {
             var n = n0; var last = last0
             rows.foreach { case (_, _, t) => n += 1; if (t.getTime > last) last = t.getTime }
             state.update((n, last))
-            state.setTimeoutTimestamp(last + gapMs)
+            // flatMapGroupsWithState does NOT drop late rows: a late event
+            // with last + gap <= watermark would make setTimeoutTimestamp
+            // throw and kill the query. Clamp to just past the watermark so
+            // the stale session closes on the next trigger instead.
+            state.setTimeoutTimestamp(
+              math.max(last + gapMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
         })
@@ -254,35 +259,64 @@ object EventStreams {
   /** foreachBatch incremental sink: maintains a parquet "materialized
     * view" of per-user totals by merging each micro-batch's partial
     * aggregate into the stored view (read → union → re-aggregate →
-    * localCheckpoint to cut the read-write cycle → overwrite). The
-    * standard streaming-upsert-to-batch-table pattern when the sink has
-    * no native merge; exactly-once here comes from overwrite idempotence.
-    * Driven across micro-batches in StreamingSpec.
+    * localCheckpoint to cut the read-write cycle → overwrite).
+    *
+    * foreachBatch is at-least-once: after a failure between the view
+    * overwrite and the offset commit, the SAME batchId is re-delivered —
+    * re-merging it would double-count. The standard idempotence guard is
+    * applied: the last merged batchId is persisted in a sidecar file
+    * next to the view, and re-delivered batches (batchId <= committed)
+    * are skipped, making the read-merge-overwrite transformation
+    * effectively exactly-once. Driven (including a simulated replay) in
+    * StreamingSpec.
     */
   def incrementalUserTotals(
       events: DataFrame, viewDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("update")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val partial = batch
-          .groupBy(col("user_id"))
-          .agg(
-            count(lit(1)).as("n_events"),
-            sum(col("value").cast(Det.Money)).as("total_value"))
-        val merged =
-          if (new java.io.File(viewDir).exists()) {
-            spark.read.parquet(viewDir)
-              .unionByName(partial)
-              .groupBy(col("user_id"))
-              .agg(
-                sum(col("n_events")).as("n_events"),
-                sum(col("total_value")).as("total_value"))
-          } else partial
-        // materialize BEFORE overwriting the directory being read
-        merged.localCheckpoint().write.mode("overwrite").parquet(viewDir)
-        ()
+        val committed = lastCommittedBatch(viewDir)
+        if (batchId <= committed) () // replayed micro-batch: already merged
+        else {
+          val partial = batch
+            .groupBy(col("user_id"))
+            .agg(
+              count(lit(1)).as("n_events"),
+              sum(col("value").cast(Det.Money)).as("total_value"))
+          val merged =
+            if (new java.io.File(viewDir).exists()) {
+              spark.read.parquet(viewDir)
+                .unionByName(partial)
+                .groupBy(col("user_id"))
+                .agg(
+                  sum(col("n_events")).as("n_events"),
+                  sum(col("total_value")).as("total_value"))
+            } else partial
+          // materialize BEFORE overwriting the directory being read
+          merged.localCheckpoint().write.mode("overwrite").parquet(viewDir)
+          commitBatch(viewDir, batchId)
+        }
       }
+
+  /** Sidecar batch-commit marker for the foreachBatch view (kept OUTSIDE
+    * viewDir so the parquet overwrite cannot clobber it).
+    */
+  private def commitFile(viewDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(viewDir.stripSuffix("/") + "._committed_batch")
+
+  def lastCommittedBatch(viewDir: String): Long = {
+    val p = commitFile(viewDir)
+    if (java.nio.file.Files.exists(p))
+      new String(java.nio.file.Files.readAllBytes(p)).trim.toLong
+    else -1L
+  }
+
+  private def commitBatch(viewDir: String, batchId: Long): Unit = {
+    val p = commitFile(viewDir)
+    java.nio.file.Files.write(p, batchId.toString.getBytes)
+    ()
+  }
 
   val defs: Map[String, QueryDef] = Map(
     "event_time_windows"      -> QueryDef(eventTimeWindows, Some(eventTimeWindowsSql)),

@@ -171,6 +171,22 @@ class StreamingSpec extends AnyFunSuite {
     val expected = batch.groupBy("user_id").count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(view === expected)
+    // Replay: restarting the same source without a checkpoint re-delivers
+    // batchIds 0..1 (foreachBatch is at-least-once). The sidecar
+    // batch-commit guard must skip them — the view must NOT double-count.
+    assert(EventStreams.lastCommittedBatch(viewDir) === 1L)
+    val replay = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath + "/src/f*")
+    val q2 = EventStreams
+      .incrementalUserTotals(replay, viewDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val replayed = spark.read.parquet(viewDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(replayed === expected, "replayed micro-batches were re-merged")
   }
 
   test("stream-stream interval join matches the batch pair count") {
