@@ -244,8 +244,9 @@ object Dedup {
     * standard distributed CC — converges in O(graph diameter)
     * iterations, each one join + one aggregate; lineage truncated per
     * round with localCheckpoint). cluster_id = smallest doc_id in the
-    * component, i.e. the canonical document to keep. Rows-only check
-    * (iterative; graph properties asserted in SimilarityDedupSpec).
+    * component, i.e. the canonical document to keep. Oracle: a
+    * recursive-CTE transitive closure over the same exact-Jaccard pairs
+    * (min reachable id ≡ the min-label fixpoint).
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
@@ -254,6 +255,30 @@ object Dedup {
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB twin of dedupClusters: connected components as a recursive
+    * transitive closure — `reach(node, r)` grows until fixpoint (UNION
+    * dedups, so it terminates), then cluster_id = min reachable id,
+    * which is exactly the min-label-propagation fixpoint.
+    */
+  private val dedupClustersSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM (
+       |${dedupJaccardSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(node, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+       |)
+       |SELECT node AS doc_id, min(r) AS cluster_id
+       |FROM reach
+       |GROUP BY node
+       |ORDER BY doc_id""".stripMargin
 
   /** Edit-distance verification of the Jaccard near-dup candidates:
     * Levenshtein distance + normalized similarity for each candidate
@@ -336,7 +361,7 @@ object Dedup {
 
   val defs: Map[String, QueryDef] = Map(
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
-    "dedup_clusters" -> QueryDef(dedupClusters, None),
+    "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, None),
     "dedup_exact"   -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_jaccard" -> QueryDef(dedupJaccard, Some(dedupJaccardSql)),

@@ -72,6 +72,54 @@ object Graph {
       .limit(50)
   }
 
+  /** DuckDB twin of pagerankParts: the 3 rank iterations unrolled as
+    * chained CTEs over the same co-purchase edge list. Contribution sums
+    * are exact DECIMAL(30,10) (Det.fineSum's pattern), so both engines
+    * produce bit-identical doubles at every iteration.
+    */
+  private val pagerankPartsSql = {
+    val iters = 3
+    def iterCte(name: String, prev: String) =
+      s"""$name AS (
+         |  SELECT n.node, 0.15 + 0.85 * COALESCE(c.in_rank, CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node,
+         |           CAST(SUM(CAST(r.rank * e.frac AS DECIMAL(30,10))) AS DOUBLE) AS in_rank
+         |    FROM edges e JOIN $prev r ON e.src = r.node
+         |    GROUP BY e.dst
+         |  ) c ON n.node = c.node
+         |)""".stripMargin
+    val chain = (1 to iters).map(i => iterCte(s"r$i", s"r${i - 1}")).mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+       |), pc AS (
+       |  SELECT a.l_partkey AS part_x, b.l_partkey AS part_y, count(*) AS w
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2
+       |), edges0 AS (
+       |  SELECT part_x AS src, part_y AS dst, w FROM pc
+       |  UNION ALL
+       |  SELECT part_y, part_x, w FROM pc
+       |), ow AS (
+       |  SELECT src, SUM(w) AS w_out FROM edges0 GROUP BY src
+       |), edges AS (
+       |  SELECT e.src, e.dst, CAST(e.w AS DOUBLE) / CAST(ow.w_out AS DOUBLE) AS frac
+       |  FROM edges0 e JOIN ow ON e.src = ow.src
+       |), nodes AS (
+       |  SELECT DISTINCT src AS node FROM edges
+       |), r0 AS (
+       |  SELECT node, CAST(1 AS DOUBLE) AS rank FROM nodes
+       |),
+       |$chain
+       |SELECT node AS l_partkey, ${Det.roundSql("rank", 8)} AS rank
+       |FROM r$iters
+       |ORDER BY rank DESC, l_partkey
+       |LIMIT 50""".stripMargin
+  }
+
   /** Connected components by iterative min-label propagation over an
     * undirected edge list `(src, dst)` — converges in O(diameter)
     * rounds, each one join + one aggregate, with localCheckpoint
@@ -131,6 +179,6 @@ object Graph {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "pagerank_parts"     -> QueryDef(pagerankParts, None),
+    "pagerank_parts"     -> QueryDef(pagerankParts, Some(pagerankPartsSql)),
     "embedding_clusters" -> QueryDef(embeddingClusters, None))
 }

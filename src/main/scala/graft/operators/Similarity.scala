@@ -150,11 +150,14 @@ object Similarity {
       .filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
 
+    // ccos is rounded to 6 dp BEFORE the argmax so cell assignment is
+    // engine-portable (the raw last-ulp of a double cosine is not a
+    // contract); ties then break on cent_id deterministically.
     val assigned = corpus(spark, dir)
       .crossJoin(broadcast(cents))
       .select(
         col("vec_id"), col("embedding"), col("cent_id"),
-        expr("graft_cosine(embedding, cent_vec)").as("ccos"))
+        Det.detRound(expr("graft_cosine(embedding, cent_vec)"), 6).as("ccos"))
       .groupBy(col("vec_id"))
       .agg(
         max(struct(col("ccos"), col("cent_id"))).as("m"),
@@ -166,7 +169,7 @@ object Similarity {
       .crossJoin(broadcast(cents))
       .select(
         col("q_id"), col("q_vec"), col("cent_id").as("cell"),
-        expr("graft_cosine(q_vec, cent_vec)").as("ccos"))
+        Det.detRound(expr("graft_cosine(q_vec, cent_vec)"), 6).as("ccos"))
       .withColumn("rk", row_number().over(wProbe))
       .filter(col("rk") <= 2)
       .select(col("q_id"), col("q_vec"), col("cell"))
@@ -182,6 +185,44 @@ object Similarity {
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= TopK)
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** DuckDB twin of annIvf: same fixed quantizer, 6-dp-rounded cell
+    * argmax (ties → larger cent_id, mirroring Spark's max-of-struct),
+    * 2-cell probe (ties → smaller cell, mirroring the window), then the
+    * same rounded top-k over probed candidates.
+    */
+  private val annIvfSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 16
+       |), assigned AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${r6("list_cosine_similarity(e.v, c.cvec)")} DESC, c.cent_id DESC) AS rk
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE rk = 1
+       |), probed AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.vec_id AS q_id, q.v AS qv, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${r6("list_cosine_similarity(q.v, c.cvec)")} DESC, c.cent_id ASC) AS rk
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $NumQueries
+       |  ) WHERE rk <= 2
+       |), scored AS (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |         ${r6("list_cosine_similarity(p.qv, a.v)")} AS cos
+       |  FROM assigned a JOIN probed p ON a.cell = p.cell
+       |  WHERE a.vec_id != p.q_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM scored
+       |)
+       |SELECT q_id, neighbor_id, cos, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
   }
 
   /** Scale path for embedding near-dup: LSH-bucketed candidate pairs
@@ -299,11 +340,59 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** DuckDB twin of embeddingKmeans: the 3 Lloyd iterations unrolled as
+    * chained CTEs. Exactness contract mirrored step for step: d2 is the
+    * same left-to-right double fold Spark's aggregate(zip_with(...))
+    * performs, per-dimension means are exact DECIMAL(30,10) sums cast to
+    * double, argmin ties break on cent_id ascending (Spark's
+    * min-of-struct).
+    */
+  private val embeddingKmeansSql = {
+    val k     = 8
+    val iters = 3
+    def d2(v: String, c: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(generate_series(1, len($v)), i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)"
+    def assignCte(name: String, centsCte: String) =
+      s"""$name AS (
+         |  SELECT vec_id, v, cell, d2 FROM (
+         |    SELECT e.vec_id, e.v, c.cent_id AS cell, ${d2("e.v", "c.cvec")} AS d2,
+         |           row_number() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${d2("e.v", "c.cvec")} ASC, c.cent_id ASC) AS rk
+         |    FROM e CROSS JOIN $centsCte c
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    def centsCte(name: String, assignCteName: String) =
+      s"""$name AS (
+         |  SELECT cell AS cent_id, list(mean ORDER BY dim) AS cvec FROM (
+         |    SELECT cell, dim, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
+         |    FROM (SELECT cell, unnest(generate_series(1, len(v))) AS dim, unnest(v) AS x
+         |          FROM $assignCteName)
+         |    GROUP BY cell, dim
+         |  ) GROUP BY cell
+         |)""".stripMargin
+    val chain = (1 to iters)
+      .flatMap(i => Seq(assignCte(s"a$i", s"c${i - 1}"), centsCte(s"c$i", s"a$i")))
+      .mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), c0 AS (
+       |  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < $k
+       |),
+       |$chain,
+       |${assignCte("afinal", s"c$iters")}
+       |SELECT cell, count(*) AS n_points,
+       |       ${Det.roundSql(s"CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS inertia
+       |FROM afinal
+       |GROUP BY cell
+       |ORDER BY cell""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ann_cosine_topk"   -> QueryDef(annCosineTopK, Some(annCosineTopKSql)),
     "embedding_neardup" -> QueryDef(embeddingNeardup, Some(embeddingNeardupSql)),
     "ann_lsh"           -> QueryDef(annLsh, None),
-    "ann_ivf"           -> QueryDef(annIvf, None),
-    "embedding_kmeans"  -> QueryDef(embeddingKmeans, None),
+    "ann_ivf"           -> QueryDef(annIvf, Some(annIvfSql)),
+    "embedding_kmeans"  -> QueryDef(embeddingKmeans, Some(embeddingKmeansSql)),
     "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, None))
 }
