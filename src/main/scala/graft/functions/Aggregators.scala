@@ -11,21 +11,22 @@ import org.apache.spark.sql.expressions.Aggregator
   * Buffer = the k smallest hash values seen. Merge = union + keep k
   * smallest — commutative, associative, and therefore DETERMINISTIC
   * under any partitioning (unlike e.g. SpaceSaving sketches whose
-  * estimates depend on merge order). Estimate: (k-1) / kth-min scaled
-  * to the hash range.
+  * estimates depend on merge order). Estimate: (k−1)·2^60 / kth-min
+  * (the hash is a uniform 60-bit draw).
+  *
+  * Hashing is PORTABLE (PortableHash.md5h60 of the value's decimal
+  * string), so a SQL oracle can recompute the identical estimate as the
+  * k-th order statistic of the distinct hashes — the sketch query is
+  * hash-compared against DuckDB, not just spec-bounded.
   */
 class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
   require(k >= 8, "KMV needs k >= 8 for a usable estimate")
 
   override def zero: Array[Long] = Array.empty[Long]
 
-  private def hash(x: Long): Long = {
-    var z = x + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    // map to non-negative for a clean [0, 2^63) range
-    (z ^ (z >>> 31)) & Long.MaxValue
-  }
+  private def hash(x: Long): Long =
+    PortableHash.md5h60(
+      x.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
 
   private def keepSmallest(values: Array[Long]): Array[Long] = {
     val distinct = values.distinct
@@ -57,7 +58,7 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
 
   override def finish(buf: Array[Long]): Double =
     if (buf.length < k) buf.length.toDouble // saw fewer than k distinct
-    else (k - 1).toDouble * Long.MaxValue.toDouble / buf.last.toDouble
+    else (k - 1).toDouble * KmvDistinct.HashRange / buf.last.toDouble
 
   override def bufferEncoder: Encoder[Array[Long]] =
     org.apache.spark.sql.Encoders.javaSerialization[Array[Long]]
@@ -65,6 +66,9 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
 }
 
 object KmvDistinct {
+  /** 2^60 as an exact double — md5h60 draws uniformly from [0, 2^60). */
+  val HashRange: Double = 1152921504606846976L.toDouble
+
   /** Untyped DataFrame form: `df.agg(KmvDistinct.udf(64)(col("x")))`. */
   def udf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new KmvDistinct(k), Encoders.scalaLong)

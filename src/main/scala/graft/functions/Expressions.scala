@@ -197,6 +197,113 @@ object MinHashSig {
   }
 }
 
+/** Engine-portable hashing: every value is derived from md5 (the one
+  * hash primitive Spark and DuckDB share bit-for-bit), so sketches built
+  * on it can be INDEPENDENTLY recomputed by the DuckDB oracle and
+  * hash-compared — the sketch queries stop being rows-only checks.
+  *
+  * SQL twins:
+  *   md5h32(s) ≡ Spark  CAST(conv(substr(md5(s), 1, 8), 16, 10) AS BIGINT)
+  *            ≡ DuckDB ('0x' || substr(md5(s), 1, 8))::BIGINT
+  *   md5h60(s) ≡ DuckDB ('0x' || substr(md5(s), 1, 15))::BIGINT
+  */
+object PortableHash {
+  /** 2^31 − 1 (Mersenne prime) — the affine-permutation modulus. A
+    * 32-bit base hash times a sub-P multiplier stays under 2^63, so the
+    * arithmetic is overflow-free in both engines' BIGINT.
+    */
+  val P: Long = 2147483647L
+
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 hex chars (32 bits) of md5, as an unsigned value in a long. */
+  def md5h32(bytes: Array[Byte]): Long = {
+    val d = md.get(); d.reset()
+    val dig = d.digest(bytes)
+    ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+  }
+
+  /** First 15 hex chars (60 bits) of md5 — a uniform draw from [0, 2^60). */
+  def md5h60(bytes: Array[Byte]): Long = {
+    val d = md.get(); d.reset()
+    val dig = d.digest(bytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (dig(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  private def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Affine permutation constants (a_j, b_j) ∈ [1, P−1], splitmix-derived
+    * — the same literals are embedded into the DuckDB oracle SQL.
+    */
+  def minhashConsts(k: Int): (IndexedSeq[Long], IndexedSeq[Long]) = (
+    IndexedSeq.tabulate(k)(j => (mix(j.toLong) & Long.MaxValue) % (P - 1) + 1),
+    IndexedSeq.tabulate(k)(j => (mix(j.toLong + 4096) & Long.MaxValue) % (P - 1) + 1))
+}
+
+/** MinHash signature over a token array with PORTABLE hashing: 3-token
+  * shingle strings (token[i] ⧺ ' ' ⧺ token[i+1] ⧺ ' ' ⧺ token[i+2], the
+  * same shingles the exact-Jaccard oracle uses), base hash = md5h32 of
+  * the shingle, permutation j = (a_j·h + b_j) mod P, min per
+  * permutation. Unlike MinHashSig's FNV basis, every stage has an exact
+  * DuckDB twin, so minhash queries are oracle-checkable end to end.
+  * Duplicate shingles need no dedup (min is idempotent — both engines
+  * see the same duplicates).
+  */
+case class MinHashMd5(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0 && k <= 64, "portable minhash k must be in (0, 64]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any): Any =
+    MinHashMd5.compute(tokens.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashMd5.compute($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashMd5 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_minhash_md5"
+}
+
+object MinHashMd5 {
+  val (as, bs) = PortableHash.minhashConsts(64)
+
+  def compute(tokens: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = tokens.numElements()
+    if (n >= 3) {
+      val toks = new Array[String](n)
+      var i = 0
+      while (i < n) {
+        toks(i) = if (tokens.isNullAt(i)) "" else tokens.getUTF8String(i).toString
+        i += 1
+      }
+      i = 0
+      while (i <= n - 3) {
+        val shingle = toks(i) + " " + toks(i + 1) + " " + toks(i + 2)
+        val h = PortableHash.md5h32(
+          shingle.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var j = 0
+        while (j < k) {
+          val p = (as(j) * h + bs(j)) % PortableHash.P
+          if (p < mins(j)) mins(j) = p
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new GenericArrayData(mins)
+  }
+}
+
 /** Random-hyperplane LSH bucket for a float vector: `planes` hyperplanes
   * with deterministic ±1 (Rademacher) weights derived from
   * hash(table, plane, dim); bit p of the bucket is the sign of the dot
@@ -264,6 +371,10 @@ object GraftFunctions {
       "graft_minhash_tokens",
       exprs =>
         MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int], tokenMode = true),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_md5",
+      exprs => MinHashMd5(exprs(0), exprs(1).eval().asInstanceOf[Int]),
       "built-in")
     // NOTE: the table index is a true child expression (it is usually a
     // transform() lambda variable); only `planes` must be a literal.

@@ -131,21 +131,24 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** MinHash(64) + LSH(16 bands × 4 rows) near-dup candidates, verified
-    * by signature agreement (estimated Jaccard ≥ 0.5). No SQL oracle
-    * (hash sketches); determinism comes from fixed permutation seeds.
+    * by signature agreement (estimated Jaccard ≥ 0.5). Signatures use
+    * PORTABLE md5-based hashing (graft_minhash_md5 /
+    * functions.PortableHash), so the whole sketch — shingle hash, affine
+    * permutations, banding, candidate expansion, verify — is
+    * independently recomputed by the DuckDB oracle and hash-compared.
     * Bucket size capped at 100 to bound degenerate-skew blowup — capped
     * buckets are near-identical content, caught by dedup_exact anyway.
     */
   private val MinhashK = 64
 
-  /** Shared minhash stage: per-doc signatures (in-kernel 3-gram
-    * shingling via graft_minhash_tokens — no shingle strings or arrays
-    * materialized) and their 16×4 LSH band rows. The sketch feeds
-    * multiple consumers (banding + both sides of verify joins), so it
-    * is persisted — at production scale this is the materialized sketch
-    * stage table. Signatures are NOT carried through the band explosion
-    * (64 longs each; shipping them through the shuffle dominated
-    * runtime) — consumers join them back by doc_id.
+  /** Shared minhash stage: per-doc md5-basis signatures and their 16×4
+    * LSH band rows (band key = the 4 signature values joined as a
+    * string — engine-portable, unlike Murmur `hash()`). The sketch
+    * feeds multiple consumers (banding + both sides of verify joins),
+    * so it is persisted — at production scale this is the materialized
+    * sketch stage table. Signatures are NOT carried through the band
+    * explosion (64 longs each; shipping them through the shuffle
+    * dominated runtime) — consumers join them back by doc_id.
     */
   private def minhashBands(
       spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
@@ -153,16 +156,53 @@ object Dedup {
       .documents(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), expr(s"graft_minhash_tokens(t, $k)").as("sig"))
+      .select(col("doc_id"), expr(s"graft_minhash_md5(t, $k)").as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(
       col("doc_id"),
       explode(expr(
-        "transform(sequence(0, 15), b -> struct(b AS band, hash(slice(sig, b * 4 + 1, 4)) AS bh))"))
+        """transform(sequence(0, 15), b -> struct(b AS band,
+          |  array_join(transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)), ',') AS bh))""".stripMargin))
         .as("lsh"))
       .select(col("doc_id"), col("lsh.band"), col("lsh.bh"))
     (sigs, bands)
   }
+
+  /** Shared CTE prefix of the minhash oracles: shingle → md5h32 → the
+    * k affine-permutation minima (the same (a_j, b_j) literals the
+    * codegen kernel uses) → band rows → sorted bucket lists.
+    */
+  private def minhashSqlPrefix(k: Int): String = {
+    import graft.functions.{MinHashMd5, PortableHash}
+    val sigList = (0 until k)
+      .map(j => s"min((${MinHashMd5.as(j)} * h + ${MinHashMd5.bs(j)}) % ${PortableHash.P})")
+      .mkString("[\n           ", ",\n           ", "]")
+    s"""toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(t) >= 3
+       |         THEN list_transform(generate_series(1, len(t) - 2),
+       |                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE [] END) AS s
+       |  FROM toks
+       |), hs AS (
+       |  SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh
+       |), sigs AS (
+       |  SELECT doc_id, $sigList AS sig
+       |  FROM hs GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, band,
+       |         array_to_string(list_slice(sig, band * 4 + 1, band * 4 + 4), ',') AS bh
+       |  FROM sigs, (SELECT unnest(generate_series(0, 15)) AS band)
+       |), buck AS (
+       |  SELECT band, bh, list_sort(list(doc_id)) AS docs
+       |  FROM bands GROUP BY band, bh
+       |)""".stripMargin
+  }
+
+  private def estJaccardSql(k: Int) =
+    s"CAST(len(list_filter(generate_series(1, $k), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / $k"
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -194,6 +234,26 @@ object Dedup {
           6).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of dedupMinhash: the full sketch recomputed — same
+    * shingles, same md5 base hash, same permutation constants, same
+    * band keys, same bucket cap, same verify threshold.
+    */
+  private val dedupMinhashSql = {
+    val est = estJaccardSql(MinhashK)
+    s"""WITH ${minhashSqlPrefix(MinhashK)},
+       |cand AS (
+       |  SELECT DISTINCT a.x AS doc_a, b.x AS doc_b
+       |  FROM buck, unnest(docs) AS a(x), unnest(docs) AS b(x)
+       |  WHERE len(docs) BETWEEN 2 AND 100 AND a.x < b.x
+       |)
+       |SELECT c.doc_a, c.doc_b, ${Det.roundSql(est, 6)} AS est_jaccard
+       |FROM cand c
+       |JOIN sigs sa ON c.doc_a = sa.doc_id
+       |JOIN sigs sb ON c.doc_b = sb.doc_id
+       |WHERE ${Det.roundSql(est, 6)} >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** SimHash(64-bit) near-dup pairs: signatures via the codegen'd
@@ -359,12 +419,44 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** DuckDB twin of dedupClustersMinhash: the same star-edge candidate
+    * graph (hub = bucket minimum) from the portable sketch, signature
+    * verify, then the recursive-CTE transitive closure.
+    */
+  private val dedupClustersMinhashSql = {
+    val est = estJaccardSql(MinhashK)
+    s"""WITH RECURSIVE ${minhashSqlPrefix(MinhashK)},
+       |star0 AS (
+       |  SELECT docs[1] AS doc_a, unnest(list_slice(docs, 2, len(docs))) AS doc_b
+       |  FROM buck WHERE len(docs) BETWEEN 2 AND 1000
+       |), star AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM star0
+       |), verified AS (
+       |  SELECT s.doc_a, s.doc_b FROM star s
+       |  JOIN sigs sa ON s.doc_a = sa.doc_id
+       |  JOIN sigs sb ON s.doc_b = sb.doc_id
+       |  WHERE $est >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM verified
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM verified
+       |), reach(node, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+       |)
+       |SELECT node AS doc_id, min(r) AS cluster_id
+       |FROM reach
+       |GROUP BY node
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
-    "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, None),
+    "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, Some(dedupClustersMinhashSql)),
     "dedup_exact"   -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_jaccard" -> QueryDef(dedupJaccard, Some(dedupJaccardSql)),
-    "dedup_minhash" -> QueryDef(dedupMinhash, None),
+    "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql)),
     "dedup_simhash" -> QueryDef(dedupSimhash, None))
 }

@@ -6,23 +6,27 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sketch-vs-exact cardinality accounting (round 2): registers the KMV
-  * typed Aggregator and the built-in HLL++ (`approx_count_distinct`) as a
-  * first-class query next to the exact answer, per event type — the
-  * "how wrong is the cheap estimate" query every 100 TB pipeline runs
-  * before switching its dashboards to sketches.
+  * typed Aggregator as a first-class query next to the exact answer,
+  * per event type — the "how wrong is the cheap estimate" query every
+  * 100 TB pipeline runs before switching its dashboards to sketches.
   *
   * Exact side is the two-stage distinct (pre-aggregate on the key — no
-  * Expand plan); sketch sides are single-pass partial aggregates whose
-  * merge is partition-order-invariant, so all three columns are
-  * deterministic. Rows-only check (DuckDB's approx_distinct uses a
-  * different HLL seed — numbers can't match an oracle by design);
-  * estimate-accuracy invariants are spec-asserted instead.
+  * Expand plan); the sketch side is a single-pass partial aggregate
+  * whose merge is partition-order-invariant. Because the KMV hash is
+  * engine-portable (md5-based, functions.PortableHash), the oracle
+  * recomputes the identical estimate as the k-th order statistic of the
+  * distinct hashes — a true hash-exact check of the sketch math. The
+  * built-in HLL++ (`approx_count_distinct`) remains spec-covered
+  * (SkewKmvSpec): its seed is engine-private, so it can never be
+  * oracle-compared by design.
   */
 object Sketches {
 
+  private val KmvK = 256
+
   def distinctUsersSketch(spark: SparkSession, dir: String): DataFrame = {
     val ev  = Tables.events(spark, dir)
-    val kmv = KmvDistinct.udf(256)
+    val kmv = KmvDistinct.udf(KmvK)
     val exact = ev
       .groupBy(col("event_type"), col("user_id"))
       .agg(count(lit(1)).as("n"))
@@ -30,23 +34,54 @@ object Sketches {
       .agg(count(lit(1)).as("exact_distinct"))
     val sketched = ev
       .groupBy(col("event_type"))
-      .agg(
-        kmv(col("user_id")).as("kmv_est"),
-        approx_count_distinct(col("user_id")).as("hll_est"))
+      .agg(kmv(col("user_id")).as("kmv_est"))
     exact
       .join(sketched, "event_type")
       .select(
         col("event_type"),
         col("exact_distinct"),
         Det.detRound(col("kmv_est"), 2).as("kmv_est"),
-        col("hll_est"),
         Det.detRound(
           abs(col("kmv_est") - col("exact_distinct")) / col("exact_distinct"), 6)
-          .as("kmv_rel_err"),
-        Det.detRound(
-          abs(col("hll_est").cast("double") - col("exact_distinct")) / col("exact_distinct"), 6)
-          .as("hll_rel_err"))
+          .as("kmv_rel_err"))
       .orderBy(col("event_type"))
+  }
+
+  /** DuckDB twin of distinctUsersSketch: the KMV estimate recomputed
+    * from first principles — distinct md5h60 hashes per type, k-th
+    * smallest as the order statistic, (k−1)·2^60/h_k (or the exact
+    * count when fewer than k distinct hashes exist).
+    */
+  private val distinctUsersSketchSql = {
+    val est =
+      s"CAST(${KmvK - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE)"
+    s"""WITH h AS (
+       |  SELECT DISTINCT event_type,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events
+       |), ranked AS (
+       |  SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h
+       |), sk AS (
+       |  SELECT event_type,
+       |         count(*) AS n_hashes,
+       |         max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |  FROM ranked GROUP BY event_type
+       |), exact AS (
+       |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+       |  FROM events GROUP BY event_type
+       |), est AS (
+       |  SELECT e.event_type, e.exact_distinct,
+       |         CASE WHEN s.n_hashes < $KmvK THEN CAST(s.n_hashes AS DOUBLE)
+       |              ELSE $est END AS kmv_est
+       |  FROM exact e JOIN sk s ON e.event_type = s.event_type
+       |)
+       |SELECT event_type, exact_distinct,
+       |       ${Det.roundSql("kmv_est", 2)} AS kmv_est,
+       |       ${Det.roundSql("abs(kmv_est - exact_distinct) / exact_distinct", 6)} AS kmv_rel_err
+       |FROM est
+       |ORDER BY event_type""".stripMargin
   }
 
   /** Exact frequent-items via the two-pass Misra-Gries recipe: one MG
@@ -93,6 +128,6 @@ object Sketches {
       |ORDER BY n_items DESC, l_partkey""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
-    "distinct_users_sketch" -> QueryDef(distinctUsersSketch, None),
+    "distinct_users_sketch" -> QueryDef(distinctUsersSketch, Some(distinctUsersSketchSql)),
     "frequent_parts"        -> QueryDef(frequentParts, Some(frequentPartsSql)))
 }
