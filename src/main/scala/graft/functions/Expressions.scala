@@ -352,6 +352,70 @@ object LshBucket {
   }
 }
 
+/** Random-hyperplane LSH bucket with PORTABLE (md5-derived) Rademacher
+  * signs: sign(t, p, d) = ±1 from the low bit of md5h32("t_p_d"). The
+  * sign matrix is tiny (tables × planes × dims) and cached per shape;
+  * the per-row work is the same ordered dot-product loop as LshBucket.
+  * A DuckDB oracle rebuilds the identical sign lists from the same md5
+  * formula and folds the dot product in the same element order, so the
+  * buckets — and therefore the LSH candidate sets — match exactly.
+  */
+case class LshBucketMd5(left: Expression, right: Expression, planes: Int)
+    extends BinaryExpression {
+  require(planes > 0 && planes <= 30, "planes must be in (0, 30]")
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(vec: Any, table: Any): Any =
+    LshBucketMd5.compute(vec.asInstanceOf[ArrayData], table.asInstanceOf[Int], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, t) => s"graft.functions.LshBucketMd5.compute($v, $t, $planes)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshBucketMd5 =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_lsh_bucket_md5"
+}
+
+object LshBucketMd5 {
+  private val matCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+
+  /** SQL twin: CASE WHEN (('0x' || substr(md5(t||'_'||p||'_'||d), 1, 8))
+    * ::BIGINT & 1) = 1 THEN 1.0 ELSE -1.0 END
+    */
+  def signOf(table: Int, plane: Int, dim: Int): Double = {
+    val h = PortableHash.md5h32(
+      s"${table}_${plane}_${dim}"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    if ((h & 1L) == 1L) 1.0 else -1.0
+  }
+
+  private def mat(table: Int, planes: Int, dims: Int): Array[Double] =
+    matCache.computeIfAbsent(
+      (table, planes, dims),
+      { key =>
+        val (t, p, nd) = key
+        Array.tabulate(p * nd)(i => signOf(t, i / nd, i % nd))
+      })
+
+  def compute(vec: ArrayData, table: Int, planes: Int): Int = {
+    val n = vec.numElements()
+    val m = mat(table, planes, n)
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      val off = p * n
+      var d = 0
+      while (d < n) {
+        dot += vec.getFloat(d).toDouble * m(off + d)
+        d += 1
+      }
+      if (dot > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
 /** Registers the expressions as SQL functions (graft_cosine, graft_simhash,
   * graft_minhash, graft_lsh_bucket) so queries can use them via expr(...)
   * / spark.sql(...). Idempotent per session.
@@ -381,6 +445,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_lsh_bucket",
       exprs => LshBucket(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_lsh_bucket_md5",
+      exprs => LshBucketMd5(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]),
       "built-in")
   }
 }

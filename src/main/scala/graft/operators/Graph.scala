@@ -178,7 +178,27 @@ object Graph {
       .orderBy(col("vec_id"))
   }
 
+  /** DuckDB twin of embeddingClusters: the portable-LSH scored pairs
+    * (Similarity.lshPairsSqlChain) thresholded at cos ≥ 0.3, then the
+    * recursive-CTE transitive closure.
+    */
+  private val embeddingClustersSql =
+    s"""WITH RECURSIVE ${Similarity.lshPairsSqlChain},
+       |cedges AS (
+       |  SELECT vec_a AS s, vec_b AS d FROM lscored WHERE cos >= 0.3
+       |  UNION ALL
+       |  SELECT vec_b, vec_a FROM lscored WHERE cos >= 0.3
+       |), reach(node, r) AS (
+       |  SELECT s, s FROM cedges
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN cedges e ON e.s = reach.node
+       |)
+       |SELECT node AS vec_id, min(r) AS cluster_id
+       |FROM reach
+       |GROUP BY node
+       |ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "pagerank_parts"     -> QueryDef(pagerankParts, Some(pagerankPartsSql)),
-    "embedding_clusters" -> QueryDef(embeddingClusters, None))
+    "embedding_clusters" -> QueryDef(embeddingClusters, Some(embeddingClustersSql)))
 }

@@ -113,7 +113,7 @@ object Similarity {
         col(vecCol),
         explode(expr(
           s"""transform(sequence(0, ${LshTables - 1}),
-             |  t -> struct(t AS tbl, graft_lsh_bucket($vecCol, t, $LshPlanes) AS bucket))""".stripMargin))
+             |  t -> struct(t AS tbl, graft_lsh_bucket_md5($vecCol, t, $LshPlanes) AS bucket))""".stripMargin))
           .as("lsh"))
         .select(col(idCol), col(vecCol), col("lsh.tbl"), col("lsh.bucket"))
 
@@ -255,7 +255,7 @@ object Similarity {
         col("vec_id"),
         explode(expr(
           s"""transform(sequence(0, ${tables - 1}),
-             |  t -> struct(t AS tbl, graft_lsh_bucket(embedding, t, $planes) AS bucket))""".stripMargin))
+             |  t -> struct(t AS tbl, graft_lsh_bucket_md5(embedding, t, $planes) AS bucket))""".stripMargin))
           .as("lsh"))
       .select(col("vec_id"), col("lsh.tbl"), col("lsh.bucket"))
     val pairs = buckets
@@ -273,6 +273,88 @@ object Similarity {
         col("vec_a"), col("vec_b"),
         Det.detRound(expr("graft_cosine(va, vb)"), 6).as("cos"))
   }
+
+  /** Shared CTE prefix of the LSH oracles: the md5-derived ±1 sign
+    * lists (LshBucketMd5.signOf's SQL twin), per-(vector, table, plane)
+    * dot products folded in element order — the same left-to-right
+    * double accumulation as the kernel's loop — and the resulting
+    * bucket codes. Embeddings are 64-dimensional (generate_series
+    * bound); the kernel reads the true vector length.
+    */
+  private def lshSqlPrefix(tables: Int, planes: Int): String =
+    s"""e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), signs AS (
+       |  SELECT t, p,
+       |         list(CASE WHEN (('0x' || substr(md5(t || '_' || p || '_' || d), 1, 8))::BIGINT & 1) = 1
+       |                   THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END ORDER BY d) AS sv
+       |  FROM (SELECT unnest(generate_series(0, ${tables - 1})) AS t),
+       |       (SELECT unnest(generate_series(0, ${planes - 1})) AS p),
+       |       (SELECT unnest(generate_series(0, 63)) AS d)
+       |  GROUP BY t, p
+       |), dots AS (
+       |  SELECT e.vec_id, s.t AS tbl, s.p,
+       |         list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(generate_series(1, len(e.v)), i -> e.v[i] * s.sv[i])),
+       |           (a, b) -> a + b) AS dot
+       |  FROM e CROSS JOIN signs s
+       |), bck AS (
+       |  SELECT vec_id, tbl,
+       |         CAST(SUM(CASE WHEN dot > 0 THEN (1 << p) ELSE 0 END) AS INTEGER) AS bucket
+       |  FROM dots GROUP BY vec_id, tbl
+       |)""".stripMargin
+
+  /** DuckDB twin of annLsh: identical buckets from the portable sign
+    * matrix, same-cell candidates, rounded exact cosine, top-k.
+    */
+  private val annLshSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH ${lshSqlPrefix(LshTables, LshPlanes)},
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+       |  FROM bck c JOIN bck q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |  WHERE q.vec_id < $NumQueries AND c.vec_id != q.vec_id
+       |), scored AS (
+       |  SELECT cand.q_id, cand.neighbor_id,
+       |         ${r6("list_cosine_similarity(qe.v, ce.v)")} AS cos
+       |  FROM cand
+       |  JOIN e qe ON cand.q_id = qe.vec_id
+       |  JOIN e ce ON cand.neighbor_id = ce.vec_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM scored
+       |)
+       |SELECT q_id, neighbor_id, cos, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** CTE chain producing the scored LSH candidate PAIRS of
+    * lshScoredPairs (16 tables × 4 planes, bucket cap 200) — shared by
+    * the embedding_neardup_lsh oracle and Graph's embedding_clusters
+    * oracle.
+    */
+  private[operators] def lshPairsSqlChain: String =
+    s"""${lshSqlPrefix(16, 4)},
+       |lbuck AS (
+       |  SELECT tbl, bucket, list_slice(list_sort(list(vec_id)), 1, 200) AS ids
+       |  FROM bck GROUP BY tbl, bucket
+       |), lpairs AS (
+       |  SELECT DISTINCT a.x AS vec_a, b.x AS vec_b
+       |  FROM lbuck, unnest(ids) AS a(x), unnest(ids) AS b(x)
+       |  WHERE a.x < b.x
+       |), lscored AS (
+       |  SELECT p.vec_a, p.vec_b,
+       |         ${Det.roundSql("list_cosine_similarity(ea.v, eb.v)", 6)} AS cos
+       |  FROM lpairs p
+       |  JOIN e ea ON p.vec_a = ea.vec_id
+       |  JOIN e eb ON p.vec_b = eb.vec_id
+       |)""".stripMargin
+
+  private val embeddingNeardupLshSql =
+    s"""WITH $lshPairsSqlChain
+       |SELECT vec_a, vec_b, cos FROM lscored
+       |ORDER BY cos DESC, vec_a, vec_b
+       |LIMIT 20""".stripMargin
 
   /** Distributed Lloyd's k-means over the embedding corpus (k = 8,
     * 3 iterations, deterministic init = the k lowest vec_ids) — the
@@ -391,8 +473,8 @@ object Similarity {
   val defs: Map[String, QueryDef] = Map(
     "ann_cosine_topk"   -> QueryDef(annCosineTopK, Some(annCosineTopKSql)),
     "embedding_neardup" -> QueryDef(embeddingNeardup, Some(embeddingNeardupSql)),
-    "ann_lsh"           -> QueryDef(annLsh, None),
+    "ann_lsh"           -> QueryDef(annLsh, Some(annLshSql)),
     "ann_ivf"           -> QueryDef(annIvf, Some(annIvfSql)),
     "embedding_kmeans"  -> QueryDef(embeddingKmeans, Some(embeddingKmeansSql)),
-    "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, None))
+    "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, Some(embeddingNeardupLshSql)))
 }
