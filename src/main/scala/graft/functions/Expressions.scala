@@ -108,6 +108,64 @@ object SimHash64 {
   }
 }
 
+/** 64-bit SimHash with PORTABLE hashing, returned as TWO 32-bit halves
+  * `array(hi, lo)` so the oracle can rebuild each half without BIGINT
+  * sign/overflow games. Token hash = first 16 hex chars of md5 split
+  * into hi/lo 32-bit words (SQL twin: ('0x' || substr(md5(s), 1, 8))
+  * ::BIGINT and substr(..., 9, 8)); bit j of each half is the sign of
+  * the ±1 count over tokens, exactly as SimHash64. Hamming distance =
+  * bit_count(hi_a ^ hi_b) + bit_count(lo_a ^ lo_b).
+  */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any): Any =
+    SimHashMd5.compute(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashMd5.compute($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5 =
+    copy(child = newChild)
+  override def prettyName: String = "graft_simhash_md5"
+}
+
+object SimHashMd5 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def compute(tokens: ArrayData): ArrayData = {
+    val counts = new Array[Int](64) // 0..31 = lo bits, 32..63 = hi bits
+    val n = tokens.numElements()
+    val d = md.get()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        d.reset()
+        val dig = d.digest(tokens.getUTF8String(i).getBytes)
+        val hi = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        val lo = ((dig(4) & 0xffL) << 24) | ((dig(5) & 0xffL) << 16) |
+          ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
+        var j = 0
+        while (j < 32) {
+          if (((lo >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+          if (((hi >>> j) & 1L) == 1L) counts(32 + j) += 1 else counts(32 + j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var hiSig = 0L; var loSig = 0L
+    var j = 0
+    while (j < 32) {
+      if (counts(j) > 0) loSig |= (1L << j)
+      if (counts(32 + j) > 0) hiSig |= (1L << j)
+      j += 1
+    }
+    new GenericArrayData(Array(hiSig, loSig))
+  }
+}
+
 /** MinHash signature (k permutations) over a shingle array. One base
   * FNV/splitmix hash per shingle, then k universal-hash permutations
   * (a_i·h + b_i with fixed odd multipliers), min per permutation —
@@ -427,6 +485,8 @@ object GraftFunctions {
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash_md5", exprs => SimHashMd5(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_minhash",
       exprs => MinHashSig(exprs(0), exprs(1).eval().asInstanceOf[Int]),

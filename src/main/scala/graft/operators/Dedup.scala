@@ -256,19 +256,20 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
-  /** SimHash(64-bit) near-dup pairs: signatures via the codegen'd
-    * graft_simhash expression, 4×16-bit band blocking, Hamming distance
-    * ≤ 3 confirm via bit_count(xor). No SQL oracle (hash sketch);
-    * on the fixture this recovers 80% of the exact-Jaccard pairs
-    * (unigram simhash is cruder than shingle minhash by design).
+  /** SimHash(64-bit) near-dup pairs: PORTABLE md5-basis signatures via
+    * graft_simhash_md5 (two 32-bit halves), 4×16-bit band blocking,
+    * Hamming distance ≤ 3 confirm via bit_count(xor) per half. Every
+    * stage is recomputed by the DuckDB oracle — the sketch is
+    * hash-compared, not just spec-bounded. On the fixture this recovers
+    * 80% of the exact-Jaccard pairs (unigram simhash is cruder than
+    * shingle minhash by design).
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val sigs = Tables
       .documents(spark, dir)
-      .select(
-        col("doc_id"),
-        expr("graft_simhash(split(text, ' '))").as("sig"))
+      .select(col("doc_id"), expr("graft_simhash_md5(split(text, ' '))").as("s"))
+      .select(col("doc_id"), expr("s[0]").as("hi"), expr("s[1]").as("lo"))
     // Size-capped posting-list pair expansion per 16-bit band (the same
     // bounded-candidates shape as dedup_minhash) instead of an uncapped
     // band self-join — the 10× documents probe (SCALE_DOCS=1, cross-copy
@@ -279,7 +280,11 @@ object Dedup {
     val bands = sigsP.select(
       col("doc_id"),
       explode(expr(
-        "transform(sequence(0, 3), b -> struct(b AS band, shiftright(sig, b * 16) & 65535 AS bh))"))
+        """transform(sequence(0, 3), b -> struct(b AS band,
+          |  CASE WHEN b = 0 THEN lo & 65535
+          |       WHEN b = 1 THEN shiftright(lo, 16) & 65535
+          |       WHEN b = 2 THEN hi & 65535
+          |       ELSE shiftright(hi, 16) & 65535 END AS bh))""".stripMargin))
         .as("lsh"))
       .select(col("doc_id"), col("lsh.band"), col("lsh.bh"))
     val candidates = bands
@@ -289,14 +294,66 @@ object Dedup {
       .select(col("doc_a"), explode(expr("slice(docs, i + 2, size(docs))")).as("doc_b"))
       .distinct()
     candidates
-      .join(sigsP.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigsP.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(
+        sigsP.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"), col("lo").as("lo_a")),
+        "doc_a")
+      .join(
+        sigsP.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b")),
+        "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),
-        expr("bit_count(sig_a ^ sig_b)").cast("long").as("hamming"))
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** DuckDB twin of dedupSimhash: token hashes from the same md5 hex
+    * ranges, per-bit ±1 sums, sign bits reassembled per 32-bit half,
+    * same bands, caps and Hamming confirm.
+    */
+  private val dedupSimhashSql = {
+    val ham = "bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents
+       |), th AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(s), 1, 8))::BIGINT AS hi,
+       |         ('0x' || substr(md5(s), 9, 8))::BIGINT AS lo
+       |  FROM toks
+       |), bits AS (
+       |  SELECT doc_id, j,
+       |         SUM(CASE WHEN (lo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c_lo,
+       |         SUM(CASE WHEN (hi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c_hi
+       |  FROM th, (SELECT unnest(generate_series(0, 31)) AS j)
+       |  GROUP BY doc_id, j
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN c_hi > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS hi,
+       |         SUM(CASE WHEN c_lo > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo
+       |  FROM bits GROUP BY doc_id
+       |), sbands AS (
+       |  SELECT doc_id, band,
+       |         CASE WHEN band = 0 THEN lo & 65535
+       |              WHEN band = 1 THEN (lo >> 16) & 65535
+       |              WHEN band = 2 THEN hi & 65535
+       |              ELSE (hi >> 16) & 65535 END AS bh
+       |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band)
+       |), sbuck AS (
+       |  SELECT band, bh, list_slice(list_sort(list(doc_id)), 1, 200) AS docs
+       |  FROM sbands GROUP BY band, bh
+       |), cand AS (
+       |  SELECT DISTINCT a.x AS doc_a, b.x AS doc_b
+       |  FROM sbuck, unnest(docs) AS a(x), unnest(docs) AS b(x)
+       |  WHERE a.x < b.x
+       |)
+       |SELECT c.doc_a, c.doc_b, CAST($ham AS BIGINT) AS hamming
+       |FROM cand c
+       |JOIN sigs sa ON c.doc_a = sa.doc_id
+       |JOIN sigs sb ON c.doc_b = sb.doc_id
+       |WHERE $ham <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Duplicate-cluster assignment: connected components over the
@@ -458,5 +515,5 @@ object Dedup {
     "dedup_exact"   -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_jaccard" -> QueryDef(dedupJaccard, Some(dedupJaccardSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql)),
-    "dedup_simhash" -> QueryDef(dedupSimhash, None))
+    "dedup_simhash" -> QueryDef(dedupSimhash, Some(dedupSimhashSql)))
 }
