@@ -7,13 +7,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted per partition.
   *
-  * The container has no image/audio codecs, so `fakeDecode` below is a
-  * clearly-marked DETERMINISTIC STAND-IN for a real decoder (it computes
-  * a normalized 16-bin byte histogram). Everything around it — the
-  * schema (binary + metadata struct), the per-partition batch shape
-  * (iterator → iterator, the same contract a real Arrow/codec-based
-  * decode would use), frame sampling, and the feature aggregation — is
-  * real Spark plumbing, tested in MultimodalSpec.
+  * The container has no image/audio codec LIBRARIES, so payloads are
+  * synthesized — but in REAL public formats (24-bit BMP with row
+  * padding, 16-bit PCM RIFF/WAVE), and [[MediaCodec]] performs a true
+  * header parse (magic, dimensions, data offset, chunk walk, padding)
+  * rather than a stand-in. Because each payload's pixels/samples are a
+  * closed-form function of doc_id, the decoded statistics have an exact
+  * DuckDB oracle — the binary pipeline is hash-compared end to end.
+  * The schema (binary + metadata struct), the per-partition batch shape
+  * (iterator → iterator, the same contract an Arrow/codec-based decode
+  * would use), frame sampling, and the feature aggregation are the same
+  * plumbing a production image/audio table would use.
   */
 object Multimodal {
 
@@ -34,12 +38,11 @@ object Multimodal {
         col("n_chars").cast("long").as("n_bytes"),
         col("source").as("origin")).as("meta"))
 
-  /** STUB DECODER — stands in for image decode / audio feature
-    * extraction. Deterministic: 16-bin byte histogram, L1-normalized.
-    * A real implementation would decode pixels/samples here; only this
-    * function changes, the pipeline shape stays.
+  /** 16-bin L1-normalized byte histogram — a generic binary feature next
+    * to the format-aware MediaCodec decode (used by decodeFeatures /
+    * MultimodalSpec for the opaque-payload path).
     */
-  def fakeDecode(content: Array[Byte]): Array[Double] = {
+  def byteHistogram(content: Array[Byte]): Array[Double] = {
     val hist = new Array[Double](16)
     var i = 0
     while (i < content.length) {
@@ -64,7 +67,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, content) =>
-          FeatureRow(id, content.length.toLong, fakeDecode(content))
+          FeatureRow(id, content.length.toLong, byteHistogram(content))
         }
       }
   }
@@ -86,21 +89,79 @@ object Multimodal {
       .withColumnRenamed("pos", "frame_idx")
       .withColumnRenamed("col", "frame")
 
-  /** Registered query: decode features for every document and aggregate
-    * per bucket of payload size — exercises the full binary pipeline on
-    * real testdata. Rows-only check (the stub decoder has no SQL oracle).
+  final case class DecodedRow(
+      doc_id: Long, kind: String, width: Long, height: Long,
+      n_units: Long, mean_val: Double, max_val: Long)
+
+  /** Media table with REAL format payloads: even doc_ids carry a 24-bit
+    * BMP, odd doc_ids a 16-bit PCM WAV, pixels/samples a closed-form
+    * function of doc_id (MediaCodec synthesis formulas).
+    */
+  def mediaBinaryTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        if (id % 2 == 0) MediaRow(id, MediaCodec.encodeBmp(id), "bmp")
+        else MediaRow(id, MediaCodec.encodeWav(id), "wav")
+      })
+  }
+
+  /** Registered query: a TRUE format decode of every payload — header
+    * parse, padding/chunk walk, pixel/sample statistics — in the same
+    * iterator→iterator per-partition shape. Because the synthesized
+    * payloads are closed-form in doc_id, the decoded statistics are
+    * oracle-checked against DuckDB recomputing the same formulas — the
+    * encoder, the decoder and the pipeline all have to agree for the
+    * hash to match.
     */
   def multimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
-    val feats = decodeFeatures(mediaTable(Tables.documents(spark, dir)))
-    feats
+    import spark.implicits._
+    mediaBinaryTable(spark, dir)
+      .mapPartitions(_.map { row =>
+        val m = MediaCodec.decode(row.content)
+        DecodedRow(row.doc_id, m.kind, m.width, m.height, m.nUnits, m.meanVal, m.maxVal)
+      })
       .toDF()
-      .select(
-        col("doc_id"),
-        col("n_bytes"),
-        expr("aggregate(features, 0D, (a, x) -> a + x * x)").as("feature_norm_sq"),
-        expr("features[0]").as("f0"))
       .orderBy(col("doc_id"))
   }
+
+  /** DuckDB twin of multimodalFeatures: the synthesis formulas evaluated
+    * directly (pixel k = (doc_id·31 + k·7) mod 256 over w·h pixels;
+    * sample k = (doc_id·13 + k·11) mod 4096 − 2048 over n samples) — if
+    * the JVM encoder or decoder mishandled a header field, padding byte
+    * or sign extension, the statistics would diverge.
+    */
+  private val multimodalFeaturesSql =
+    s"""WITH bmp AS (
+       |  SELECT doc_id, doc_id % 21 + 2 AS w, doc_id % 13 + 2 AS h
+       |  FROM documents WHERE doc_id % 2 = 0
+       |), bmpstats AS (
+       |  SELECT b.doc_id, 'bmp' AS kind,
+       |         CAST(b.w AS BIGINT) AS width, CAST(b.h AS BIGINT) AS height,
+       |         CAST(b.w * b.h AS BIGINT) AS n_units,
+       |         CAST(SUM((b.doc_id * 31 + t.k * 7) % 256) AS DOUBLE) / (b.w * b.h) AS mean_val,
+       |         CAST(MAX((b.doc_id * 31 + t.k * 7) % 256) AS BIGINT) AS max_val
+       |  FROM bmp b, unnest(generate_series(0, b.w * b.h - 1)) AS t(k)
+       |  GROUP BY b.doc_id, b.w, b.h
+       |), wav AS (
+       |  SELECT doc_id, doc_id % 50 + 10 AS n
+       |  FROM documents WHERE doc_id % 2 = 1
+       |), wavstats AS (
+       |  SELECT w.doc_id, 'wav' AS kind,
+       |         CAST(w.n AS BIGINT) AS width, CAST(1 AS BIGINT) AS height,
+       |         CAST(w.n AS BIGINT) AS n_units,
+       |         CAST(SUM((w.doc_id * 13 + t.k * 11) % 4096 - 2048) AS DOUBLE) / w.n AS mean_val,
+       |         CAST(MAX((w.doc_id * 13 + t.k * 11) % 4096 - 2048) AS BIGINT) AS max_val
+       |  FROM wav w, unnest(generate_series(0, w.n - 1)) AS t(k)
+       |  GROUP BY w.doc_id, w.n
+       |)
+       |SELECT * FROM bmpstats
+       |UNION ALL
+       |SELECT * FROM wavstats
+       |ORDER BY doc_id""".stripMargin
 
   /** Media manifest: per-origin blob accounting over the binary column —
     * counts, total/avg payload bytes, distinct payloads (two-stage on
@@ -161,6 +222,6 @@ object Multimodal {
        |ORDER BY origin""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
-    "multimodal_features" -> QueryDef(multimodalFeatures, None),
+    "multimodal_features" -> QueryDef(multimodalFeatures, Some(multimodalFeaturesSql)),
     "media_manifest"      -> QueryDef(mediaManifest, Some(mediaManifestSql)))
 }

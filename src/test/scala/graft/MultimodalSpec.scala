@@ -16,12 +16,53 @@ class MultimodalSpec extends AnyFunSuite {
     assert(media.count() === Tables.documents(spark, TestSpark.Sf).count())
   }
 
-  test("fake decoder is deterministic and L1-normalized") {
+  test("byte histogram is deterministic and L1-normalized") {
     val bytes = "hello multimodal world".getBytes("UTF-8")
-    val f1    = Multimodal.fakeDecode(bytes)
-    val f2    = Multimodal.fakeDecode(bytes)
+    val f1    = Multimodal.byteHistogram(bytes)
+    val f2    = Multimodal.byteHistogram(bytes)
     assert(f1.toSeq === f2.toSeq)
     assert(math.abs(f1.sum - 1.0) < 1e-9)
+  }
+
+  test("BMP roundtrip: encode → true header parse → closed-form stats") {
+    import graft.multimodal.MediaCodec
+    for (id <- Seq(0L, 2L, 40L, 398L)) {
+      val m = MediaCodec.decode(MediaCodec.encodeBmp(id))
+      assert(m.kind === "bmp")
+      assert(m.width === MediaCodec.bmpWidth(id) && m.height === MediaCodec.bmpHeight(id))
+      val n = m.width * m.height
+      val vals = (0 until n.toInt).map(k => MediaCodec.bmpPixel(id, k))
+      assert(m.nUnits === n)
+      assert(m.meanVal === vals.map(_.toLong).sum.toDouble / n)
+      assert(m.maxVal === vals.max.toLong)
+    }
+  }
+
+  test("WAV roundtrip: chunk walk, sign extension, closed-form stats") {
+    import graft.multimodal.MediaCodec
+    for (id <- Seq(1L, 3L, 47L, 399L)) {
+      val m = MediaCodec.decode(MediaCodec.encodeWav(id))
+      assert(m.kind === "wav")
+      val n = MediaCodec.wavSamples(id)
+      val vals = (0 until n).map(k => MediaCodec.wavSample(id, k))
+      assert(m.width === n.toLong && m.height === 1L && m.nUnits === n.toLong)
+      assert(vals.exists(_ < 0), "fixture should exercise negative samples")
+      assert(m.meanVal === vals.map(_.toLong).sum.toDouble / n)
+      assert(m.maxVal === vals.max.toLong)
+    }
+  }
+
+  test("malformed payloads are rejected, not guessed at") {
+    import graft.multimodal.MediaCodec
+    assertThrows[IllegalArgumentException](
+      MediaCodec.decode("not a media file at all".getBytes("UTF-8")))
+    // valid BMP magic but truncated before the pixel data
+    val bmp = MediaCodec.encodeBmp(6L)
+    assertThrows[IllegalArgumentException](MediaCodec.decode(bmp.take(40)))
+    assertThrows[IllegalArgumentException](MediaCodec.decode(bmp.take(60)))
+    // WAV whose data chunk length overruns the buffer
+    val wav = MediaCodec.encodeWav(7L)
+    assertThrows[IllegalArgumentException](MediaCodec.decode(wav.dropRight(4)))
   }
 
   test("decodeFeatures preserves rows and emits 16-dim features") {
