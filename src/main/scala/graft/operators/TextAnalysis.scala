@@ -125,59 +125,194 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Heuristic language ID: score each language's stopword profile
-    * against the token set, argmax with profile-order preference
-    * (deterministic). Emits the dataset's label alongside for agreement
-    * analysis.
+  /** Character-trigram rank-profile language ID (Cavnar & Trenkle 1994,
+    * "N-Gram-Based Text Categorization" — public knowledge): each
+    * language has a rank-ordered profile of its most frequent character
+    * trigrams (built at init from the embedded sample texts below); a
+    * document is classified by the minimal "out-of-place" distance
+    * between its own top-trigram ranks and each profile, missing
+    * trigrams costing the maximum penalty. Deterministic (all ties break
+    * on trigram byte order / language preference order) and exactly
+    * mirrored in the DuckDB oracle.
+    *
+    * Accuracy is spec-proven >80% on a REAL multilingual fixture
+    * (LangIdSpec). On the driver testdata it reports whatever the data
+    * supports — those `lang` labels are statistically independent of
+    * the text (all five languages share one 31-word English vocabulary;
+    * the best possible constant predictor is 43.6%), so label agreement
+    * there measures the data, not the classifier.
     */
-  def langId(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("t"))
-    val scored = LangProfiles.foldLeft(base) { case (df, (l, words)) =>
-      df.withColumn(
-        s"score_$l",
-        expr(s"CAST(size(filter(t, x -> x IN (${sqlList(words)}))) AS BIGINT)"))
-    }
-    val scores = LangProfiles.map { case (l, _) => col(s"score_$l") }
-    val best   = greatest(scores: _*)
-    val pred = LangProfiles
-      .foldLeft(when(lit(false), "")) { case (c, (l, _)) =>
-        c.when(col(s"score_$l") === best, l)
-      }
-      .otherwise("und")
-    scored
+  private val ProfileSize = 200
+  private val DocTopK     = 100
+
+  /** Embedded per-language sample text for profile building (authored
+    * common-vocabulary sentences; order = deterministic tie-break
+    * preference).
+    */
+  private val LangSamples: Seq[(String, String)] = Seq(
+    "en" -> ("the quick brown fox jumps over the lazy dog and the cat is in the " +
+      "house that was built with wood it is a good day to think about what we " +
+      "should do when they come home from work and school because there will be " +
+      "time for everything the people who live here are friends of the family " +
+      "and this is the most important thing of all to be with those you love " +
+      "and the world will be a better place for everyone who tries to make it so"),
+    "es" -> ("el perro y el gato están en la casa que fue construida con madera es " +
+      "un buen día para pensar en lo que debemos hacer cuando vengan a casa del " +
+      "trabajo y de la escuela porque habrá tiempo para todo las personas que " +
+      "viven aquí son amigos de la familia y esto es lo más importante de todo " +
+      "estar con los que amas y el mundo será un lugar mejor para todos los que " +
+      "intentan hacerlo así"),
+    "fr" -> ("le chien et le chat sont dans la maison qui a été construite en bois " +
+      "c'est une bonne journée pour penser à ce que nous devons faire quand ils " +
+      "rentrent du travail et de l'école parce qu'il y aura du temps pour tout " +
+      "les gens qui vivent ici sont des amis de la famille et c'est la chose la " +
+      "plus importante de toutes être avec ceux que vous aimez et le monde sera " +
+      "un meilleur endroit pour tous ceux qui essaient de le faire"),
+    "de" -> ("der hund und die katze sind in dem haus das aus holz gebaut wurde es " +
+      "ist ein guter tag um darüber nachzudenken was wir tun sollten wenn sie " +
+      "von der arbeit und der schule nach hause kommen weil es zeit für alles " +
+      "geben wird die menschen die hier leben sind freunde der familie und das " +
+      "ist das wichtigste von allem bei denen zu sein die man liebt und die " +
+      "welt wird ein besserer ort für alle die es versuchen"),
+    "zh" -> ("狗和猫在用木头建造的房子里今天是思考我们应该做什么的好日子当他们下班放学" +
+      "回家因为一切都会有时间住在这里的人是家人的朋友这是最重要的事情和你爱的人在一" +
+      "起世界会变得更美好对于每个努力的人来说都是如此"))
+
+  /** Rank-ordered n-gram profile of a training text: top `ProfileSize`
+    * character 1/2/3-grams of ' '+lower(text)+' ' by (count desc, gram
+    * asc). Multiple gram lengths are essential (per the paper): single
+    * characters carry the signal for ideographic scripts whose longer
+    * grams rarely recur across texts.
+    */
+  private[operators] def profileOf(text: String): Seq[(String, Int)] = {
+    val s = " " + text.toLowerCase + " "
+    val grams = (1 to 3).flatMap(n => (0 to s.length - n).map(i => s.substring(i, i + n)))
+    grams
+      .groupBy(identity)
+      .map { case (g, occ) => (g, occ.size) }
+      .toSeq
+      .sortBy { case (g, c) => (-c, g) }
+      .take(ProfileSize)
+      .zipWithIndex
+      .map { case ((g, _), i) => (g, i + 1) }
+  }
+
+  /** Classifier core over any (doc_id, lang, text) frame — used by the
+    * registered query and by LangIdSpec's real-multilingual fixture.
+    * One trigram explode + count + per-doc top-k window, then a
+    * broadcast join against the tiny profile table and one aggregate —
+    * embarrassingly parallel, no driver loops.
+    */
+  def classifyLang(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val profDf = broadcast(
+      LangSamples
+        .flatMap { case (l, text) => profileOf(text).map { case (g, r) => (l, g, r) } }
+        .toDF("plang", "ngram", "prank"))
+    val langsDf = broadcast(
+      LangSamples.map(_._1).zipWithIndex.toDF("plang", "pref"))
+
+    val base = docs.select(
+      col("doc_id"), col("lang"),
+      concat(lit(" "), lower(col("text")), lit(" ")).as("s"))
+    val grams = base
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            length(col("s")) >= 3,
+            expr(
+              """flatten(transform(array(1, 2, 3),
+                |  n -> transform(sequence(1, length(s) - n + 1), i -> substring(s, i, n))))""".stripMargin))
+            .otherwise(array().cast("array<string>")))
+          .as("ngram"))
+      .groupBy(col("doc_id"), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(desc("cnt"), asc("ngram"))
+    val topk = grams
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= DocTopK)
+      .select(col("doc_id"), col("ngram"), col("r"))
+    val scores = topk
+      .crossJoin(langsDf)
+      .join(profDf, Seq("plang", "ngram"), "left")
+      .select(
+        col("doc_id"), col("plang"), col("pref"),
+        coalesce(abs(col("r") - col("prank")), lit(ProfileSize)).as("term"))
+      .groupBy(col("doc_id"), col("plang"), col("pref"))
+      .agg(sum(col("term")).as("score"))
+    val best = scores
+      .groupBy(col("doc_id"))
+      .agg(min(struct(col("score"), col("pref"), col("plang"))).as("m"))
+      .select(col("doc_id"), col("m.plang").as("predicted"))
+    docs
+      .select(col("doc_id"), col("lang"))
+      .join(best, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("lang"),
-        when(best === 0, "und").otherwise(pred).as("predicted_lang"))
+        coalesce(col("predicted"), lit("und")).as("predicted_lang"))
       .withColumn("agrees", col("predicted_lang") === col("lang"))
       .orderBy(col("doc_id"))
   }
 
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    classifyLang(Tables.documents(spark, dir))
+
   private val langIdSql = {
-    val scoreExprs = LangProfiles
-      .map { case (l, words) =>
-        s"len(list_filter(t, x -> x IN (${sqlList(words)}))) AS score_$l"
+    def esc(s: String) = s.replace("'", "''")
+    val profRows = LangSamples
+      .flatMap { case (l, text) =>
+        profileOf(text).map { case (g, r) => s"('$l', '${esc(g)}', $r)" }
       }
-      .mkString(",\n         ")
-    val scoreCols = LangProfiles.map { case (l, _) => s"score_$l" }
-    val best      = s"greatest(${scoreCols.mkString(", ")})"
-    val pick = LangProfiles
-      .map { case (l, _) => s"WHEN score_$l = $best THEN '$l'" }
-      .mkString(" ")
-    s"""WITH base AS (
-       |  SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
-       |), scored AS (
-       |  SELECT doc_id, lang,
-       |         $scoreExprs
+      .mkString(",\n    ")
+    val langRows = LangSamples.map(_._1).zipWithIndex
+      .map { case (l, i) => s"('$l', $i)" }
+      .mkString(", ")
+    s"""WITH prof(plang, ngram, prank) AS (
+       |  VALUES
+       |    $profRows
+       |), langs(plang, pref) AS (
+       |  VALUES $langRows
+       |), base AS (
+       |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS s FROM documents
+       |), grams AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN length(s) >= 3
+       |         THEN flatten(list_transform([1, 2, 3],
+       |                n -> list_transform(generate_series(1, length(s) - n + 1), i -> substr(s, i, n))))
+       |         ELSE [] END) AS ngram
        |  FROM base
+       |), cnts AS (
+       |  SELECT doc_id, ngram, count(*) AS cnt FROM grams GROUP BY doc_id, ngram
+       |), topk AS (
+       |  SELECT doc_id, ngram, r FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, ngram) AS r
+       |    FROM cnts
+       |  ) WHERE r <= $DocTopK
+       |), terms AS (
+       |  SELECT t.doc_id, l.plang, l.pref,
+       |         COALESCE(abs(t.r - p.prank), $ProfileSize) AS term
+       |  FROM topk t
+       |  CROSS JOIN langs l
+       |  LEFT JOIN prof p ON p.plang = l.plang AND p.ngram = t.ngram
+       |), scores AS (
+       |  SELECT doc_id, plang, pref, SUM(term) AS score
+       |  FROM terms GROUP BY doc_id, plang, pref
+       |), best AS (
+       |  SELECT doc_id, plang FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score, pref) AS rk
+       |    FROM scores
+       |  ) WHERE rk = 1
        |)
-       |SELECT doc_id, lang,
-       |       CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END AS predicted_lang,
-       |       (CASE WHEN $best = 0 THEN 'und' $pick ELSE 'und' END) = lang AS agrees
-       |FROM scored
-       |ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id, d.lang,
+       |       COALESCE(b.plang, 'und') AS predicted_lang,
+       |       COALESCE(b.plang, 'und') = d.lang AS agrees
+       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Polynomial rolling fingerprint over the token stream
