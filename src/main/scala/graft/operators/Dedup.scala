@@ -71,7 +71,31 @@ object Dedup {
     */
   private val HotShingleCap = 1000
 
-  def dedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+  /** Corpus-size cap for the EXACT dedup family (jaccard / editdist /
+    * clusters). These anchors are output-quadratic on duplicated
+    * corpora BY DESIGN — they exist as small-scale oracle baselines;
+    * the bounded-work production paths are the minhash/simhash twins.
+    * The guard makes that routing mechanical: above the cap the exact
+    * form refuses to build a plan at all, so no 100 TB caller can reach
+    * the quadratic pair expansion by accident. Guard behavior is
+    * spec-asserted (QuadraticGuardSpec).
+    */
+  private[graft] val ExactDocCap = 100000L
+
+  private[graft] def guardExactAnchor(docs: DataFrame, cap: Long, query: String): Unit = {
+    val n = docs.count()
+    if (n > cap) throw new IllegalStateException(
+      s"$query is an exact small-scale anchor (output-quadratic on duplicated corpora) " +
+        s"and refuses corpora above $cap documents (got $n). Use its bounded sketch twin " +
+        "(dedup_minhash / dedup_simhash / dedup_clusters_minhash) at scale.")
+  }
+
+  def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    dedupJaccardGuarded(spark, dir, ExactDocCap)
+
+  private[graft] def dedupJaccardGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    guardExactAnchor(Tables.documents(spark, dir), cap, "dedup_jaccard")
     val sh    = shingled(spark, dir).withColumn("h", xxhash64(col("shingle"))).select("doc_id", "h")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))

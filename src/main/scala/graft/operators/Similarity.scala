@@ -71,13 +71,29 @@ object Similarity {
        |SELECT q_id, neighbor_id, cos, rn FROM ranked WHERE rn <= $TopK
        |ORDER BY q_id, rn""".stripMargin
 
+  /** Corpus-size cap for the exact all-pairs anchor below: the cross
+    * join is O(n²) BY DESIGN (it is the small-scale oracle baseline for
+    * the LSH path). Above the cap it refuses to build a plan, so no
+    * 100 TB caller can reach a cartesian product by accident — the
+    * scale path is embedding_neardup_lsh. Spec: QuadraticGuardSpec.
+    */
+  private[graft] val ExactVectorCap = 50000L
+
   /** Embedding-cosine near-duplicate detection: globally most-similar 20
     * pairs (vec_a < vec_b). On clustered corpora swap the limit form for
     * a `cos >= threshold` filter.
     */
-  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNeardup(spark: SparkSession, dir: String): DataFrame =
+    embeddingNeardupGuarded(spark, dir, ExactVectorCap)
+
+  private[graft] def embeddingNeardupGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
     GraftFunctions.register(spark)
     val e = corpus(spark, dir)
+    val n = e.count()
+    if (n > cap) throw new IllegalStateException(
+      s"embedding_neardup is an exact all-pairs anchor (O(n²) cross join) and refuses " +
+        s"corpora above $cap vectors (got $n). Use embedding_neardup_lsh at scale.")
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
     a.crossJoin(b)

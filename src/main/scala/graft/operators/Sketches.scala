@@ -17,8 +17,8 @@ import org.apache.spark.sql.functions._
   * recomputes the identical estimate as the k-th order statistic of the
   * distinct hashes — a true hash-exact check of the sketch math. The
   * built-in HLL++ (`approx_count_distinct`) remains spec-covered
-  * (SkewKmvSpec): its seed is engine-private, so it can never be
-  * oracle-compared by design.
+  * (TextNgramsSketchSpec): its seed is engine-private, so it can never
+  * be oracle-compared by design.
   */
 object Sketches {
 
