@@ -510,5 +510,7 @@ object GraftFunctions {
       "graft_lsh_bucket_md5",
       exprs => LshBucketMd5(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_lang_id", exprs => LangIdPredict(exprs.head), "built-in")
   }
 }

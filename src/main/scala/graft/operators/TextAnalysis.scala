@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.functions.{GraftFunctions, LangProfiles => CT}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -142,119 +143,27 @@ object TextAnalysis {
     * the best possible constant predictor is 43.6%), so label agreement
     * there measures the data, not the classifier.
     */
-  private val ProfileSize = 200
-  private val DocTopK     = 100
-
-  /** Embedded per-language sample text for profile building (authored
-    * common-vocabulary sentences; order = deterministic tie-break
-    * preference).
-    */
-  private val LangSamples: Seq[(String, String)] = Seq(
-    "en" -> ("the quick brown fox jumps over the lazy dog and the cat is in the " +
-      "house that was built with wood it is a good day to think about what we " +
-      "should do when they come home from work and school because there will be " +
-      "time for everything the people who live here are friends of the family " +
-      "and this is the most important thing of all to be with those you love " +
-      "and the world will be a better place for everyone who tries to make it so"),
-    "es" -> ("el perro y el gato están en la casa que fue construida con madera es " +
-      "un buen día para pensar en lo que debemos hacer cuando vengan a casa del " +
-      "trabajo y de la escuela porque habrá tiempo para todo las personas que " +
-      "viven aquí son amigos de la familia y esto es lo más importante de todo " +
-      "estar con los que amas y el mundo será un lugar mejor para todos los que " +
-      "intentan hacerlo así"),
-    "fr" -> ("le chien et le chat sont dans la maison qui a été construite en bois " +
-      "c'est une bonne journée pour penser à ce que nous devons faire quand ils " +
-      "rentrent du travail et de l'école parce qu'il y aura du temps pour tout " +
-      "les gens qui vivent ici sont des amis de la famille et c'est la chose la " +
-      "plus importante de toutes être avec ceux que vous aimez et le monde sera " +
-      "un meilleur endroit pour tous ceux qui essaient de le faire"),
-    "de" -> ("der hund und die katze sind in dem haus das aus holz gebaut wurde es " +
-      "ist ein guter tag um darüber nachzudenken was wir tun sollten wenn sie " +
-      "von der arbeit und der schule nach hause kommen weil es zeit für alles " +
-      "geben wird die menschen die hier leben sind freunde der familie und das " +
-      "ist das wichtigste von allem bei denen zu sein die man liebt und die " +
-      "welt wird ein besserer ort für alle die es versuchen"),
-    "zh" -> ("狗和猫在用木头建造的房子里今天是思考我们应该做什么的好日子当他们下班放学" +
-      "回家因为一切都会有时间住在这里的人是家人的朋友这是最重要的事情和你爱的人在一" +
-      "起世界会变得更美好对于每个努力的人来说都是如此"))
-
-  /** Rank-ordered n-gram profile of a training text: top `ProfileSize`
-    * character 1/2/3-grams of ' '+lower(text)+' ' by (count desc, gram
-    * asc). Multiple gram lengths are essential (per the paper): single
-    * characters carry the signal for ideographic scripts whose longer
-    * grams rarely recur across texts.
-    */
-  private[operators] def profileOf(text: String): Seq[(String, Int)] = {
-    val s = " " + text.toLowerCase + " "
-    val grams = (1 to 3).flatMap(n => (0 to s.length - n).map(i => s.substring(i, i + n)))
-    grams
-      .groupBy(identity)
-      .map { case (g, occ) => (g, occ.size) }
-      .toSeq
-      .sortBy { case (g, c) => (-c, g) }
-      .take(ProfileSize)
-      .zipWithIndex
-      .map { case ((g, _), i) => (g, i + 1) }
-  }
+  private def ProfileSize = CT.ProfileSize
+  private def DocTopK     = CT.DocTopK
+  private def LangSamples = CT.LangSamples
+  private def profileOf(text: String): Seq[(String, Int)] =
+    CT.profileOf(text)
 
   /** Classifier core over any (doc_id, lang, text) frame — used by the
     * registered query and by LangIdSpec's real-multilingual fixture.
-    * One trigram explode + count + per-doc top-k window, then a
-    * broadcast join against the tiny profile table and one aggregate —
-    * embarrassingly parallel, no driver loops.
+    * The whole classification is ONE codegen'd scalar call per row
+    * ([[graft.functions.LangIdPredict]]) — a narrow map with zero
+    * shuffle, vs the equivalent dataflow formulation's 3×|text| explode
+    * + count shuffle + per-doc window (which is what the DuckDB oracle
+    * still runs, proving result-identity).
     */
   def classifyLang(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val profDf = broadcast(
-      LangSamples
-        .flatMap { case (l, text) => profileOf(text).map { case (g, r) => (l, g, r) } }
-        .toDF("plang", "ngram", "prank"))
-    val langsDf = broadcast(
-      LangSamples.map(_._1).zipWithIndex.toDF("plang", "pref"))
-
-    val base = docs.select(
-      col("doc_id"), col("lang"),
-      concat(lit(" "), lower(col("text")), lit(" ")).as("s"))
-    val grams = base
-      .select(
-        col("doc_id"),
-        explode(
-          when(
-            length(col("s")) >= 3,
-            expr(
-              """flatten(transform(array(1, 2, 3),
-                |  n -> transform(sequence(1, length(s) - n + 1), i -> substring(s, i, n))))""".stripMargin))
-            .otherwise(array().cast("array<string>")))
-          .as("ngram"))
-      .groupBy(col("doc_id"), col("ngram"))
-      .agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(desc("cnt"), asc("ngram"))
-    val topk = grams
-      .withColumn("r", row_number().over(w))
-      .filter(col("r") <= DocTopK)
-      .select(col("doc_id"), col("ngram"), col("r"))
-    val scores = topk
-      .crossJoin(langsDf)
-      .join(profDf, Seq("plang", "ngram"), "left")
-      .select(
-        col("doc_id"), col("plang"), col("pref"),
-        coalesce(abs(col("r") - col("prank")), lit(ProfileSize)).as("term"))
-      .groupBy(col("doc_id"), col("plang"), col("pref"))
-      .agg(sum(col("term")).as("score"))
-    val best = scores
-      .groupBy(col("doc_id"))
-      .agg(min(struct(col("score"), col("pref"), col("plang"))).as("m"))
-      .select(col("doc_id"), col("m.plang").as("predicted"))
+    GraftFunctions.register(docs.sparkSession)
     docs
-      .select(col("doc_id"), col("lang"))
-      .join(best, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
         col("lang"),
-        coalesce(col("predicted"), lit("und")).as("predicted_lang"))
+        coalesce(expr("graft_lang_id(text)"), lit("und")).as("predicted_lang"))
       .withColumn("agrees", col("predicted_lang") === col("lang"))
       .orderBy(col("doc_id"))
   }
