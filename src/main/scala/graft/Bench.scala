@@ -24,7 +24,12 @@ object Bench {
         .foreach(n => run(SparkEntry.queries(n)))
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-only subset filter (unset in driver runs): cold-time a few
+    // queries in a fresh JVM without the full 81-query sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn)
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }

@@ -145,18 +145,19 @@ object Graph {
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min(col("label")).as("nbr_min"))
+      // carry the previous label through the checkpoint so convergence
+      // is a filter scan over the materialized rows, not a second join
+      // (one fewer codegen'd join plan per round — the cold-start cost
+      // of iterative queries is per-plan compilation, not data)
       val next = labels
         .join(prop, Seq("node"), "left")
         .select(
           col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("prev_label"))
         .localCheckpoint()
-      converged = next
-        .as("n")
-        .join(labels.as("o"), "node")
-        .filter(col("n.label") =!= col("o.label"))
-        .isEmpty
-      labels = next
+      converged = next.filter(col("label") =!= col("prev_label")).isEmpty
+      labels = next.select(col("node"), col("label"))
       iter += 1
     }
     labels
