@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI guard for the round-over-round bench regression tool: runs
+  * bench_diff.py's embedded selftest (regression threshold = factor x
+  * AND absolute floor, improvement + added/removed reporting) and, when
+  * local bench artifacts exist under bench/, diffs the most recent two
+  * so a >2x per-query regression fails the suite instead of hiding in
+  * BASELINE.md prose.
+  */
+class BenchDiffSpec extends AnyFunSuite {
+  import scala.sys.process._
+
+  test("bench_diff selftest passes") {
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/bench_diff.py", "--selftest"))
+      .!(ProcessLogger(l => out.append(l).append('\n')))
+    assert(code === 0, s"selftest failed:\n$out")
+    assert(out.toString.contains("selftest ok"))
+  }
+
+  test("latest two local bench artifacts show no >2x per-query regression") {
+    val dir = new java.io.File("bench")
+    val arts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName)
+    assume(arts.length >= 2, "fewer than two bench artifacts retained yet")
+    val Array(old, neu) = arts.takeRight(2).map(_.getPath)
+    val out = new StringBuilder
+    val code = Process(Seq("python3", "tools/bench_diff.py", old, neu))
+      .!(ProcessLogger(l => out.append(l).append('\n')))
+    assert(code === 0, s"bench regression between $old and $neu:\n$out")
+  }
+}

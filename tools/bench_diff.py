@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Round-over-round per-query bench regression diff.
+
+Usage:
+    python3 tools/bench_diff.py OLD.json NEW.json [--factor 2.0] [--floor 0.5]
+    python3 tools/bench_diff.py --selftest
+
+Each input is a graft.Bench output line: {"metric":"total","value":N,
+"queries":{name:sec,...},...}. A query REGRESSES when new >= factor*old
+AND new-old >= floor seconds (the floor suppresses sub-second codegen
+jitter; the suite's documented run variance is +-10% with a roving
+single-query GC outlier of +5-8s, so one flagged query is a signal to
+re-run, two+ are a real regression). Exit code: 0 clean, 1 regressions,
+2 usage error. Queries present on only one side are reported but never
+fail the diff (coverage intentionally grows between rounds).
+"""
+import json
+import sys
+
+
+def load(path):
+    with open(path) as f:
+        txt = f.read()
+    # tolerate an sbt "[info] " prefix on the JSON line
+    obj = None
+    for line in txt.splitlines():
+        line = line.strip()
+        if line.startswith("[info]"):
+            line = line[len("[info]"):].strip()
+        if line.startswith("{"):
+            obj = json.loads(txt if txt.lstrip().startswith("{\n") else line)
+            break
+    if obj is None:
+        raise ValueError(f"no JSON object line in {path}")
+    if "queries" in obj:
+        return obj
+    # driver wrapper format: {"n":..,"tail":"...","parsed":...} — the
+    # bench line may be truncated at the head, so salvage whatever
+    # "name":sec pairs survive in the tail (a partial old side only
+    # weakens the diff, it doesn't break it)
+    if obj.get("parsed"):
+        return obj["parsed"]
+    import re
+    pairs = re.findall(r'\\?"([a-z0-9_]+)\\?":([0-9]+\.[0-9]+)',
+                       obj.get("tail", ""))
+    qs = {k: float(v) for k, v in pairs if k not in ("value",)}
+    if not qs:
+        raise ValueError(f"no per-query times found in {path}")
+    return {"queries": qs}
+
+
+def diff(old, new, factor=2.0, floor=0.5):
+    """Return (regressions, improvements, added, removed); each entry is
+    (name, old_sec, new_sec)."""
+    oq, nq = old["queries"], new["queries"]
+    regress, improve = [], []
+    for name in sorted(set(oq) & set(nq)):
+        o, n = oq[name], nq[name]
+        if n >= factor * o and n - o >= floor:
+            regress.append((name, o, n))
+        elif o >= factor * n and o - n >= floor:
+            improve.append((name, o, n))
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    return regress, improve, added, removed
+
+
+def selftest():
+    old = {"queries": {"a": 1.0, "b": 0.1, "c": 4.0, "gone": 1.0}}
+    new = {"queries": {"a": 2.6, "b": 0.3, "c": 1.5, "fresh": 9.9}}
+    r, i, add, rm = diff(old, new)
+    assert r == [("a", 1.0, 2.6)], r          # 2.6x and +1.6s -> regression
+    assert i == [("c", 4.0, 1.5)], i          # 2.7x faster -> improvement
+    # b tripled but +0.2s is under the floor -> jitter, not a regression
+    assert add == ["fresh"] and rm == ["gone"]
+    print("selftest ok")
+
+
+def main(argv):
+    if "--selftest" in argv:
+        selftest()
+        return 0
+    args = [a for a in argv if not a.startswith("--")]
+    opts = {a.split("=")[0]: a for a in argv if a.startswith("--")}
+
+    def opt(name, default):
+        raw = opts.get(name)
+        return float(raw.split("=")[1]) if raw and "=" in raw else default
+
+    if len(args) != 2:
+        print(__doc__, file=sys.stderr)
+        return 2
+    factor, floor = opt("--factor", 2.0), opt("--floor", 0.5)
+    old, new = load(args[0]), load(args[1])
+    regress, improve, added, removed = diff(old, new, factor, floor)
+    ot, nt = old.get("value"), new.get("value")
+    if ot is not None and nt is not None:
+        print(f"total: {ot:.1f}s -> {nt:.1f}s ({nt / ot:+.0%} vs old)"
+              .replace("+-", "-"))
+    for name, o, n in regress:
+        print(f"REGRESS {name}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)")
+    for name, o, n in improve:
+        print(f"improve {name}: {o:.2f}s -> {n:.2f}s")
+    if added:
+        print(f"added ({len(added)}): {', '.join(added)}")
+    if removed:
+        print(f"removed ({len(removed)}): {', '.join(removed)}")
+    if not regress:
+        print("no per-query regressions "
+              f"(factor {factor}x AND +{floor}s floor)")
+    return 1 if regress else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
