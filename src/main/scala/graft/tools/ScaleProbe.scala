@@ -13,8 +13,10 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   private val Src    = "/root/testdata/sf0.1"
   private val Copies = sys.env.getOrElse("SCALE_COPIES", "10").toInt
+  private val SkewMode = sys.env.get("SCALE_SKEW").contains("1")
   private val Dest =
-    if (sys.env.get("SCALE_DOCS").contains("1")) s"/tmp/graft-scale-docs-x$Copies"
+    if (SkewMode) s"/tmp/graft-scale-skew-x$Copies"
+    else if (sys.env.get("SCALE_DOCS").contains("1")) s"/tmp/graft-scale-docs-x$Copies"
     else s"/tmp/graft-scale-x$Copies"
 
   private def replicate(
@@ -33,13 +35,42 @@ object ScaleProbe {
 
     if (!new java.io.File(s"$Dest/lineitem.parquet").exists()) {
       val K = 10_000_000L
-      replicate(spark, Tables.lineitem(spark, Src), Map("l_orderkey" -> K))
+      // SCALE_SKEW=1: deliberate hot keys — 1-in-97 orderkeys/user_ids
+      // keep their original key in EVERY copy (items/events made
+      // distinct via partkey shift / event_id shift), so ~1% of keys
+      // carry Copies× the rows of the rest: the hot-key distribution a
+      // Zipf-tailed 100 TB workload has. Uniform mode shifts every key.
+      val liReplicas = (0 until Copies).map { i =>
+        val li = Tables.lineitem(spark, Src)
+        if (SkewMode && i > 0)
+          // partkey shift FIRST (its hot test must see the original
+          // orderkey, not the copy-shifted one)
+          li.withColumn("l_partkey",
+              when(col("l_orderkey") % 97 === 0, col("l_partkey") + lit(i * 2_000_000L))
+                .otherwise(col("l_partkey")))
+            .withColumn("l_orderkey",
+              when(col("l_orderkey") % 97 === 0, col("l_orderkey"))
+                .otherwise(col("l_orderkey") + lit(i * K)))
+        else if (i == 0) li
+        else li.withColumn("l_orderkey", col("l_orderkey") + lit(i * K))
+      }
+      liReplicas.reduce(_ union _)
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/lineitem.parquet")
       replicate(spark, Tables.orders(spark, Src),
         Map("o_orderkey" -> K, "o_custkey" -> K))
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/orders.parquet")
-      replicate(spark, Tables.events(spark, Src),
-        Map("user_id" -> K, "event_id" -> K))
+      val evReplicas = (0 until Copies).map { i =>
+        val ev = Tables.events(spark, Src)
+        if (SkewMode && i > 0)
+          ev.withColumn("user_id",
+              when(col("user_id") % 97 === 0, col("user_id"))
+                .otherwise(col("user_id") + lit(i * K)))
+            .withColumn("event_id", col("event_id") + lit(i * K))
+        else if (i == 0) ev
+        else ev.withColumn("user_id", col("user_id") + lit(i * K))
+          .withColumn("event_id", col("event_id") + lit(i * K))
+      }
+      evReplicas.reduce(_ union _)
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/events.parquet")
       replicate(spark, Tables.customer(spark, Src), Map("c_custkey" -> K))
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/customer.parquet")
