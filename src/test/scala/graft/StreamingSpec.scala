@@ -189,6 +189,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed === expected, "replayed micro-batches were re-merged")
   }
 
+  test("partitioned incremental view upserts only touched buckets") {
+    val dir = Files.createTempDirectory("graft-stream-pview").toFile
+    dir.deleteOnExit()
+    val viewDir = dir.getAbsolutePath + "/view"
+    val batch = Tables.events(spark, TestSpark.Sf)
+    // f1 = broad traffic (many buckets), f2 = ONE user's events — the
+    // second micro-batch must rewrite only that user's bucket
+    val oneUser = batch.select(col("user_id")).limit(1)
+      .collect().head.getLong(0)
+    batch.filter(col("user_id") =!= oneUser)
+      .coalesce(1).write.parquet(dir.getAbsolutePath + "/src/f1")
+    batch.filter(col("user_id") === oneUser)
+      .coalesce(1).write.parquet(dir.getAbsolutePath + "/src/f2")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath + "/src/f*")
+    val q = EventStreams
+      .incrementalUserTotalsPartitioned(stream, viewDir, buckets = 16)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // converges to the batch aggregate (bucketing is layout, not truth)
+    val view = spark.read.parquet(viewDir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toMap
+    val expected = batch.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(view === expected)
+    assert(EventStreams.lastCommittedBatch(viewDir) === 1L)
+    // bucket-bounded upsert: batch 1 (one user) must leave every other
+    // bucket's files untouched — same parquet files, same timestamps
+    val bktDirs = new java.io.File(viewDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+    assert(bktDirs.length > 2, "fixture should span many buckets")
+    val hotBkt = "bkt=" + spark.range(1)
+      .select(pmod(hash(lit(oneUser)), lit(16))).collect().head.getInt(0)
+    // append the one-user file to the SAME source: a fresh (no-checkpoint)
+    // query re-delivers f1/f2 as batches 0-1 (the guard must skip them)
+    // and merges f3 as batch 2 — rewriting only hotBkt
+    val before = bktDirs.map(d => d.getName ->
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet).toMap
+    batch.filter(col("user_id") === oneUser)
+      .coalesce(1).write.parquet(dir.getAbsolutePath + "/src/f3")
+    val stream2 = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath + "/src/f*")
+    val q2 = EventStreams
+      .incrementalUserTotalsPartitioned(stream2, viewDir, buckets = 16)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q2.awaitTermination(120000)
+    val after = new java.io.File(viewDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+      .map(d => d.getName ->
+        d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (f.getName, f.lastModified())).toSet).toMap
+    before.keys.filter(_ != hotBkt).foreach { b =>
+      assert(after(b) === before(b), s"untouched bucket $b was rewritten")
+    }
+    assert(after(hotBkt) !== before(hotBkt), "hot bucket must be upserted")
+    // and the double-merge is real this time (new batchId, not a replay):
+    val hot = spark.read.parquet(viewDir)
+      .filter(col("user_id") === oneUser)
+      .collect().head.getAs[Long]("n_events")
+    assert(hot === 2 * expected(oneUser), "second merge of the same rows")
+  }
+
   test("stream-stream interval join matches the batch pair count") {
     val dir = Files.createTempDirectory("graft-stream-join").toFile
     dir.deleteOnExit()
