@@ -13,7 +13,7 @@ object SparkEntry {
     Commerce.defs ++ Engagement.defs ++ TextAnalysis.defs ++ Dedup.defs ++
       Similarity.defs ++ Extended.defs ++ AsOf.defs ++ Olap.defs ++
       Retention.defs ++ Rank.defs ++ TextNgrams.defs ++ Sketches.defs ++
-      Graph.defs ++ Typed.defs ++ Skew.defs ++
+      Graph.defs ++ Typed.defs ++ Skew.defs ++ Curation.defs ++
       graft.streaming.EventStreams.defs ++ graft.multimodal.Multimodal.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

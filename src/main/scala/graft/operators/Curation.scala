@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation tier (round 3): the filtering/sampling/
+  * scrubbing passes a pre-training pipeline runs between raw crawl and
+  * tokenization, each oracle-checked against DuckDB.
+  *
+  *  - repetition quality rules (the Gopher-style "most common word /
+  *    bigram share" gates) — dataflow aggregates whose per-doc group
+  *    cardinality is bounded by doc vocabulary, so map-side partial
+  *    aggregation absorbs the explode before the shuffle;
+  *  - deterministic fixed-budget sampling per stratum — hash-ordered
+  *    row_number, which WindowTopKRewrite lowers to the bounded-heap
+  *    TopKPerKey operator (no per-stratum sort at 100 TB);
+  *  - PII scrubbing — per-row regexp redaction, embarrassingly parallel.
+  */
+object Curation {
+
+  /** Gopher-style repetition metrics per document (Rae et al. 2021,
+    * public): share of the most frequent word, share of the most
+    * frequent bigram, distinct-token ratio, and the resulting
+    * "repetitive" gate. Two bounded aggregates (per-doc vocab ≤ doc
+    * length) joined on doc_id — the join keys share partitioning, so
+    * AQE plans a single exchange per side at any scale.
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").as("t"))
+      .filter(size(col("t")) >= 2)
+    val uni = base
+      .select(col("doc_id"), size(col("t")).cast("long").as("n_toks"),
+        explode(col("t")).as("tok"))
+      .groupBy(col("doc_id"), col("n_toks"), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("n_toks"))
+      .agg(max(col("cnt")).as("top_tok_cnt"), count(lit(1)).as("n_distinct"))
+    val bi = base
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+          .as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("cnt")).as("top_bg_cnt"))
+    val topTokShare = col("top_tok_cnt").cast("double") / col("n_toks")
+    val topBgShare  = col("top_bg_cnt").cast("double") / (col("n_toks") - 1)
+    uni
+      .join(bi, Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        Det.detRound(topTokShare, 4).as("top_token_share"),
+        Det.detRound(topBgShare, 4).as("top_bigram_share"),
+        Det.detRound(col("n_distinct").cast("double") / col("n_toks"), 4)
+          .as("distinct_ratio"),
+        (topTokShare > 0.2 || topBgShare > 0.18).as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val docRepetitionSql =
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+       |  FROM documents
+       |), docs AS (
+       |  SELECT doc_id, t FROM base WHERE len(t) >= 2
+       |), toks AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks, unnest(t) AS tok FROM docs
+       |), tokcnt AS (
+       |  SELECT doc_id, n_toks, tok, count(*) AS cnt
+       |  FROM toks GROUP BY doc_id, n_toks, tok
+       |), uni AS (
+       |  SELECT doc_id, n_toks, MAX(cnt) AS top_tok_cnt, count(*) AS n_distinct
+       |  FROM tokcnt GROUP BY doc_id, n_toks
+       |), bgs AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+       |  FROM docs, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |), bgcnt AS (
+       |  SELECT doc_id, bg, count(*) AS cnt FROM bgs GROUP BY doc_id, bg
+       |), bi AS (
+       |  SELECT doc_id, MAX(cnt) AS top_bg_cnt FROM bgcnt GROUP BY doc_id
+       |)
+       |SELECT u.doc_id, u.n_toks,
+       |       ${Det.roundSql("CAST(u.top_tok_cnt AS DOUBLE) / u.n_toks", 4)} AS top_token_share,
+       |       ${Det.roundSql("CAST(b.top_bg_cnt AS DOUBLE) / (u.n_toks - 1)", 4)} AS top_bigram_share,
+       |       ${Det.roundSql("CAST(u.n_distinct AS DOUBLE) / u.n_toks", 4)} AS distinct_ratio,
+       |       (CAST(u.top_tok_cnt AS DOUBLE) / u.n_toks > 0.2
+       |        OR CAST(b.top_bg_cnt AS DOUBLE) / (u.n_toks - 1) > 0.18) AS repetitive
+       |FROM uni u JOIN bi b ON u.doc_id = b.doc_id
+       |ORDER BY u.doc_id""".stripMargin
+
+  /** Deterministic fixed-budget sample: k docs per language, ordered by
+    * md5(doc_id) — a seeded shuffle both engines compute identically
+    * (hex strings compare equal in any collation). The row_number ≤ k
+    * window is lowered to the bounded-heap TopKPerKey operator by
+    * WindowTopKRewrite, so no stratum is ever fully sorted — the 100 TB
+    * form of "give me a reproducible 10k-doc eval slice per language".
+    */
+  def samplePerLang(spark: SparkSession, dir: String): DataFrame = {
+    val k = 20
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables
+      .documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("lang"), col("rk"), col("doc_id"), col("source"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val samplePerLangSql =
+    """SELECT lang, rk, doc_id, source FROM (
+      |  SELECT lang, doc_id, source,
+      |         row_number() OVER (
+      |           PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents
+      |) WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
+  // conservative patterns that parse identically under Java regex and
+  // RE2 (DuckDB): no backrefs, no lookaround, explicit classes only
+  private[operators] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[operators] val UrlRe   = "https?://[^ ]+"
+  private[operators] val DigitRe = "[0-9]{6,}"
+
+  /** Scrub core over any (doc_id, source, text) frame: redact emails,
+    * then URLs, then long digit runs (order matters — a URL can contain
+    * a digit run), count each, and measure removed characters. Pure
+    * per-row work. Exercised on a PII fixture in CurationSpec; the
+    * driver corpus contains no PII (word-only synthetic text), so the
+    * registered query proves the regex/replacement parity of the
+    * pipeline there, not recall.
+    */
+  def scrubText(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_emails",
+        size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).cast("long"))
+      .withColumn("s1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
+      .withColumn("n_urls",
+        size(expr(s"regexp_extract_all(s1, '$UrlRe', 0)")).cast("long"))
+      .withColumn("s2", regexp_replace(col("s1"), UrlRe, "<URL>"))
+      .withColumn("n_digit_runs",
+        size(expr(s"regexp_extract_all(s2, '$DigitRe', 0)")).cast("long"))
+      .withColumn("scrubbed", regexp_replace(col("s2"), DigitRe, "<NUM>"))
+
+  def piiScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubText(Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_emails")).as("emails"),
+        sum(col("n_urls")).as("urls"),
+        sum(col("n_digit_runs")).as("digit_runs"),
+        sum(length(col("text")) - length(col("scrubbed"))).cast("long")
+          .as("chars_removed"))
+      .orderBy(col("source"))
+
+  private val piiScrubSql =
+    s"""WITH s AS (
+       |  SELECT source, text,
+       |         len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+       |         regexp_replace(text, '$EmailRe', '<EMAIL>', 'g') AS s1
+       |  FROM documents
+       |), s2 AS (
+       |  SELECT source, text, n_emails,
+       |         len(regexp_extract_all(s1, '$UrlRe')) AS n_urls,
+       |         regexp_replace(s1, '$UrlRe', '<URL>', 'g') AS s2
+       |  FROM s
+       |), s3 AS (
+       |  SELECT source, text, n_emails, n_urls,
+       |         len(regexp_extract_all(s2, '$DigitRe')) AS n_digit_runs,
+       |         regexp_replace(s2, '$DigitRe', '<NUM>', 'g') AS scrubbed
+       |  FROM s2
+       |)
+       |SELECT source,
+       |       count(*) AS n_docs,
+       |       CAST(SUM(n_emails) AS BIGINT) AS emails,
+       |       CAST(SUM(n_urls) AS BIGINT) AS urls,
+       |       CAST(SUM(n_digit_runs) AS BIGINT) AS digit_runs,
+       |       CAST(SUM(len(text) - len(scrubbed)) AS BIGINT) AS chars_removed
+       |FROM s3
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "doc_repetition"  -> QueryDef(docRepetition, Some(docRepetitionSql)),
+    "sample_per_lang" -> QueryDef(samplePerLang, Some(samplePerLangSql)),
+    "pii_scrub"       -> QueryDef(piiScrub, Some(piiScrubSql)))
+}

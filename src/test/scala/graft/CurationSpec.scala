@@ -1,0 +1,74 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The curation tier proven on content the driver corpus cannot
+  * exercise: real PII in the scrubber (the synthetic docs are word-only,
+  * so the registered query's counts are structurally zero there), a
+  * crafted repetitive-vs-diverse pair for the Gopher gates, and the
+  * bounded-heap plan + determinism of the fixed-budget sampler.
+  */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pii scrub redacts emails, urls, digit runs — in that order") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "web", "contact bob.smith+spam@ex-ample.org or visit https://x.io/a?id=1234567 room 42"),
+      (2L, "web", "card 4111111122223333 and 555 are here"),
+      (3L, "web", "clean text only"))
+      .toDF("doc_id", "source", "text")
+    val out = Curation.scrubText(df)
+      .select("doc_id", "n_emails", "n_urls", "n_digit_runs", "scrubbed")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) === 1L, "one email")
+    assert(out(1L).getLong(2) === 1L, "one url")
+    // the url's 1234567 was already redacted inside <URL>; 42 is short
+    assert(out(1L).getLong(3) === 0L, "no digit runs survive the url scrub")
+    assert(out(1L).getString(4) === "contact <EMAIL> or visit <URL> room 42")
+    assert(out(2L).getLong(3) === 1L, "16-digit card is one run; 555 too short")
+    assert(out(2L).getString(4) === "card <NUM> and 555 are here")
+    assert(out(3L).getString(4) === "clean text only")
+  }
+
+  test("repetition gates separate a looped doc from diverse text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ("buy now " * 30).trim),                     // 50% top token, 49% top bigram
+      (2L, "each word appears exactly once in this perfectly diverse sentence"))
+      .toDF("doc_id", "text")
+    val out = Curation.docRepetition(spark, writeDocs(df))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("repetitive"))
+    assert(out(1L).getAs[Double]("top_token_share") === 0.5)
+    assert(!out(2L).getAs[Boolean]("repetitive"))
+    assert(out(2L).getAs[Double]("distinct_ratio") === 1.0)
+  }
+
+  test("per-lang sample is deterministic, k-bounded, and heap-planned") {
+    val a = Curation.samplePerLang(spark, TestSpark.Sf).collect()
+    val b = Curation.samplePerLang(spark, TestSpark.Sf).collect()
+    assert(a.sameElements(b), "hash-seeded sample must be reproducible")
+    val perLang = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    perLang.foreach { case (l, n) => assert(n <= 20, s"lang $l over budget") }
+    // WindowTopKRewrite must lower the row_number<=k window to the
+    // bounded-heap operator — no full per-stratum sort at scale
+    val plan = Curation.samplePerLang(spark, TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKey in:\n$plan")
+  }
+
+  /** Write a (doc_id, text) frame as a documents.parquet-shaped dir. */
+  private def writeDocs(df: org.apache.spark.sql.DataFrame): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-curation").toFile
+    dir.deleteOnExit()
+    df.withColumn("lang", lit("en"))
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite")
+      .parquet(dir.getAbsolutePath + "/documents.parquet")
+    dir.getAbsolutePath
+  }
+}
