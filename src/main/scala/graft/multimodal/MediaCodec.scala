@@ -130,6 +130,53 @@ object MediaCodec {
     Media("bmp", w, h, n, sum.toDouble / n, max)
   }
 
+  /** Full BMP pixel decode: (width, height, row-major grayscale values)
+    * — undoes the bottom-up row storage and padding, so pixel (x, y) is
+    * at index y·w + x exactly as synthesized.
+    */
+  def decodeBmpPixels(b: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(b.length >= 54, "BMP truncated before headers")
+    require(b(0) == 'B' && b(1) == 'M', "not a BMP payload")
+    val dataOff = rd32(b, 10)
+    val w       = rd32(b, 18)
+    val h       = rd32(b, 22)
+    require(rd16(b, 28) == 24, "unsupported BMP bpp")
+    require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$h")
+    val rowSize = (3 * w + 3) & ~3
+    require(b.length >= dataOff + rowSize * h, "BMP truncated before pixel data")
+    val px = new Array[Int](w * h)
+    var r = 0
+    while (r < h) {
+      val y   = h - 1 - r // rows are stored bottom-up
+      val off = dataOff + r * rowSize
+      var x = 0
+      while (x < w) { px(y * w + x) = b(off + 3 * x) & 0xff; x += 1 }
+      r += 1
+    }
+    (w, h, px)
+  }
+
+  /** Nearest-neighbor resize of a row-major image to w2×h2:
+    * out(x2, y2) = in(⌊x2·w/w2⌋, ⌊y2·h/h2⌋) — the standard integer
+    * formulation, mirrored verbatim in the DuckDB oracle.
+    */
+  def resizeNearest(
+      w: Int, h: Int, px: Array[Int], w2: Int, h2: Int): Array[Int] = {
+    require(px.length == w * h, "pixel buffer does not match dimensions")
+    val out = new Array[Int](w2 * h2)
+    var y2 = 0
+    while (y2 < h2) {
+      val sy = y2 * h / h2
+      var x2 = 0
+      while (x2 < w2) {
+        out(y2 * w2 + x2) = px(sy * w + x2 * w / w2)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    out
+  }
+
   private def decodeWav(b: Array[Byte]): Media = {
     require(b.length >= 44, "WAV truncated before chunks")
     // walk chunks from offset 12 until the data chunk

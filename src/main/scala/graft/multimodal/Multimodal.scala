@@ -163,6 +163,68 @@ object Multimodal {
        |SELECT * FROM wavstats
        |ORDER BY doc_id""".stripMargin
 
+  final case class ThumbRow(
+      doc_id: Long, width: Long, height: Long,
+      thumb_mean: Double, thumb_max: Long, thumb_checksum: Long)
+
+  /** Registered query: decode every BMP payload and nearest-neighbor
+    * resize it to an 8×8 thumbnail — the "resize" leg of the
+    * decode/feature-extract/resize/frame-sample quartet, as real
+    * byte-level work (header parse, bottom-up row unpadding, integer NN
+    * mapping). The position-weighted checksum Σ(j+1)·v_j pins the exact
+    * pixel MAPPING — a transposed or off-by-one resize matches on
+    * mean/max but not on the checksum. Oracle: DuckDB recomputes the
+    * thumbnail from the synthesis formula through the same ⌊x2·w/w2⌋
+    * index arithmetic. Per-row scalar work in the iterator→iterator
+    * partition shape — embarrassingly parallel at any corpus size.
+    */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val side = 8
+    mediaBinaryTable(spark, dir)
+      .filter(col("kind") === "bmp")
+      .as[MediaRow]
+      .mapPartitions(_.map { row =>
+        val (w, h, px) = MediaCodec.decodeBmpPixels(row.content)
+        val thumb      = MediaCodec.resizeNearest(w, h, px, side, side)
+        var sum = 0L; var max = Long.MinValue; var chk = 0L
+        var j = 0
+        while (j < thumb.length) {
+          sum += thumb(j)
+          if (thumb(j) > max) max = thumb(j)
+          chk += (j + 1).toLong * thumb(j)
+          j += 1
+        }
+        ThumbRow(row.doc_id, w.toLong, h.toLong,
+          sum.toDouble / thumb.length, max, chk)
+      })
+      .toDF()
+      .select(
+        col("doc_id"), col("width"), col("height"),
+        graft.Det.detRound(col("thumb_mean"), 4).as("thumb_mean"),
+        col("thumb_max"), col("thumb_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val multimodalResizeSql =
+    s"""WITH bmp AS (
+       |  SELECT doc_id, doc_id % 21 + 2 AS w, doc_id % 13 + 2 AS h
+       |  FROM documents WHERE doc_id % 2 = 0
+       |), px AS (
+       |  SELECT b.doc_id, b.w, b.h, t.j,
+       |         (b.doc_id * 31
+       |          + ((((t.j // 8) * b.h) // 8) * b.w + (((t.j % 8) * b.w) // 8)) * 7) % 256 AS v
+       |  FROM bmp b, unnest(generate_series(0, 63)) AS t(j)
+       |)
+       |SELECT doc_id,
+       |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       |       ${graft.Det.roundSql("CAST(SUM(v) AS DOUBLE) / 64", 4)} AS thumb_mean,
+       |       CAST(MAX(v) AS BIGINT) AS thumb_max,
+       |       CAST(SUM((t_j_plus_1) * v) AS BIGINT) AS thumb_checksum
+       |FROM (SELECT doc_id, w, h, j, v, j + 1 AS t_j_plus_1 FROM px)
+       |GROUP BY doc_id, w, h
+       |ORDER BY doc_id""".stripMargin
+
   /** Media manifest: per-origin blob accounting over the binary column —
     * counts, total/avg payload bytes, distinct payloads (two-stage on
     * md5 of the binary — never shuffles payloads), and the frame count a
@@ -223,5 +285,6 @@ object Multimodal {
 
   val defs: Map[String, QueryDef] = Map(
     "multimodal_features" -> QueryDef(multimodalFeatures, Some(multimodalFeaturesSql)),
+    "multimodal_resize"   -> QueryDef(multimodalResize, Some(multimodalResizeSql)),
     "media_manifest"      -> QueryDef(mediaManifest, Some(mediaManifestSql)))
 }

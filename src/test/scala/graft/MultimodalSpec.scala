@@ -1,6 +1,6 @@
 package graft
 
-import graft.multimodal.Multimodal
+import graft.multimodal.{MediaCodec, Multimodal}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -88,5 +88,27 @@ class MultimodalSpec extends AnyFunSuite {
     // frames are at most frameBytes long
     val maxLen = sampled.select(max(length(col("frame")))).collect().head.getInt(0)
     assert(maxLen <= 64)
+  }
+
+  test("pixel decode undoes bottom-up storage; NN resize maps exactly") {
+    val docId      = 4L // even → BMP
+    val (w, h, px) = MediaCodec.decodeBmpPixels(MediaCodec.encodeBmp(docId))
+    assert(w === MediaCodec.bmpWidth(docId) && h === MediaCodec.bmpHeight(docId))
+    // row-major reconstruction must equal the synthesis formula at every
+    // position (catches transposed/upside-down decodes that pass on stats)
+    (0 until w * h).foreach { k =>
+      assert(px(k) === MediaCodec.bmpPixel(docId, k), s"pixel $k")
+    }
+    // identity resize is a no-op
+    assert(MediaCodec.resizeNearest(w, h, px, w, h).toSeq === px.toSeq)
+    // hand-computed 2x2 -> 4x4: each source pixel becomes a 2x2 block
+    val up = MediaCodec.resizeNearest(2, 2, Array(10, 20, 30, 40), 4, 4)
+    assert(up.toSeq === Seq(
+      10, 10, 20, 20,
+      10, 10, 20, 20,
+      30, 30, 40, 40,
+      30, 30, 40, 40))
+    // downscale picks the floor-mapped source pixel
+    assert(MediaCodec.resizeNearest(2, 2, Array(10, 20, 30, 40), 1, 1).toSeq === Seq(10))
   }
 }
