@@ -193,8 +193,65 @@ object Curation {
        |GROUP BY source
        |ORDER BY source""".stripMargin
 
+  /** Tokenizer-prep vocabulary pass: build the top-V corpus vocabulary
+    * (count desc, token asc — fully tie-broken), then score every doc's
+    * out-of-vocabulary rate against it. V=16 here so the measure is
+    * non-degenerate on the synthetic 31-word corpus; a production run
+    * uses V≈50k — the plan is identical: one token-count shuffle with
+    * map-side partials, a tiny broadcast vocab join, one per-doc
+    * aggregate. The OOV rate is the standard "will my tokenizer shred
+    * this document" curation signal.
+    */
+  def vocabOov(spark: SparkSession, dir: String): DataFrame = {
+    val V = 16
+    val toks = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("tok"))
+    val vocab = toks
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok"))
+      .limit(V)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks
+      .join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(
+        col("doc_id"),
+        col("n_toks"),
+        col("n_oov"),
+        Det.detRound(col("n_oov").cast("double") / col("n_toks"), 4).as("oov_rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val vocabOovSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')) AS tok
+       |  FROM documents
+       |), vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+       |    ORDER BY cnt DESC, tok LIMIT 16
+       |  )
+       |)
+       |SELECT t.doc_id,
+       |       count(*) AS n_toks,
+       |       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       |       ${Det.roundSql(
+        "CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 4)} AS oov_rate
+       |FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "doc_repetition"  -> QueryDef(docRepetition, Some(docRepetitionSql)),
     "sample_per_lang" -> QueryDef(samplePerLang, Some(samplePerLangSql)),
-    "pii_scrub"       -> QueryDef(piiScrub, Some(piiScrubSql)))
+    "pii_scrub"       -> QueryDef(piiScrub, Some(piiScrubSql)),
+    "vocab_oov"       -> QueryDef(vocabOov, Some(vocabOovSql)))
 }

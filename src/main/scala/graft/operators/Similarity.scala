@@ -486,11 +486,79 @@ object Similarity {
        |ORDER BY cell""".stripMargin
   }
 
+  /** Int8 scalar quantization per vector (the vector-store compression
+    * step): symmetric scale = max|x|/127, q_i = ⌊x_i/scale + 0.5⌋, with
+    * the reconstruction MSE and an order-pinning Σ(i+1)·q_i checksum.
+    * Per-row higher-order functions only — zero shuffle, linear at any
+    * corpus size. Bit-exact vs DuckDB: the per-element squared errors
+    * are cast to DECIMAL before summing (order-independent addition),
+    * the same Det discipline as the money sums.
+    */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    emb
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dims"),
+        expr("CAST(array_max(transform(embedding, x -> abs(x))) AS DOUBLE) / 127")
+          .as("s"),
+        col("embedding"))
+      .select(
+        col("vec_id"),
+        col("n_dims"),
+        Det.detRound(col("s"), 8).as("scale"),
+        Det.detRound(
+          when(col("s") === 0.0, lit(0.0)).otherwise(
+            expr(
+              """CAST(aggregate(
+                |  transform(embedding,
+                |    x -> CAST(power(floor(CAST(x AS DOUBLE) / s + 0.5) * s - CAST(x AS DOUBLE), 2)
+                |              AS DECIMAL(28, 20))),
+                |  CAST(0 AS DECIMAL(30, 20)),
+                |  (a, e) -> CAST(a + e AS DECIMAL(30, 20))) AS DOUBLE)""".stripMargin)
+              / col("n_dims")),
+          12).as("mse"),
+        when(col("s") === 0.0, lit(0L)).otherwise(
+          expr(
+            """aggregate(
+              |  zip_with(embedding, sequence(1, size(embedding)),
+              |    (x, i) -> i * CAST(floor(CAST(x AS DOUBLE) / s + 0.5) AS BIGINT)),
+              |  CAST(0 AS BIGINT), (a, e) -> a + e)""".stripMargin))
+          .as("q_checksum"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val embeddingQuantizeSql =
+    s"""WITH base AS (
+       |  SELECT vec_id,
+       |         CAST(len(embedding) AS BIGINT) AS n_dims,
+       |         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) / 127 AS s,
+       |         embedding
+       |  FROM embeddings
+       |), el AS (
+       |  SELECT vec_id, n_dims, s, t.i, CAST(embedding[t.i] AS DOUBLE) AS x
+       |  FROM base, unnest(generate_series(1, CAST(n_dims AS INT))) AS t(i)
+       |)
+       |SELECT vec_id, n_dims,
+       |       ${Det.roundSql("any_value(s)", 8)} AS scale,
+       |       CASE WHEN any_value(s) = 0 THEN 0.0 ELSE
+       |         ${Det.roundSql(
+          "CAST(SUM(CAST(power(floor(x / s + 0.5) * s - x, 2) AS DECIMAL(28, 20))) AS DOUBLE) / n_dims",
+          12)}
+       |       END AS mse,
+       |       CASE WHEN any_value(s) = 0 THEN 0 ELSE
+       |         CAST(SUM(i * CAST(floor(x / s + 0.5) AS BIGINT)) AS BIGINT)
+       |       END AS q_checksum
+       |FROM el
+       |GROUP BY vec_id, n_dims
+       |ORDER BY vec_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "ann_cosine_topk"   -> QueryDef(annCosineTopK, Some(annCosineTopKSql)),
     "embedding_neardup" -> QueryDef(embeddingNeardup, Some(embeddingNeardupSql)),
     "ann_lsh"           -> QueryDef(annLsh, Some(annLshSql)),
     "ann_ivf"           -> QueryDef(annIvf, Some(annIvfSql)),
     "embedding_kmeans"  -> QueryDef(embeddingKmeans, Some(embeddingKmeansSql)),
-    "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, Some(embeddingNeardupLshSql)))
+    "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, Some(embeddingNeardupLshSql)),
+    "embedding_quantize"    -> QueryDef(embeddingQuantize, Some(embeddingQuantizeSql)))
 }
