@@ -95,8 +95,7 @@ def main(argv):
     regress, improve, added, removed = diff(old, new, factor, floor)
     ot, nt = old.get("value"), new.get("value")
     if ot is not None and nt is not None:
-        print(f"total: {ot:.1f}s -> {nt:.1f}s ({nt / ot:+.0%} vs old)"
-              .replace("+-", "-"))
+        print(f"total: {ot:.1f}s -> {nt:.1f}s ({nt / ot - 1:+.1%} vs old)")
     for name, o, n in regress:
         print(f"REGRESS {name}: {o:.2f}s -> {n:.2f}s ({n / o:.1f}x)")
     for name, o, n in improve:
