@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Hive-style bucketed tables — the co-located-join layout for facts
+  * that are repeatedly joined on the same key at 100 TB. Both sides are
+  * written with `bucketBy(n, key)` + `sortBy(key)`; a subsequent
+  * equi-join on that key is planned as a SortMergeJoin with ZERO
+  * exchanges and zero sorts (bucket count and key line up, so
+  * EnsureRequirements inserts nothing) — the shuffle is paid once at
+  * write time, then every downstream join/aggregation on the key is
+  * exchange-free. BucketingSpec asserts the no-Exchange plan and the
+  * result parity against the plain shuffled join.
+  *
+  * This is the table-layout analog of Ingest.writePartitioned (which
+  * targets partition-PRUNED scans; bucketing targets partition-ALIGNED
+  * joins). Both compose: partitionBy(date) + bucketBy(key) is the
+  * standard 100 TB fact layout.
+  */
+object Bucketing {
+
+  /** Write `df` as a managed bucketed table (bucket count must match on
+    * every table that wants exchange-free joins against it).
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Equi-join two same-bucket-count tables on their bucket keys.
+    * With both sides bucketed this plans with no Exchange on either
+    * side; the caller can `.explain` or assert on the executed plan.
+    */
+  def bucketedJoin(
+      spark: SparkSession,
+      leftTable: String, rightTable: String,
+      leftKey: String, rightKey: String): DataFrame =
+    spark.table(leftTable)
+      .join(spark.table(rightTable),
+        spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+}
