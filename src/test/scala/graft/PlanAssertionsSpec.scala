@@ -54,4 +54,26 @@ class PlanAssertionsSpec extends AnyFunSuite {
     val p = plan("rfm")
     assert(!p.matches("(?s).*Window .*partitionBy.*\\[\\].*"), s"rfm plan:\n$p")
   }
+
+  test("per-row kernel queries are shuffle-free up to the final order") {
+    // lang_id, embedding_quantize, multimodal_resize: the work is one
+    // codegen'd/per-partition map — the ONLY exchange allowed is the
+    // rangepartitioning of the display orderBy. A hashpartitioning
+    // exchange appearing here means the scalar kernel regressed into a
+    // dataflow (explode/join/aggregate) formulation.
+    Seq("lang_id", "embedding_quantize", "multimodal_resize").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q grew a data shuffle:\n$p")
+    }
+  }
+
+  test("curation queries keep their scale shapes") {
+    // vocab join stays broadcast (the vocabulary is top-V, tiny by
+    // construction); the per-stratum sampler runs on bounded heaps
+    assert(plan("vocab_oov").contains("BroadcastHashJoin"),
+      "vocab_oov lost its broadcast vocab join")
+    assert(plan("sample_per_lang").contains("TopKPerKey"),
+      "sample_per_lang lost the TopKPerKey lowering")
+  }
 }
