@@ -249,9 +249,58 @@ object Curation {
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
 
+  /** Temperature-based source mixing weights (the multilingual /
+    * multi-source data-mixing formula, T=2 ⇒ α=0.5): w_i = √n_i / Σ√n_j
+    * — upweights small sources relative to proportional sampling.
+    * α=0.5 deliberately uses `sqrt` (IEEE-correctly-rounded in BOTH
+    * engines) rather than `pow` (not correctly-rounded, last-ulp
+    * divergence would break the hash oracle); the Σ√n_j accumulates in
+    * DECIMAL so the denominator is order-independent. One tiny
+    * aggregate — per-source cardinality, not per-doc.
+    */
+  def sourceMixWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables
+      .documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    val withSq = per.withColumn("sq", sqrt(col("n_docs").cast("double")))
+    val denom = withSq
+      .agg(sum(col("sq").cast(Det.Fine)).cast("double").as("sq_sum"))
+    withSq
+      .crossJoin(broadcast(denom))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tokens"),
+        Det.detRound(col("sq") / col("sq_sum"), 8).as("mix_weight"),
+        Det.detRound(
+          col("sq") / col("sq_sum") * col("n_tokens").cast("double"), 2)
+          .as("weighted_tokens"))
+      .orderBy(col("source"))
+  }
+
+  private val sourceMixWeightsSql =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), sq AS (
+       |  SELECT source, n_docs, n_tokens, sqrt(CAST(n_docs AS DOUBLE)) AS sq FROM per
+       |), denom AS (
+       |  SELECT CAST(SUM(CAST(sq AS DECIMAL(30,10))) AS DOUBLE) AS sq_sum FROM sq
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |       ${Det.roundSql("sq / sq_sum", 8)} AS mix_weight,
+       |       ${Det.roundSql("sq / sq_sum * CAST(n_tokens AS DOUBLE)", 2)} AS weighted_tokens
+       |FROM sq, denom
+       |ORDER BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "doc_repetition"  -> QueryDef(docRepetition, Some(docRepetitionSql)),
-    "sample_per_lang" -> QueryDef(samplePerLang, Some(samplePerLangSql)),
-    "pii_scrub"       -> QueryDef(piiScrub, Some(piiScrubSql)),
-    "vocab_oov"       -> QueryDef(vocabOov, Some(vocabOovSql)))
+    "doc_repetition"     -> QueryDef(docRepetition, Some(docRepetitionSql)),
+    "sample_per_lang"    -> QueryDef(samplePerLang, Some(samplePerLangSql)),
+    "pii_scrub"          -> QueryDef(piiScrub, Some(piiScrubSql)),
+    "vocab_oov"          -> QueryDef(vocabOov, Some(vocabOovSql)),
+    "source_mix_weights" -> QueryDef(sourceMixWeights, Some(sourceMixWeightsSql)))
 }
