@@ -245,9 +245,70 @@ object Extended {
        |       ${Det.roundSql("quantile_cont(hours, 0.5)", 4)} AS median_hours_to_convert
        |FROM conv""".stripMargin
 
+  /** Per-type z-score anomaly detection over event values: mean/std
+    * from exact DECIMAL power sums (one aggregate — the builtin
+    * stddev's double accumulation is partition-order-dependent and
+    * could never hash-match), broadcast back over the events for the
+    * |v−μ| > 3σ count. Two scans, one tiny broadcast — the standard
+    * streaming-ready outlier gate shape. `sqrt` is IEEE
+    * correctly-rounded in both engines, so the 3σ threshold compares
+    * identical doubles.
+    */
+  def eventValueOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val stats = ev
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.fineSum(col("value")).as("s1"),
+        Det.fineSum(col("value") * col("value")).as("s2"))
+      .select(
+        col("event_type"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        sqrt(greatest(
+          col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")),
+          lit(0.0))).as("std"))
+    ev
+      .join(broadcast(stats), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        max(col("n")).as("n_events"),
+        Det.detRound(max(col("mean")), 4).as("mean_value"),
+        Det.detRound(max(col("std")), 4).as("std_value"),
+        sum(when(abs(col("value") - col("mean")) > lit(3.0) * col("std"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_rate",
+        Det.detRound(col("n_outliers").cast("double") / col("n_events"), 6))
+      .orderBy(col("event_type"))
+  }
+
+  private val eventValueOutliersSql =
+    s"""WITH st AS (
+       |  SELECT event_type, count(*) AS n,
+       |         CAST(SUM(CAST(value AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+       |         CAST(SUM(CAST(value * value AS DECIMAL(30,10))) AS DOUBLE) AS s2
+       |  FROM events GROUP BY event_type
+       |), m AS (
+       |  SELECT event_type, n, s1 / n AS mean,
+       |         sqrt(GREATEST(s2 / n - (s1 / n) * (s1 / n), 0)) AS std
+       |  FROM st
+       |)
+       |SELECT e.event_type,
+       |       MAX(m.n) AS n_events,
+       |       ${Det.roundSql("MAX(m.mean)", 4)} AS mean_value,
+       |       ${Det.roundSql("MAX(m.std)", 4)} AS std_value,
+       |       CAST(SUM(CASE WHEN abs(e.value - m.mean) > 3.0 * m.std THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |       ${Det.roundSql(
+        "CAST(SUM(CASE WHEN abs(e.value - m.mean) > 3.0 * m.std THEN 1 ELSE 0 END) AS DOUBLE) / MAX(m.n)",
+        6)} AS outlier_rate
+       |FROM events e JOIN m ON e.event_type = m.event_type
+       |GROUP BY e.event_type
+       |ORDER BY e.event_type""".stripMargin
+
   // lazy: entries reference SQL vals declared later in the file; an eager
   // val would capture them as null (object-init order)
   lazy val defs: Map[String, QueryDef] = Map(
+    "event_value_outliers"      -> QueryDef(eventValueOutliers, Some(eventValueOutliersSql)),
     "big_spender_customers"     -> QueryDef(bigSpenderCustomers, Some(bigSpenderCustomersSql)),
     "revenue_by_region"         -> QueryDef(revenueByRegion, Some(revenueByRegionSql)),
     "conversion_funnel"         -> QueryDef(conversionFunnel, Some(conversionFunnelSql)),

@@ -199,7 +199,88 @@ object Graph {
        |GROUP BY node
        |ORDER BY vec_id""".stripMargin
 
+  /** Exact triangle count + global clustering coefficient of the
+    * co-purchase graph, via DEGREE-ORIENTED wedge enumeration (the
+    * textbook distributed formulation): orient every edge from its
+    * lower-degree endpoint to the higher (ties by id), enumerate
+    * out-wedges per apex, and probe the canonical edge set for the
+    * closing edge. Orientation bounds per-node out-degree by O(√m), so
+    * wedge volume is O(m^1.5) worst-case instead of Σd² — the
+    * difference between a hub node generating d²≈10¹² wedges and the
+    * same graph costing m√m at 100 TB. Each triangle is counted exactly
+    * once (at its minimum-rank apex). The oracle counts the same
+    * triangles from the undirected a<b<c 3-way join — two different
+    * algorithms, one hash.
+    */
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Commerce
+      .pairCounts(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+      .filter(col("pair_count") >= 2)
+      .select(col("part_x").as("a"), col("part_y").as("b")) // canonical a < b
+    val deg = pairs.select(col("a").as("n"))
+      .unionAll(pairs.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val oriented = pairs
+      .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("s"), col("b").as("t")))
+          .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    val wedges = oriented.as("w1")
+      .join(oriented.as("w2"), col("w1.s") === col("w2.s"))
+      .filter(col("w1.t") < col("w2.t"))
+      .select(col("w1.t").as("x"), col("w2.t").as("y")) // x < y not guaranteed? ids: w1.t < w2.t ensures it
+    val closing = pairs.select(col("a").as("x"), col("b").as("y"))
+    val nTri = wedges.join(closing, Seq("x", "y")).count()
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    val nEdges = pairs.count()
+    stats.select(
+      col("n_nodes"),
+      lit(nEdges).as("n_edges"),
+      col("n_wedges"),
+      lit(nTri).as("n_triangles"),
+      Det.detRound(
+        when(col("n_wedges") === 0, lit(0.0))
+          .otherwise(lit(3.0) * nTri / col("n_wedges")), 8)
+        .as("clustering_coeff"))
+  }
+
+  private val triangleCountsSql =
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+       |), e AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2
+       |), deg AS (
+       |  SELECT n, count(*) AS d FROM (
+       |    SELECT a AS n FROM e UNION ALL SELECT b FROM e
+       |  ) GROUP BY n
+       |), tri AS (
+       |  SELECT count(*) AS n_triangles
+       |  FROM e ab JOIN e ac ON ab.a = ac.a AND ab.b < ac.b
+       |            JOIN e bc ON bc.a = ab.b AND bc.b = ac.b
+       |)
+       |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       |       (SELECT count(*) FROM e) AS n_edges,
+       |       (SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+       |       (SELECT n_triangles FROM tri) AS n_triangles,
+       |       CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) = 0 THEN 0.0
+       |            ELSE ${Det.roundSql(
+        "3.0 * (SELECT n_triangles FROM tri) / (SELECT SUM(d * (d - 1) / 2) FROM deg)", 8)}
+       |       END AS clustering_coeff""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "pagerank_parts"     -> QueryDef(pagerankParts, Some(pagerankPartsSql)),
-    "embedding_clusters" -> QueryDef(embeddingClusters, Some(embeddingClustersSql)))
+    "embedding_clusters" -> QueryDef(embeddingClusters, Some(embeddingClustersSql)),
+    "triangle_counts"    -> QueryDef(triangleCounts, Some(triangleCountsSql)))
 }
