@@ -189,6 +189,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed === expected, "replayed micro-batches were re-merged")
   }
 
+  test("checkpointed restart resumes from committed offsets, not zero") {
+    val dir = Files.createTempDirectory("graft-stream-ckpt").toFile
+    dir.deleteOnExit()
+    val viewDir = dir.getAbsolutePath + "/view"
+    val ckpt    = dir.getAbsolutePath + "/ckpt"
+    val batch = Tables.events(spark, TestSpark.Sf)
+    val Array(h1, h2) = batch.randomSplit(Array(0.5, 0.5), seed = 11)
+    h1.coalesce(1).write.parquet(dir.getAbsolutePath + "/src/f1")
+    def start() = EventStreams
+      .incrementalUserTotals(
+        spark.readStream.schema(batch.schema)
+          .parquet(dir.getAbsolutePath + "/src/f*"),
+        viewDir)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    val q1 = start(); q1.awaitTermination(120000)
+    assert(EventStreams.lastCommittedBatch(viewDir) === 0L)
+    // second file lands AFTER the first run committed its offsets
+    h2.coalesce(1).write.parquet(dir.getAbsolutePath + "/src/f2")
+    val q2 = start(); q2.awaitTermination(120000)
+    // a checkpointed restart continues the batchId sequence (1, not a
+    // replayed 0) — f1 is NOT re-read, f2 is merged exactly once
+    assert(EventStreams.lastCommittedBatch(viewDir) === 1L)
+    val view = spark.read.parquet(viewDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = batch.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(view === expected, "checkpointed resume must converge exactly")
+  }
+
   test("partitioned incremental view upserts only touched buckets") {
     val dir = Files.createTempDirectory("graft-stream-pview").toFile
     dir.deleteOnExit()
