@@ -42,4 +42,41 @@ object Bucketing {
     spark.table(leftTable)
       .join(spark.table(rightTable),
         spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes/target⌉ files. Streaming sinks and incremental upserts
+    * accrete files far smaller than a scan-efficient size; compaction
+    * restores (file count ∝ data size) so scans stop paying per-file
+    * open/footer costs — at 100 TB an uncompacted events table can hit
+    * millions of files and spend longer listing than reading. Rewrite
+    * goes to a sibling temp dir first, then an atomic-ish swap, so a
+    * crash never leaves the table half-compacted.
+    *
+    * @return (filesBefore, filesAfter)
+    */
+  def compact(
+      spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
+    def parquetFiles(p: java.io.File): Seq[java.io.File] =
+      Option(p.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
+        if (f.isDirectory) parquetFiles(f)
+        else if (f.getName.endsWith(".parquet")) Seq(f)
+        else Nil
+      }
+    val dir    = new java.io.File(path)
+    val before = parquetFiles(dir)
+    val total  = before.map(_.length()).sum
+    val nOut   = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp    = path.stripSuffix("/") + "._compacting"
+    spark.read.parquet(path)
+      .repartition(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val bak = new java.io.File(path.stripSuffix("/") + "._precompact")
+    require(dir.renameTo(bak), s"could not move $path aside")
+    require(new java.io.File(tmp).renameTo(dir), s"could not swap $tmp in")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    rm(bak)
+    (before.length, parquetFiles(dir).length)
+  }
 }
