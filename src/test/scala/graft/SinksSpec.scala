@@ -53,4 +53,22 @@ class SinksSpec extends AnyFunSuite {
       .select(col("p.k"))
     assert(parsed.filter(col("k").isNull).count() === 0)
   }
+
+  test("ORC sink/source exchange preserves schema, rows, and pushdown") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toFile
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath + "/orders.orc"
+    val src = Tables.orders(spark, TestSpark.Sf)
+    src.write.mode("overwrite").orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema === src.schema)
+    assert(back.count() === src.count())
+    // predicate pushdown works on the ORC scan too, not just parquet
+    val plan = back.filter(col("o_custkey") === 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_custkey"),
+      s"ORC scan did not push the filter:\n$plan")
+    val expected = src.filter(col("o_custkey") === 7L).count()
+    assert(back.filter(col("o_custkey") === 7L).count() === expected)
+  }
 }
