@@ -435,6 +435,61 @@ object Engagement {
       .orderBy(col("user_id"), col("session_id"))
   }
 
+  /** The NATIVE session-window operator (`session_window(ts, gap)` —
+    * Spark's EventTimeSessionWindow surface, usable identically in
+    * batch and streaming) over the same 12 h gap as `sessionize`.
+    * Boundary semantics differ from the lag-island form by design and
+    * are mirrored in the oracle: the native operator merges an event
+    * only while it lands STRICTLY inside [start, last+gap), so a gap of
+    * exactly 12 h starts a new session (the island form's `>` keeps
+    * it). session_end is last_event + gap, the operator's window end.
+    * One shuffle on user_id; the in-partition merge is a sort + linear
+    * sweep — the same cost shape as the window formulation.
+    */
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame = {
+    eventsUs(spark, dir)
+      .select(
+        col("user_id"),
+        timestamp_micros(col("ts")).as("t"),
+        col("value"))
+      .groupBy(
+        col("user_id"),
+        session_window(col("t"), s"$GapUs microseconds").as("w"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        Det.detRound(Det.moneySum(col("value")), 2).as("total_value"))
+      .select(
+        col("user_id"),
+        unix_micros(col("w.start")).as("session_start"),
+        unix_micros(col("w.end")).as("session_end"),
+        col("n_events"),
+        col("total_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  private val sessionWindowNativeSql =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS ts, value,
+       |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_ts
+       |  FROM events
+       |), marked AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= ${GapUs}
+       |                 THEN 1 ELSE 0 END AS new_sess
+       |  FROM e
+       |), sessions AS (
+       |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+       |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+       |  FROM marked
+       |)
+       |SELECT user_id,
+       |       min(ts) AS session_start,
+       |       max(ts) + ${GapUs} AS session_end,
+       |       count(*) AS n_events,
+       |       ${Det.roundSql("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS total_value
+       |FROM sessions
+       |GROUP BY user_id, sid
+       |ORDER BY user_id, session_start""".stripMargin
+
   private val sessionizeSql =
     s"""WITH e AS (
        |  SELECT user_id, epoch_us(ts) AS ts, event_id, value,
@@ -559,5 +614,6 @@ object Engagement {
     "engagement_vs_spend"   -> QueryDef(engagementVsSpend, Some(engagementVsSpendSql)),
     "segment_counts"        -> QueryDef(segmentCounts, Some(segmentCountsSql)),
     "engagement_spend_corr" -> QueryDef(engagementSpendCorr, Some(engagementSpendCorrSql)),
-    "sessionize"            -> QueryDef(sessionize, Some(sessionizeSql)))
+    "sessionize"            -> QueryDef(sessionize, Some(sessionizeSql)),
+    "session_window_native" -> QueryDef(sessionWindowNative, Some(sessionWindowNativeSql)))
 }
