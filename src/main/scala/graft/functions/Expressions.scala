@@ -474,6 +474,41 @@ object LshBucketMd5 {
   }
 }
 
+/** Morton (Z-order) code: interleave the low 31 bits of two
+  * non-negative keys into one 62-bit long. Sorting by this code gives a
+  * space-filling-curve layout where each contiguous file covers a
+  * compact 2-D tile — so per-file min/max statistics prune on BOTH
+  * dimensions, where a lexicographic (x, y) sort prunes only on x.
+  * Negative inputs clamp to 0 (layout keys, not semantics). Codegen'd
+  * static call like every graft kernel.
+  */
+case class MortonCode(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(x: Any, y: Any): Any =
+    MortonCode.interleave(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.MortonCode.interleave($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MortonCode =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_morton"
+}
+
+object MortonCode {
+  /** Spread the low 31 bits of v to even bit positions (0,2,4,…,60). */
+  private def spread(v: Long): Long = {
+    var x = math.max(v, 0L) & 0x7fffffffL
+    x = (x | (x << 16)) & 0x0000ffff0000ffffL
+    x = (x | (x << 8)) & 0x00ff00ff00ff00ffL
+    x = (x | (x << 4)) & 0x0f0f0f0f0f0f0f0fL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+  def interleave(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
+}
+
 /** Registers the expressions as SQL functions (graft_cosine, graft_simhash,
   * graft_minhash, graft_lsh_bucket) so queries can use them via expr(...)
   * / spark.sql(...). Idempotent per session.
@@ -512,5 +547,7 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "graft_lang_id", exprs => LangIdPredict(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_morton", exprs => MortonCode(exprs(0), exprs(1)), "built-in")
   }
 }

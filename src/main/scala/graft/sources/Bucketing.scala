@@ -43,6 +43,28 @@ object Bucketing {
       .join(spark.table(rightTable),
         spark.table(leftTable)(leftKey) === spark.table(rightTable)(rightKey))
 
+  /** Z-ordered (Morton) layout: sort the table along a space-filling
+    * curve over two key expressions and write `files` range-partitioned
+    * parquet files. Each file then covers a compact 2-D TILE of the key
+    * space, so file/row-group min-max statistics prune on EITHER
+    * dimension — a lexicographic (x, y) sort prunes only on x, and a
+    * query filtering on y alone must read every file. At 100 TB this is
+    * the difference between a time-range query over a user-sorted
+    * events table scanning everything vs ~√files of it.
+    * ZOrderSpec measures the per-file ranges of both layouts.
+    */
+  def writeZOrdered(
+      df: DataFrame, path: String,
+      xExpr: String, yExpr: String, files: Int): Unit = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("__z",
+        org.apache.spark.sql.functions.expr(s"graft_morton(CAST(($xExpr) AS BIGINT), CAST(($yExpr) AS BIGINT))"))
+      .repartitionByRange(files, org.apache.spark.sql.functions.col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈bytes/target⌉ files. Streaming sinks and incremental upserts
     * accrete files far smaller than a scan-efficient size; compaction
