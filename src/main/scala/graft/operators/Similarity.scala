@@ -241,6 +241,83 @@ object Similarity {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  /** TRAINED-quantizer IVF (the production vector-index shape): the
+    * coarse quantizer is the fixed-init 3-step Lloyd k-means
+    * (trainCentroids — the same centroids embedding_kmeans reports),
+    * corpus vectors are assigned to their nearest cell by exact L2,
+    * each query probes its 2 nearest cells, and candidates are
+    * exact-cosine ranked. vs ann_ivf's fixed first-16-vectors
+    * quantizer, trained cells track the data distribution — fewer
+    * empty/hot cells, better recall per probe. Oracle: the full Lloyd
+    * chain + assignment + probe + ranking unrolled in SQL — the
+    * training, the index build, and the search all have to agree for
+    * the hash to match. At scale: centroids are k·dim broadcast, the
+    * index build is one scan, each query touches 2 cells.
+    */
+  def annIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val k     = 8
+    val iters = 3
+    val cents = trainCentroids(spark, dir, k, iters)
+    val e = corpus(spark, dir)
+      .select(
+        col("vec_id"), col("embedding"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val assigned = kmeansAssign(spark, e.select(col("vec_id"), col("v")), cents)
+      .join(corpus(spark, dir), "vec_id")
+      .select(col("vec_id"), col("cell"), col("embedding"))
+    import spark.implicits._
+    val centsDf = broadcast(cents.toDF("cent_id", "cent_vec"))
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(asc("d2"), asc("cell"))
+    val probed = queries(spark, dir)
+      .select(
+        col("q_id"), col("q_vec"),
+        expr("transform(q_vec, x -> CAST(x AS DOUBLE))").as("v"))
+      .crossJoin(centsDf)
+      .select(
+        col("q_id"), col("q_vec"), col("cent_id").as("cell"),
+        expr(KmeansDistExpr).as("d2"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 2)
+      .select(col("q_id"), col("q_vec"), col("cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    assigned
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("vec_id").as("neighbor_id"),
+        Det.detRound(expr("graft_cosine(q_vec, embedding)"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  private val annIvfTrainedSql = {
+    val iters = 3
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH ${kmeansChainSql(8, iters)},
+       |${kmeansAssignCte("assigned", s"c$iters")},
+       |probed AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.vec_id AS q_id, q.v AS qv, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${kmeansD2Sql("q.v", "c.cvec")} ASC, c.cent_id ASC) AS rk
+       |    FROM e q CROSS JOIN c$iters c WHERE q.vec_id < $NumQueries
+       |  ) WHERE rk <= 2
+       |), scored AS (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |         ${r6("list_cosine_similarity(p.qv, a.v)")} AS cos
+       |  FROM assigned a JOIN probed p ON a.cell = p.cell
+       |  WHERE a.vec_id != p.q_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM scored
+       |)
+       |SELECT q_id, neighbor_id, cos, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Scale path for embedding near-dup: LSH-bucketed candidate pairs
     * instead of the all-pairs cross join (embedding_neardup is O(n²) —
     * correct as the small-corpus oracle baseline, unusable at 100 TB).
@@ -386,27 +463,37 @@ object Similarity {
     * Rows-only check (no SQL analog); invariants asserted in
     * SimilaritySpec round 2.
     */
-  def embeddingKmeans(spark: SparkSession, dir: String): DataFrame = {
-    val k     = 8
-    val iters = 3
+  private val KmeansDistExpr =
+    "aggregate(zip_with(v, cent_vec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"
+
+  /** Min-d2 cell assignment of `e` (vec_id, v: double[]) against a tiny
+    * broadcast centroid list; ties break to the smaller cent_id — the
+    * contract every kmeans/IVF oracle mirrors.
+    */
+  private def kmeansAssign(
+      spark: SparkSession, e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    val centsDf = broadcast(cents.toDF("cent_id", "cent_vec"))
+    e.crossJoin(centsDf)
+      .select(
+        col("vec_id"), col("v"), col("cent_id"),
+        expr(KmeansDistExpr).as("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"), first(col("v")).as("v"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"), col("m.d2").as("d2"), col("v"))
+  }
+
+  /** The fixed-init Lloyd loop (first k vectors seed, `iters` steps,
+    * exact DECIMAL per-dimension means) — the trained quantizer shared
+    * by embedding_kmeans and ann_ivf_trained. k·dim driver collect per
+    * step only.
+    */
+  private def trainCentroids(
+      spark: SparkSession, dir: String,
+      k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val e = corpus(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-
-    val distExpr =
-      "aggregate(zip_with(v, cent_vec, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"
-
-    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      import spark.implicits._
-      val centsDf = broadcast(cents.toDF("cent_id", "cent_vec"))
-      e.crossJoin(centsDf)
-        .select(
-          col("vec_id"), col("v"), col("cent_id"),
-          expr(distExpr).as("d2"))
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d2"), col("cent_id"))).as("m"), first(col("v")).as("v"))
-        .select(col("vec_id"), col("m.cent_id").as("cell"), col("m.d2").as("d2"), col("v"))
-    }
-
     var cents: Seq[(Int, Seq[Double])] = e
       .filter(col("vec_id") < k)
       .orderBy(col("vec_id"))
@@ -414,9 +501,8 @@ object Similarity {
       .zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Double](1)) }
       .toSeq
-
     for (_ <- 1 to iters) {
-      val means = assign(cents)
+      val means = kmeansAssign(spark, e, cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("cell"), col("dim"))
         .agg((Det.fineSum(col("x")) / count(lit(1))).as("mean"))
@@ -429,8 +515,16 @@ object Similarity {
         .toSeq
         .sortBy(_._1)
     }
+    cents
+  }
 
-    assign(cents)
+  def embeddingKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val k     = 8
+    val iters = 3
+    val e = corpus(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cents = trainCentroids(spark, dir, k, iters)
+    kmeansAssign(spark, e, cents)
       .groupBy(col("cell"))
       .agg(
         count(lit(1)).as("n_points"),
@@ -445,21 +539,25 @@ object Similarity {
     * double, argmin ties break on cent_id ascending (Spark's
     * min-of-struct).
     */
-  private val embeddingKmeansSql = {
-    val k     = 8
-    val iters = 3
-    def d2(v: String, c: String) =
-      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list_transform(generate_series(1, len($v)), i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)"
-    def assignCte(name: String, centsCte: String) =
-      s"""$name AS (
-         |  SELECT vec_id, v, cell, d2 FROM (
-         |    SELECT e.vec_id, e.v, c.cent_id AS cell, ${d2("e.v", "c.cvec")} AS d2,
-         |           row_number() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${d2("e.v", "c.cvec")} ASC, c.cent_id ASC) AS rk
-         |    FROM e CROSS JOIN $centsCte c
-         |  ) WHERE rk = 1
-         |)""".stripMargin
+  private def kmeansD2Sql(v: String, c: String) =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($v)), i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)"
+
+  private def kmeansAssignCte(name: String, centsCte: String) =
+    s"""$name AS (
+       |  SELECT vec_id, v, cell, d2 FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id AS cell, ${kmeansD2Sql("e.v", "c.cvec")} AS d2,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${kmeansD2Sql("e.v", "c.cvec")} ASC, c.cent_id ASC) AS rk
+       |    FROM e CROSS JOIN $centsCte c
+       |  ) WHERE rk = 1
+       |)""".stripMargin
+
+  /** Shared CTE chain of the kmeans/trained-IVF oracles: e (double
+    * vectors), c0 (first-k seed), a1/c1 … a{iters}/c{iters} Lloyd
+    * steps. Terminal centroids live in CTE c{iters}.
+    */
+  private def kmeansChainSql(k: Int, iters: Int): String = {
     def centsCte(name: String, assignCteName: String) =
       s"""$name AS (
          |  SELECT cell AS cent_id, list(mean ORDER BY dim) AS cvec FROM (
@@ -470,15 +568,20 @@ object Similarity {
          |  ) GROUP BY cell
          |)""".stripMargin
     val chain = (1 to iters)
-      .flatMap(i => Seq(assignCte(s"a$i", s"c${i - 1}"), centsCte(s"c$i", s"a$i")))
+      .flatMap(i => Seq(kmeansAssignCte(s"a$i", s"c${i - 1}"), centsCte(s"c$i", s"a$i")))
       .mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), c0 AS (
        |  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < $k
        |),
-       |$chain,
-       |${assignCte("afinal", s"c$iters")}
+       |$chain""".stripMargin
+  }
+
+  private val embeddingKmeansSql = {
+    val iters = 3
+    s"""WITH ${kmeansChainSql(8, iters)},
+       |${kmeansAssignCte("afinal", s"c$iters")}
        |SELECT cell, count(*) AS n_points,
        |       ${Det.roundSql(s"CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE)", 6)} AS inertia
        |FROM afinal
@@ -560,5 +663,6 @@ object Similarity {
     "ann_ivf"           -> QueryDef(annIvf, Some(annIvfSql)),
     "embedding_kmeans"  -> QueryDef(embeddingKmeans, Some(embeddingKmeansSql)),
     "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, Some(embeddingNeardupLshSql)),
-    "embedding_quantize"    -> QueryDef(embeddingQuantize, Some(embeddingQuantizeSql)))
+    "embedding_quantize"    -> QueryDef(embeddingQuantize, Some(embeddingQuantizeSql)),
+    "ann_ivf_trained"       -> QueryDef(annIvfTrained, Some(annIvfTrainedSql)))
 }
