@@ -150,7 +150,70 @@ object Retention {
        |ORDER BY growth DESC, o_custkey
        |LIMIT 100""".stripMargin
 
+  /** Rolling 7-day active users per day (WAU) next to same-day actives
+    * (DAU) and the DAU/WAU stickiness ratio — the standard
+    * product-analytics rolling-distinct series. Exact form: each
+    * distinct (day, user) contributes itself to the 7 observation days
+    * it covers (a bounded ×7 in-row expansion of the DEDUPLICATED
+    * day-user pairs, not of raw events), then one distinct-count per
+    * observation day. At 100 TB the (day, user) dedup is the big
+    * compression (events ≫ day-user pairs); the ×7 expansion rides on
+    * the compressed set. The sketch twin for wider windows (28-day MAU
+    * over years) is the mergeable HLL in Sketches — this is the exact
+    * anchor.
+    */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val DayUs = 86400000000L
+    val base = Tables.events(spark, dir)
+      .select(expr(s"(ts div 1000) div $DayUs").as("day"), col("user_id"))
+      .distinct()
+    val bounds = broadcast(base.agg(
+      min(col("day")).as("d_min"), max(col("day")).as("d_max")))
+    val dau = base.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = base
+      .select(explode(expr("sequence(day, day + 6)")).as("day"), col("user_id"))
+      .crossJoin(bounds)
+      .filter(col("day") <= col("d_max"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("wau_7d"))
+    wau
+      .join(dau, Seq("day"), "left")
+      .select(
+        col("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"),
+        col("wau_7d"),
+        Det.detRound(
+          coalesce(col("dau"), lit(0L)).cast("double") / col("wau_7d"), 6)
+          .as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  private val rollingActiveUsersSql =
+    s"""WITH base AS (
+       |  SELECT DISTINCT epoch_us(ts) // 1000000 // 86400 AS day, user_id FROM events
+       |), bounds AS (
+       |  SELECT MAX(day) AS d_max FROM base
+       |), dau AS (
+       |  SELECT day, count(DISTINCT user_id) AS dau FROM base GROUP BY day
+       |), expanded AS (
+       |  SELECT b.day + o.o AS day, b.user_id
+       |  FROM base b, unnest(generate_series(0, 6)) AS o(o)
+       |), wau AS (
+       |  SELECT e.day, count(DISTINCT e.user_id) AS wau_7d
+       |  FROM expanded e, bounds
+       |  WHERE e.day <= bounds.d_max
+       |  GROUP BY e.day
+       |)
+       |SELECT w.day,
+       |       COALESCE(d.dau, 0) AS dau,
+       |       w.wau_7d,
+       |       ${Det.roundSql("CAST(COALESCE(d.dau, 0) AS DOUBLE) / w.wau_7d", 6)} AS stickiness
+       |FROM wau w LEFT JOIN dau d ON w.day = d.day
+       |ORDER BY w.day""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "rolling_active_users" -> QueryDef(rollingActiveUsers, Some(rollingActiveUsersSql)),
     "cohort_retention"    -> QueryDef(cohortRetention, Some(cohortRetentionSql)),
     "order_gap_stats"     -> QueryDef(orderGapStats, Some(orderGapStatsSql)),
     "customer_order_span" -> QueryDef(customerOrderSpan, Some(customerOrderSpanSql)))
