@@ -317,7 +317,77 @@ object TextAnalysis {
        |GROUP BY t.doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Add-one-smoothed BIGRAM language model scoring:
+    * P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V), per-doc mean −log2 P over the
+    * doc's bigrams — the next step up from lm_score's unigram model and
+    * the standard cheap fluency filter (repetitive or shuffled text
+    * scores high even when its unigrams are common). Counts are exact
+    * integers so the smoothed probabilities are bit-identical across
+    * engines; the NLL sum uses the same order-free DECIMAL accumulation
+    * as lm_score. Plans: the bigram-count join reuses the (w1,w2)
+    * partitioning of the aggregate that built it; the unigram context
+    * table is vocabulary-sized and broadcast.
+    */
+  def lmBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val uni  = toks.groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val vsz  = broadcast(uni.agg(count(lit(1)).as("v")))
+    val bgs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c2 = bgs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    bgs
+      .join(c2, Seq("w1", "w2"))
+      .join(broadcast(uni.withColumnRenamed("tok", "w1")), Seq("w1"))
+      .crossJoin(vsz)
+      .select(
+        col("doc_id"),
+        ((col("c2") + 1).cast("double") / (col("c1") + col("v")).cast("double")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        Det.detRound(
+          sum((-log2(col("p"))).cast(Det.Fine)).cast("double") / count(lit(1)), 4)
+          .as("mean_bigram_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmBigramScoreSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+       |), uni AS (
+       |  SELECT tok, count(*) AS c1 FROM toks GROUP BY tok
+       |), vsz AS (
+       |  SELECT count(*) AS v FROM uni
+       |), tarr AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), bgs AS (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM tarr, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |  WHERE len(t) >= 2
+       |), c2 AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM bgs GROUP BY w1, w2
+       |)
+       |SELECT b.doc_id,
+       |       count(*) AS n_bigrams,
+       |       ${Det.roundSql(
+        "CAST(SUM(CAST(-log2(CAST(c2.c2 + 1 AS DOUBLE) / CAST(u.c1 + (SELECT v FROM vsz) AS DOUBLE)) AS DECIMAL(30,10))) AS DOUBLE) / count(*)",
+        4)} AS mean_bigram_nll
+       |FROM bgs b
+       |JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+       |JOIN uni u ON b.w1 = u.tok
+       |GROUP BY b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "lm_bigram_score"   -> QueryDef(lmBigramScore, Some(lmBigramScoreSql)),
     "lm_score"          -> QueryDef(lmScore, Some(lmScoreSql)),
     "sample_stratified" -> QueryDef(sampleStratified, Some(sampleStratifiedSql)),
     "token_count"     -> QueryDef(tokenCount, Some(tokenCountSql)),
