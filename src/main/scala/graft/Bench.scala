@@ -33,11 +33,13 @@ object Bench {
       val t0 = System.nanoTime()
       try run(fn)
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // BEFORE cache teardown
       // drop per-query persist()s (minhash sigs, rank inputs) so cached
-      // partitions don't accumulate across the 81-query run and evict
-      // or spill against later queries
+      // partitions don't accumulate across the full run and evict or
+      // spill against later queries — outside the timed window, so the
+      // artifact number is the query, not the cleanup
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -46,6 +46,21 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Table row count memoized per (dir, table) for the quadratic-anchor
+    * guards: the refusal check must not re-run a count job on every
+    * DataFrame CONSTRUCTION (plan-only callers — explain, spec plan
+    * asserts — were paying a full scan per build).
+    */
+  def cachedCount(spark: SparkSession, dir: String, name: String): Long =
+    countMemo
+      .computeIfAbsent(
+        s"$dir/$name",
+        _ => java.lang.Long.valueOf(table(spark, dir, name).count()))
+      .longValue()
+
   def region(s: SparkSession, d: String)    = table(s, d, "region")
   def nation(s: SparkSession, d: String)    = table(s, d, "nation")
   def customer(s: SparkSession, d: String)  = table(s, d, "customer")

@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.util.Locale
-
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
@@ -60,8 +58,20 @@ object LangProfiles {
     * characters carry the signal for ideographic scripts whose longer
     * grams rarely recur across texts.
     */
+  /** SIMPLE (1:1 codepoint) lowercase — Character.toLowerCase, not
+    * String.toLowerCase: the String form applies SpecialCasing
+    * (U+0130 'İ' → "i" + U+0307, two code points) while DuckDB's
+    * lower() uses the one-to-one simple mapping; a multi-codepoint
+    * expansion would shift every downstream gram and break the oracle
+    * on such characters.
+    */
+  private[functions] def simpleLower(text: String): String = {
+    val cps = text.codePoints().map(Character.toLowerCase(_)).toArray
+    new String(cps, 0, cps.length)
+  }
+
   def profileOf(text: String): Seq[(String, Int)] = {
-    val s = " " + text.toLowerCase(Locale.ROOT) + " "
+    val s = " " + simpleLower(text) + " "
     val grams = (1 to 3).flatMap(n => (0 to s.length - n).map(i => s.substring(i, i + n)))
     grams
       .groupBy(identity)
@@ -132,7 +142,7 @@ object LangIdPredict {
   }
 
   def classify(text: UTF8String): UTF8String = {
-    val s   = " " + text.toString.toLowerCase(Locale.ROOT) + " "
+    val s   = " " + LangProfiles.simpleLower(text.toString) + " "
     val cps = s.codePoints().toArray
     if (cps.length < 3) return Und
 

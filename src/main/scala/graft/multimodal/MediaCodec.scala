@@ -112,8 +112,13 @@ object MediaCodec {
     val bpp     = rd16(b, 28)
     require(bpp == 24, s"unsupported BMP bpp $bpp")
     require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$h")
-    val rowSize = (3 * w + 3) & ~3
-    require(b.length >= dataOff + rowSize * h, "BMP truncated before pixel data")
+    require(dataOff >= 54 && dataOff <= b.length, s"bad BMP data offset $dataOff")
+    // row size in LONG: 3*w wraps Int for a corrupt width, and a
+    // wrapped-negative rowSize would sail through the bound check
+    val rowSizeL = (3L * w + 3L) & ~3L
+    require(b.length.toLong >= dataOff.toLong + rowSizeL * h,
+      "BMP truncated before pixel data")
+    val rowSize = rowSizeL.toInt // safe: bound above caps it at b.length
     var sum = 0L; var max = Long.MinValue
     var r = 0
     while (r < h) {
@@ -142,8 +147,13 @@ object MediaCodec {
     val h       = rd32(b, 22)
     require(rd16(b, 28) == 24, "unsupported BMP bpp")
     require(w > 0 && h > 0, s"bad BMP dimensions ${w}x$h")
-    val rowSize = (3 * w + 3) & ~3
-    require(b.length >= dataOff + rowSize * h, "BMP truncated before pixel data")
+    require(dataOff >= 54 && dataOff <= b.length, s"bad BMP data offset $dataOff")
+    // row size in LONG: 3*w wraps Int for a corrupt width, and a
+    // wrapped-negative rowSize would sail through the bound check
+    val rowSizeL = (3L * w + 3L) & ~3L
+    require(b.length.toLong >= dataOff.toLong + rowSizeL * h,
+      "BMP truncated before pixel data")
+    val rowSize = rowSizeL.toInt // safe: bound above caps it at b.length
     val px = new Array[Int](w * h)
     var r = 0
     while (r < h) {
@@ -186,7 +196,11 @@ object MediaCodec {
     while (off + 8 <= b.length && dataOff < 0) {
       val id   = new String(b.slice(off, off + 4), "US-ASCII")
       val size = rd32(b, off + 4)
+      // a corrupt negative size would make the cursor stall or move
+      // backwards — an infinite loop on one bad row, not a parse error
+      require(size >= 0, s"negative WAV chunk size $size")
       if (id == "fmt ") {
+        require(off + 24 <= b.length, "fmt chunk truncated")
         require(rd16(b, off + 8) == 1, "non-PCM WAV")
         require(rd16(b, off + 10) == 1, "non-mono WAV")
         require(rd16(b, off + 22) == 16, "non-16-bit WAV")

@@ -143,15 +143,18 @@ object Curation {
     * pipeline there, not recall.
     */
   def scrubText(docs: DataFrame): DataFrame =
+    // patterns go through the DSL (lit(...)), NEVER through expr(...):
+    // the SQL parser would unescape '\\.' to '.', silently giving the
+    // counters a different pattern than the redaction and the oracle
     docs
       .withColumn("n_emails",
-        size(expr(s"regexp_extract_all(text, '$EmailRe', 0)")).cast("long"))
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).cast("long"))
       .withColumn("s1", regexp_replace(col("text"), EmailRe, "<EMAIL>"))
       .withColumn("n_urls",
-        size(expr(s"regexp_extract_all(s1, '$UrlRe', 0)")).cast("long"))
+        size(regexp_extract_all(col("s1"), lit(UrlRe), lit(0))).cast("long"))
       .withColumn("s2", regexp_replace(col("s1"), UrlRe, "<URL>"))
       .withColumn("n_digit_runs",
-        size(expr(s"regexp_extract_all(s2, '$DigitRe', 0)")).cast("long"))
+        size(regexp_extract_all(col("s2"), lit(DigitRe), lit(0))).cast("long"))
       .withColumn("scrubbed", regexp_replace(col("s2"), DigitRe, "<NUM>"))
 
   def piiScrub(spark: SparkSession, dir: String): DataFrame =

@@ -82,8 +82,7 @@ object Dedup {
     */
   private[graft] val ExactDocCap = 100000L
 
-  private[graft] def guardExactAnchor(docs: DataFrame, cap: Long, query: String): Unit = {
-    val n = docs.count()
+  private[graft] def guardExactAnchor(n: Long, cap: Long, query: String): Unit = {
     if (n > cap) throw new IllegalStateException(
       s"$query is an exact small-scale anchor (output-quadratic on duplicated corpora) " +
         s"and refuses corpora above $cap documents (got $n). Use its bounded sketch twin " +
@@ -95,7 +94,7 @@ object Dedup {
 
   private[graft] def dedupJaccardGuarded(
       spark: SparkSession, dir: String, cap: Long): DataFrame = {
-    guardExactAnchor(Tables.documents(spark, dir), cap, "dedup_jaccard")
+    guardExactAnchor(Tables.cachedCount(spark, dir, "documents"), cap, "dedup_jaccard")
     val sh    = shingled(spark, dir).withColumn("h", xxhash64(col("shingle"))).select("doc_id", "h")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))

@@ -90,7 +90,7 @@ object Similarity {
       spark: SparkSession, dir: String, cap: Long): DataFrame = {
     GraftFunctions.register(spark)
     val e = corpus(spark, dir)
-    val n = e.count()
+    val n = Tables.cachedCount(spark, dir, "embeddings")
     if (n > cap) throw new IllegalStateException(
       s"embedding_neardup is an exact all-pairs anchor (O(n²) cross join) and refuses " +
         s"corpora above $cap vectors (got $n). Use embedding_neardup_lsh at scale.")

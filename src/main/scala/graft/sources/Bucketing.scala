@@ -71,8 +71,15 @@ object Bucketing {
     * restores (file count ∝ data size) so scans stop paying per-file
     * open/footer costs — at 100 TB an uncompacted events table can hit
     * millions of files and spend longer listing than reading. Rewrite
-    * goes to a sibling temp dir first, then an atomic-ish swap, so a
-    * crash never leaves the table half-compacted.
+    * goes to a sibling temp dir first; the swap is two renames with a
+    * rollback (the original is restored if the swap-in fails), so no
+    * failure loses data — but a crash BETWEEN the renames can leave the
+    * table parked at `<path>._precompact` until the next compact() (or
+    * operator) moves it back; plain filesystems have no two-directory
+    * atomic commit, which is exactly what table formats with a
+    * transaction log exist to provide. Callers needing concurrent
+    * readers during compaction should route reads through a pointer
+    * (see the streaming view's versioned commit for that pattern).
     *
     * @return (filesBefore, filesAfter)
     */
@@ -93,10 +100,15 @@ object Bucketing {
       .repartition(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val bak = new java.io.File(path.stripSuffix("/") + "._precompact")
-    require(dir.renameTo(bak), s"could not move $path aside")
-    require(new java.io.File(tmp).renameTo(dir), s"could not swap $tmp in")
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
+    }
+    require(dir.renameTo(bak), s"could not move $path aside")
+    if (!new java.io.File(tmp).renameTo(dir)) {
+      // roll back: the original table comes back before we report failure
+      bak.renameTo(dir)
+      rm(new java.io.File(tmp))
+      throw new IllegalStateException(s"could not swap $tmp into $path; original restored")
     }
     rm(bak)
     (before.length, parquetFiles(dir).length)

@@ -258,16 +258,19 @@ object EventStreams {
 
   /** foreachBatch incremental sink: maintains a parquet "materialized
     * view" of per-user totals by merging each micro-batch's partial
-    * aggregate into the stored view (read → union → re-aggregate →
-    * localCheckpoint to cut the read-write cycle → overwrite).
+    * aggregate into the stored view.
     *
-    * foreachBatch is at-least-once: after a failure between the view
-    * overwrite and the offset commit, the SAME batchId is re-delivered —
-    * re-merging it would double-count. The standard idempotence guard is
-    * applied: the last merged batchId is persisted in a sidecar file
-    * next to the view, and re-delivered batches (batchId <= committed)
-    * are skipped, making the read-merge-overwrite transformation
-    * effectively exactly-once. Driven (including a simulated replay) in
+    * EXACTLY-ONCE via versioned commit: each batch writes a fresh
+    * `v=<batchId>` directory derived from the last COMMITTED version,
+    * then commits by atomically replacing the pointer file (write-temp +
+    * ATOMIC_MOVE — the single commit point). A crash anywhere before
+    * the pointer move leaves the committed version untouched; the
+    * re-delivered batch re-merges from that same committed version, so
+    * nothing is ever double-counted — there is no window between "data
+    * written" and "marker written" because readers only ever follow the
+    * pointer ([[currentView]]). Re-delivered already-committed batchIds
+    * are skipped outright. Superseded version dirs are pruned
+    * best-effort after commit. Driven (including a simulated replay) in
     * StreamingSpec.
     */
   def incrementalUserTotals(
@@ -285,19 +288,38 @@ object EventStreams {
               count(lit(1)).as("n_events"),
               sum(col("value").cast(Det.Money)).as("total_value"))
           val merged =
-            if (new java.io.File(viewDir).exists()) {
-              spark.read.parquet(viewDir)
+            if (committed >= 0) {
+              spark.read.parquet(s"$viewDir/v=$committed")
                 .unionByName(partial)
                 .groupBy(col("user_id"))
                 .agg(
                   sum(col("n_events")).as("n_events"),
                   sum(col("total_value")).as("total_value"))
             } else partial
-          // materialize BEFORE overwriting the directory being read
-          merged.localCheckpoint().write.mode("overwrite").parquet(viewDir)
-          commitBatch(viewDir, batchId)
+          merged.write.mode("overwrite").parquet(s"$viewDir/v=$batchId")
+          commitBatch(viewDir, batchId) // the ONLY commit point (atomic)
+          // prune superseded versions (best-effort; readers follow the
+          // pointer, so a leftover dir is garbage, not a hazard)
+          if (committed >= 0) {
+            val old = new java.io.File(s"$viewDir/v=$committed")
+            def rm(f: java.io.File): Unit = {
+              Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+              f.delete(); ()
+            }
+            rm(old)
+          }
         }
       }
+
+  /** The committed state of the versioned incremental view — the ONLY
+    * correct read path (reading viewDir recursively would see
+    * in-flight uncommitted versions).
+    */
+  def currentView(spark: SparkSession, viewDir: String): DataFrame = {
+    val committed = lastCommittedBatch(viewDir)
+    require(committed >= 0, s"no committed version under $viewDir")
+    spark.read.parquet(s"$viewDir/v=$committed")
+  }
 
   /** Sidecar batch-commit marker for the foreachBatch view (kept OUTSIDE
     * viewDir so the parquet overwrite cannot clobber it).
@@ -313,8 +335,14 @@ object EventStreams {
   }
 
   private def commitBatch(viewDir: String, batchId: Long): Unit = {
-    val p = commitFile(viewDir)
-    java.nio.file.Files.write(p, batchId.toString.getBytes)
+    val p   = commitFile(viewDir)
+    val tmp = java.nio.file.Paths.get(p.toString + ".tmp")
+    java.nio.file.Files.write(tmp, batchId.toString.getBytes)
+    // atomic pointer replace — the versioned view's single commit point
+    java.nio.file.Files.move(
+      tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
@@ -325,9 +353,18 @@ object EventStreams {
     * overwrite. Per-batch work is O(touched buckets), not O(view): at
     * 100 TB a billion-user view with a million-event batch touches a
     * bounded set of buckets while the full-overwrite form rewrites
-    * every user every batch. Same sidecar batchId replay guard; bucket
-    * count fixes the view layout, so it is a constructor parameter, not
-    * a tunable.
+    * every user every batch. Bucket count fixes the view layout, so it
+    * is a constructor parameter, not a tunable.
+    *
+    * Delivery: AT-LEAST-ONCE with an idempotent-skip guard. The sidecar
+    * batchId marker closes the common restart path (re-delivered
+    * already-committed batches are skipped), but because buckets are
+    * overwritten IN PLACE, a crash between the bucket overwrite and the
+    * marker write re-merges that batch on restart — in-place upserts on
+    * a plain filesystem have no atomic multi-file commit. The versioned
+    * [[incrementalUserTotals]] form is exactly-once at O(view)/batch;
+    * getting BOTH exactly-once and O(touched) is precisely what
+    * transaction-log table formats exist for.
     */
   def incrementalUserTotalsPartitioned(
       events: DataFrame, viewDir: String, buckets: Int = 64)

@@ -18,7 +18,11 @@ class CurationSpec extends AnyFunSuite {
     val df = Seq(
       (1L, "web", "contact bob.smith+spam@ex-ample.org or visit https://x.io/a?id=1234567 room 42"),
       (2L, "web", "card 4111111122223333 and 555 are here"),
-      (3L, "web", "clean text only"))
+      (3L, "web", "clean text only"),
+      // counter and redaction must see the SAME pattern: 'a@bcdef' has
+      // no dot-TLD, so it is neither counted nor redacted (a parser
+      // that unescapes '\\.' to '.' would count it but not redact it)
+      (4L, "web", "ping a@bcdef about it"))
       .toDF("doc_id", "source", "text")
     val out = Curation.scrubText(df)
       .select("doc_id", "n_emails", "n_urls", "n_digit_runs", "scrubbed")
@@ -31,6 +35,8 @@ class CurationSpec extends AnyFunSuite {
     assert(out(2L).getLong(3) === 1L, "16-digit card is one run; 555 too short")
     assert(out(2L).getString(4) === "card <NUM> and 555 are here")
     assert(out(3L).getString(4) === "clean text only")
+    assert(out(4L).getLong(1) === 0L, "dot-less address must not count")
+    assert(out(4L).getString(4) === "ping a@bcdef about it")
   }
 
   test("repetition gates separate a looped doc from diverse text") {

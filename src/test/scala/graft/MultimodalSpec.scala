@@ -90,6 +90,22 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxLen <= 64)
   }
 
+  test("corrupt chunk sizes throw instead of hanging the decoder") {
+    val wav = MediaCodec.encodeWav(5L)
+    // poison the fmt chunk size field with -8: a naive cursor advances
+    // by 0 bytes forever
+    val bad = wav.clone()
+    bad(16) = 0xf8.toByte; bad(17) = 0xff.toByte
+    bad(18) = 0xff.toByte; bad(19) = 0xff.toByte
+    intercept[IllegalArgumentException](MediaCodec.decode(bad))
+    // and a BMP whose width/height would overflow int bounds math
+    val bmp = MediaCodec.encodeBmp(4L)
+    val badBmp = bmp.clone()
+    badBmp(18) = 0xff.toByte; badBmp(19) = 0xff.toByte
+    badBmp(20) = 0xff.toByte; badBmp(21) = 0x7f.toByte
+    intercept[IllegalArgumentException](MediaCodec.decode(badBmp))
+  }
+
   test("pixel decode undoes bottom-up storage; NN resize maps exactly") {
     val docId      = 4L // even → BMP
     val (w, h, px) = MediaCodec.decodeBmpPixels(MediaCodec.encodeBmp(docId))

@@ -166,7 +166,7 @@ class StreamingSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination(120000)
-    val view = spark.read.parquet(viewDir)
+    val view = EventStreams.currentView(spark, viewDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val expected = batch.groupBy("user_id").count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
@@ -184,7 +184,7 @@ class StreamingSpec extends AnyFunSuite {
       .trigger(Trigger.AvailableNow())
       .start()
     q2.awaitTermination(120000)
-    val replayed = spark.read.parquet(viewDir)
+    val replayed = EventStreams.currentView(spark, viewDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(replayed === expected, "replayed micro-batches were re-merged")
   }
@@ -213,7 +213,10 @@ class StreamingSpec extends AnyFunSuite {
     // a checkpointed restart continues the batchId sequence (1, not a
     // replayed 0) — f1 is NOT re-read, f2 is merged exactly once
     assert(EventStreams.lastCommittedBatch(viewDir) === 1L)
-    val view = spark.read.parquet(viewDir)
+    // only the committed version exists — superseded v=0 was pruned
+    assert(new java.io.File(viewDir).listFiles()
+      .count(_.getName.startsWith("v=")) === 1)
+    val view = EventStreams.currentView(spark, viewDir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     val expected = batch.groupBy("user_id").count()
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
