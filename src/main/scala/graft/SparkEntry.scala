@@ -14,7 +14,8 @@ object SparkEntry {
       Similarity.defs ++ Extended.defs ++ AsOf.defs ++ Olap.defs ++
       Retention.defs ++ Rank.defs ++ TextNgrams.defs ++ Sketches.defs ++
       Graph.defs ++ Typed.defs ++ Skew.defs ++ Curation.defs ++
-      graft.streaming.EventStreams.defs ++ graft.multimodal.Multimodal.defs
+      graft.streaming.EventStreams.defs ++ graft.multimodal.Multimodal.defs ++
+      graft.sources.Bucketing.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The integrated engagement-vs-spend analysis — the reference's most

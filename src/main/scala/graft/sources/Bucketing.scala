@@ -1,5 +1,6 @@
 package graft.sources
 
+import graft.QueryDef
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Hive-style bucketed tables — the co-located-join layout for facts
@@ -65,6 +66,55 @@ object Bucketing {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** Z-order TILE statistics over (user, day) — the registered-query
+    * surface of the Morton kernel: every distinct (user_id, day) pair's
+    * 62-bit Z-code, bucketed into curve tiles (code div 2^12 — sized so the
+    * testdata's ~60-day × user key box spans many tiles), with
+    * per-tile counts and key ranges. The oracle recomputes the bit
+    * interleave arithmetically (Σ ((x>>i)&1)<<2i | ((y>>i)&1)<<(2i+1) —
+    * exact BIGINT shifts, not float powers), so the codegen'd spread
+    * tables are hash-checked bit for bit. The tile histogram is what a
+    * layout optimizer consults to pick file split points.
+    */
+  def zorderTileStats(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    graft.Tables.events(spark, dir)
+      .select(
+        col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"))
+      .distinct()
+      .select(
+        col("user_id"), col("day"),
+        expr("graft_morton(user_id, day)").as("z"))
+      .groupBy(expr("z div 4096").as("tile")) // INTEGER division: a double `/` loses bits past 2^53 on 62-bit codes
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"),
+        min(col("day")).as("min_day"),
+        max(col("day")).as("max_day"))
+      .orderBy(col("tile"))
+  }
+
+  private[sources] val zorderTileStatsSql =
+    """WITH pairs AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), z AS (
+      |  SELECT user_id, day,
+      |         (SELECT SUM(((user_id >> i.i) & 1) << (2 * i.i))
+      |                 + SUM(((day >> i.i) & 1) << (2 * i.i + 1))
+      |          FROM (SELECT unnest(generate_series(0, 30)) AS i) i) AS z
+      |  FROM pairs
+      |)
+      |SELECT CAST(z // 4096 AS BIGINT) AS tile,
+      |       count(*) AS n_pairs,
+      |       min(user_id) AS min_user, max(user_id) AS max_user,
+      |       min(day) AS min_day, max(day) AS max_day
+      |FROM z
+      |GROUP BY 1
+      |ORDER BY tile""".stripMargin
+
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈bytes/target⌉ files. Streaming sinks and incremental upserts
     * accrete files far smaller than a scan-efficient size; compaction
@@ -113,4 +163,7 @@ object Bucketing {
     rm(bak)
     (before.length, parquetFiles(dir).length)
   }
+
+  val defs: Map[String, QueryDef] = Map(
+    "zorder_tile_stats" -> QueryDef(zorderTileStats, Some(zorderTileStatsSql)))
 }
