@@ -446,12 +446,13 @@ object Engagement {
     * One shuffle on user_id; the in-partition merge is a sort + linear
     * sweep — the same cost shape as the window formulation.
     */
-  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame = {
-    eventsUs(spark, dir)
-      .select(
-        col("user_id"),
-        timestamp_micros(col("ts")).as("t"),
-        col("value"))
+  /** The session_window aggregation core over any (user_id, t, value)
+    * frame — shared verbatim by the batch query and the streaming form
+    * (StreamingSpec drives it with a watermark; closed sessions match
+    * this batch answer).
+    */
+  def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(
         col("user_id"),
         session_window(col("t"), s"$GapUs microseconds").as("w"))
@@ -464,8 +465,15 @@ object Engagement {
         unix_micros(col("w.end")).as("session_end"),
         col("n_events"),
         col("total_value"))
+
+  def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowAgg(
+      eventsUs(spark, dir)
+        .select(
+          col("user_id"),
+          timestamp_micros(col("ts")).as("t"),
+          col("value")))
       .orderBy(col("user_id"), col("session_start"))
-  }
 
   private val sessionWindowNativeSql =
     s"""WITH e AS (

@@ -149,6 +149,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("native session windows close identically in stream and batch") {
+    val dir = Files.createTempDirectory("graft-stream-sesswin").toFile
+    dir.deleteOnExit()
+    val raw = Tables.events(spark, TestSpark.Sf)
+    val minTs  = raw.agg(min(col("ts"))).collect().head.getLong(0)
+    val cutoff = minTs + 45L * 86400 * 1000000000L // ts is nanos
+    raw.filter(col("ts") < cutoff).coalesce(1)
+      .write.parquet(dir.getAbsolutePath + "/src/f1")
+    raw.filter(col("ts") >= cutoff).coalesce(1)
+      .write.parquet(dir.getAbsolutePath + "/src/f2")
+    def prep(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("user_id"),
+      expr("timestamp_micros(ts div 1000)").as("t"),
+      col("value"))
+    val stream = spark.readStream
+      .schema(raw.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath + "/src/f*")
+    val q = graft.operators.Engagement
+      .sessionWindowAgg(prep(stream).withWatermark("t", "0 seconds"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("closed_session_windows")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val closed = spark.sql("SELECT * FROM closed_session_windows")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val batchAll = graft.operators.Engagement
+      .sessionWindowAgg(prep(raw))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(closed.nonEmpty, "watermark advance must close sessions")
+    // every closed streaming session is byte-identical to its batch twin
+    closed.foreach { case (k, v) =>
+      assert(batchAll.contains(k), s"streamed session $k unknown to batch")
+      assert(batchAll(k) === v, s"session $k diverged: $v vs ${batchAll(k)}")
+    }
+  }
+
   test("foreachBatch incremental view converges to the batch aggregate") {
     val dir = Files.createTempDirectory("graft-stream-view").toFile
     dir.deleteOnExit()
