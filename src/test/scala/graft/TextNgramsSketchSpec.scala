@@ -105,4 +105,27 @@ class TextNgramsSketchSpec extends AnyFunSuite {
     val again = Similarity.embeddingKmeans(spark, TestSpark.Sf).collect()
     assert(out.toSeq === again.toSeq)
   }
+
+  test("approx_percentile sketch honors its rank-error bound vs exact") {
+    import org.apache.spark.sql.functions._
+    // the quantile-sketch leg of the sketch tier: Spark's built-in
+    // approx_percentile(accuracy a) guarantees rank error <= n/a; check
+    // the guarantee against the exact percentile on event values
+    val acc = 100
+    val vals = Tables.events(spark, TestSpark.Sf)
+      .select(col("value")).collect().map(_.getDouble(0)).sorted
+    val n = vals.length
+    val qs = Seq(0.25, 0.5, 0.9)
+    val approx = Tables.events(spark, TestSpark.Sf)
+      .agg(percentile_approx(col("value"),
+        array(qs.map(lit): _*), lit(acc)).as("p"))
+      .collect().head.getSeq[Double](0)
+    qs.zip(approx).foreach { case (q, a) =>
+      // rank of the sketch's answer must be within n/acc of q*n
+      val rank = vals.count(_ <= a)
+      val err  = math.abs(rank - q * n)
+      assert(err <= n.toDouble / acc + 1,
+        s"q=$q: sketch rank $rank vs ${q * n} exceeds n/acc=${n / acc}")
+    }
+  }
 }
