@@ -213,14 +213,21 @@ object Graph {
     * algorithms, one hash.
     */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    // pairs feeds FOUR consumers (deg, oriented via two joins, the
+    // closing-edge probe, and nEdges) — without a checkpoint each action
+    // re-derives the distinct+self-join+groupBy pair generation from
+    // scratch, the expensive part of the whole query. Same fix the 10×
+    // probe forced on pagerankParts above.
     val pairs = Commerce
       .pairCounts(
         Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
       .filter(col("pair_count") >= 2)
       .select(col("part_x").as("a"), col("part_y").as("b")) // canonical a < b
+      .localCheckpoint()
     val deg = pairs.select(col("a").as("n"))
       .unionAll(pairs.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .localCheckpoint() // node-count sized; 3 consumers below
     val oriented = pairs
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
@@ -230,6 +237,7 @@ object Graph {
           struct(col("a").as("s"), col("b").as("t")))
           .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
+      .localCheckpoint() // self-joined below; broadcast joins leave no exchange to reuse
     val wedges = oriented.as("w1")
       .join(oriented.as("w2"), col("w1.s") === col("w2.s"))
       .filter(col("w1.t") < col("w2.t"))
