@@ -75,26 +75,31 @@ object Dedup {
     * clusters). These anchors are output-quadratic on duplicated
     * corpora BY DESIGN — they exist as small-scale oracle baselines;
     * the bounded-work production paths are the minhash/simhash twins.
-    * The guard makes that routing mechanical: above the cap the exact
-    * form refuses to build a plan at all, so no 100 TB caller can reach
-    * the quadratic pair expansion by accident. Guard behavior is
-    * spec-asserted (QuadraticGuardSpec).
+    * The cap makes that routing mechanical and AUTOMATIC: above it the
+    * exact form never builds its quadratic plan — it returns the
+    * bounded minhash twin's result (adapted to this schema: `common`
+    * null, `jaccard` carrying the signature ESTIMATE) with a logged
+    * downgrade, so a 100 TB caller degrades instead of crashing.
+    * dedup_editdist and dedup_clusters build on this frame and so
+    * inherit the routing — above the cap the whole exact family runs
+    * candidate-bounded. Spec-asserted (QuadraticGuardSpec).
     */
   private[graft] val ExactDocCap = 100000L
-
-  private[graft] def guardExactAnchor(n: Long, cap: Long, query: String): Unit = {
-    if (n > cap) throw new IllegalStateException(
-      s"$query is an exact small-scale anchor (output-quadratic on duplicated corpora) " +
-        s"and refuses corpora above $cap documents (got $n). Use its bounded sketch twin " +
-        "(dedup_minhash / dedup_simhash / dedup_clusters_minhash) at scale.")
-  }
 
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     dedupJaccardGuarded(spark, dir, ExactDocCap)
 
   private[graft] def dedupJaccardGuarded(
       spark: SparkSession, dir: String, cap: Long): DataFrame = {
-    guardExactAnchor(Tables.cachedCount(spark, dir, "documents"), cap, "dedup_jaccard")
+    val nDocs = Tables.cachedCount(spark, dir, "documents")
+    if (nDocs > cap) {
+      graft.Downgrades.record("dedup_jaccard", "dedup_minhash", nDocs, cap)
+      return dedupMinhash(spark, dir).select(
+        col("doc_a"),
+        col("doc_b"),
+        lit(null).cast("long").as("common"),
+        col("est_jaccard").as("jaccard"))
+    }
     val sh    = shingled(spark, dir).withColumn("h", xxhash64(col("shingle"))).select("doc_id", "h")
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))

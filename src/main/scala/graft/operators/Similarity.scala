@@ -73,9 +73,10 @@ object Similarity {
 
   /** Corpus-size cap for the exact all-pairs anchor below: the cross
     * join is O(n²) BY DESIGN (it is the small-scale oracle baseline for
-    * the LSH path). Above the cap it refuses to build a plan, so no
-    * 100 TB caller can reach a cartesian product by accident — the
-    * scale path is embedding_neardup_lsh. Spec: QuadraticGuardSpec.
+    * the LSH path). Above the cap the cartesian plan is never built —
+    * the call routes to embedding_neardup_lsh (same (vec_a, vec_b, cos)
+    * schema, approximate recall) with a logged downgrade, so a 100 TB
+    * caller degrades instead of crashing. Spec: QuadraticGuardSpec.
     */
   private[graft] val ExactVectorCap = 50000L
 
@@ -91,9 +92,10 @@ object Similarity {
     GraftFunctions.register(spark)
     val e = corpus(spark, dir)
     val n = Tables.cachedCount(spark, dir, "embeddings")
-    if (n > cap) throw new IllegalStateException(
-      s"embedding_neardup is an exact all-pairs anchor (O(n²) cross join) and refuses " +
-        s"corpora above $cap vectors (got $n). Use embedding_neardup_lsh at scale.")
+    if (n > cap) {
+      graft.Downgrades.record("embedding_neardup", "embedding_neardup_lsh", n, cap)
+      return embeddingNeardupLsh(spark, dir)
+    }
     val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("vb"))
     a.crossJoin(b)

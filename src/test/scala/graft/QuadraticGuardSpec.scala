@@ -3,30 +3,54 @@ package graft
 import graft.operators.{Dedup, Similarity}
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The intentionally-quadratic exact anchors must refuse oversized
-  * corpora (the registered surface contains no plan that can go
-  * cartesian/quadratic at scale); at the shipped caps the test-scale
-  * queries still build and run.
+/** The intentionally-quadratic exact anchors must never build their
+  * quadratic plans on oversized corpora: above the cap they AUTO-ROUTE
+  * to their bounded sketch twins with a logged downgrade (the 100 TB
+  * caller degrades to approximate results instead of crashing), and at
+  * the shipped caps the test-scale queries still run exact.
   */
 class QuadraticGuardSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
-  test("dedup_jaccard refuses a corpus above the exact-anchor cap") {
-    val e = intercept[IllegalStateException] {
-      Dedup.dedupJaccardGuarded(spark, TestSpark.Sf, cap = 10)
-    }
-    assert(e.getMessage.contains("dedup_minhash"))
+  test("dedup_jaccard above the cap routes to dedup_minhash, schema preserved") {
+    Downgrades.last = None
+    val routed = Dedup.dedupJaccardGuarded(spark, TestSpark.Sf, cap = 10)
+    assert(Downgrades.last.exists(m =>
+      m.contains("dedup_jaccard") && m.contains("dedup_minhash")))
+    // schema contract holds so dedup_editdist/dedup_clusters still build
+    assert(routed.columns.toSeq == Seq("doc_a", "doc_b", "common", "jaccard"))
+    val twin = Dedup.dedupMinhash(spark, TestSpark.Sf)
+    assert(
+      routed.select("doc_a", "doc_b", "jaccard").collect().map(_.toSeq).toSeq ==
+        twin.select("doc_a", "doc_b", "est_jaccard").collect().map(_.toSeq).toSeq)
   }
 
-  test("embedding_neardup refuses a corpus above the all-pairs cap") {
-    val e = intercept[IllegalStateException] {
-      Similarity.embeddingNeardupGuarded(spark, TestSpark.Sf, cap = 10)
-    }
-    assert(e.getMessage.contains("embedding_neardup_lsh"))
+  test("embedding_neardup above the cap routes to embedding_neardup_lsh") {
+    Downgrades.last = None
+    val routed = Similarity.embeddingNeardupGuarded(spark, TestSpark.Sf, cap = 10)
+    assert(Downgrades.last.exists(m =>
+      m.contains("embedding_neardup") && m.contains("embedding_neardup_lsh")))
+    val twin = Similarity.embeddingNeardupLsh(spark, TestSpark.Sf)
+    assert(
+      routed.collect().map(_.toSeq).toSeq == twin.collect().map(_.toSeq).toSeq)
   }
 
-  test("at the shipped caps the anchors still build plans at test scale") {
+  test("the exact family inherits the routing (editdist stays bounded)") {
+    // dedup_editdist builds on dedupJaccard; with the cap tripped its
+    // candidate set comes from the minhash twin — the plan must still
+    // resolve (jaccard column present) and stay candidate-bounded.
+    Downgrades.last = None
+    val n = Tables.cachedCount(spark, TestSpark.Sf, "documents")
+    assert(n > 10) // precondition: the tiny cap actually trips
+    val df = Dedup.dedupJaccardGuarded(spark, TestSpark.Sf, cap = 10)
+    assert(df.columns.contains("jaccard"))
+    assert(Downgrades.last.nonEmpty)
+  }
+
+  test("at the shipped caps the anchors still run exact at test scale") {
+    Downgrades.last = None
     assert(Dedup.dedupJaccard(spark, TestSpark.Sf).columns.nonEmpty)
     assert(Similarity.embeddingNeardup(spark, TestSpark.Sf).columns.nonEmpty)
+    assert(Downgrades.last.isEmpty) // no downgrade at test scale
   }
 }
