@@ -415,6 +415,148 @@ object EventStreams {
         }
       }
 
+  // ---------------------------------------------------------------------
+  // Manifest-committed incremental view: exactly-once AND O(touched
+  // buckets) per batch — the mini transaction log the two forms above
+  // trade off against each other. Layout:
+  //
+  //   viewDir/v=<batchId>/bkt=<b>/part-*.parquet   (fresh dir per batch;
+  //                                                 only touched buckets)
+  //   viewDir._manifest    line 1: <committedBatchId>
+  //                        then one "<bucket> <version>" line per bucket,
+  //                        mapping it to the version dir holding its
+  //                        CURRENT rows.
+  //
+  // Commit = write-temp + ATOMIC_MOVE of the manifest — one atomic commit
+  // point covering every bucket the batch rewrote. A crash anywhere
+  // before the move leaves the previous manifest: readers (which only
+  // ever resolve paths through the manifest) can never observe a torn
+  // multi-bucket write. Batches write to FRESH v=<batchId> dirs, so the
+  // in-place-overwrite window of incrementalUserTotalsPartitioned does
+  // not exist; replayed batches are skipped by the committed-id guard,
+  // and a half-written v dir from a crashed attempt is clobbered by the
+  // replay's overwrite then superseded. Superseded version dirs are
+  // pruned best-effort after commit. Crash-injection spec: StreamingSpec.
+  // ---------------------------------------------------------------------
+
+  private def manifestPath(viewDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(viewDir.stripSuffix("/") + "._manifest")
+
+  /** (committed batchId, bucket → version). (-1, empty) before first commit. */
+  def readManifest(viewDir: String): (Long, Map[Int, Long]) = {
+    val p = manifestPath(viewDir)
+    if (!java.nio.file.Files.exists(p)) (-1L, Map.empty)
+    else {
+      val lines = new String(java.nio.file.Files.readAllBytes(p)).linesIterator.toSeq
+      val m = lines.drop(1).filter(_.nonEmpty).map { l =>
+        val Array(b, v) = l.split(' '); b.toInt -> v.toLong
+      }.toMap
+      (lines.head.trim.toLong, m)
+    }
+  }
+
+  private def writeManifest(
+      viewDir: String, batchId: Long, m: Map[Int, Long]): Unit = {
+    val p    = manifestPath(viewDir)
+    val tmp  = java.nio.file.Paths.get(p.toString + ".tmp")
+    val body = (batchId.toString +: m.toSeq.sortBy(_._1)
+      .map { case (b, v) => s"$b $v" }).mkString("\n")
+    java.nio.file.Files.write(tmp, body.getBytes)
+    java.nio.file.Files.move(
+      tmp, p,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
+  }
+
+  /** The committed state of the manifest view — the only read path.
+    * One parquet read over the per-bucket leaf dirs the manifest names;
+    * basePath recovers `bkt` as a column, the version dir is dropped.
+    */
+  def manifestView(spark: SparkSession, viewDir: String): DataFrame = {
+    val (committed, m) = readManifest(viewDir)
+    require(committed >= 0, s"no committed manifest under $viewDir")
+    val paths = m.toSeq.sortBy(_._1)
+      .map { case (b, v) => s"$viewDir/v=$v/bkt=$b" }
+    spark.read.option("basePath", viewDir).parquet(paths: _*).drop("v")
+  }
+
+  /** One micro-batch of the manifest view, factored out of foreachBatch
+    * so the crash-injection spec can drive it directly. `crashHook` runs
+    * after the bucket data is fully written but BEFORE the manifest
+    * commit — the widest torn-view window the protocol must survive.
+    */
+  private[graft] def mergeManifestBatch(
+      batch: DataFrame, viewDir: String, buckets: Int, batchId: Long,
+      crashHook: () => Unit = () => ()): Unit = {
+    val spark = batch.sparkSession
+    val (committed, manifest) = readManifest(viewDir)
+    if (batchId <= committed) () // replayed micro-batch: already merged
+    else {
+      val partial = batch
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(Det.Money)).as("total_value"))
+        .withColumn("bkt", pmod(hash(col("user_id")), lit(buckets)))
+      // bounded driver collect: at most `buckets` ints
+      val touched = partial.select(col("bkt")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val prevPaths = touched.filter(manifest.contains)
+        .map(b => s"$viewDir/v=${manifest(b)}/bkt=$b")
+      val merged =
+        if (prevPaths.nonEmpty)
+          spark.read.option("basePath", viewDir).parquet(prevPaths: _*)
+            .drop("v")
+            .unionByName(partial)
+            .groupBy(col("user_id"), col("bkt"))
+            .agg(
+              sum(col("n_events")).as("n_events"),
+              sum(col("total_value")).as("total_value"))
+        else partial
+      merged
+        // canonical physical schema across version dirs (see the
+        // partitioned form above for why)
+        .select(
+          col("user_id"),
+          col("n_events").cast("long").as("n_events"),
+          col("total_value").cast("decimal(28,2)").as("total_value"),
+          col("bkt"))
+        // overwrite: a crashed prior attempt at this batchId may have
+        // left a half-written v dir — the replay clobbers it
+        .write.mode("overwrite")
+        .partitionBy("bkt")
+        .parquet(s"$viewDir/v=$batchId")
+      crashHook()
+      val next = manifest ++ touched.map(_ -> batchId)
+      writeManifest(viewDir, batchId, next) // the ONLY commit point
+      // prune version dirs no manifest entry references any more
+      // (best-effort; readers resolve through the manifest, so a
+      // leftover dir is garbage, not a hazard)
+      val live = next.values.toSet + batchId
+      Option(new java.io.File(viewDir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory && f.getName.startsWith("v="))
+        .filterNot(f => live.contains(f.getName.stripPrefix("v=").toLong))
+        .foreach { f =>
+          def rm(g: java.io.File): Unit = {
+            Option(g.listFiles()).getOrElse(Array.empty).foreach(rm)
+            g.delete(); ()
+          }
+          rm(f)
+        }
+    }
+  }
+
+  /** Streaming entry for the manifest view. */
+  def incrementalUserTotalsManifest(
+      events: DataFrame, viewDir: String, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        mergeManifestBatch(batch.toDF(), viewDir, buckets, batchId)
+      }
+
   val defs: Map[String, QueryDef] = Map(
     "event_time_windows"      -> QueryDef(eventTimeWindows, Some(eventTimeWindowsSql)),
     "event_sliding_windows"   -> QueryDef(eventSlidingWindows, Some(eventSlidingWindowsSql)),

@@ -405,4 +405,81 @@ class StreamingSpec extends AnyFunSuite {
     val n = spark.sql("SELECT sum(n_events) FROM stream_sessions").collect().head.getLong(0)
     assert(n === batch.count())
   }
+
+  test("manifest view: crash between bucket write and commit never tears the view") {
+    val dir = Files.createTempDirectory("graft-stream-manifest").toFile
+    dir.deleteOnExit()
+    val viewDir = dir.getAbsolutePath + "/view"
+    val events  = Tables.events(spark, TestSpark.Sf)
+    def snap(): Map[Long, (Long, java.math.BigDecimal)] =
+      EventStreams.manifestView(spark, viewDir).collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          ((r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("total_value"))))
+        .toMap
+
+    EventStreams.mergeManifestBatch(events, viewDir, buckets = 16, batchId = 0)
+    assert(EventStreams.readManifest(viewDir)._1 === 0)
+    val view0 = snap()
+    assert(view0.nonEmpty)
+
+    // batch 1 crashes AFTER its multi-bucket data write, BEFORE commit —
+    // the widest torn-view window the protocol has
+    intercept[RuntimeException] {
+      EventStreams.mergeManifestBatch(
+        events, viewDir, 16, 1, () => throw new RuntimeException("injected crash"))
+    }
+    // the manifest still names batch 0's versions: readers see the OLD
+    // view, complete and consistent — not a mix of old and new buckets
+    assert(EventStreams.readManifest(viewDir)._1 === 0)
+    assert(snap() === view0, "crash mid-commit must not change the visible view")
+
+    // the replayed batch completes and merges EXACTLY once (the crashed
+    // attempt's half-written v=1 dir is clobbered, not double-merged)
+    EventStreams.mergeManifestBatch(events, viewDir, 16, 1)
+    assert(EventStreams.readManifest(viewDir)._1 === 1)
+    val view1 = snap()
+    view0.foreach { case (u, (n0, _)) =>
+      assert(view1(u)._1 === 2 * n0, s"user $u merged other than exactly twice")
+    }
+
+    // re-delivery of an already-committed batch is skipped outright
+    EventStreams.mergeManifestBatch(events, viewDir, 16, 1)
+    assert(snap() === view1)
+  }
+
+  test("manifest view: streaming convergence, O(touched) versioning") {
+    val dir = Files.createTempDirectory("graft-stream-manifest2").toFile
+    dir.deleteOnExit()
+    val viewDir = dir.getAbsolutePath + "/view"
+    val batch = Tables.events(spark, TestSpark.Sf)
+    val oneUser = batch.select(col("user_id")).limit(1)
+      .collect().head.getLong(0)
+    batch.filter(col("user_id") =!= oneUser)
+      .coalesce(1).write.parquet(dir.getAbsolutePath + "/src/f1")
+    batch.filter(col("user_id") === oneUser)
+      .coalesce(1).write.parquet(dir.getAbsolutePath + "/src/f2")
+    val stream = spark.readStream
+      .schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.getAbsolutePath + "/src/f*")
+    val q = EventStreams
+      .incrementalUserTotalsManifest(stream, viewDir, buckets = 16)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // converges to the batch aggregate through the manifest read path
+    val view = EventStreams.manifestView(spark, viewDir)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toMap
+    val expected = batch.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(view === expected)
+    // O(touched): batch 1 carried ONE user, so exactly one bucket moved
+    // to version 1 — every other bucket still reads from version 0
+    val (committed, manifest) = EventStreams.readManifest(viewDir)
+    assert(committed === 1)
+    val hotBkt = spark.range(1)
+      .select(pmod(hash(lit(oneUser)), lit(16))).collect().head.getInt(0)
+    assert(manifest(hotBkt) === 1L)
+    manifest.filter(_._1 != hotBkt).values.foreach(v => assert(v === 0L))
+  }
 }
