@@ -60,7 +60,7 @@ object Bench {
       // partitions don't accumulate across the full run and evict or
       // spill against later queries — outside the timed window, so the
       // artifact number is the query, not the cleanup
-      spark.catalog.clearCache()
+      QueryState.release(spark)
       (name, elapsed, gcS, jitS)
     }
     def jmap(f: ((String, Double, Double, Double)) => Double): String = results

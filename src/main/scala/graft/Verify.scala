@@ -20,7 +20,7 @@ object Verify {
       }
       // release per-query persist()s — cached partitions must not
       // accumulate across the full query sweep in one session
-      spark.catalog.clearCache()
+      QueryState.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

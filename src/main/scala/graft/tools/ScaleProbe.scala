@@ -3,6 +3,7 @@ package graft.tools
 import graft.{GraftSession, SparkEntry, Tables}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Dev-only 10× scale probe: replicates the sf0.1 fact tables with
   * shifted entity keys (dimensions keep their cardinality — realistic
@@ -110,13 +111,51 @@ object ScaleProbe {
         "top_spenders", "user_engagement", "engagement_vs_spend",
         "sessionize", "user_sessions_topk", "user_sessions_topk_custom",
         "revenue_by_region", "rfm")
+    // Spill telemetry: sum task-level memory/disk spill bytes between
+    // per-query marks. A memory-pressure run (small SPARK_DRIVER_MEM) is
+    // only evidence if a query DEMONSTRABLY spilled and still completed —
+    // assert it from task metrics, don't infer it from wall time.
+    val memSpill  = new java.util.concurrent.atomic.AtomicLong
+    val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null) {
+            memSpill.addAndGet(m.memoryBytesSpilled)
+            diskSpill.addAndGet(m.diskBytesSpilled)
+          }
+        }
+      })
+    println(s"### heap max ${Runtime.getRuntime.maxMemory / (1 << 20)} MiB")
     // warm codegen infra
     SparkEntry.queries("top_spenders")(spark, Dest)
       .write.mode("overwrite").format("noop").save()
+    // SCALE_REPEAT=k: time each query k times in-JVM and report every
+    // rep — single-shot numbers at this scale carry 2-3× GC/page-cache
+    // noise; the min over reps is the plan's cost, the spread is the
+    // noise floor.
+    val repeat = sys.env.getOrElse("SCALE_REPEAT", "1").toInt
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(b.getCollectionTime, 0L)).sum
     names.foreach { n =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, Dest).write.mode("overwrite").format("noop").save()
-      println(f"### SCALE${Copies}x $n%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val times = (1 to repeat).map { rep =>
+        val mem0 = memSpill.get(); val disk0 = diskSpill.get()
+        val gc0 = gcMillis()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(n)(spark, Dest).write.mode("overwrite").format("noop").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        graft.QueryState.release(spark) // caches AND checkpoint blocks
+        val gcS = (gcMillis() - gc0) / 1e3
+        val spillMem  = (memSpill.get() - mem0) / (1 << 20)
+        val spillDisk = (diskSpill.get() - disk0) / (1 << 20)
+        println(f"### SCALE${Copies}x $n%-28s rep$rep $secs%.2f s  gc $gcS%.1f s  spill mem ${spillMem}%d MiB disk ${spillDisk}%d MiB")
+        secs
+      }
+      if (repeat > 1)
+        println(f"### SCALE${Copies}x $n%-28s min ${times.min}%.2f s")
     }
     spark.stop()
   }
