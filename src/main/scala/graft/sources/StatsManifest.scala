@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.jdk.CollectionConverters._
+
+/** File-skipping statistics manifest — the data-skipping tier ABOVE
+  * Spark's parquet row-group pruning. At write time we harvest each
+  * file's per-column min/max from its parquet FOOTER (no data pages are
+  * read) into a sidecar manifest; at read time a range predicate is
+  * evaluated against the manifest and only intersecting files are handed
+  * to Spark at all. Row-group pruning then still applies inside the kept
+  * files — the two tiers compose.
+  *
+  * Why it matters at 100 TB: Spark's min/max pruning runs per row-group
+  * AFTER listing and footer-reading every file in the table; a manifest
+  * turns "open a million footers per query" into one small sidecar read
+  * on the driver, which is precisely what Delta/Iceberg file statistics
+  * do. Combined with the Z-order layout ([[Bucketing.writeZOrdered]] —
+  * each file covers a compact 2-D tile) a single-dimension range query
+  * skips all but ~√F of F files; on a lexicographic layout the same
+  * predicate on the secondary key keeps every file.
+  * StatsManifestSpec measures exactly that skip-count difference.
+  *
+  * Scope: numeric columns (parquet INT32/INT64/FLOAT/DOUBLE). Values are
+  * carried as BigDecimal strings so INT64 keys beyond 2^53 (e.g. Z-codes,
+  * composite rowkeys — SURVEY §2's S5) compare exactly; string columns
+  * would add only an encoding, not a new mechanism.
+  *
+  * The footer harvest runs as a Spark job over the file list (one task
+  * per ~64 files), not a driver loop — a million-file table's manifest
+  * build is itself distributed.
+  */
+object StatsManifest {
+
+  final case class FileStats(
+      path: String, rows: Long, stats: Map[String, (BigDecimal, BigDecimal)])
+
+  /** Inclusive range predicate on one column; None = unbounded side. */
+  final case class Range(col: String, lo: Option[BigDecimal], hi: Option[BigDecimal])
+
+  final case class PruneReport(totalFiles: Int, keptFiles: Int) {
+    def skipped: Int = totalFiles - keptFiles
+  }
+
+  private def manifestPath(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(dir.stripSuffix("/") + "._stats_manifest")
+
+  private def parquetFiles(dir: String): Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isFile) { if (f.getName.endsWith(".parquet")) Seq(f) else Nil }
+      else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+    walk(new java.io.File(dir)).map(_.getAbsolutePath).sorted
+  }
+
+  /** Harvest per-file min/max for `cols` from parquet footers and write
+    * the sidecar manifest. Returns the number of files covered.
+    */
+  def write(spark: SparkSession, dir: String, cols: Seq[String]): Int = {
+    val files = parquetFiles(dir)
+    val tasks = math.max(1, math.min(files.size, 64))
+    val harvested: Seq[FileStats] = spark.sparkContext
+      .parallelize(files, tasks)
+      .map { p =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(p), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          val perCol = cols.flatMap { c =>
+            val ranges = blocks.flatMap { b =>
+              b.getColumns.asScala
+                .find(_.getPath.toDotString == c)
+                .flatMap { cc =>
+                  val s = cc.getStatistics
+                  if (s == null || !s.hasNonNullValue) None
+                  else (s.genericGetMin, s.genericGetMax) match {
+                    case (mn: Number, mx: Number) =>
+                      Some((BigDecimal(mn.toString), BigDecimal(mx.toString)))
+                    case _ => None // non-numeric: out of scope, stays prunable-by-Spark only
+                  }
+                }
+            }
+            // every row-group must carry stats, else the file's bound is
+            // not sound for pruning — skip the column (conservative keep)
+            if (ranges.size == blocks.size && ranges.nonEmpty)
+              Some(c -> (ranges.map(_._1).min, ranges.map(_._2).max))
+            else None
+          }.toMap
+          FileStats(p, rows, perCol)
+        } finally reader.close()
+      }
+      .collect() // bounded: one small record per FILE, not per row
+      .toSeq
+    val body = harvested.sortBy(_.path).flatMap { fs =>
+      fs.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"${fs.path}\t${fs.rows}\t$c\t$mn\t$mx"
+      }
+    }.mkString("\n")
+    val tmp = java.nio.file.Paths.get(manifestPath(dir).toString + ".tmp")
+    java.nio.file.Files.write(tmp, body.getBytes)
+    java.nio.file.Files.move(
+      tmp, manifestPath(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    harvested.size
+  }
+
+  def read(dir: String): Seq[FileStats] = {
+    val p = manifestPath(dir)
+    require(java.nio.file.Files.exists(p), s"no stats manifest under $dir")
+    new String(java.nio.file.Files.readAllBytes(p))
+      .linesIterator.filter(_.nonEmpty).toSeq
+      .map { l =>
+        val Array(path, rows, c, mn, mx) = l.split('\t')
+        (path, rows.toLong, c, BigDecimal(mn), BigDecimal(mx))
+      }
+      .groupBy(t => (t._1, t._2))
+      .map { case ((path, rows), ls) =>
+        FileStats(path, rows, ls.map(t => t._3 -> (t._4, t._5)).toMap)
+      }
+      .toSeq.sortBy(_.path)
+  }
+
+  /** Files whose stats intersect every range. A file with no stats for a
+    * predicate column is KEPT (pruning must be sound, never lossy).
+    */
+  def pruneFiles(dir: String, ranges: Seq[Range]): (Seq[String], PruneReport) = {
+    val all = read(dir)
+    val kept = all.filter { fs =>
+      ranges.forall { r =>
+        fs.stats.get(r.col) match {
+          case None => true
+          case Some((mn, mx)) =>
+            r.lo.forall(_ <= mx) && r.hi.forall(_ >= mn)
+        }
+      }
+    }
+    (kept.map(_.path), PruneReport(all.size, kept.size))
+  }
+
+  /** Manifest-pruned scan: only intersecting files reach Spark's reader.
+    * The caller still applies the exact filter — the manifest only
+    * SKIPS files, it never stands in for the predicate.
+    */
+  def prunedRead(
+      spark: SparkSession, dir: String, ranges: Seq[Range]): (DataFrame, PruneReport) = {
+    val (files, report) = pruneFiles(dir, ranges)
+    val df =
+      if (files.isEmpty)
+        // all files pruned: empty frame with the table's schema
+        spark.read.parquet(dir).limit(0)
+      else spark.read.option("basePath", dir).parquet(files: _*)
+    (df, report)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.sources.{Bucketing, StatsManifest}
+import graft.sources.StatsManifest.Range
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** File-skipping manifest: harvested footer stats must equal the true
+  * per-file extremes, manifest pruning must be sound (never drops a
+  * matching row) and MEASURABLY effective on the Z-order layout — the
+  * skip-count numbers the BASELINE.md data-skipping entry records.
+  */
+class StatsManifestSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private lazy val fixture: (String, String, Long, Long) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-statsman").toFile
+    dir.deleteOnExit()
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .withColumn("day", expr("tus div 86400000000"))
+    val nFiles = 16
+    val zPath = dir.getAbsolutePath + "/z"
+    val lPath = dir.getAbsolutePath + "/lex"
+    Bucketing.writeZOrdered(ev, zPath, "user_id", "day", nFiles)
+    ev.repartitionByRange(nFiles, col("user_id"), col("tus"))
+      .sortWithinPartitions("user_id", "tus")
+      .write.mode("overwrite").parquet(lPath)
+    assert(StatsManifest.write(spark, zPath, Seq("user_id", "day")) > 4)
+    assert(StatsManifest.write(spark, lPath, Seq("user_id", "day")) > 4)
+    val days = ev.select(min("day"), max("day")).collect().head
+    (zPath, lPath, days.getLong(0), days.getLong(1))
+  }
+
+  test("harvested footer stats equal the true per-file min/max") {
+    val (zPath, _, _, _) = fixture
+    val truth = spark.read.parquet(zPath)
+      .groupBy(input_file_name().as("f"))
+      .agg(
+        min("user_id").as("u0"), max("user_id").as("u1"),
+        min("day").as("d0"), max("day").as("d1"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(r => new java.net.URI(r.getString(0)).getPath ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val manifest = StatsManifest.read(zPath)
+    assert(manifest.size === truth.size)
+    manifest.foreach { fs =>
+      val (u0, u1, d0, d1, n) = truth(fs.path)
+      assert(fs.rows === n, fs.path)
+      assert(fs.stats("user_id") === (BigDecimal(u0), BigDecimal(u1)), fs.path)
+      assert(fs.stats("day") === (BigDecimal(d0), BigDecimal(d1)), fs.path)
+    }
+  }
+
+  test("manifest prunes a day box on the z-layout, keeps all on lex, and stays exact") {
+    val (zPath, lPath, dayLo, dayHi) = fixture
+    val midDay = (dayLo + dayHi) / 2
+    val box = Seq(Range("day", Some(BigDecimal(midDay)), Some(BigDecimal(midDay))))
+
+    val (zDf, zRep) = StatsManifest.prunedRead(spark, zPath, box)
+    val (_, lRep)   = StatsManifest.prunedRead(spark, lPath, box)
+    info(s"day-box skip: z-order ${zRep.skipped}/${zRep.totalFiles} files skipped, " +
+      s"lex ${lRep.skipped}/${lRep.totalFiles}")
+    // z tiles: a strict subset of files intersects one day
+    assert(zRep.skipped > 0, s"z-layout skipped nothing ($zRep)")
+    // user-sorted files all span the full day range — nothing to skip
+    assert(lRep.skipped === 0, s"lex layout unexpectedly pruned ($lRep)")
+
+    // soundness: pruned scan + exact predicate ≡ full scan + exact predicate
+    def sig(df: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val r = df.filter(col("day") === midDay)
+        .agg(count(lit(1)), sum("user_id"), sum("tus")).collect().head
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    assert(sig(zDf) === sig(spark.read.parquet(zPath)))
+
+    // a 2-D box (mid user × mid day) prunes harder than either axis alone
+    val users = spark.read.parquet(zPath).select(min("user_id"), max("user_id"))
+      .collect().head
+    val midUser = (users.getLong(0) + users.getLong(1)) / 2
+    val (_, boxRep) = StatsManifest.prunedRead(spark, zPath,
+      box :+ Range("user_id", Some(BigDecimal(midUser)), Some(BigDecimal(midUser))))
+    info(s"2-D box skip: ${boxRep.skipped}/${boxRep.totalFiles}")
+    assert(boxRep.keptFiles <= zRep.keptFiles)
+  }
+
+  test("pruning is conservative: unknown columns keep every file, empty boxes keep none") {
+    val (zPath, _, _, dayHi) = fixture
+    val (_, unknown) = StatsManifest.prunedRead(spark, zPath,
+      Seq(Range("no_such_col", Some(BigDecimal(0)), None)))
+    assert(unknown.skipped === 0)
+    val (emptyDf, empty) = StatsManifest.prunedRead(spark, zPath,
+      Seq(Range("day", Some(BigDecimal(dayHi + 1000)), None)))
+    assert(empty.keptFiles === 0)
+    assert(emptyDf.count() === 0)
+    assert(emptyDf.columns.toSeq === Seq("user_id", "tus", "day"))
+  }
+}
