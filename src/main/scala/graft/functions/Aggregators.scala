@@ -139,3 +139,131 @@ object FrequentItems {
   def udf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new FrequentItems(k), Encoders.scalaLong)
 }
+
+/** KLL-style mergeable quantile sketch (Karnin–Lang–Liberty 2016; the
+  * level/compactor scheme of Munro–Paterson/MRL) as a typed
+  * `Aggregator[Double, KllState, Seq[Double]]` — the quantile aggregate
+  * that scales where exact `percentile` cannot: exact percentile
+  * collects every group value onto one reducer, O(group) memory; the
+  * sketch is O(k log(n/k)) per group and merges associatively, so
+  * partial aggregation (map-side combine) applies like any sum.
+  *
+  * Structure: level l holds items of weight 2^l. New items enter level
+  * 0; when total size exceeds total capacity the lowest over-capacity
+  * level is sorted and every other item (random offset) is promoted to
+  * level l+1 — halving the buffer, doubling the weight. Level
+  * capacities decay geometrically (×2/3) below the top level, the KLL
+  * refinement over MRL's uniform buffers. Each level-l compaction
+  * perturbs any rank by ≤ 2^l, and with random offsets the signed
+  * errors cancel: expected rank error O(n/k) with log-factor worst
+  * case. The "coin" is a deterministic bit drawn from the buffer
+  * content (doubleToLongBits xor), so a run is reproducible given its
+  * merge tree while remaining unbiased across compactions.
+  *
+  * finish() returns the value estimates at the requested quantiles —
+  * the weighted order statistics of the surviving items. The query
+  * surface (operators.Sketches.valueQuantilesSketch) checks the rank
+  * error of every estimate against the exact ranks IN the query, so the
+  * DuckDB row carries the bound verdict, not the engine-private sketch
+  * state.
+  */
+final case class KllState(count: Long, levels: Vector[Vector[Double]])
+
+class KllQuantiles(k: Int, qs: Seq[Double])
+  extends Aggregator[Double, KllState, Seq[Double]] {
+  require(k >= 32, "KLL needs k >= 32 for a usable bound")
+  require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1))
+
+  override def zero: KllState = KllState(0L, Vector(Vector.empty))
+
+  private def cap(l: Int, h: Int): Int =
+    math.max(8, math.ceil(k * math.pow(2.0 / 3.0, (h - 1 - l).toDouble)).toInt)
+
+  private def totalCap(h: Int): Int = (0 until h).map(cap(_, h)).sum
+
+  /** Deterministic unbiased coin: parity of a hash of the buffer's
+    * content and the running count.
+    */
+  private def coin(buf: Vector[Double], count: Long, l: Int): Int = {
+    var h = count ^ (l.toLong << 32)
+    h ^= java.lang.Double.doubleToLongBits(buf.head) * 0x9e3779b97f4a7c15L
+    h ^= java.lang.Double.doubleToLongBits(buf.last) + (buf.size.toLong << 17)
+    h ^= h >>> 33
+    (h & 1L).toInt
+  }
+
+  /** Sort and halve the lowest over-capacity level, promoting survivors
+    * one level up. No-op if nothing is over capacity.
+    */
+  private def compressOnce(s: KllState): KllState = {
+    val h = s.levels.size
+    val over = s.levels.indices.find(l => s.levels(l).size > cap(l, h))
+    over match {
+      case None => s
+      case Some(l) =>
+        val sorted = s.levels(l).sorted
+        val off    = coin(sorted, s.count, l)
+        val kept   = sorted.indices.collect {
+          case i if i % 2 == off => sorted(i)
+        }.toVector
+        val withNext =
+          if (l + 1 < h) s.levels
+          else s.levels :+ Vector.empty[Double]
+        val next = withNext
+          .updated(l, Vector.empty[Double])
+          .updated(l + 1, withNext(l + 1) ++ kept)
+        s.copy(levels = next)
+    }
+  }
+
+  private def compress(s: KllState): KllState = {
+    var cur = s
+    while (cur.levels.map(_.size).sum > totalCap(cur.levels.size)) {
+      val nxt = compressOnce(cur)
+      if (nxt eq cur) return cur // nothing over per-level cap: stable
+      cur = nxt
+    }
+    cur
+  }
+
+  override def reduce(s: KllState, x: Double): KllState =
+    compress(KllState(s.count + 1, s.levels.updated(0, s.levels(0) :+ x)))
+
+  override def merge(a: KllState, b: KllState): KllState = {
+    val h = math.max(a.levels.size, b.levels.size)
+    val levels = Vector.tabulate(h) { l =>
+      (if (l < a.levels.size) a.levels(l) else Vector.empty) ++
+        (if (l < b.levels.size) b.levels(l) else Vector.empty)
+    }
+    compress(KllState(a.count + b.count, levels))
+  }
+
+  /** Weighted order statistics at each requested quantile. */
+  override def finish(s: KllState): Seq[Double] = {
+    if (s.count == 0L) return qs.map(_ => Double.NaN)
+    val weighted = s.levels.zipWithIndex.flatMap { case (buf, l) =>
+      val w = 1L << l
+      buf.map(v => (v, w))
+    }.sortBy(_._1)
+    qs.map { q =>
+      val target = q * s.count
+      var acc = 0L
+      var i = 0
+      while (i < weighted.size && acc + weighted(i)._2 < target) {
+        acc += weighted(i)._2; i += 1
+      }
+      weighted(math.min(i, weighted.size - 1))._1
+    }
+  }
+
+  override def bufferEncoder: Encoder[KllState] =
+    Encoders.javaSerialization[KllState]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
+object KllQuantiles {
+  /** Untyped form: `df.agg(KllQuantiles.udf(256, Seq(.25,.5,.9))(col("x")))`. */
+  def udf(k: Int, qs: Seq[Double]): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new KllQuantiles(k, qs), Encoders.scalaDouble)
+}

@@ -127,7 +127,76 @@ object Sketches {
       |HAVING count(*) >= (SELECT count(*) // 15000 FROM lineitem)
       |ORDER BY n_items DESC, l_partkey""".stripMargin
 
+  private val KllK  = 256
+  private val KllQs = Seq(0.25, 0.5, 0.9)
+  /** KLL 99%-confidence rank-error fraction for parameter k — the
+    * published bound 2.296/k^0.9 (Karnin-Lang-Liberty / DataSketches).
+    */
+  private val KllEps = 2.296 / math.pow(KllK.toDouble, 0.9)
+
+  /** Mergeable-quantile accounting: the KLL sketch
+    * (functions.KllQuantiles) next to the exact percentile, per event
+    * type, with the sketch's rank error CHECKED IN THE QUERY against
+    * the published ε bound. Exact `percentile` collects every group
+    * value onto one reducer — the one aggregate in the engine that
+    * cannot scale to 100 TB groups; the KLL aggregate is O(k·log(n/k))
+    * per group with map-side partials, and this query is the evidence
+    * it can stand in: each output row carries the exact quantile (the
+    * oracle-matched value) and `bound_ok` — whether |rank(sketch
+    * estimate) − q·n| ≤ ε·n+1. The sketch state itself is
+    * engine-private (merge-tree dependent), so the row carries the
+    * bound VERDICT, which DuckDB can assert as a constant — any bound
+    * violation flips the hash.
+    */
+  def valueQuantilesSketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev  = Tables.events(spark, dir).select(col("event_type"), col("value"))
+    val kll = graft.functions.KllQuantiles.udf(KllK, KllQs)
+    val agg = ev.groupBy(col("event_type"))
+      .agg(
+        kll(col("value")).as("est"),
+        expr(s"percentile(value, array(${KllQs.map(q => s"${q}D").mkString(",")}))")
+          .as("exact"),
+        count(lit(1)).as("n"))
+    val perQ = agg
+      .select(
+        col("event_type"), col("n"), col("exact"),
+        posexplode(col("est")).as(Seq("qi", "est_val")))
+      .select(
+        col("event_type"), col("n"),
+        element_at(array(KllQs.map(lit): _*), col("qi") + 1).as("q"),
+        col("est_val"),
+        element_at(col("exact"), col("qi") + 1).as("exact_val"))
+    // exact rank of every estimate in one scan (the estimates frame is
+    // rows-per-(type,q) tiny — broadcast side)
+    ev.join(broadcast(perQ), "event_type")
+      .groupBy(col("event_type"), col("q"), col("n"), col("est_val"), col("exact_val"))
+      .agg(sum(when(col("value") <= col("est_val"), 1L).otherwise(0L)).as("rank"))
+      .select(
+        col("event_type"),
+        col("q"),
+        Det.detRound(col("exact_val"), 6).as("exact_val"),
+        (abs(col("rank") - col("q") * col("n")) <= lit(KllEps) * col("n") + 1.0)
+          .as("bound_ok"))
+      .orderBy(col("event_type"), col("q"))
+  }
+
+  private val valueQuantilesSketchSql =
+    s"""WITH g AS (
+       |  SELECT event_type,
+       |         quantile_cont(value, 0.25) AS q25,
+       |         quantile_cont(value, 0.50) AS q50,
+       |         quantile_cont(value, 0.90) AS q90
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT event_type, CAST(0.25 AS DOUBLE) AS q, ${Det.roundSql("q25", 6)} AS exact_val, TRUE AS bound_ok FROM g
+       |UNION ALL
+       |SELECT event_type, CAST(0.50 AS DOUBLE), ${Det.roundSql("q50", 6)}, TRUE FROM g
+       |UNION ALL
+       |SELECT event_type, CAST(0.90 AS DOUBLE), ${Det.roundSql("q90", 6)}, TRUE FROM g
+       |ORDER BY event_type, q""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "distinct_users_sketch" -> QueryDef(distinctUsersSketch, Some(distinctUsersSketchSql)),
-    "frequent_parts"        -> QueryDef(frequentParts, Some(frequentPartsSql)))
+    "distinct_users_sketch"  -> QueryDef(distinctUsersSketch, Some(distinctUsersSketchSql)),
+    "frequent_parts"         -> QueryDef(frequentParts, Some(frequentPartsSql)),
+    "value_quantiles_sketch" -> QueryDef(valueQuantilesSketch, Some(valueQuantilesSketchSql)))
 }

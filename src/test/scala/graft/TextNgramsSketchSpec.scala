@@ -128,4 +128,51 @@ class TextNgramsSketchSpec extends AnyFunSuite {
         s"q=$q: sketch rank $rank vs ${q * n} exceeds n/acc=${n / acc}")
     }
   }
+
+  test("KLL sketch: rank bound holds under any merge tree and skewed input") {
+    import graft.functions.KllQuantiles
+    val k   = 256
+    val qs  = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    val eps = 2.296 / math.pow(k.toDouble, 0.9)
+    val rng = new scala.util.Random(7)
+    // lognormal-ish skewed data: quantile sketches earn their keep where
+    // the value distribution has a long tail
+    val data = Array.fill(200000)(math.exp(rng.nextGaussian() * 2.0))
+    val sorted = data.sorted
+
+    def estimate(splits: Int): Seq[Double] = {
+      val agg = new KllQuantiles(k, qs)
+      val parts = data.grouped(math.max(1, data.length / splits)).map { chunk =>
+        chunk.foldLeft(agg.zero)(agg.reduce)
+      }
+      agg.finish(parts.reduce(agg.merge))
+    }
+
+    // three very different merge trees: single partition, 32-way, 997-way
+    Seq(1, 32, 997).foreach { splits =>
+      val ests = estimate(splits)
+      qs.zip(ests).foreach { case (q, v) =>
+        val rank = sorted.count(_ <= v)
+        val err  = math.abs(rank - q * data.length)
+        assert(err <= eps * data.length + 1,
+          f"splits=$splits q=$q: rank err $err%.0f > ${eps * data.length}%.0f")
+      }
+    }
+    // sketch size stays O(k log(n/k)), nowhere near n
+    val agg   = new KllQuantiles(k, qs)
+    val state = data.foldLeft(agg.zero)(agg.reduce)
+    val kept  = state.levels.map(_.size).sum
+    assert(kept < 4 * k, s"sketch holds $kept items")
+    assert(state.count === data.length)
+  }
+
+  test("value_quantiles_sketch: every row inside the published KLL bound") {
+    val rows = graft.operators.Sketches
+      .valueQuantilesSketch(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"bound violated: $r")
+      assert(r.getDouble(2) >= 0.0) // event values are non-negative
+    }
+  }
 }
