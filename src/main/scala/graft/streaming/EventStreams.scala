@@ -26,6 +26,22 @@ object EventStreams {
   def withEventTime(events: DataFrame): DataFrame =
     events.withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
 
+  /** Adapter from Spark's built-in unbounded sources (`rate`,
+    * `rate-micro-batch`: columns `timestamp`, `value`) to the engine's
+    * events shape — the soak harness for every stateful op above without
+    * a message bus in the loop. Deterministic in `value`, so a
+    * rate-micro-batch stream is fully reproducible.
+    */
+  def rateToEvents(rate: DataFrame, users: Long): DataFrame =
+    rate.select(
+      col("value").as("event_id"),
+      (unix_micros(col("timestamp")) * lit(1000L)).as("ts"),
+      pmod(col("value"), lit(users)).as("user_id"),
+      element_at(
+        array(lit("view"), lit("click"), lit("purchase"), lit("search")),
+        (pmod(col("value"), lit(4)) + 1).cast("int")).as("event_type"),
+      (pmod(col("value"), lit(10000)).cast("double") / 100.0).as("value"))
+
   /** Tumbling event-time window counts + value sums per event type.
     * In streaming mode the watermark bounds state and handles late data.
     */

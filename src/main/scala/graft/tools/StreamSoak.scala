@@ -1,0 +1,211 @@
+package graft.tools
+
+import graft.GraftSession
+import graft.streaming.EventStreams
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import scala.collection.mutable.ArrayBuffer
+
+/** Unbounded-source soak: drives the manifest-committed incremental view
+  * and the native session-window aggregation from Spark's built-in
+  * `rate` source for hundreds of micro-batches, and measures what the
+  * file-replay specs cannot — sustained end-to-end behavior:
+  *
+  *   - per-batch processing latency (p50/p95/max triggerExecution)
+  *   - exactly-once convergence of the manifest view against the
+  *     cumulative committed input (checked, not assumed)
+  *   - view-directory size/file-count stability (version pruning works
+  *     under continuous load)
+  *   - state-store row count and watermark lag stability for the
+  *     session-window query (state is bounded by the watermark horizon,
+  *     not by stream length)
+  *
+  * Env knobs: SOAK_BATCHES (default 250 per query), SOAK_ROWS_PER_SEC
+  * (50000), SOAK_TRIGGER_MS (250), SOAK_USERS (50000), SOAK_BUCKETS (64).
+  * Emits one JSON line per soak (consumed into BASELINE.md).
+  */
+object StreamSoak {
+  final case class Rec(
+      batchId: Long, rows: Long, ms: Long, stateRows: Long,
+      outRows: Long, wmLagMs: Long)
+
+  private def pct(xs: Seq[Long], p: Double): Long =
+    if (xs.isEmpty) -1L
+    else xs.sorted.apply(math.min(xs.size - 1, (p * xs.size).toInt))
+
+  /** Collects one Rec per completed micro-batch of the given query. */
+  private final class Collector(queryId: java.util.UUID) extends StreamingQueryListener {
+    val recs = new ArrayBuffer[Rec]
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      if (p.id == queryId) {
+        val stateRows =
+          if (p.stateOperators == null) 0L
+          else p.stateOperators.map(_.numRowsTotal).sum
+        val wmLag = Option(p.eventTime.get("watermark")) match {
+          case Some(w) if w.nonEmpty =>
+            try System.currentTimeMillis() -
+              java.time.Instant.parse(w).toEpochMilli
+            catch { case _: Throwable => -1L }
+          case _ => -1L
+        }
+        recs.synchronized {
+          recs += Rec(
+            p.batchId, p.numInputRows,
+            Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(-1L),
+            stateRows, if (p.sink == null) 0L else p.sink.numOutputRows, wmLag)
+        }
+      }
+    }
+  }
+
+  private def awaitBatches(
+      spark: SparkSession, q: StreamingQuery, c: Collector, n: Int,
+      timeoutMs: Long): Unit = {
+    val t0 = System.currentTimeMillis()
+    while (c.recs.synchronized(c.recs.size) < n &&
+      System.currentTimeMillis() - t0 < timeoutMs && q.isActive)
+      Thread.sleep(200)
+    q.stop()
+    q.awaitTermination(60000)
+    ()
+  }
+
+  private def dirStats(dir: String): (Long, Long, Long) = {
+    def walk(f: java.io.File): (Long, Long) =
+      if (f.isFile) (1L, f.length)
+      else Option(f.listFiles()).getOrElse(Array.empty)
+        .map(walk).foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    val root = new java.io.File(dir)
+    val (files, bytes) = walk(root)
+    val vDirs = Option(root.listFiles()).getOrElse(Array.empty)
+      .count(f => f.isDirectory && f.getName.startsWith("v="))
+    (files, bytes, vDirs.toLong)
+  }
+
+  private def summarize(tag: String, recs: Seq[Rec], extra: String): String = {
+    val ms = recs.map(_.ms).filter(_ >= 0)
+    val s =
+      s"""{"soak":"$tag","batches":${recs.size},"rows":${recs.map(_.rows).sum},""" +
+        s""""lat_ms_p50":${pct(ms, 0.5)},"lat_ms_p95":${pct(ms, 0.95)},""" +
+        s""""lat_ms_max":${if (ms.isEmpty) -1 else ms.max},$extra}"""
+    println(s"### SOAK $s")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val batches   = sys.env.getOrElse("SOAK_BATCHES", "250").toInt
+    val rowsPerS  = sys.env.getOrElse("SOAK_ROWS_PER_SEC", "50000").toInt
+    val triggerMs = sys.env.getOrElse("SOAK_TRIGGER_MS", "250").toInt
+    val users     = sys.env.getOrElse("SOAK_USERS", "50000").toLong
+    val buckets   = sys.env.getOrElse("SOAK_BUCKETS", "64").toInt
+    val stamp     = System.currentTimeMillis()
+    val base      = s"/tmp/graft-soak-$stamp"
+    val out       = new ArrayBuffer[String]
+
+    def rateStream() = EventStreams.rateToEvents(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerS.toString)
+        .option("numPartitions", "4")
+        .load(),
+      users)
+
+    // ---- soak 1: manifest-committed incremental view -------------------
+    locally {
+      val viewDir = s"$base/view"
+      // ground truth per batch, counted HERE: the progress event's
+      // numInputRows double-counts under foreachBatch (the merge runs
+      // two actions over the micro-batch, and source metrics sum per
+      // scan), so convergence is checked against our own counts.
+      val batchRows = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+      val q = EventStreams.rateToEvents(
+          spark.readStream.format("rate")
+            .option("rowsPerSecond", rowsPerS.toString)
+            .option("numPartitions", "4")
+            .load(), users)
+        .writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val b = batch.localCheckpoint() // one source scan for all 3 actions
+            batchRows.put(batchId, b.count())
+            EventStreams.mergeManifestBatch(b.toDF(), viewDir, buckets, batchId)
+        }
+        .option("checkpointLocation", s"$base/cp-view")
+        .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+        .start()
+      val c = new Collector(q.id)
+      spark.streams.addListener(c)
+      awaitBatches(spark, q, c, batches, timeoutMs = 15 * 60 * 1000L)
+      spark.streams.removeListener(c)
+      val recs = c.recs.synchronized(c.recs.toVector).sortBy(_.batchId)
+        .map(r => r.copy(rows = batchRows.getOrDefault(r.batchId, 0L).longValue))
+
+      // exactly-once convergence: the view must hold precisely the rows
+      // of every COMMITTED batch — no loss, no double-merge.
+      val (committed, manifest) = EventStreams.readManifest(viewDir)
+      val gapFree    = (0L to committed).forall(batchRows.containsKey)
+      val expectRows = (0L to committed)
+        .map(b => batchRows.getOrDefault(b, 0L).longValue).sum
+      val got = EventStreams.manifestView(spark, viewDir)
+        .agg(sum(col("n_events"))).head.getLong(0)
+      val (files, bytes, vDirs) = dirStats(viewDir)
+      val converged = gapFree && got == expectRows
+      println(s"### SOAK view committed=$committed expect=$expectRows got=$got " +
+        s"gapFree=$gapFree files=$files MiB=${bytes / (1 << 20)} vDirs=$vDirs " +
+        s"buckets=${manifest.size}")
+      out += summarize(
+        "manifest_view", recs,
+        s""""converged":$converged,"view_files":$files,""" +
+          s""""view_mib":${bytes / (1 << 20)},"version_dirs":$vDirs,""" +
+          s""""buckets":${manifest.size}""")
+      require(converged, "manifest view failed exactly-once convergence")
+    }
+
+    // ---- soak 2: native session windows (watermarked state) ------------
+    locally {
+      val q = EventStreams
+        .sessionWindows(rateStream(), gap = "30 seconds", watermark = "10 seconds")
+        .writeStream
+        .outputMode("append")
+        .format("noop")
+        .option("checkpointLocation", s"$base/cp-sessions")
+        .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+        .start()
+      val c = new Collector(q.id)
+      spark.streams.addListener(c)
+      awaitBatches(spark, q, c, batches, timeoutMs = 15 * 60 * 1000L)
+      spark.streams.removeListener(c)
+      val recs = c.recs.synchronized(c.recs.toVector).sortBy(_.batchId)
+
+      // state must plateau: compare mean state rows of the 3rd and 4th
+      // quarters of the run — growth there means the watermark is not
+      // evicting (unbounded state), the one failure mode a short replay
+      // test can't see.
+      val qn = recs.size / 4
+      def mean(xs: Seq[Long]) = if (xs.isEmpty) 0.0 else xs.sum.toDouble / xs.size
+      val q3 = mean(recs.slice(2 * qn, 3 * qn).map(_.stateRows))
+      val q4 = mean(recs.slice(3 * qn, recs.size).map(_.stateRows))
+      val wmLags = recs.map(_.wmLagMs).filter(_ >= 0)
+      val closed = recs.map(_.outRows).sum
+      println(f"### SOAK sessions stateQ3=$q3%.0f stateQ4=$q4%.0f " +
+        s"closed=$closed wmLagP95=${pct(wmLags, 0.95)}ms")
+      out += summarize(
+        "session_windows", recs,
+        f""""state_rows_q3":$q3%.0f,"state_rows_q4":$q4%.0f,""" +
+          s""""sessions_closed":$closed,"wm_lag_ms_p95":${pct(wmLags, 0.95)},""" +
+          s""""state_bounded":${q4 <= q3 * 1.5 + 1}""")
+      require(closed > 0, "no sessions closed — watermark never advanced")
+    }
+
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench/SOAK_r4.json"),
+      (out.mkString("\n") + "\n").getBytes)
+    spark.stop()
+  }
+}
