@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
     e.injectOptimizerRule(_ => org.apache.spark.sql.graft.WindowTopKRewrite)
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.RangeJoinRewrite)
     e.injectFunction(fn(
       "graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float vectors",

@@ -123,7 +123,39 @@ object AsOf {
        |GROUP BY a.user_id
        |ORDER BY a.user_id""".stripMargin
 
+  private val GlobalBandUs: Long = 1000000L // 1 s coincidence window, µs
+
+  /** Cross-user near-coincidence pairs, written as the NAIVE pure band
+    * theta join — no equi key at all. Left declarative, Spark plans this
+    * as a BroadcastNestedLoopJoin (O(n²) comparisons); the injected
+    * [[org.apache.spark.sql.graft.RangeJoinRewrite]] rule rebuilds it as
+    * a banded equi-join (bucket width = band width, right side emitted
+    * into bucket and successor, original predicate as residual filter)
+    * — the same plan `nearEventPairs` hand-codes, derived automatically.
+    * RangeJoinRewriteSpec asserts the physical plan has no nested-loop
+    * join and that results are identical with the rule disabled.
+    */
+  def nearGlobalPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(expr("ts div 1000").as("t"))
+    val a  = ev.select(col("t").as("at"))
+    val b  = ev.select(col("t").as("bt"))
+    a.join(b, col("bt") > col("at") && col("bt") - col("at") <= GlobalBandUs)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        min(col("bt") - col("at")).as("min_gap_us"),
+        max(col("bt") - col("at")).as("max_gap_us"))
+  }
+
+  private val nearGlobalPairsSql =
+    s"""SELECT count(*) AS n_pairs,
+       |       min(epoch_us(b.ts) - epoch_us(a.ts)) AS min_gap_us,
+       |       max(epoch_us(b.ts) - epoch_us(a.ts)) AS max_gap_us
+       |FROM events a JOIN events b
+       |  ON epoch_us(b.ts) > epoch_us(a.ts)
+       | AND epoch_us(b.ts) - epoch_us(a.ts) <= $GlobalBandUs""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "purchase_attribution" -> QueryDef(purchaseAttribution, Some(purchaseAttributionSql)),
-    "near_event_pairs"     -> QueryDef(nearEventPairs, Some(nearEventPairsSql)))
+    "near_event_pairs"     -> QueryDef(nearEventPairs, Some(nearEventPairsSql)),
+    "near_global_pairs"    -> QueryDef(nearGlobalPairs, Some(nearGlobalPairsSql)))
 }
