@@ -49,7 +49,13 @@ import org.apache.spark.sql.types._
   * terminates.
   *
   * Disable with `spark.graft.rangeJoinRewrite.enabled=false` (specs use
-  * this to diff plans and results against the nested-loop form).
+  * this to diff plans and results against the nested-loop form). With
+  * `spark.graft.rangeJoinRewrite.bandEquiJoins=true` (default false) the
+  * rule also fires on joins that DO have an equi key, appending the band
+  * bucket to the hash key — per-key candidate volume drops from O(rows
+  * per key)² to O(rows per key within 2 band widths), the skew remedy
+  * for hot keys in time-band joins, at the cost of a 2× right-side
+  * replication.
   */
 object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -168,7 +174,22 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       cond: Expression,
       hint: JoinHint): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
-    if (hasCrossEquiKey(conjuncts, l, r)) return None
+    // never re-fire on a join this rule already built (its bucket-id
+    // conjunct would otherwise read as a fresh equi key in band-equi mode)
+    if (conjuncts.exists(_.references.exists(_.name == "__graft_band"))) return None
+    // With an equi key present Spark already hash-partitions; appending
+    // the band bucket to the join key additionally bounds the per-key
+    // candidate volume (a hot key's rows only meet neighbors within 2
+    // band widths instead of its whole partition). That trades a 2×
+    // right-side replication for skew resistance, so it is opt-in:
+    // spark.graft.rangeJoinRewrite.bandEquiJoins=true.
+    val equiMode = SQLConf.get
+      .getConfString("spark.graft.rangeJoinRewrite.bandEquiJoins", "false") == "true"
+    if (hasCrossEquiKey(conjuncts, l, r) && !equiMode) return None
+    val equiConjs = conjuncts.filter(c => c match {
+      case EqualTo(_, _) | EqualNullSafe(_, _) => hasCrossEquiKey(Seq(c), l, r)
+      case _                                   => false
+    })
     val bands = conjuncts.flatMap(bandOf(_, l, r))
     // pick the first attribute pair carrying both an upper and a lower bound
     val byPair = bands.groupBy(b => (b.la.exprId, b.rb.exprId))
@@ -204,8 +225,9 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
           qualifier = None,
           generatorOutput = Seq(rBandAttr),
           child = r)
-        val banded =
-          Join(leftProj, gen, Inner, Some(EqualTo(lBand.toAttribute, rBandAttr)), hint)
+        val joinCond = (equiConjs :+ EqualTo(lBand.toAttribute, rBandAttr))
+          .reduce[Expression](And)
+        val banded = Join(leftProj, gen, Inner, Some(joinCond), hint)
         Project(l.output ++ r.output, Filter(cond, banded))
       }
   }
