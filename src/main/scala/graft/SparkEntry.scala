@@ -13,7 +13,7 @@ object SparkEntry {
     Commerce.defs ++ Engagement.defs ++ TextAnalysis.defs ++ Dedup.defs ++
       Similarity.defs ++ Extended.defs ++ AsOf.defs ++ Olap.defs ++
       Retention.defs ++ Rank.defs ++ TextNgrams.defs ++ Sketches.defs ++
-      Graph.defs ++ Typed.defs ++ Skew.defs ++ Curation.defs ++
+      Graph.defs ++ Typed.defs ++ Skew.defs ++ Curation.defs ++ Pipeline.defs ++
       graft.streaming.EventStreams.defs ++ graft.multimodal.Multimodal.defs ++
       graft.sources.Bucketing.defs
 

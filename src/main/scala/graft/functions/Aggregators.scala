@@ -267,3 +267,67 @@ object KllQuantiles {
   def udf(k: Int, qs: Seq[Double]): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new KllQuantiles(k, qs), Encoders.scalaDouble)
 }
+
+/** Mergeable Bloom filter as a typed
+  * `Aggregator[(Long, Long), Array[Long], Array[Long]]` — the runtime
+  * join-pruning sketch: build the filter over a (filtered) build side's
+  * join keys, broadcast the finished bitset (numBits/8 bytes, size-bounded
+  * and INDEPENDENT of build-side cardinality), and pre-filter the probe
+  * side before the shuffle join. No false negatives ever, so an exact
+  * join on the survivors restores exact semantics; false positives only
+  * cost wasted probe rows (~p^k for load p).
+  *
+  * The aggregator takes PRE-HASHED input `(h1, h2)` — both produced by
+  * the codegen'd builtin `xxhash64` in the query — and only does the bit
+  * math, so the per-row membership probe on the other side uses the very
+  * same builtin hashes and stays inside whole-stage codegen (see
+  * `Pipeline.bloomMightContain`). Bit positions follow Kirsch-
+  * Mitzenmacher double hashing, with both hashes first reduced mod the
+  * table size so position arithmetic never overflows a long (Spark 4
+  * runs ANSI mode: a wrap that Java would silently accept throws there).
+  * Merge = bitwise OR — commutative, associative, deterministic under
+  * any partitioning.
+  */
+class BloomBits(numBits: Int, numHashes: Int)
+  extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
+  require(numBits >= 64 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+  require(numHashes >= 1 && numHashes <= 16)
+  private val words = numBits / 64
+
+  override def zero: Array[Long] = new Array[Long](words)
+
+  override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
+    val g1 = java.lang.Math.floorMod(in._1, numBits.toLong)
+    val g2 = java.lang.Math.floorMod(in._2, numBits - 1L) + 1L
+    var i = 0
+    while (i < numHashes) {
+      val pos = java.lang.Math.floorMod(g1 + i * g2, numBits.toLong).toInt
+      buf(pos >>> 6) |= 1L << (pos & 63)
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { a(i) |= b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    Encoders.javaSerialization[Array[Long]]
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object BloomBits {
+  /** Untyped form over two pre-hashed columns:
+    * `df.agg(BloomBits.udf(1 << 16, 4)(col("h1"), col("h2")))`.
+    */
+  def udf(numBits: Int, numHashes: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(
+      new BloomBits(numBits, numHashes),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+}

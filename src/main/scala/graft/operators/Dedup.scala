@@ -536,7 +536,60 @@ object Dedup {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Cluster canonicalization — the "keep best of each duplicate group"
+    * pass that actually shrinks the corpus: within every near-dup cluster
+    * keep the longest document (ties to the smallest doc_id), and report
+    * the group size. Selection goes through the bounded-heap TopKPerKey
+    * operator (k=1) — no per-cluster window sort — and the member count
+    * rides the same grouped frame; clusters here are the exact-Jaccard
+    * components, so the whole chain (pairs → components → canonical pick)
+    * is oracle-verified end to end.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val members = dedupClusters(spark, dir)
+      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+    val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
+    org.apache.spark.sql.graft.TopK
+      .perKey(
+        members,
+        Seq("cluster_id"),
+        Seq("n_chars" -> false, "doc_id" -> true),
+        k = 1,
+        rankName = "rn")
+      .join(sizes, "cluster_id")
+      .select(
+        col("cluster_id"),
+        col("doc_id").as("kept_doc"),
+        col("n_chars").cast("long").as("kept_chars"),
+        col("n_members"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** DuckDB twin of dedupKeepBest: the cluster closure as a subquery,
+    * then row_number + count over each cluster partition.
+    */
+  private val dedupKeepBestSql =
+    s"""WITH j AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars
+       |  FROM (
+       |${dedupClustersSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) c
+       |  JOIN documents d ON c.doc_id = d.doc_id
+       |), r AS (
+       |  SELECT cluster_id, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM j
+       |)
+       |SELECT cluster_id, doc_id AS kept_doc,
+       |       CAST(n_chars AS BIGINT) AS kept_chars,
+       |       CAST(n_members AS BIGINT) AS n_members
+       |FROM r
+       |WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_keep_best" -> QueryDef(dedupKeepBest, Some(dedupKeepBestSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, Some(dedupClustersMinhashSql)),

@@ -1,0 +1,368 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline plumbing (round 4 of the LLM-pipeline tier):
+  * document chunking, boilerplate detection, Bloom-pruned joins,
+  * incremental view maintenance, deterministic corpus sharding, and
+  * hash-based dataset splits. The reference's batch-analytics surface
+  * (SURVEY.md §3) stops at per-table reports; these are the operators a
+  * 100 TB corpus build needs BETWEEN those reports.
+  *
+  * Scale notes:
+  *  - chunking / splitting are pure in-row transforms — zero shuffle,
+  *    whole-stage codegen end to end.
+  *  - boilerplate detection shuffles (doc, shingle) partials then shingle
+  *    totals — two map-side-combined aggregations; at 100 TB the group key
+  *    becomes xxhash64(shingle) (collision-tolerant there, not in an
+  *    exactness gate).
+  *  - the Bloom prefilter broadcasts a constant-size bitset (8 KiB here)
+  *    instead of the build side's key set, so probe-side pruning costs
+  *    O(1) memory per executor no matter how large the build side grows.
+  *  - incremental merge touches the delta + the prior view only — the
+  *    historical raw events are never rescanned.
+  *  - corpus shard assignment uses the range-bucketed global rank
+  *    (Rank.withGlobalRank) — no single-partition window anywhere.
+  */
+object Pipeline {
+
+  // ---------------------------------------------------------------- chunks
+
+  private val ChunkW = 32 // window: tokens per chunk
+  private val ChunkS = 24 // stride: 8-token overlap between neighbors
+
+  /** Overlapping fixed-window chunking — split each document into
+    * `ChunkW`-token windows every `ChunkS` tokens (the standard context-
+    * window preparation pass). Chunk count = 1 for short docs, else
+    * ceil((n-W)/S)+1 so the last window always reaches the end of the
+    * document. Emits one row per chunk with its token offset, length and
+    * content fingerprint. In-row transform + posexplode: no shuffle at
+    * all — at 100 TB this runs at scan speed.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn(
+        "nc",
+        when(size(col("t")) <= ChunkW, lit(1)).otherwise(
+          ceil((size(col("t")) - lit(ChunkW)).cast("double") / ChunkS).cast("int") + 1))
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, nc - 1), i -> concat_ws(' ', slice(t, i*$ChunkS + 1, $ChunkW)))"))
+          .as(Seq("chunk_id", "chunk")))
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        (col("chunk_id") * ChunkS).cast("long").as("chunk_start"),
+        size(split(col("chunk"), " ")).cast("long").as("n_tokens"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  private val docChunksSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), n AS (
+       |  SELECT doc_id, t,
+       |         CASE WHEN len(t) <= $ChunkW THEN 1
+       |              ELSE CAST(ceil((len(t) - $ChunkW) / CAST($ChunkS AS DOUBLE)) AS INT) + 1
+       |         END AS nc
+       |  FROM t
+       |), c AS (
+       |  SELECT doc_id, i AS chunk_id,
+       |         array_to_string(list_slice(t, i*$ChunkS + 1, i*$ChunkS + $ChunkW), ' ') AS chunk
+       |  FROM n, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS i)
+       |)
+       |SELECT doc_id,
+       |       CAST(chunk_id AS BIGINT) AS chunk_id,
+       |       CAST(chunk_id * $ChunkS AS BIGINT) AS chunk_start,
+       |       CAST(len(string_split(chunk, ' ')) AS BIGINT) AS n_tokens,
+       |       md5(chunk) AS chunk_md5
+       |FROM c
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ----------------------------------------------------------- boilerplate
+
+  private val BoilerN       = 8 // shingle width (tokens)
+  private val BoilerMinDocs = 3 // "boilerplate" = appears in >= 3 documents
+
+  /** Cross-document boilerplate detection: word 8-grams appearing in at
+    * least `BoilerMinDocs` DISTINCT documents, ranked by document
+    * frequency — the pass that finds repeated headers/footers/disclaimers
+    * so they can be stripped before training. Two-level aggregation:
+    * per-(doc, shingle) occurrence counts first (map-side combinable),
+    * then per-shingle doc/occurrence totals; n_docs is a plain count
+    * because level 1 already collapsed duplicates — no count-distinct
+    * state anywhere.
+    */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= BoilerN)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(t) - $BoilerN), i -> concat_ws(' ', slice(t, i + 1, $BoilerN)))"))
+          .as("s"))
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occurrences"))
+      .filter(col("n_docs") >= BoilerMinDocs)
+      .orderBy(desc("n_docs"), desc("n_occurrences"), asc("s"))
+      .limit(20)
+  }
+
+  private val boilerplateNgramsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), occ AS (
+       |  SELECT doc_id, array_to_string(list_slice(t, i, i + ${BoilerN - 1}), ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - ${BoilerN - 1})) AS i)
+       |  WHERE len(t) >= $BoilerN
+       |), per_doc AS (
+       |  SELECT doc_id, s, count(*) AS c FROM occ GROUP BY doc_id, s
+       |)
+       |SELECT s, count(*) AS n_docs, CAST(SUM(c) AS BIGINT) AS n_occurrences
+       |FROM per_doc
+       |GROUP BY s
+       |HAVING count(*) >= $BoilerMinDocs
+       |ORDER BY n_docs DESC, n_occurrences DESC, s
+       |LIMIT 20""".stripMargin
+
+  // ----------------------------------------------------------- bloom join
+
+  val BloomNumBits   = 1 << 16 // 8 KiB bitset
+  val BloomNumHashes = 4
+
+  /** Probe-side membership test against a finished BloomBits bitset.
+    * Columns h1/h2 must be the SAME xxhash64 pair the filter was built
+    * from; positions mirror BloomBits.reduce exactly (hashes reduced mod
+    * the table size first, then Kirsch-Mitzenmacher probing). Pure
+    * builtin expressions — the probe stays inside whole-stage codegen.
+    */
+  def bloomMightContain(
+      bitsCol: String, h1Col: String, h2Col: String): Column = {
+    val m  = BloomNumBits
+    val g1 = s"pmod($h1Col, ${m}L)"
+    val g2 = s"(pmod($h2Col, ${m - 1}L) + 1L)"
+    (0 until BloomNumHashes)
+      .map { i =>
+        val pos = s"pmod($g1 + ${i}L * $g2, ${m}L)"
+        expr(
+          s"((element_at($bitsCol, CAST($pos DIV 64 AS INT) + 1) >> CAST($pos % 64 AS INT)) & 1) = 1")
+      }
+      .reduce(_ && _)
+  }
+
+  /** Bloom-pruned fact-dim join: Q1-1995 orders are the (filtered) build
+    * side; a BloomBits filter over their order keys is broadcast and
+    * applied to every lineitem BEFORE the join shuffle, so ~96% of the
+    * fact table is dropped at scan site; the exact equi-join on the
+    * survivors then removes the (rare) false positives — final semantics
+    * are exactly the plain join, which is what the oracle runs. This is
+    * the engine-level form of runtime row filtering: at 100 TB the 8 KiB
+    * bitset replaces shipping a multi-GB build-side key set to every
+    * executor.
+    */
+  def bloomJoinPrune(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables
+      .orders(spark, dir)
+      .filter(col("o_orderdate").between("1995-01-01", "1995-03-31"))
+    val bloom = orders
+      .select(
+        xxhash64(col("o_orderkey")).as("h1"),
+        xxhash64(lit("graft-bloom"), col("o_orderkey")).as("h2"))
+      .agg(graft.functions.BloomBits
+        .udf(BloomNumBits, BloomNumHashes)(col("h1"), col("h2"))
+        .as("bits"))
+    val pruned = Tables
+      .lineitem(spark, dir)
+      .withColumn("h1", xxhash64(col("l_orderkey")))
+      .withColumn("h2", xxhash64(lit("graft-bloom"), col("l_orderkey")))
+      .crossJoin(broadcast(bloom))
+      .filter(bloomMightContain("bits", "h1", "h2"))
+    pruned
+      .join(
+        broadcast(orders.select(col("o_orderkey"), col("o_orderpriority"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        Det.detRound(
+          Det.fineSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+  }
+
+  private val bloomJoinPruneSql =
+    s"""SELECT o.o_orderpriority, l.l_returnflag,
+       |       count(*) AS n_items,
+       |       ${Det.roundSql(
+        "CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(30,10))) AS DOUBLE)",
+        2)} AS revenue
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |WHERE o.o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-03-31'
+       |GROUP BY o.o_orderpriority, l.l_returnflag
+       |ORDER BY o.o_orderpriority, l.l_returnflag""".stripMargin
+
+  // ---------------------------------------------------- incremental merge
+
+  /** 2024-01-21T00:00:00Z in epoch microseconds — splits the 30-day event
+    * window into a 20-day "already materialized" view and a 10-day delta.
+    */
+  private val MergeCutUs = 1705795200000000L
+
+  /** Incremental aggregate maintenance: per-user event totals kept as a
+    * materialized partial (count + DECIMAL sum over days 1-20), merged
+    * with the day-21+ delta by re-aggregating the PARTIALS — the
+    * historical raw events are read once into the view and never again.
+    * Count and decimal-sum are commutative monoids, so merged partials
+    * are bit-identical to the full recompute the oracle runs; the
+    * old/new per-source counts are carried through the merge to make the
+    * two-phase structure visible in the output.
+    */
+  def incrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .withColumn("us", expr("ts div 1000"))
+    def partial(f: DataFrame): DataFrame =
+      f.groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(Det.Money)).as("v"))
+    val view  = partial(ev.filter(col("us") < MergeCutUs))
+    val delta = partial(ev.filter(col("us") >= MergeCutUs))
+    view
+      .withColumn("src", lit("old"))
+      .unionByName(delta.withColumn("src", lit("new")))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(col("n_events")).as("n_events"),
+        sum(col("v")).cast("double").as("total_value"),
+        sum(when(col("src") === "old", col("n_events")).otherwise(0L)).as("n_events_old"),
+        sum(when(col("src") === "new", col("n_events")).otherwise(0L)).as("n_events_new"))
+      .orderBy(col("user_id"))
+  }
+
+  private val incrementalAggMergeSql =
+    s"""SELECT user_id,
+       |       count(*) AS n_events,
+       |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       |       CAST(count(*) FILTER (WHERE epoch_us(ts) < $MergeCutUs) AS BIGINT) AS n_events_old,
+       |       CAST(count(*) FILTER (WHERE epoch_us(ts) >= $MergeCutUs) AS BIGINT) AS n_events_new
+       |FROM events
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+
+  // -------------------------------------------------------- corpus shard
+
+  private val ShardSize = 64
+
+  /** Deterministic training-order assignment: every document gets a
+    * global (shard, position) from its rank under a portable 60-bit
+    * content-independent hash — the reproducible corpus shuffle that
+    * precedes sequence packing. Rank comes from Rank.withGlobalRank
+    * (range-bucketed: per-bucket parallel windows + broadcast offsets,
+    * never a single-partition window), so the assignment is exact AND
+    * cluster-shaped. Hash is Spark conv(substr(md5,1,15),16,10) ≡ DuckDB
+    * ('0x' || substr(md5,1,15))::BIGINT — both engines rank the same
+    * order.
+    */
+  def corpusShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    Rank
+      .withGlobalRank(hashed, "h", tieBreak = Seq("doc_id"))
+      .select(
+        col("doc_id"),
+        col("h"),
+        expr(s"CAST((rn - 1) DIV $ShardSize AS BIGINT)").as("shard"),
+        expr(s"CAST((rn - 1) % $ShardSize AS BIGINT)").as("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val corpusShuffleSql =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, h, row_number() OVER (ORDER BY h, doc_id) AS rn FROM h
+       |)
+       |SELECT doc_id, h,
+       |       CAST((rn - 1) // $ShardSize AS BIGINT) AS shard,
+       |       CAST((rn - 1) % $ShardSize AS BIGINT) AS pos
+       |FROM r
+       |ORDER BY shard, pos""".stripMargin
+
+  // ------------------------------------------------------- dataset split
+
+  /** Hash-based train/val/test assignment with per-language accounting:
+    * split = first hex digit of md5("split:" || doc_id) — 0..b train
+    * (75%), c..d val (12.5%), e..f test (12.5%). Salted-hash splits are
+    * the 100 TB standard because they are stable under corpus growth (a
+    * document's split never changes when neighbors arrive) and need no
+    * coordination — pure per-row arithmetic, zero shuffle before the
+    * tiny per-(lang, split) rollup.
+    */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val assigned = Tables
+      .documents(spark, dir)
+      .withColumn(
+        "hd",
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1))
+      .withColumn(
+        "split",
+        when(col("hd") <= "b", "train")
+          .when(col("hd") <= "d", "val")
+          .otherwise("test"))
+    assigned
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .withColumn(
+        "share",
+        Det.detRound(
+          col("n_docs").cast("double") /
+            sum(col("n_docs")).over(Window.partitionBy(col("lang"))),
+          6))
+      .orderBy(col("lang"), col("split"))
+  }
+
+  private val datasetSplitSql =
+    s"""WITH a AS (
+       |  SELECT lang, n_chars,
+       |         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+       |              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM documents
+       |), g AS (
+       |  SELECT lang, split, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+       |  FROM a GROUP BY lang, split
+       |)
+       |SELECT lang, split, n_docs, n_chars,
+       |       ${Det.roundSql(
+        "CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang)",
+        6)} AS share
+       |FROM g
+       |ORDER BY lang, split""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "doc_chunks"            -> QueryDef(docChunks, Some(docChunksSql)),
+    "boilerplate_ngrams"    -> QueryDef(boilerplateNgrams, Some(boilerplateNgramsSql)),
+    "bloom_join_prune"      -> QueryDef(bloomJoinPrune, Some(bloomJoinPruneSql)),
+    "incremental_agg_merge" -> QueryDef(incrementalAggMerge, Some(incrementalAggMergeSql)),
+    "corpus_shuffle"        -> QueryDef(corpusShuffle, Some(corpusShuffleSql)),
+    "dataset_split"         -> QueryDef(datasetSplit, Some(datasetSplitSql)))
+}
