@@ -358,7 +358,65 @@ object Pipeline {
        |FROM g
        |ORDER BY lang, split""".stripMargin
 
+  // --------------------------------------------------------- SCD-2 merge
+
+  /** Slowly-changing-dimension (type 2) history build: each customer's
+    * order stream is folded into versioned attribute rows — a new
+    * version opens only when the tracked attribute (order priority here)
+    * actually CHANGES, with [valid_from, valid_to) validity and an
+    * is_current flag on the open version. The standard warehouse
+    * dimension-versioning pass, expressed as two per-key window passes
+    * (change detection via lag, interval close via lead) — both windows
+    * partition by customer, so the work is embarrassingly parallel and
+    * shuffles each key group once; no global window anywhere.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val changes = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey").as("custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
+        col("o_orderkey"),
+        col("o_orderpriority").as("attr"),
+        lag(col("o_orderpriority"), 1).over(byKey).as("prev"))
+      .filter(col("prev").isNull || col("attr") =!= col("prev"))
+    val byVersion = Window
+      .partitionBy(col("custkey"))
+      .orderBy(col("dt"), col("o_orderkey"))
+    changes
+      .select(
+        col("custkey"),
+        col("attr"),
+        col("dt").as("valid_from"),
+        lead(col("dt"), 1).over(byVersion).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy(col("custkey"), col("valid_from"), col("attr"), asc_nulls_first("valid_to"))
+  }
+
+  private val scd2HistorySql =
+    """WITH v AS (
+      |  SELECT o_custkey AS custkey,
+      |         strftime(o_orderdate, '%Y-%m-%d') AS dt,
+      |         o_orderkey,
+      |         o_orderpriority AS attr,
+      |         lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders
+      |), changes AS (
+      |  SELECT custkey, dt, o_orderkey, attr FROM v
+      |  WHERE prev IS NULL OR attr <> prev
+      |)
+      |SELECT custkey, attr, dt AS valid_from,
+      |       lead(dt) OVER (PARTITION BY custkey ORDER BY dt, o_orderkey) AS valid_to,
+      |       (lead(dt) OVER (PARTITION BY custkey ORDER BY dt, o_orderkey) IS NULL) AS is_current
+      |FROM changes
+      |ORDER BY custkey, valid_from, attr, valid_to NULLS FIRST""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "scd2_history"          -> QueryDef(scd2History, Some(scd2HistorySql)),
     "doc_chunks"            -> QueryDef(docChunks, Some(docChunksSql)),
     "boilerplate_ngrams"    -> QueryDef(boilerplateNgrams, Some(boilerplateNgramsSql)),
     "bloom_join_prune"      -> QueryDef(bloomJoinPrune, Some(bloomJoinPruneSql)),

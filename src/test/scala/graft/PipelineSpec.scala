@@ -132,6 +132,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2_history: per-key versions chain without gaps, one current version each") {
+    val hist = Pipeline.scd2History(spark, sf).collect()
+    assert(hist.nonEmpty)
+    hist.groupBy(_.getAs[Long]("custkey")).foreach { case (ck, vs) =>
+      // exactly one open version
+      assert(vs.count(_.getAs[Boolean]("is_current")) == 1, s"custkey $ck")
+      // versions chain: each closed version's valid_to is some version's valid_from
+      val froms = vs.map(_.getAs[String]("valid_from")).toSet
+      vs.filter(!_.getAs[Boolean]("is_current")).foreach { v =>
+        assert(froms.contains(v.getAs[String]("valid_to")), s"custkey $ck: torn chain")
+      }
+      // the open version starts last: no closed version begins after it
+      val openFrom = vs.find(_.getAs[Boolean]("is_current")).get.getAs[String]("valid_from")
+      assert(vs.forall(_.getAs[String]("valid_from") <= openFrom), s"custkey $ck")
+    }
+  }
+
   test("boilerplate_ngrams: every reported shingle really occurs in >= 3 distinct docs") {
     val out = Pipeline.boilerplateNgrams(spark, sf).collect()
     if (out.nonEmpty) {
