@@ -607,7 +607,54 @@ object Engagement {
        |GROUP BY 1, 2
        |ORDER BY dow, hour_of_day""".stripMargin
 
+  /** Per-user EWMA of daily event value (α = 0.25): the time-series
+    * smoothing pass behind "is this user's activity trending". Two
+    * stages, both scale-safe: a (user, day) hash rollup (exact decimal
+    * sums), then an IN-ROW fold over the user's ordered day vector —
+    * collect_list is bounded by the day window (30 here), never by event
+    * count, and the recurrence runs inside codegen'd `aggregate`, not a
+    * sequential window. α = 1/4 is exact in binary, and both engines
+    * fold the identical expression tree left-to-right, so the doubles
+    * match bit for bit before the final deterministic round.
+    */
+  def userValueEwma(spark: SparkSession, dir: String): DataFrame = {
+    eventsUs(spark, dir)
+      .groupBy(
+        col("user_id"),
+        date_format(timestamp_micros(col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(Det.moneySum(col("value")).as("v"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("day"), col("v")))).as("dv"))
+      .select(
+        col("user_id"),
+        col("n_days"),
+        Det.detRound(
+          expr("aggregate(transform(dv, s -> s.v), CAST(0.0 AS DOUBLE), (a, x) -> a * 0.75D + 0.25D * x)"),
+          6).as("ewma_value"))
+      .orderBy(col("user_id"))
+  }
+
+  private val userValueEwmaSql =
+    s"""WITH daily AS (
+       |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+       |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+       |  FROM events
+       |  GROUP BY user_id, day
+       |), packed AS (
+       |  SELECT user_id, count(*) AS n_days, list(v ORDER BY day) AS vs
+       |  FROM daily GROUP BY user_id
+       |)
+       |SELECT user_id, n_days,
+       |       ${Det.roundSql(
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), vs), (a, b) -> a * 0.75 + 0.25 * b)",
+        6)} AS ewma_value
+       |FROM packed
+       |ORDER BY user_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "user_value_ewma"       -> QueryDef(userValueEwma, Some(userValueEwmaSql)),
     "events_hourly_heatmap" ->
       QueryDef(eventsHourlyHeatmap, Some(eventsHourlyHeatmapSql)),
     "engagement_spend_regression" ->
