@@ -74,6 +74,34 @@ object KmvDistinct {
     org.apache.spark.sql.functions.udaf(new KmvDistinct(k), Encoders.scalaLong)
 }
 
+/** KMV PARTIAL sketch: identical buffer/reduce/merge to [[KmvDistinct]]
+  * but `finish` returns the sketch itself (the sorted min-k hash array,
+  * as a real `array<bigint>` column) instead of collapsing it to the
+  * estimate. This is the store-and-merge half of the sketch lifecycle a
+  * 100 TB pipeline actually runs: per-partition (per-day, per-source)
+  * partials are persisted once, then UNIONS of partitions are answered by
+  * merging the stored arrays in-row — union of per-part min-k sets ⊇ the
+  * min-k of the union, so re-sorting the concatenation and truncating to
+  * k reproduces the direct sketch of the union exactly. Estimation from a
+  * merged array is the same (k−1)·2^60/h_k rule (see
+  * Warehouse.rollingDistinctKmv for the windowed form, oracle-checked).
+  */
+class KmvSketch(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+  private val inner = new KmvDistinct(k)
+  override def zero: Array[Long] = inner.zero
+  override def reduce(buf: Array[Long], x: Long): Array[Long] = inner.reduce(buf, x)
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+  override def finish(buf: Array[Long]): Array[Long] = buf
+  override def bufferEncoder: Encoder[Array[Long]] = inner.bufferEncoder
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}
+
+object KmvSketch {
+  def udf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new KmvSketch(k), Encoders.scalaLong)
+}
+
 /** Mergeable Misra-Gries frequent-items summary as a typed
   * `Aggregator[Long, mutable.HashMap[Long, Long], Seq[(Long, Long)]]`.
   *

@@ -1,0 +1,249 @@
+package graft.operators
+
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Data-quality / catalog tier (round 4, batch 3): the audits a 100 TB
+  * warehouse runs continuously — column profiling (the stats that feed
+  * the optimizer and the data catalog), referential-integrity checks,
+  * and snapshot diffing (deriving a change feed from two versions of a
+  * materialized aggregate).
+  *
+  * Scale notes:
+  *  - tableProfile is ONE scan of the table: every column's null count,
+  *    distinct count and min/max ride a single aggregate (the multiple
+  *    exact count-distincts share one Expand pass — at 100 TB swap them
+  *    for the KMV/HLL sketches in functions.Aggregators, same shape,
+  *    no Expand). The per-column rows come from unpivoting the one
+  *    aggregated row — never from per-column scans.
+  *  - fkOrphans is per-edge anti-join + count: broadcast for dim-sized
+  *    parents, shuffle otherwise; counts only, so no payload shuffles.
+  *  - snapshotDiff joins two aggregate STATES (already key-sized, not
+  *    fact-sized) full-outer and keeps changed keys — the standard way a
+  *    change feed is derived when the source can't emit one.
+  */
+object Quality {
+
+  // ----------------------------------------------------------- table profile
+
+  /** Generic single-pass column profiler. Emits one row per column:
+    * null count, exact distinct count, and type-split min/max (numerics
+    * as rounded doubles, dates/strings as strings) so the output schema
+    * is stable across column types.
+    */
+  def tableProfile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def nullsOf(f: StructField): Column =
+      sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls")
+    def distinctOf(f: StructField): Column =
+      countDistinct(col(f.name)).as(s"${f.name}__nd")
+    def minMax(f: StructField): Seq[Column] = f.dataType match {
+      case _: NumericType =>
+        Seq(
+          Det.detRound(min(col(f.name)).cast("double"), 6).as(s"${f.name}__min_num"),
+          Det.detRound(max(col(f.name)).cast("double"), 6).as(s"${f.name}__max_num"),
+          lit(null).cast("string").as(s"${f.name}__min_str"),
+          lit(null).cast("string").as(s"${f.name}__max_str"))
+      case DateType =>
+        Seq(
+          lit(null).cast("double").as(s"${f.name}__min_num"),
+          lit(null).cast("double").as(s"${f.name}__max_num"),
+          date_format(min(col(f.name)), "yyyy-MM-dd").as(s"${f.name}__min_str"),
+          date_format(max(col(f.name)), "yyyy-MM-dd").as(s"${f.name}__max_str"))
+      case TimestampType =>
+        Seq(
+          lit(null).cast("double").as(s"${f.name}__min_num"),
+          lit(null).cast("double").as(s"${f.name}__max_num"),
+          date_format(min(col(f.name)), "yyyy-MM-dd HH:mm:ss").as(s"${f.name}__min_str"),
+          date_format(max(col(f.name)), "yyyy-MM-dd HH:mm:ss").as(s"${f.name}__max_str"))
+      case _ =>
+        Seq(
+          lit(null).cast("double").as(s"${f.name}__min_num"),
+          lit(null).cast("double").as(s"${f.name}__max_num"),
+          min(col(f.name)).cast("string").as(s"${f.name}__min_str"),
+          max(col(f.name)).cast("string").as(s"${f.name}__max_str"))
+    }
+    val aggs: Seq[Column] =
+      count(lit(1)).as("__n") +:
+        fields.flatMap(f => nullsOf(f) +: distinctOf(f) +: minMax(f))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single aggregated row into one row per column
+    val rows = fields.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        col("__n").as("n_rows"),
+        col(s"${f.name}__nulls").as("n_nulls"),
+        col(s"${f.name}__nd").as("n_distinct"),
+        col(s"${f.name}__min_num").as("min_num"),
+        col(s"${f.name}__max_num").as("max_num"),
+        col(s"${f.name}__min_str").as("min_str"),
+        col(s"${f.name}__max_str").as("max_str"))
+    }
+    wide
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  def ordersProfile(spark: SparkSession, dir: String): DataFrame =
+    tableProfile(Tables.orders(spark, dir))
+
+  private val ordersProfileSql = {
+    def one(c: String, kind: String) = {
+      val (minNum, maxNum, minStr, maxStr) = kind match {
+        case "num" =>
+          (Det.roundSql(s"CAST(min($c) AS DOUBLE)", 6),
+           Det.roundSql(s"CAST(max($c) AS DOUBLE)", 6),
+           "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+        case "ts" =>
+          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+           s"strftime(min($c), '%Y-%m-%d %H:%M:%S')",
+           s"strftime(max($c), '%Y-%m-%d %H:%M:%S')")
+        case _ =>
+          ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+           s"CAST(min($c) AS VARCHAR)", s"CAST(max($c) AS VARCHAR)")
+      }
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |       count(*) - count($c) AS n_nulls,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       $minNum AS min_num, $maxNum AS max_num,
+         |       $minStr AS min_str, $maxStr AS max_str
+         |FROM orders""".stripMargin
+    }
+    Seq(
+      one("o_orderkey", "num"), one("o_custkey", "num"),
+      one("o_orderstatus", "str"), one("o_totalprice", "num"),
+      one("o_orderdate", "ts"), one("o_orderpriority", "str"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
+  // ------------------------------------------------------------- FK orphans
+
+  /** Referential-integrity audit over the whole star schema: for every
+    * foreign-key edge, the child row count and the number of child rows
+    * whose key has no parent (left-anti join). All-zero orphans on clean
+    * data is the point — this is the continuously-run invariant check.
+    */
+  def fkOrphans(spark: SparkSession, dir: String): DataFrame = {
+    def edge(
+        rel: String,
+        child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      child
+        .agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans)
+        .select(lit(rel).as("rel"), col("n_child"), col("n_orphans"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val or = Tables.orders(spark, dir)
+    Seq(
+      edge("customer->nation", Tables.customer(spark, dir), "c_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"),
+      edge("lineitem->orders", li, "l_orderkey", or, "o_orderkey"),
+      edge("lineitem->part", li, "l_partkey", Tables.part(spark, dir), "p_partkey"),
+      edge("lineitem->supplier", li, "l_suppkey",
+        Tables.supplier(spark, dir), "s_suppkey"),
+      edge("nation->region", Tables.nation(spark, dir), "n_regionkey",
+        Tables.region(spark, dir), "r_regionkey"),
+      edge("orders->customer", or, "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      edge("supplier->nation", Tables.supplier(spark, dir), "s_nationkey",
+        Tables.nation(spark, dir), "n_nationkey"))
+      .reduce(_ unionByName _)
+      .orderBy(col("rel"))
+  }
+
+  private val fkOrphansSql = {
+    def one(rel: String, child: String, fk: String, parent: String, pk: String) =
+      s"""SELECT '$rel' AS rel,
+         |       (SELECT count(*) FROM $child) AS n_child,
+         |       count(*) AS n_orphans
+         |FROM $child c
+         |WHERE NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)""".stripMargin
+    Seq(
+      one("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      one("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      one("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      one("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+      one("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      one("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY rel")
+  }
+
+  // ---------------------------------------------------------- snapshot diff
+
+  private val DiffCutA = "1997-01-01"
+  private val DiffCutB = "1997-07-01"
+
+  /** Change-feed derivation: two versions of the per-customer order
+    * aggregate (as of `DiffCutA` vs `DiffCutB`) full-outer joined on the
+    * key; rows whose measures changed become the feed, labeled insert /
+    * update (delete can't occur in an append-only source but the branch
+    * is in the CASE — a diff engine must classify it). Both sides are
+    * key-sized aggregate STATES, so the diff never rescans facts beyond
+    * the one aggregation pass each state already paid.
+    */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    def state(cut: String): DataFrame =
+      orders
+        .filter(col("o_orderdate") < cut)
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast(Det.Money)).as("v"))
+    val a = state(DiffCutA)
+      .select(col("o_custkey"), col("n").as("n_a"), col("v").as("v_a"))
+    val b = state(DiffCutB)
+      .select(col("o_custkey"), col("n").as("n_b"), col("v").as("v_b"))
+    a.join(b, Seq("o_custkey"), "full_outer")
+      .filter(
+        col("n_a").isNull || col("n_b").isNull ||
+          col("n_a") =!= col("n_b") || col("v_a") =!= col("v_b"))
+      .select(
+        col("o_custkey").as("custkey"),
+        when(col("n_a").isNull, "insert")
+          .when(col("n_b").isNull, "delete")
+          .otherwise("update")
+          .as("op"),
+        coalesce(col("n_a"), lit(0L)).as("n_old"),
+        coalesce(col("n_b"), lit(0L)).as("n_new"),
+        Det.detRound(
+          (coalesce(col("v_b"), lit(0).cast(Det.Money)) -
+            coalesce(col("v_a"), lit(0).cast(Det.Money))).cast("double"), 2)
+          .as("delta_spent"))
+      .orderBy(col("custkey"))
+  }
+
+  private val snapshotDiffSql =
+    s"""WITH a AS (
+       |  SELECT o_custkey, count(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+       |  FROM orders WHERE o_orderdate < DATE '$DiffCutA' GROUP BY o_custkey
+       |), b AS (
+       |  SELECT o_custkey, count(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+       |  FROM orders WHERE o_orderdate < DATE '$DiffCutB' GROUP BY o_custkey
+       |)
+       |SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+       |       CASE WHEN a.o_custkey IS NULL THEN 'insert'
+       |            WHEN b.o_custkey IS NULL THEN 'delete'
+       |            ELSE 'update' END AS op,
+       |       COALESCE(a.n, 0) AS n_old,
+       |       COALESCE(b.n, 0) AS n_new,
+       |       ${Det.roundSql(
+        "CAST(COALESCE(b.v, 0) - COALESCE(a.v, 0) AS DOUBLE)", 2)} AS delta_spent
+       |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+       |WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+       |   OR a.n <> b.n OR a.v <> b.v
+       |ORDER BY custkey""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "orders_profile" -> QueryDef(ordersProfile, Some(ordersProfileSql)),
+    "fk_orphans"     -> QueryDef(fkOrphans, Some(fkOrphansSql)),
+    "snapshot_diff"  -> QueryDef(snapshotDiff, Some(snapshotDiffSql)))
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Quality
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir        = TestSpark.Sf
+
+  test("tableProfile reports exact nulls/distincts/bounds on a fixture") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")),
+      (Some(2L), None),
+      (None, Some("c")),
+      (Some(2L), Some("a"))).toDF("k", "s")
+    val p = Quality.tableProfile(df).collect().map(r => r.getString(0) -> r).toMap
+    val k = p("k")
+    assert(k.getLong(1) === 4L)          // n_rows
+    assert(k.getLong(2) === 1L)          // n_nulls
+    assert(k.getLong(3) === 2L)          // n_distinct (nulls excluded)
+    assert(k.getDouble(4) === 1.0 && k.getDouble(5) === 2.0)
+    val s = p("s")
+    assert(s.getLong(2) === 1L && s.getLong(3) === 2L)
+    assert(s.getString(6) === "a" && s.getString(7) === "c")
+    assert(s.isNullAt(4) && s.isNullAt(5)) // type-split: no numeric bounds
+  }
+
+  test("fk audit is clean on the generated schema and counts children") {
+    val rows = Quality.fkOrphans(spark, dir).collect()
+    assert(rows.length === 7)
+    assert(rows.forall(_.getLong(2) === 0L), "generated star schema has no orphans")
+    val byRel = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byRel("lineitem->orders") === Tables.lineitem(spark, dir).count())
+    assert(byRel("orders->customer") === Tables.orders(spark, dir).count())
+  }
+
+  test("snapshot_diff classifies keys consistently with the two states") {
+    val d = Quality.snapshotDiff(spark, dir).cache()
+    // inserts have no old state; updates strictly grow the order count
+    assert(d.filter(col("op") === "insert" && col("n_old") =!= 0L).count() === 0L)
+    assert(d.filter(col("op") === "update" && !(col("n_new") > col("n_old"))).count() === 0L)
+    // append-only source: deletes impossible
+    assert(d.filter(col("op") === "delete").count() === 0L)
+    // every diff row carries a real change in spend or count
+    assert(d.filter(col("n_new") === col("n_old") && col("delta_spent") === 0.0).count() === 0L)
+    d.unpersist()
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import graft.operators.Warehouse
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic checks for the warehouse-maintenance tier — properties the
+  * hash-compare can't see: merge conservation, PPS design guarantees,
+  * sketch-merge equivalence, spine density.
+  */
+class WarehouseSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val dir        = "/root/testdata/sf0.001"
+
+  test("merge_upsert conserves totals and classifies every key") {
+    val merged = Warehouse.mergeUpsert(spark, dir).cache()
+    val orders = Tables.orders(spark, dir)
+    // conservation: merged partials must add up to the raw fact totals
+    assert(
+      merged.agg(sum(col("n_orders"))).first().getLong(0) === orders.count())
+    val rawTotal = orders
+      .agg(sum(col("o_totalprice").cast(Det.Money)).cast("double"))
+      .first()
+      .getDouble(0)
+    val mergedTotal =
+      merged.agg(sum(col("total_spent"))).first().getDouble(0)
+    assert(math.abs(mergedTotal - rawTotal) < 0.01 * merged.count())
+    // every customer with any order appears exactly once, classified
+    val nKeys = orders.select(col("o_custkey")).distinct().count()
+    assert(merged.count() === nKeys)
+    val ops = merged.groupBy(col("op")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ops.keySet.subsetOf(Set("insert", "update", "carry")))
+    assert(ops.values.sum === nKeys)
+    merged.unpersist()
+  }
+
+  test("gap_fill_locf emits a dense spine with LOCF semantics") {
+    val out = Warehouse.gapFillLocf(spark, dir).cache()
+    // dense: |nations| x |days of March 1995|
+    assert(out.count() === 25L * 31L)
+    // LOCF: a zero-order day carries the previous day's revenue forward
+    val rows = out
+      .filter(col("n_name") === out.select(col("n_name")).first().getString(0))
+      .orderBy(col("day"))
+      .collect()
+    rows.sliding(2).foreach {
+      case Array(prev, cur) =>
+        if (cur.getLong(2) == 0L) // n_orders == 0 -> rev_locf unchanged
+          assert(
+            (cur.isNullAt(3) && prev.isNullAt(3)) ||
+              cur.getDouble(3) === prev.getDouble(3))
+      case _ => ()
+    }
+    out.unpersist()
+  }
+
+  test("sample_weighted_pps draws exactly k with increasing sample_idx") {
+    val s = Warehouse.sampleWeightedPps(spark, dir).collect()
+    assert(s.length === 50)
+    val idx = s.map(_.getLong(3))
+    assert(idx.toSeq === idx.sorted.toSeq)
+    assert(idx.distinct.length === idx.length) // one doc per sample point
+    // weights positive; cum strictly increasing in emitted order
+    assert(s.forall(_.getLong(1) > 0))
+    val cums = s.map(_.getLong(2))
+    assert(cums.toSeq === cums.sorted.toSeq)
+  }
+
+  test("merge against a bucketed snapshot shuffles only the delta") {
+    // the real MERGE INTO deployment shape: the snapshot table is stored
+    // bucketed by the merge key, so the periodic merge re-shuffles ONLY
+    // the (small) delta — the snapshot's shuffle was paid once at write
+    val orders = Tables.orders(spark, dir)
+    val cut    = "1997-01-01"
+    def partial(f: org.apache.spark.sql.DataFrame) =
+      f.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(Det.Money)).as("v"))
+    val snapDf = partial(orders.filter(col("o_orderdate") < cut))
+    graft.sources.Bucketing.writeBucketed(snapDf, "wh_snap_b", "o_custkey", 8)
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val savedBc  = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val delta = partial(orders.filter(col("o_orderdate") >= cut))
+        .withColumnRenamed("n", "nd").withColumnRenamed("v", "vd")
+      val merged =
+        spark.table("wh_snap_b").join(delta, Seq("o_custkey"), "full_outer")
+      val plan = merged.queryExecution.executedPlan
+      val smjs = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smjs.nonEmpty, s"expected a sort-merge join:\n$plan")
+      val shufflesOn = (side: org.apache.spark.sql.execution.SparkPlan) =>
+        side.collect {
+          case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+        }
+      assert(shufflesOn(smjs.head.left).isEmpty,
+        s"bucketed snapshot side must not re-shuffle:\n$plan")
+      assert(shufflesOn(smjs.head.right).nonEmpty,
+        "the delta side is the one expected to shuffle")
+      assert(merged.count() ===
+        snapDf.join(delta, Seq("o_custkey"), "full_outer").count())
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBc)
+      spark.sql("DROP TABLE IF EXISTS wh_snap_b")
+    }
+  }
+
+  test("rolling_distinct_kmv merged partials match the direct sketch") {
+    val out = Warehouse.rollingDistinctKmv(spark, dir).cache()
+    assert(out.count() >= 7) // a month of days
+    // below k distinct the KMV estimate IS the exact count — at sf0.001
+    // windows are small, so est == exact wherever distinct < 256
+    out.collect().foreach { r =>
+      val exact = r.getLong(1)
+      if (exact < 256) assert(r.getDouble(2) === exact.toDouble)
+      else assert(math.abs(r.getDouble(2) - exact) / exact < 0.25)
+    }
+    out.unpersist()
+  }
+}
