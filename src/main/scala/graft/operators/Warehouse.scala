@@ -180,15 +180,22 @@ object Warehouse {
     */
   def sampleWeightedPps(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val total = docs
+    val totalRow = docs
       .agg(sum(col("n_chars").cast("long")).as("t"))
-      .first()
-      .getLong(0) // one scalar to the driver: the line length
+      .first() // one scalar to the driver: the line length
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val hashed = docs.select(
       col("doc_id"),
       col("n_chars").cast("long").as("w"),
       expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
         .as("h"))
+    if (total <= 0L)
+      // empty/degenerate corpus: no line to sample from — empty frame
+      // with the query's schema (ANSI division by zero never evaluates)
+      return hashed
+        .withColumn("cum", lit(0L))
+        .select(col("doc_id"), col("w"), col("cum"), lit(0L).as("sample_idx"))
+        .limit(0)
     Rank
       .withPrefixSum(hashed, "h", "w")
       .filter(
