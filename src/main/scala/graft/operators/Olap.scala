@@ -53,6 +53,42 @@ object Olap {
        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
        |ORDER BY status, priority""".stripMargin
 
+  /** Sparse multi-level rollup via explicit GROUPING SETS — the shape
+    * CUBE can't express: (status, priority), (status) and the grand
+    * total, but NOT the (priority)-only slice (pruning unwanted sets is
+    * the point of the API: each omitted set is an aggregation pass the
+    * engine never runs). Same one-pass Expand execution as cube/rollup;
+    * 'ALL' folding keeps cells unambiguous because the kept sets form a
+    * chain.
+    */
+  def revenueGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupingSets(
+        Seq(
+          Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")),
+          Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.detRound(Det.moneySum(col("o_totalprice")), 2).as("revenue"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"),
+        col("revenue"))
+      .orderBy(col("status"), col("priority"))
+  }
+
+  private val revenueGroupingSetsSql =
+    s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       |       COALESCE(o_orderpriority, 'ALL') AS priority,
+       |       count(*) AS n_orders,
+       |       ${Det.roundSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS revenue
+       |FROM orders
+       |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+       |ORDER BY status, priority""".stripMargin
+
   /** Order-value histogram: 20k-wide buckets of o_totalprice with count,
     * revenue, bucket bounds, and share-of-orders. The share window runs
     * over the post-aggregate frame (≤ dozens of buckets), not the fact
@@ -297,6 +333,7 @@ object Olap {
     "part_type_hierarchy"    -> QueryDef(partTypeHierarchy, Some(partTypeHierarchySql)),
     "cart_contents_map"      -> QueryDef(cartContentsMap, Some(cartContentsMapSql)),
     "revenue_cube"           -> QueryDef(revenueCube, Some(revenueCubeSql)),
+    "revenue_grouping_sets"  -> QueryDef(revenueGroupingSets, Some(revenueGroupingSetsSql)),
     "order_size_histogram"   -> QueryDef(orderSizeHistogram, Some(orderSizeHistogramSql)),
     "nation_balance_fulljoin" -> QueryDef(nationBalanceFulljoin, Some(nationBalanceFulljoinSql)),
     "buyers_with_sessions"   -> QueryDef(buyersWithSessions, Some(buyersWithSessionsSql)),
