@@ -242,8 +242,94 @@ object Quality {
        |   OR a.n <> b.n OR a.v <> b.v
        |ORDER BY custkey""".stripMargin
 
+  // --------------------------------------------------------- table checksum
+
+  /** 2^61 — the fold modulus keeps the running sum inside BIGINT when
+    * the decimal total is reduced, while preserving 61 bits of
+    * collision resistance per table.
+    */
+  private val ChecksumMod = "2305843009213693952"
+
+  /** Order-independent content checksum per table — the anti-entropy
+    * check two replicas (or a migration source and target) run to prove
+    * they hold the same rows without moving any data: each row is
+    * reduced to a portable 60-bit hash of its canonical serialization,
+    * and the table's signature is (row count, SUM(hash) mod 2^61).
+    * Addition is commutative/associative, so partition order, file
+    * order and engine never matter, and partial checksums from
+    * different shards merge by addition — the 100 TB shape (one scan,
+    * tiny partial state, no payload shuffle). Serialization uses
+    * delimiter-joined string casts of integer/string/timestamp columns
+    * only (doubles are excluded: their string rendering is
+    * engine-specific, which would make the checksum compare the
+    * formatter, not the data).
+    */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    def sig(name: String, df: DataFrame): DataFrame =
+      df.select(
+          expr("CAST(conv(substr(md5(__ser), 1, 15), 16, 10) AS DECIMAL(38,0))")
+            .as("h"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hs"))
+        .select(
+          lit(name).as("table_name"),
+          col("n_rows"),
+          (col("hs") % expr(s"CAST($ChecksumMod AS DECIMAL(38,0))"))
+            .cast("long")
+            .as("checksum"))
+
+    def withSer(df: DataFrame, ser: Column): DataFrame =
+      df.withColumn("__ser", ser)
+
+    val orders = withSer(
+      Tables.orders(spark, dir),
+      concat_ws("|",
+        col("o_orderkey").cast("string"),
+        col("o_custkey").cast("string"),
+        col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+        col("o_orderpriority")))
+    val customer = withSer(
+      Tables.customer(spark, dir),
+      concat_ws("|",
+        col("c_custkey").cast("string"),
+        col("c_name"),
+        col("c_nationkey").cast("string")))
+    val lineitem = withSer(
+      Tables.lineitem(spark, dir),
+      concat_ws("|",
+        col("l_orderkey").cast("string"),
+        col("l_partkey").cast("string"),
+        col("l_suppkey").cast("string"),
+        col("l_quantity").cast("bigint").cast("string")))
+    Seq(
+      sig("customer", customer),
+      sig("lineitem", lineitem),
+      sig("orders", orders))
+      .reduce(_ unionByName _)
+      .orderBy(col("table_name"))
+  }
+
+  private val tableChecksumSql = {
+    def one(name: String, table: String, ser: String) =
+      s"""SELECT '$name' AS table_name, count(*) AS n_rows,
+         |       CAST(SUM(('0x' || substr(md5($ser), 1, 15))::BIGINT)
+         |            % $ChecksumMod AS BIGINT) AS checksum
+         |FROM $table""".stripMargin
+    Seq(
+      one("customer", "customer",
+        "concat_ws('|', CAST(c_custkey AS VARCHAR), c_name, CAST(c_nationkey AS VARCHAR))"),
+      one("lineitem", "lineitem",
+        "concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR), " +
+          "CAST(l_suppkey AS VARCHAR), CAST(CAST(l_quantity AS BIGINT) AS VARCHAR))"),
+      one("orders", "orders",
+        "concat_ws('|', CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR), " +
+          "o_orderstatus, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), o_orderpriority)"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "orders_profile" -> QueryDef(ordersProfile, Some(ordersProfileSql)),
     "fk_orphans"     -> QueryDef(fkOrphans, Some(fkOrphansSql)),
+    "table_checksum" -> QueryDef(tableChecksum, Some(tableChecksumSql)),
     "snapshot_diff"  -> QueryDef(snapshotDiff, Some(snapshotDiffSql)))
 }

@@ -36,6 +36,35 @@ class QualitySpec extends AnyFunSuite {
     assert(byRel("orders->customer") === Tables.orders(spark, dir).count())
   }
 
+  test("table_checksum catches a one-row mutation, ignores row order") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cksum").toFile
+    tmp.deleteOnExit()
+    val d = tmp.getAbsolutePath
+    // replica with shuffled row order — checksum must be identical
+    Tables.customer(spark, dir).orderBy(rand(7)).coalesce(3)
+      .write.parquet(s"$d/customer.parquet")
+    Tables.orders(spark, dir).write.parquet(s"$d/orders.parquet")
+    Tables.lineitem(spark, dir).write.parquet(s"$d/lineitem.parquet")
+    val base = Quality.tableChecksum(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val replica = Quality.tableChecksum(spark, d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(base === replica, "row/file order must not affect the signature")
+    // corrupt ONE row of one table — only that table's signature moves
+    val mut = tmp.toPath.resolve("mut").toFile.getAbsolutePath
+    Tables.customer(spark, dir)
+      .withColumn("c_name",
+        when(col("c_custkey") === 7L, lit("corrupted")).otherwise(col("c_name")))
+      .write.parquet(s"$mut/customer.parquet")
+    Tables.orders(spark, dir).write.parquet(s"$mut/orders.parquet")
+    Tables.lineitem(spark, dir).write.parquet(s"$mut/lineitem.parquet")
+    val mutated = Quality.tableChecksum(spark, mut).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mutated("customer")._2 !== base("customer")._2)
+    assert(mutated("orders") === base("orders"))
+    assert(mutated("lineitem") === base("lineitem"))
+  }
+
   test("snapshot_diff classifies keys consistently with the two states") {
     val d = Quality.snapshotDiff(spark, dir).cache()
     // inserts have no old state; updates strictly grow the order count
