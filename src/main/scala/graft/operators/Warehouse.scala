@@ -196,16 +196,23 @@ object Warehouse {
         .withColumn("cum", lit(0L))
         .select(col("doc_id"), col("w"), col("cum"), lit(0L).as("sample_idx"))
         .limit(0)
+    // the crossing test must be INTEGER division end to end (`div`, the
+    // long integral division — same as the oracle's `//`): a double
+    // quotient rounds once total*k passes 2^53 and the two engines'
+    // floors can disagree at stride boundaries. Guard the only overflow
+    // (cum*k ≤ total*k must fit a long).
+    require(total <= Long.MaxValue / PpsK,
+      s"corpus weight $total overflows the integer crossing test at k=$PpsK")
     Rank
       .withPrefixSum(hashed, "h", "w")
       .filter(
-        (col("cum") * PpsK).divide(total).cast("long") >
-          ((col("cum") - col("w")) * PpsK).divide(total).cast("long"))
+        expr(s"(cum * $PpsK) div ${total}L") >
+          expr(s"((cum - w) * $PpsK) div ${total}L"))
       .select(
         col("doc_id"),
         col("w"),
         col("cum"),
-        (col("cum") * PpsK).divide(total).cast("long").as("sample_idx"))
+        expr(s"(cum * $PpsK) div ${total}L").as("sample_idx"))
       .orderBy(col("cum"))
   }
 

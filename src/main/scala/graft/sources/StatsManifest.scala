@@ -94,9 +94,15 @@ object StatsManifest {
       .collect() // bounded: one small record per FILE, not per row
       .toSeq
     val body = harvested.sortBy(_.path).flatMap { fs =>
-      fs.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-        s"${fs.path}\t${fs.rows}\t$c\t$mn\t$mx"
-      }
+      if (fs.stats.isEmpty)
+        // stats-less file: MUST still appear in the manifest (a file a
+        // reader cannot see is silently dropped from every pruned scan —
+        // pruning has to be conservative-keep, never lossy)
+        Seq(s"${fs.path}\t${fs.rows}\t-\t-\t-")
+      else
+        fs.stats.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+          s"${fs.path}\t${fs.rows}\t$c\t$mn\t$mx"
+        }
     }.mkString("\n")
     val tmp = java.nio.file.Paths.get(manifestPath(dir).toString + ".tmp")
     java.nio.file.Files.write(tmp, body.getBytes)
@@ -114,11 +120,14 @@ object StatsManifest {
       .linesIterator.filter(_.nonEmpty).toSeq
       .map { l =>
         val Array(path, rows, c, mn, mx) = l.split('\t')
-        (path, rows.toLong, c, BigDecimal(mn), BigDecimal(mx))
+        if (c == "-") (path, rows.toLong, None)
+        else (path, rows.toLong, Some((c, BigDecimal(mn), BigDecimal(mx))))
       }
       .groupBy(t => (t._1, t._2))
       .map { case ((path, rows), ls) =>
-        FileStats(path, rows, ls.map(t => t._3 -> (t._4, t._5)).toMap)
+        FileStats(
+          path, rows,
+          ls.flatMap(_._3).map { case (c, mn, mx) => c -> (mn, mx) }.toMap)
       }
       .toSeq.sortBy(_.path)
   }

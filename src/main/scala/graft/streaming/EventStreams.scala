@@ -492,9 +492,19 @@ object EventStreams {
   def manifestView(spark: SparkSession, viewDir: String): DataFrame = {
     val (committed, m) = readManifest(viewDir)
     require(committed >= 0, s"no committed manifest under $viewDir")
-    val paths = m.toSeq.sortBy(_._1)
-      .map { case (b, v) => s"$viewDir/v=$v/bkt=$b" }
-    spark.read.option("basePath", viewDir).parquet(paths: _*).drop("v")
+    if (m.isEmpty)
+      // a committed manifest can map ZERO buckets (e.g. batch 0 of a
+      // rate stream carries no rows) — the committed view is empty,
+      // and readers must see that, not a no-paths read crash
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n_events BIGINT, total_value DECIMAL(28,2), bkt INT"))
+    else {
+      val paths = m.toSeq.sortBy(_._1)
+        .map { case (b, v) => s"$viewDir/v=$v/bkt=$b" }
+      spark.read.option("basePath", viewDir).parquet(paths: _*).drop("v")
+    }
   }
 
   /** One micro-batch of the manifest view, factored out of foreachBatch
@@ -515,6 +525,11 @@ object EventStreams {
           count(lit(1)).as("n_events"),
           sum(col("value").cast(Det.Money)).as("total_value"))
         .withColumn("bkt", pmod(hash(col("user_id")), lit(buckets)))
+        // ONE source scan: the partial feeds two actions (touched-bucket
+        // collect + the merged write) — without materializing it the
+        // batch aggregation recomputes per action, and on a source that
+        // is not perfectly replayable the two passes could even disagree
+        .localCheckpoint()
       // bounded driver collect: at most `buckets` ints
       val touched = partial.select(col("bkt")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted

@@ -205,21 +205,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       }
       .headOption
       .map { case (la, rb, lo, w) =>
-        val wLit = Literal(w)
-        def toLong(e: Expression): Expression =
-          if (e.dataType == LongType) e else Cast(e, LongType)
-        // floorDiv for longs: subtract the non-negative remainder first so
-        // integral truncation IS floor (x div W truncates toward zero,
-        // which differs from floor on negative x)
-        def floorDiv(x: Expression): Expression =
-          IntegralDivide(Subtract(x, Pmod(x, wLit)), wLit)
+        // Bucket keys are the bucket BASE value (x − x mod w), computed
+        // in DECIMAL(38,0): decimal arithmetic cannot overflow for ANY
+        // long attribute (|x| + |lo| ≪ 10^38), where the former
+        // long-space subtract/add threw under ANSI for values near the
+        // ±2^63 boundary (e.g. xxhash64-derived keys). No division
+        // anywhere — equal buckets ⇔ equal bases (Pmod keeps the
+        // remainder non-negative, so the base IS the floor alignment
+        // for negative x too), and the neighbor bucket is base + w.
+        val dec = DecimalType(38, 0)
+        def toDec(e: Expression): Expression = Cast(e, dec)
+        val wDec = toDec(Literal(w))
+        def bucketBase(x: Expression): Expression = {
+          val xd = toDec(x)
+          Cast(Subtract(xd, Pmod(xd, wDec)), dec)
+        }
 
-        val lBand     = Alias(floorDiv(toLong(la)), "__graft_band")()
+        val lBand     = Alias(bucketBase(la), "__graft_band")()
         val leftProj  = Project(l.output :+ lBand, l)
-        val rBase     = floorDiv(Add(toLong(rb), Literal(lo)))
-        val rBandAttr = AttributeReference("__graft_band", LongType)()
+        val rBase     = bucketBase(Add(toDec(rb), toDec(Literal(lo))))
+        val rBandAttr = AttributeReference("__graft_band", dec)()
         val gen = Generate(
-          Explode(CreateArray(Seq(rBase, Add(rBase, Literal(1L))))),
+          Explode(CreateArray(Seq(rBase, Cast(Add(rBase, wDec), dec)))),
           unrequiredChildIndex = Nil,
           outer = false,
           qualifier = None,

@@ -24,10 +24,18 @@ class ParquetBloomSpec extends AnyFunSuite {
       .coalesce(1) // one file, many row groups — isolates group skipping
   }
 
+  // per-run temp root: fixed /tmp paths couple the tests to run order
+  // and clobber each other across concurrent executors on one host
+  private lazy val root =
+    java.nio.file.Files.createTempDirectory("graft-pqbloom").toFile.getAbsolutePath
+  private lazy val bloomDir = {
+    val d = s"$root/with"
+    ParquetBloom.writeWithBloom(corpus, d, "key", ndv = 60000L)
+    d
+  }
+
   test("point-miss lookup reads ~0 rows from bloom files, full groups without") {
-    val bloomDir   = "/tmp/graft-pqbloom/with"
-    val controlDir = "/tmp/graft-pqbloom/without"
-    ParquetBloom.writeWithBloom(corpus, bloomDir, "key", ndv = 60000L)
+    val controlDir = s"$root/without"
     ParquetBloom.writeControl(corpus, controlDir)
 
     val absent = "0123456789abcdef0123456789abcdef" // not a real md5 of the data
@@ -47,7 +55,6 @@ class ParquetBloomSpec extends AnyFunSuite {
   }
 
   test("present-key lookup still finds its row through the bloom layout") {
-    val bloomDir = "/tmp/graft-pqbloom/with"
     val one = spark.read.parquet(bloomDir).limit(1).collect()(0).getString(0)
     val found = spark.read.parquet(bloomDir).filter(col("key") === one).count()
     assert(found >= 1L)

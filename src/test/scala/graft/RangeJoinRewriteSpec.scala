@@ -53,6 +53,30 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     sameResults(SparkEntry.queries("near_global_pairs")(spark, TestSpark.Sf))
   }
 
+  test("long-boundary values neither overflow nor drop matches") {
+    // bucket math must survive attributes clustered at a ±2^63 edge (the
+    // xxhash64-key case): PAIR differences are small, so the user's own
+    // band predicate is evaluable in any plan, but the rule's former
+    // long-space base/shift arithmetic (x − pmod, rb + lo) threw an ANSI
+    // overflow per ROW; the decimal bucket base must not. Clusters stay
+    // separate — a cross-boundary pair would overflow the residual
+    // y − x in the nested-loop baseline too, which is the user's bug,
+    // not the rule's.
+    def cluster(base: Long, dir: Long): Seq[Long] =
+      (0L to 999L).map(k => base + dir * k)
+    val lows  = cluster(Long.MinValue, +1L) // x − pmod(x, w) underflowed here
+    val highs = cluster(Long.MaxValue, -1L) // rb + lo overflowed here
+    for (vals <- Seq(lows, highs)) {
+      val as = vals.toDF("x")
+      val bs = vals.toDF("y")
+      val build =
+        as.join(bs, col("y") - col("x") >= 1L && col("y") - col("x") <= 100L)
+      sameResults(build)
+      val p = physical(build)
+      assert(p.contains("__graft_band"), s"edge-domain join not rewritten:\n$p")
+    }
+  }
+
   test("negative domain: floor semantics of the bucket id are exact") {
     // x - y ∈ [-3, 7]: lower bound negative, values cross zero in both frames
     sameResults(

@@ -97,4 +97,25 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(emptyDf.count() === 0)
     assert(emptyDf.columns.toSeq === Seq("user_id", "tus", "day"))
   }
+
+  test("a stats-less file stays visible: conservative keep, never lossy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-statsless").toFile
+    dir.deleteOnExit()
+    val p = dir.getAbsolutePath + "/t"
+    // file 1: normal stats; file 2: the harvested column is ALL NULL, so
+    // its footer has no usable min/max — the manifest must still list it
+    Seq((1L, Some(10L)), (2L, Some(20L))).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(p)
+    Seq((3L, None: Option[Long]), (4L, None)).toDF("id", "k")
+      .coalesce(1).write.mode("append").parquet(p)
+    val covered = StatsManifest.write(spark, p, Seq("k"))
+    assert(covered === 2, "both files must appear in the manifest")
+    // a range on k cannot prune the stats-less file (soundness)
+    val (df, report) = StatsManifest.prunedRead(spark, p,
+      Seq(StatsManifest.Range("k", Some(BigDecimal(1000)), None)))
+    assert(report.totalFiles === 2)
+    assert(report.keptFiles === 1, "stats-less file kept, stats file pruned")
+    assert(df.count() === 2, "rows of the stats-less file survive the scan")
+  }
 }

@@ -406,6 +406,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(n === batch.count())
   }
 
+  test("manifest view: an empty first batch commits a readable empty view") {
+    // batch 0 of a rate stream routinely carries zero rows — the commit
+    // must still advance and readers must see an EMPTY view, not a
+    // no-paths read crash
+    val dir = Files.createTempDirectory("graft-manifest-empty").toFile
+    dir.deleteOnExit()
+    val viewDir = dir.getAbsolutePath + "/view"
+    val none = Tables.events(spark, TestSpark.Sf).limit(0)
+    EventStreams.mergeManifestBatch(none, viewDir, buckets = 8, batchId = 0)
+    assert(EventStreams.readManifest(viewDir)._1 === 0)
+    val view = EventStreams.manifestView(spark, viewDir)
+    assert(view.count() === 0)
+    assert(view.columns.toSeq ===
+      Seq("user_id", "n_events", "total_value", "bkt"))
+    // and the next (non-empty) batch merges on top of the empty commit
+    EventStreams.mergeManifestBatch(
+      Tables.events(spark, TestSpark.Sf), viewDir, buckets = 8, batchId = 1)
+    assert(EventStreams.manifestView(spark, viewDir).count() > 0)
+  }
+
   test("manifest view: crash between bucket write and commit never tears the view") {
     val dir = Files.createTempDirectory("graft-stream-manifest").toFile
     dir.deleteOnExit()
