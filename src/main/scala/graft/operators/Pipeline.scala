@@ -415,8 +415,70 @@ object Pipeline {
       |FROM changes
       |ORDER BY custkey, valid_from, attr, valid_to NULLS FIRST""".stripMargin
 
+  /** Point-in-time (temporal) join against the SCD-2 history: every
+    * order is enriched with the attribute VERSION that was valid on its
+    * order date — equi-join on the dimension key plus the half-open
+    * interval residual `valid_from <= dt < valid_to`. Versions opening
+    * on the same day collapse to empty intervals, so each fact matches
+    * EXACTLY one version (spec-asserted); rolled up by version attribute
+    * to keep the output small. The plan is the scalable PIT shape: hash
+    * join on the key (version lists per key are short by construction),
+    * interval check as a residual filter — never a range-only join.
+    */
+  def scd2PitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val versions = scd2History(spark, dir)
+      .select(col("custkey"), col("attr"), col("valid_from"), col("valid_to"))
+    val orders = Tables
+      .orders(spark, dir)
+      .select(
+        col("o_custkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"),
+        col("o_totalprice"))
+    orders
+      .join(
+        versions,
+        orders("o_custkey") === versions("custkey") &&
+          col("valid_from") <= col("dt") &&
+          (col("valid_to").isNull || col("dt") < col("valid_to")))
+      .groupBy(col("attr"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        Det.detRound(Det.moneySum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("attr"))
+  }
+
+  private val scd2PitJoinSql =
+    """WITH v AS (
+      |  SELECT o_custkey AS custkey,
+      |         strftime(o_orderdate, '%Y-%m-%d') AS dt,
+      |         o_orderkey,
+      |         o_orderpriority AS attr,
+      |         lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+      |  FROM orders
+      |), changes AS (
+      |  SELECT custkey, dt, o_orderkey, attr FROM v
+      |  WHERE prev IS NULL OR attr <> prev
+      |), hist AS (
+      |  SELECT custkey, attr, dt AS valid_from,
+      |         lead(dt) OVER (PARTITION BY custkey ORDER BY dt, o_orderkey) AS valid_to
+      |  FROM changes
+      |)
+      |SELECT h.attr, count(*) AS n_orders,
+      |       """.stripMargin +
+      Det.roundSql(
+        "CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2) +
+      """ AS revenue
+      |FROM orders o
+      |JOIN hist h
+      |  ON o.o_custkey = h.custkey
+      | AND h.valid_from <= strftime(o.o_orderdate, '%Y-%m-%d')
+      | AND (h.valid_to IS NULL OR strftime(o.o_orderdate, '%Y-%m-%d') < h.valid_to)
+      |GROUP BY h.attr
+      |ORDER BY h.attr""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "scd2_history"          -> QueryDef(scd2History, Some(scd2HistorySql)),
+    "scd2_pit_join"         -> QueryDef(scd2PitJoin, Some(scd2PitJoinSql)),
     "doc_chunks"            -> QueryDef(docChunks, Some(docChunksSql)),
     "boilerplate_ngrams"    -> QueryDef(boilerplateNgrams, Some(boilerplateNgramsSql)),
     "bloom_join_prune"      -> QueryDef(bloomJoinPrune, Some(bloomJoinPruneSql)),

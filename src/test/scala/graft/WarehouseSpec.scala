@@ -109,6 +109,24 @@ class WarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("scd2 point-in-time join covers every fact exactly once") {
+    val orders = Tables.orders(spark, dir)
+    val versions = graft.operators.Pipeline.scd2History(spark, dir)
+      .select(col("custkey"), col("attr"), col("valid_from"), col("valid_to"))
+    val facts = orders.select(
+      col("o_custkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("dt"))
+    val matched = facts.join(
+      versions,
+      facts("o_custkey") === versions("custkey") &&
+        col("valid_from") <= col("dt") &&
+        (col("valid_to").isNull || col("dt") < col("valid_to")))
+    // exactly-one semantics: same-day version openings collapse to empty
+    // intervals, so the match count equals the fact count — no order is
+    // dropped, none is duplicated
+    assert(matched.count() === orders.count())
+  }
+
   test("rolling_distinct_kmv merged partials match the direct sketch") {
     val out = Warehouse.rollingDistinctKmv(spark, dir).cache()
     assert(out.count() >= 7) // a month of days
