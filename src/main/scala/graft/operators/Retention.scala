@@ -212,7 +212,94 @@ object Retention {
        |FROM wau w LEFT JOIN dau d ON w.day = d.day
        |ORDER BY w.day""".stripMargin
 
+  /** Funnel window: steps must complete within 7 days of step 1. */
+  private val FunnelWinUs = 7L * 86400L * 1000000L
+
+  /** Ordered-sequence funnel (the windowFunnel operator): how far does
+    * each user get through view → click → purchase, where every step
+    * must come STRICTLY AFTER the previous one and inside a 7-day window
+    * anchored at step 1 — semantics plain conditional aggregation cannot
+    * express (step 2's predicate depends on step 1's timestamp). One
+    * shuffle total: per-user event pairs are collected in-row and the
+    * greedy earliest-transition chain is evaluated by nested
+    * higher-order lambdas (array_min over filter), all inside
+    * whole-stage codegen — vs the 3-join/3-shuffle dataflow form the
+    * oracle runs. Greedy earliest == the chained min, so the two are
+    * provably the same function.
+    */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val T = FunnelWinUs
+    Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        expr("ts div 1000").as("us"),
+        col("event_type").as("et"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("us"), col("et"))).as("evs"))
+      .withColumn(
+        "t1", expr("array_min(transform(filter(evs, e -> e.et = 'view'), e -> e.us))"))
+      .withColumn(
+        "t2",
+        expr(s"""array_min(transform(
+                |  filter(evs, e -> e.et = 'click' AND e.us > t1 AND e.us <= t1 + ${T}L),
+                |  e -> e.us))""".stripMargin))
+      .withColumn(
+        "t3",
+        expr(s"""array_min(transform(
+                |  filter(evs, e -> e.et = 'purchase' AND e.us > t2 AND e.us <= t1 + ${T}L),
+                |  e -> e.us))""".stripMargin))
+      .select(
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0)
+          .as("depth"))
+      .groupBy(col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("depth"))
+  }
+
+  /** DuckDB twin: the same greedy chain as three dependent minimum
+    * CTEs (earliest view; earliest qualifying click after it; earliest
+    * qualifying purchase after that, all within t1 + window).
+    */
+  private val windowFunnelSql =
+    s"""WITH u AS (
+       |  SELECT DISTINCT user_id FROM events
+       |), s1 AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS t1
+       |  FROM events WHERE event_type = 'view' GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+       |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND epoch_us(e.ts) > s1.t1 AND epoch_us(e.ts) <= s1.t1 + $FunnelWinUs
+       |  GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+       |  FROM events e
+       |  JOIN s2 ON e.user_id = s2.user_id
+       |  JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND epoch_us(e.ts) > s2.t2 AND epoch_us(e.ts) <= s1.t1 + $FunnelWinUs
+       |  GROUP BY e.user_id
+       |), d AS (
+       |  SELECT u.user_id,
+       |         CASE WHEN s3.user_id IS NOT NULL THEN 3
+       |              WHEN s2.user_id IS NOT NULL THEN 2
+       |              WHEN s1.user_id IS NOT NULL THEN 1
+       |              ELSE 0 END AS depth
+       |  FROM u
+       |  LEFT JOIN s1 ON u.user_id = s1.user_id
+       |  LEFT JOIN s2 ON u.user_id = s2.user_id
+       |  LEFT JOIN s3 ON u.user_id = s3.user_id
+       |)
+       |SELECT depth, count(*) AS n_users
+       |FROM d GROUP BY depth ORDER BY depth""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "window_funnel"        -> QueryDef(windowFunnel, Some(windowFunnelSql)),
     "rolling_active_users" -> QueryDef(rollingActiveUsers, Some(rollingActiveUsersSql)),
     "cohort_retention"    -> QueryDef(cohortRetention, Some(cohortRetentionSql)),
     "order_gap_stats"     -> QueryDef(orderGapStats, Some(orderGapStatsSql)),
