@@ -154,4 +154,12 @@ object Det {
     val p = s"1e$k"
     s"floor(($e)*$p + 0.5)/$p"
   }
+
+  /** Engine-portable 60-bit content hash of a string column as a
+    * DECIMAL(38,0) term — safe to SUM without overflow. DuckDB twin:
+    * ('0x' || substr(md5(e), 1, 15))::BIGINT. Used by the anti-entropy
+    * checksums (Quality.tableChecksum, streaming.ChecksumStream).
+    */
+  def md5h60Col(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(DecimalType(38, 0))
 }

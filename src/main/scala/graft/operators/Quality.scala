@@ -130,15 +130,16 @@ object Quality {
     def edge(
         rel: String,
         child: DataFrame, fk: String,
-        parent: DataFrame, pk: String): DataFrame = {
-      val orphans = child
-        .join(parent.select(col(pk)), col(fk) === col(pk), "left_anti")
-        .agg(count(lit(1)).as("n_orphans"))
+        parent: DataFrame, pk: String): DataFrame =
+      // ONE scan per edge: a left join against the (unique) parent key
+      // yields the child count and the orphan count from the same pass —
+      // the anti-join + separate count form read the child twice
       child
-        .agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans)
+        .join(parent.select(col(pk)), col(fk) === col(pk), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          sum(when(col(pk).isNull, 1L).otherwise(0L)).as("n_orphans"))
         .select(lit(rel).as("rel"), col("n_child"), col("n_orphans"))
-    }
     val li = Tables.lineitem(spark, dir)
     val or = Tables.orders(spark, dir)
     Seq(
@@ -266,9 +267,7 @@ object Quality {
     */
   def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
     def sig(name: String, df: DataFrame): DataFrame =
-      df.select(
-          expr("CAST(conv(substr(md5(__ser), 1, 15), 16, 10) AS DECIMAL(38,0))")
-            .as("h"))
+      df.select(Det.md5h60Col(col("__ser")).as("h"))
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hs"))
         .select(
           lit(name).as("table_name"),

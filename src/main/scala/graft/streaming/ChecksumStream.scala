@@ -53,9 +53,7 @@ object ChecksumStream {
   /** The portable row hash (md5-h60 of a canonical serialization) as a
     * decimal column — identical to Quality.tableChecksum's per-row term.
     */
-  def rowHash(ser: Column): Column =
-    conv(substring(md5(ser), 1, 15), 16, 10)
-      .cast(org.apache.spark.sql.types.DecimalType(38, 0))
+  def rowHash(ser: Column): Column = graft.Det.md5h60Col(ser)
 
   /** Merge one micro-batch into the running signature. Factored out of
     * foreachBatch so specs can drive it directly (and inject replays).
