@@ -227,34 +227,43 @@ object Retention {
     * oracle runs. Greedy earliest == the chained min, so the two are
     * provably the same function.
     */
+  /** Generic N-step funnel depth per user: one row per user with the
+    * number of `steps` completed, each step strictly after the previous
+    * and within `windowUs` of step 1. Input needs (user_id, us, et).
+    * One shuffle (the per-user collect); the greedy chain is N nested
+    * lambdas evaluated in-row.
+    */
+  def funnelDepths(
+      events: DataFrame, steps: Seq[String], windowUs: Long): DataFrame = {
+    require(steps.nonEmpty && steps.forall(!_.contains("'")),
+      "steps must be non-empty and quote-free")
+    val base = events
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(col("us"), col("et"))).as("evs"))
+    val withTs = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val pred =
+        if (i == 0) s"e.et = '$step'"
+        else s"e.et = '$step' AND e.us > t$i AND e.us <= t1 + ${windowUs}L"
+      df.withColumn(
+        s"t${i + 1}",
+        expr(s"array_min(transform(filter(evs, e -> $pred), e -> e.us))"))
+    }
+    // forward fold so the DEEPEST satisfied step ends up outermost:
+    // when(t_n, n).otherwise(when(t_{n-1}, n-1) ... otherwise(0))
+    val depth = steps.indices.foldLeft(lit(0)) { case (acc, i) =>
+      when(col(s"t${i + 1}").isNotNull, i + 1).otherwise(acc)
+    }
+    withTs.select(col("user_id"), depth.as("depth"))
+  }
+
   def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val T = FunnelWinUs
-    Tables
+    val ev = Tables
       .events(spark, dir)
       .select(
         col("user_id"),
         expr("ts div 1000").as("us"),
         col("event_type").as("et"))
-      .groupBy(col("user_id"))
-      .agg(collect_list(struct(col("us"), col("et"))).as("evs"))
-      .withColumn(
-        "t1", expr("array_min(transform(filter(evs, e -> e.et = 'view'), e -> e.us))"))
-      .withColumn(
-        "t2",
-        expr(s"""array_min(transform(
-                |  filter(evs, e -> e.et = 'click' AND e.us > t1 AND e.us <= t1 + ${T}L),
-                |  e -> e.us))""".stripMargin))
-      .withColumn(
-        "t3",
-        expr(s"""array_min(transform(
-                |  filter(evs, e -> e.et = 'purchase' AND e.us > t2 AND e.us <= t1 + ${T}L),
-                |  e -> e.us))""".stripMargin))
-      .select(
-        when(col("t3").isNotNull, 3)
-          .when(col("t2").isNotNull, 2)
-          .when(col("t1").isNotNull, 1)
-          .otherwise(0)
-          .as("depth"))
+    funnelDepths(ev, Seq("view", "click", "purchase"), FunnelWinUs)
       .groupBy(col("depth"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("depth"))

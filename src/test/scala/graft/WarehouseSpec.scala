@@ -127,6 +127,48 @@ class WarehouseSpec extends AnyFunSuite {
     assert(matched.count() === orders.count())
   }
 
+  test("generic funnelDepths matches the chained-min dataflow on other step lists") {
+    import org.apache.spark.sql.DataFrame
+    val T = 7L * 86400L * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type").as("et"))
+      .cache()
+    // independent formulation: dependent minimums via joins (the oracle
+    // shape), for an arbitrary step list
+    def chained(steps: Seq[String]): Map[Long, Int] = {
+      val users = ev.select(col("user_id")).distinct()
+      var anchor: DataFrame = null // (user_id, t1)
+      var prev: DataFrame   = null // (user_id, t_i)
+      var depths = users.select(col("user_id"), lit(0).as("d"))
+      steps.zipWithIndex.foreach { case (s, i) =>
+        val cand = ev.filter(col("et") === s)
+        val step =
+          if (i == 0) cand.groupBy(col("user_id")).agg(min(col("us")).as("t"))
+          else
+            cand
+              .join(prev.withColumnRenamed("t", "tp"), "user_id")
+              .join(anchor.withColumnRenamed("t", "t1"), "user_id")
+              .filter(col("us") > col("tp") && col("us") <= col("t1") + T)
+              .groupBy(col("user_id"))
+              .agg(min(col("us")).as("t"))
+        if (i == 0) anchor = step
+        prev = step
+        depths = depths
+          .join(step.select(col("user_id"), lit(i + 1).as("di")), Seq("user_id"), "left")
+          .select(col("user_id"), coalesce(col("di"), col("d")).as("d"))
+      }
+      depths.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    }
+    for (steps <- Seq(
+        Seq("signup", "purchase"),
+        Seq("view", "click", "purchase", "error"))) {
+      val generic = graft.operators.Retention.funnelDepths(ev, steps, T)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(generic === chained(steps), s"steps=$steps")
+    }
+    ev.unpersist()
+  }
+
   test("rolling_distinct_kmv merged partials match the direct sketch") {
     val out = Warehouse.rollingDistinctKmv(spark, dir).cache()
     assert(out.count() >= 7) // a month of days
