@@ -253,7 +253,11 @@ object Retention {
     val depth = steps.indices.foldLeft(lit(0)) { case (acc, i) =>
       when(col(s"t${i + 1}").isNotNull, i + 1).otherwise(acc)
     }
-    withTs.select(col("user_id"), depth.as("depth"))
+    withTs.select(
+      col("user_id"),
+      depth.as("depth"),
+      col("t1"),
+      col(s"t${steps.size}").as("t_last"))
   }
 
   def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
@@ -307,8 +311,61 @@ object Retention {
        |SELECT depth, count(*) AS n_users
        |FROM d GROUP BY depth ORDER BY depth""".stripMargin
 
+  /** Funnel completion latency: for users who finish the whole
+    * view → click → purchase chain, how long the journey takes —
+    * count plus exact median / mean / max hours from step 1 to the
+    * final step. Rides the same one-shuffle funnelDepths frame (t1 and
+    * t_last come out of the in-row chain); the tiny depth-filtered
+    * aggregate is the only extra work.
+    */
+  def funnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        expr("ts div 1000").as("us"),
+        col("event_type").as("et"))
+    funnelDepths(ev, Seq("view", "click", "purchase"), FunnelWinUs)
+      .filter(col("depth") === 3)
+      .select(((col("t_last") - col("t1")) / lit(3600e6)).as("hours"))
+      .agg(
+        count(lit(1)).as("n_completed"),
+        Det.detRound(expr("percentile(hours, 0.5)"), 6).as("p50_hours"),
+        Det.detRound(avg(col("hours")), 6).as("avg_hours"),
+        Det.detRound(max(col("hours")), 6).as("max_hours"))
+  }
+
+  private val funnelLatencySql =
+    s"""WITH s1 AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS t1
+       |  FROM events WHERE event_type = 'view' GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+       |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND epoch_us(e.ts) > s1.t1 AND epoch_us(e.ts) <= s1.t1 + $FunnelWinUs
+       |  GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+       |  FROM events e
+       |  JOIN s2 ON e.user_id = s2.user_id
+       |  JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND epoch_us(e.ts) > s2.t2 AND epoch_us(e.ts) <= s1.t1 + $FunnelWinUs
+       |  GROUP BY e.user_id
+       |), h AS (
+       |  SELECT (s3.t3 - s1.t1) / 3600e6 AS hours
+       |  FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+       |)
+       |SELECT count(*) AS n_completed,
+       |       ${Det.roundSql("quantile_cont(hours, 0.5)", 6)} AS p50_hours,
+       |       ${Det.roundSql("avg(hours)", 6)} AS avg_hours,
+       |       ${Det.roundSql("max(hours)", 6)} AS max_hours
+       |FROM h""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "window_funnel"        -> QueryDef(windowFunnel, Some(windowFunnelSql)),
+    "funnel_latency"       -> QueryDef(funnelLatency, Some(funnelLatencySql)),
     "rolling_active_users" -> QueryDef(rollingActiveUsers, Some(rollingActiveUsersSql)),
     "cohort_retention"    -> QueryDef(cohortRetention, Some(cohortRetentionSql)),
     "order_gap_stats"     -> QueryDef(orderGapStats, Some(orderGapStatsSql)),
