@@ -300,7 +300,84 @@ object Curation {
        |FROM sq, denom
        |ORDER BY source""".stripMargin
 
+  /** Diversity-aware sampling — the scalable cousin of greedy MMR
+    * selection: each document lands in a 16-bit semantic bucket (low
+    * band of its portable SimHash — near-duplicates collide there by
+    * construction, the same blocking dedup_simhash uses), and ONE
+    * winner per bucket survives, ranked by a repetition-penalizing
+    * quality score (distinct-token ratio). Blocking IS the diversity
+    * constraint: the winner set can't contain two near-identical
+    * documents, and the selection is one bounded-heap TopKPerKey pass —
+    * no sequential greedy loop, no pairwise similarity matrix. Top 20
+    * by score reported.
+    */
+  def sampleDiverse(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val scored = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        expr("element_at(graft_simhash_md5(split(text, ' ')), 2) & 65535")
+          .as("bucket"),
+        expr(
+          "size(array_distinct(split(text, ' '))) / CAST(size(split(text, ' ')) AS DOUBLE)")
+          .as("score"))
+    org.apache.spark.sql.graft.TopK
+      .perKey(
+        scored,
+        Seq("bucket"),
+        Seq("score" -> false, "doc_id" -> true),
+        k = 1,
+        rankName = "rn")
+      .select(
+        col("doc_id"),
+        col("bucket"),
+        Det.detRound(col("score"), 6).as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .limit(20)
+  }
+
+  /** DuckDB twin: the portable simhash chain (same md5 half-hashes,
+    * per-bit ±1 sums, sign reassembly) for the band-0 bucket, the same
+    * distinct-token-ratio score, row_number per bucket.
+    */
+  private val sampleDiverseSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents
+       |), th AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(s), 1, 8))::BIGINT AS hi,
+       |         ('0x' || substr(md5(s), 9, 8))::BIGINT AS lo
+       |  FROM toks
+       |), bits AS (
+       |  SELECT doc_id, j,
+       |         SUM(CASE WHEN (lo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c_lo
+       |  FROM th, (SELECT unnest(generate_series(0, 31)) AS j)
+       |  GROUP BY doc_id, j
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN c_lo > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo
+       |  FROM bits GROUP BY doc_id
+       |), sc AS (
+       |  SELECT doc_id,
+       |         len(list_distinct(string_split(text, ' ')))
+       |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+       |  FROM documents
+       |), b AS (
+       |  SELECT s.doc_id, s.lo & 65535 AS bucket, sc.score
+       |  FROM sigs s JOIN sc ON s.doc_id = sc.doc_id
+       |), r AS (
+       |  SELECT doc_id, bucket, score,
+       |         row_number() OVER (PARTITION BY bucket ORDER BY score DESC, doc_id) AS rn
+       |  FROM b
+       |)
+       |SELECT doc_id, bucket, ${Det.roundSql("score", 6)} AS score
+       |FROM r WHERE rn = 1
+       |ORDER BY score DESC, doc_id
+       |LIMIT 20""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "sample_diverse"     -> QueryDef(sampleDiverse, Some(sampleDiverseSql)),
     "doc_repetition"     -> QueryDef(docRepetition, Some(docRepetitionSql)),
     "sample_per_lang"    -> QueryDef(samplePerLang, Some(samplePerLangSql)),
     "pii_scrub"          -> QueryDef(piiScrub, Some(piiScrubSql)),
