@@ -85,6 +85,42 @@ object Pipeline {
        |FROM c
        |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Chunk-level deduplication accounting: the chunking pass above makes
+    * dedup granular — a boilerplate paragraph repeated across documents
+    * dedups at chunk level even when whole-document hashes differ. Top
+    * repeated chunk fingerprints with occurrence/document counts; rides
+    * the docChunks frame, so the grouping key is the 32-char md5, never
+    * chunk text.
+    */
+  def chunkDedup(spark: SparkSession, dir: String): DataFrame =
+    docChunks(spark, dir)
+      .groupBy(col("chunk_md5"))
+      .agg(
+        count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("n_tokens")).as("n_tokens"))
+      .filter(col("n_occurrences") >= 2)
+      .orderBy(desc("n_occurrences"), desc("n_docs"), asc("chunk_md5"))
+      .limit(20)
+
+  private lazy val chunkDedupSql = {
+    // docChunksSql minus its trailing ORDER BY, reused as a CTE body
+    val chunkCte = docChunksSql.linesIterator
+      .takeWhile(!_.startsWith("ORDER BY"))
+      .mkString("\n")
+    s"""WITH chunks AS (
+       |${chunkCte.linesIterator.map("  " + _).mkString("\n")}
+       |)
+       |SELECT chunk_md5, count(*) AS n_occurrences,
+       |       count(DISTINCT doc_id) AS n_docs,
+       |       CAST(max(n_tokens) AS BIGINT) AS n_tokens
+       |FROM chunks
+       |GROUP BY chunk_md5
+       |HAVING count(*) >= 2
+       |ORDER BY n_occurrences DESC, n_docs DESC, chunk_md5
+       |LIMIT 20""".stripMargin
+  }
+
   // ----------------------------------------------------------- boilerplate
 
   private val BoilerN       = 8 // shingle width (tokens)
@@ -480,6 +516,7 @@ object Pipeline {
     "scd2_history"          -> QueryDef(scd2History, Some(scd2HistorySql)),
     "scd2_pit_join"         -> QueryDef(scd2PitJoin, Some(scd2PitJoinSql)),
     "doc_chunks"            -> QueryDef(docChunks, Some(docChunksSql)),
+    "chunk_dedup"           -> QueryDef(chunkDedup, Some(chunkDedupSql)),
     "boilerplate_ngrams"    -> QueryDef(boilerplateNgrams, Some(boilerplateNgramsSql)),
     "bloom_join_prune"      -> QueryDef(bloomJoinPrune, Some(bloomJoinPruneSql)),
     "incremental_agg_merge" -> QueryDef(incrementalAggMerge, Some(incrementalAggMergeSql)),

@@ -363,7 +363,58 @@ object Retention {
        |       ${Det.roundSql("max(hours)", 6)} AS max_hours
        |FROM h""".stripMargin
 
+  /** Per-user event-type transition matrix (first-order Markov path
+    * analysis): consecutive event pairs in each user's timeline with
+    * counts and the row-conditional probability P(next | prev). One
+    * per-user window pass (lag over (ts, event_id) — the id tie-break
+    * makes the order total, so both engines see identical successor
+    * pairs), then a types²-sized aggregate; the probability window runs
+    * on that tiny frame, never on events.
+    */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val pairs = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        expr("ts div 1000").as("us"),
+        col("event_id"),
+        col("event_type").as("cur"))
+      .withColumn("prev", lag(col("cur"), 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn(
+        "p",
+        Det.detRound(
+          col("n").cast("double") /
+            sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
+      .orderBy(col("prev"), col("cur"))
+  }
+
+  private val eventTransitionsSql =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS cur,
+       |         lag(event_type) OVER (
+       |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev
+       |  FROM events
+       |), pairs AS (
+       |  SELECT prev, cur, count(*) AS n
+       |  FROM seq WHERE prev IS NOT NULL
+       |  GROUP BY prev, cur
+       |)
+       |SELECT prev, cur, n,
+       |       ${Det.roundSql(
+        "CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev)", 6)} AS p
+       |FROM pairs
+       |ORDER BY prev, cur""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "event_transitions"    -> QueryDef(eventTransitions, Some(eventTransitionsSql)),
     "window_funnel"        -> QueryDef(windowFunnel, Some(windowFunnelSql)),
     "funnel_latency"       -> QueryDef(funnelLatency, Some(funnelLatencySql)),
     "rolling_active_users" -> QueryDef(rollingActiveUsers, Some(rollingActiveUsersSql)),
