@@ -119,6 +119,81 @@ object Quality {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  // ------------------------------------------------- sketch-NDV profile
+
+  private val ProfileKmvK = 256
+
+  /** The 100 TB form of the profiler: per-column distinct counts come
+    * from the mergeable KMV sketch instead of exact count-distinct, so
+    * the single-pass aggregate carries k minimum hashes per column and
+    * NO Expand — this is the concrete fix for the one probe that
+    * spilled (orders_profile moved ~20 GiB at 100×; this plan's state
+    * is k·|columns| longs regardless of scale). Each column is first
+    * reduced to a portable 60-bit hash of a canonical serialization
+    * (doubles via DECIMAL(18,2) so no engine-specific float rendering),
+    * which the oracle replays hash-for-hash — the ESTIMATES are
+    * hash-compared, not bounded.
+    */
+  def ordersProfileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val kmv = graft.functions.KmvDistinct.udf(ProfileKmvK)
+    val sers: Seq[(String, Column)] = Seq(
+      "o_orderkey"      -> col("o_orderkey").cast("string"),
+      "o_custkey"       -> col("o_custkey").cast("string"),
+      "o_orderstatus"   -> col("o_orderstatus"),
+      "o_totalprice"    -> col("o_totalprice").cast(Det.Money).cast("string"),
+      "o_orderdate"     -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
+      "o_orderpriority" -> col("o_orderpriority"))
+    val hashed = Tables
+      .orders(spark, dir)
+      .select(sers.map { case (n, c) =>
+        Det.md5h60Col(c).cast("long").as(s"${n}__h")
+      }: _*)
+    val aggs = sers.map { case (n, _) => kmv(col(s"${n}__h")).as(s"${n}__ndv") }
+    val wide = hashed.agg(count(lit(1)).as("__n"), aggs: _*)
+    val rows = sers.map { case (n, _) =>
+      struct(
+        lit(n).as("col_name"),
+        col("__n").as("n_rows"),
+        Det.detRound(col(s"${n}__ndv"), 2).as("kmv_ndv"))
+    }
+    wide
+      .select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .orderBy(col("col_name"))
+  }
+
+  private val ordersProfileSketchSql = {
+    val k = ProfileKmvK
+    def ser(c: String, kind: String) = kind match {
+      case "num" => s"CAST($c AS VARCHAR)"
+      case "dec" => s"CAST(CAST($c AS DECIMAL(18,2)) AS VARCHAR)"
+      case "ts"  => s"strftime($c, '%Y-%m-%d %H:%M:%S')"
+      case _     => c
+    }
+    // the aggregator hashes its (already portable-hashed) long input
+    // again via md5-h60 of the decimal string — replay both layers
+    def one(c: String, kind: String) = {
+      val h1 = s"('0x' || substr(md5(${ser(c, kind)}), 1, 15))::BIGINT"
+      val h2 = s"('0x' || substr(md5(CAST($h1 AS VARCHAR)), 1, 15))::BIGINT"
+      s"""SELECT '$c' AS col_name,
+         |       (SELECT count(*) FROM orders) AS n_rows,
+         |       (SELECT ${Det.roundSql(
+          s"CASE WHEN count(*) < $k THEN CAST(count(*) AS DOUBLE) " +
+            s"WHEN max(CASE WHEN rn = $k THEN h2 END) IS NULL THEN NULL " +
+            s"ELSE CAST(${k - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) " +
+            s"/ CAST(max(CASE WHEN rn = $k THEN h2 END) AS DOUBLE) END", 2)}
+         |        FROM (
+         |          SELECT h2, row_number() OVER (ORDER BY h2) AS rn
+         |          FROM (SELECT DISTINCT $h2 AS h2 FROM orders)
+         |        ) r WHERE rn <= $k) AS kmv_ndv""".stripMargin
+    }
+    Seq(
+      one("o_custkey", "num"), one("o_orderdate", "ts"),
+      one("o_orderkey", "num"), one("o_orderpriority", "str"),
+      one("o_orderstatus", "str"), one("o_totalprice", "dec"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   // ------------------------------------------------------------- FK orphans
 
   /** Referential-integrity audit over the whole star schema: for every
@@ -328,6 +403,7 @@ object Quality {
 
   val defs: Map[String, QueryDef] = Map(
     "orders_profile" -> QueryDef(ordersProfile, Some(ordersProfileSql)),
+    "orders_profile_sketch" -> QueryDef(ordersProfileSketch, Some(ordersProfileSketchSql)),
     "fk_orphans"     -> QueryDef(fkOrphans, Some(fkOrphansSql)),
     "table_checksum" -> QueryDef(tableChecksum, Some(tableChecksumSql)),
     "snapshot_diff"  -> QueryDef(snapshotDiff, Some(snapshotDiffSql)))
