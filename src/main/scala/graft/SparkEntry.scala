@@ -16,7 +16,7 @@ object SparkEntry {
       Graph.defs ++ Typed.defs ++ Skew.defs ++ Curation.defs ++ Pipeline.defs ++
       Warehouse.defs ++ Quality.defs ++
       graft.streaming.EventStreams.defs ++ graft.multimodal.Multimodal.defs ++
-      graft.sources.Bucketing.defs
+      graft.sources.Bucketing.defs ++ graft.sources.StatsManifest.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The integrated engagement-vs-spend analysis — the reference's most

@@ -364,7 +364,7 @@ object Curation {
        |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
        |  FROM documents
        |), b AS (
-       |  SELECT s.doc_id, s.lo & 65535 AS bucket, sc.score
+       |  SELECT s.doc_id, CAST(s.lo & 65535 AS BIGINT) AS bucket, sc.score
        |  FROM sigs s JOIN sc ON s.doc_id = sc.doc_id
        |), r AS (
        |  SELECT doc_id, bucket, score,

@@ -245,12 +245,31 @@ object Olap {
     */
   def cartContentsMap(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
-    val carts = li
+    def perPart(src: DataFrame): DataFrame = src
       .groupBy(col("l_orderkey"), col("l_partkey"))
       .agg(
         sum(col("l_quantity").cast(Det.Money)).as("qty"),
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Det.Fine))
           .as("spend"))
+    // Pre-rank with the cheap scalar aggregate — the ranking keys are
+    // the SAME expressions the final output emits (rounded spend double)
+    // so the top-100 boundary is identical. Only (orderkey, count, sums)
+    // ever shuffle here; whole carts never do. TakeOrderedAndProject
+    // keeps 100 rows per partition → 100 global.
+    val top = perPart(li)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        count(lit(1)).as("cart_distinct_items"),
+        Det.detRound(sum(col("spend")).cast("double"), 2).as("cart_total_spend"))
+      .orderBy(desc("cart_distinct_items"), desc("cart_total_spend"), asc("l_orderkey"))
+      .limit(100)
+      .select(col("l_orderkey"))
+    // Survivors only: broadcast the 100 keys back onto the scan (a
+    // map-side semi-filter — at 100 TB this is a second lineitem scan,
+    // not a second lineitem shuffle), then build the real MapType cart
+    // and derive the emitted measures from the map itself so the
+    // build→access→fold surface stays oracle-checked end to end.
+    val carts = perPart(li.join(broadcast(top), Seq("l_orderkey"), "left_semi"))
       .groupBy(col("l_orderkey"))
       .agg(
         map_from_entries(

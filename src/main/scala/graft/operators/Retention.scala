@@ -335,6 +335,89 @@ object Retention {
         Det.detRound(max(col("hours")), 6).as("max_hours"))
   }
 
+  private val FlKllK = 256
+  // KLL 99%-confidence rank-error fraction, published bound 2.296/k^0.9
+  // (Karnin–Lang–Liberty / Apache DataSketches).
+  private val FlKllEps = 2.296 / math.pow(FlKllK.toDouble, 0.9)
+
+  /** Scale-routed twin of funnelLatency: the p50 goes through the
+    * mergeable KLL Aggregator (functions.KllQuantiles — O(k·log(n/k))
+    * state with map-side partials) instead of exact `percentile`,
+    * whose single final buffer holding every completed-funnel value is
+    * the one piece of funnelLatency that cannot survive 100× user
+    * counts. The sketch estimate is engine-private, so the emitted row
+    * carries the exact-checkable companions (count / mean / max — all
+    * mergeable) plus `bound_ok`: whether the estimate's exact rank is
+    * within the published ε·n+1 of 0.5·n. The oracle asserts bound_ok
+    * as a constant — a bound violation flips the hash. Same
+    * anchor/twin pattern as orders_profile_sketch /
+    * value_quantiles_sketch; run THIS form at scale, the exact form
+    * stays as the capped anchor.
+    */
+  def funnelLatencySketch(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        expr("ts div 1000").as("us"),
+        col("event_type").as("et"))
+    val hours = funnelDepths(ev, Seq("view", "click", "purchase"), FunnelWinUs)
+      .filter(col("depth") === 3)
+      .select(((col("t_last") - col("t1")) / lit(3600e6)).as("hours"))
+    val kll = graft.functions.KllQuantiles.udf(FlKllK, Seq(0.5))
+    val est = hours.agg(
+      element_at(kll(col("hours")), 1).as("est_val"),
+      count(lit(1)).as("n_completed"),
+      Det.detRound(avg(col("hours")), 6).as("avg_hours"),
+      Det.detRound(max(col("hours")), 6).as("max_hours"))
+    // exact rank of the single estimate: one more pass over the tiny
+    // completed-funnel frame, broadcast-joined (1-row build side)
+    val ranks = hours
+      .crossJoin(broadcast(est.select(col("est_val").as("ev"))))
+      .agg(
+        sum(when(col("hours") <= col("ev"), 1L).otherwise(0L)).as("rank"),
+        first(col("ev")).as("est_val"))
+    est
+      .join(broadcast(ranks), Seq("est_val"), "left")
+      .select(
+        col("n_completed"),
+        col("avg_hours"),
+        col("max_hours"),
+        when(col("n_completed") === 0, lit(true))
+          .otherwise(
+            abs(col("rank") - lit(0.5) * col("n_completed")) <=
+              lit(FlKllEps) * col("n_completed") + 1.0)
+          .as("bound_ok"))
+  }
+
+  private val funnelLatencySketchSql =
+    s"""WITH s1 AS (
+       |  SELECT user_id, min(epoch_us(ts)) AS t1
+       |  FROM events WHERE event_type = 'view' GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+       |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'click'
+       |    AND epoch_us(e.ts) > s1.t1 AND epoch_us(e.ts) <= s1.t1 + $FunnelWinUs
+       |  GROUP BY e.user_id
+       |), s3 AS (
+       |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+       |  FROM events e
+       |  JOIN s2 ON e.user_id = s2.user_id
+       |  JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE e.event_type = 'purchase'
+       |    AND epoch_us(e.ts) > s2.t2 AND epoch_us(e.ts) <= s1.t1 + $FunnelWinUs
+       |  GROUP BY e.user_id
+       |), h AS (
+       |  SELECT (s3.t3 - s1.t1) / 3600e6 AS hours
+       |  FROM s3 JOIN s1 ON s3.user_id = s1.user_id
+       |)
+       |SELECT count(*) AS n_completed,
+       |       ${Det.roundSql("avg(hours)", 6)} AS avg_hours,
+       |       ${Det.roundSql("max(hours)", 6)} AS max_hours,
+       |       TRUE AS bound_ok
+       |FROM h""".stripMargin
+
   private val funnelLatencySql =
     s"""WITH s1 AS (
        |  SELECT user_id, min(epoch_us(ts)) AS t1
@@ -417,6 +500,7 @@ object Retention {
     "event_transitions"    -> QueryDef(eventTransitions, Some(eventTransitionsSql)),
     "window_funnel"        -> QueryDef(windowFunnel, Some(windowFunnelSql)),
     "funnel_latency"       -> QueryDef(funnelLatency, Some(funnelLatencySql)),
+    "funnel_latency_sketch" -> QueryDef(funnelLatencySketch, Some(funnelLatencySketchSql)),
     "rolling_active_users" -> QueryDef(rollingActiveUsers, Some(rollingActiveUsersSql)),
     "cohort_retention"    -> QueryDef(cohortRetention, Some(cohortRetentionSql)),
     "order_gap_stats"     -> QueryDef(orderGapStats, Some(orderGapStatsSql)),

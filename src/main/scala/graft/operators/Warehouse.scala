@@ -163,7 +163,7 @@ object Warehouse {
 
   // ------------------------------------------------------- weighted sampling
 
-  private val PpsK = 50
+  private[graft] val PpsK = 50
 
   /** Systematic probability-proportional-to-size sampling (the classic
     * PPS design): documents are laid on a line in portable-hash order
@@ -227,7 +227,7 @@ object Warehouse {
        |  FROM h
        |), t AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM documents)
        |SELECT doc_id, w, CAST(cum AS BIGINT) AS cum,
-       |       (cum * $PpsK) // total AS sample_idx
+       |       CAST((cum * $PpsK) // total AS BIGINT) AS sample_idx
        |FROM c, t
        |WHERE (cum * $PpsK) // total > ((cum - w) * $PpsK) // total
        |ORDER BY cum""".stripMargin

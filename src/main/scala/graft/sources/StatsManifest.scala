@@ -1,6 +1,8 @@
 package graft.sources
 
+import graft.{Det, QueryDef}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
 /** File-skipping statistics manifest — the data-skipping tier ABOVE
@@ -163,4 +165,93 @@ object StatsManifest {
       else spark.read.option("basePath", dir).parquet(files: _*)
     (df, report)
   }
+
+  // ----------------------------------------------- registered query path
+
+  private val LayoutFiles = 12
+  /** Report from the last manifestRangeScan build, for spec assertions. */
+  @volatile private[graft] var lastReport: Option[PruneReport] = None
+
+  /** Day-ranged copy of events for the pruned-scan carrier, built once
+    * per source dir (range-partitioned by day so each file covers a
+    * compact day interval — the layout a streaming date-partitioned
+    * sink produces naturally at 100 TB).
+    */
+  private def eventsDayLayout(spark: SparkSession, dir: String): String = {
+    val key  = Integer.toHexString(dir.hashCode)
+    val base = sys.props("java.io.tmpdir").stripSuffix("/")
+    val out  = s"$base/graft-manifest-$key/events_day"
+    val done = new java.io.File(out, "_SUCCESS")
+    this.synchronized {
+      if (!done.exists() || !java.nio.file.Files.exists(manifestPath(out))) {
+        graft.Tables
+          .events(spark, dir)
+          .select(
+            expr("(ts div 1000) div 86400000000").as("day"),
+            col("user_id"),
+            col("value"))
+          .repartitionByRange(LayoutFiles, col("day"))
+          .sortWithinPartitions("day")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+        write(spark, out, Seq("day"))
+      }
+    }
+    out
+  }
+
+  /** Manifest-pruned range scan as a CORRECTNESS-gated query: a 10-day
+    * window over the day-partitioned events copy is resolved against the
+    * sidecar manifest FIRST, so non-intersecting files never reach
+    * Spark's reader (the Delta/Iceberg file-stats tier); the exact
+    * predicate is still applied to the kept files, so the result is
+    * byte-identical to a full scan — which is exactly what the DuckDB
+    * oracle computes, over the original un-laid-out table. The query
+    * REFUSES to pass silently without pruning: if the manifest kept
+    * every file the layout contract is broken and it throws.
+    */
+  def manifestRangeScan(spark: SparkSession, dir: String): DataFrame = {
+    val layout   = eventsDayLayout(spark, dir)
+    val manifest = read(layout)
+    val dayStats = manifest.flatMap(_.stats.get("day"))
+    val minDay   = dayStats.map(_._1).reduceOption(_ min _).getOrElse(BigDecimal(0))
+    val lo = minDay + 5
+    val hi = minDay + 14
+    val (pruned, report) = prunedRead(
+      spark, layout, Seq(Range("day", Some(lo), Some(hi))))
+    lastReport = Some(report)
+    // contract: with a real multi-file day range the manifest MUST skip
+    // something; a degenerate corpus (empty / single day / single file
+    // with stats) has nothing to skip and is exempt
+    val prunable = dayStats.count { case (mn, mx) => mx < lo || mn > hi }
+    require(
+      prunable == 0 || report.skipped > 0,
+      s"manifest kept all ${report.totalFiles} files for days [$lo,$hi] — " +
+        "range layout or manifest stats are broken")
+    pruned
+      .filter(col("day").between(lo.toLong, hi.toLong))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Det.detRound(Det.moneySum(col("value")), 2).as("total_value"))
+      .orderBy(col("day"))
+  }
+
+  private val manifestRangeScanSql =
+    s"""WITH d AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day, user_id, value FROM events
+       |), b AS (
+       |  SELECT MIN(day) + 5 AS lo, MIN(day) + 14 AS hi FROM d
+       |)
+       |SELECT day,
+       |       count(*) AS n_events,
+       |       count(DISTINCT user_id) AS n_users,
+       |       ${Det.roundSql("CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS total_value
+       |FROM d, b
+       |WHERE day BETWEEN lo AND hi
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "manifest_range_scan" -> QueryDef(manifestRangeScan, Some(manifestRangeScanSql)))
 }

@@ -495,17 +495,41 @@ object EventStreams {
     if (m.isEmpty)
       // a committed manifest can map ZERO buckets (e.g. batch 0 of a
       // rate stream carries no rows) — the committed view is empty,
-      // and readers must see that, not a no-paths read crash
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "user_id BIGINT, n_events BIGINT, total_value DECIMAL(28,2), bkt INT"))
+      // and readers must see that, not a no-paths read crash. The shape
+      // comes from the SAME partial-aggregate + canonical-select chain
+      // the writer uses (applied to an empty source), so a writer-side
+      // schema change can never leave batch-0 readers on a stale DDL.
+      canonicalView(manifestPartial(
+        spark.range(0).select(col("id").as("user_id"), lit(0.0).as("value")),
+        buckets = 1))
     else {
       val paths = m.toSeq.sortBy(_._1)
         .map { case (b, v) => s"$viewDir/v=$v/bkt=$b" }
       spark.read.option("basePath", viewDir).parquet(paths: _*).drop("v")
     }
   }
+
+  /** The view's partial aggregate — ONE definition shared by the writer
+    * (mergeManifestBatch) and the empty-manifest read path
+    * (manifestView), so the two schemas cannot drift apart.
+    */
+  private def manifestPartial(batch: DataFrame, buckets: Int): DataFrame =
+    batch
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(Det.Money)).as("total_value"))
+      .withColumn("bkt", pmod(hash(col("user_id")), lit(buckets)))
+
+  /** Canonical physical row shape of every version dir — shared by the
+    * writer's final select and the empty read path.
+    */
+  private def canonicalView(df: DataFrame): DataFrame =
+    df.select(
+      col("user_id").cast("long").as("user_id"),
+      col("n_events").cast("long").as("n_events"),
+      col("total_value").cast("decimal(28,2)").as("total_value"),
+      col("bkt").cast("int").as("bkt"))
 
   /** One micro-batch of the manifest view, factored out of foreachBatch
     * so the crash-injection spec can drive it directly. `crashHook` runs
@@ -519,12 +543,7 @@ object EventStreams {
     val (committed, manifest) = readManifest(viewDir)
     if (batchId <= committed) () // replayed micro-batch: already merged
     else {
-      val partial = batch
-        .groupBy(col("user_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          sum(col("value").cast(Det.Money)).as("total_value"))
-        .withColumn("bkt", pmod(hash(col("user_id")), lit(buckets)))
+      val partial = manifestPartial(batch, buckets)
         // ONE source scan: the partial feeds two actions (touched-bucket
         // collect + the merged write) — without materializing it the
         // batch aggregation recomputes per action, and on a source that
@@ -545,14 +564,7 @@ object EventStreams {
               sum(col("n_events")).as("n_events"),
               sum(col("total_value")).as("total_value"))
         else partial
-      merged
-        // canonical physical schema across version dirs (see the
-        // partitioned form above for why)
-        .select(
-          col("user_id"),
-          col("n_events").cast("long").as("n_events"),
-          col("total_value").cast("decimal(28,2)").as("total_value"),
-          col("bkt"))
+      canonicalView(merged)
         // overwrite: a crashed prior attempt at this batchId may have
         // left a half-written v dir — the replay clobbers it
         .write.mode("overwrite")

@@ -98,6 +98,30 @@ class StatsManifestSpec extends AnyFunSuite {
     assert(emptyDf.columns.toSeq === Seq("user_id", "tus", "day"))
   }
 
+  test("registered manifest_range_scan prunes files AND matches the full-scan result") {
+    val out = StatsManifest.manifestRangeScan(spark, TestSpark.Sf)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val rep = StatsManifest.lastReport.get
+    info(s"manifest_range_scan skip: ${rep.skipped}/${rep.totalFiles} files")
+    assert(rep.skipped > 0, s"registered query pruned nothing ($rep)")
+    // soundness against the ORIGINAL table: same 10-day window computed
+    // with a plain full scan must agree row for row
+    val ev = Tables.events(spark, TestSpark.Sf)
+      .select(expr("(ts div 1000) div 86400000000").as("day"),
+        col("user_id"), col("value"))
+    val lo = ev.agg(min("day")).collect().head.getLong(0) + 5
+    val full = ev.filter(col("day").between(lo, lo + 9))
+      .groupBy(col("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Det.detRound(Det.moneySum(col("value")), 2).as("total_value"))
+      .orderBy(col("day"))
+      .collect()
+    assert(rows.toSeq === full.toSeq)
+  }
+
   test("a stats-less file stays visible: conservative keep, never lossy") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-statsless").toFile

@@ -67,6 +67,93 @@ class WarehouseSpec extends AnyFunSuite {
     assert(cums.toSeq === cums.sorted.toSeq)
   }
 
+  /** Write a (doc_id, n_chars) corpus as a documents.parquet-shaped dir
+    * so sampleWeightedPps runs end-to-end on synthetic weights.
+    */
+  private def writeWeights(weights: Seq[(Long, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pps").toFile
+    dir.deleteOnExit()
+    weights.toDF("doc_id", "n_chars")
+      .withColumn("text", lit("x"))
+      .withColumn("lang", lit("en"))
+      .withColumn("source", lit("fixture"))
+      .write.mode("overwrite")
+      .parquet(dir.getAbsolutePath + "/documents.parquet")
+    dir.getAbsolutePath
+  }
+
+  /** The engine's portable hash, reproduced in plain JVM code: first 15
+    * hex chars of md5(doc_id as string), parsed base-16.
+    */
+  private def portableHash(docId: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(docId.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  /** BigInt reference of the systematic-PPS crossing test over the same
+    * hash-ordered line: (doc_id, w, cum, idx) of every selected doc.
+    */
+  private def ppsReference(weights: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+    val k = Warehouse.PpsK
+    val total = BigInt(weights.map(_._2).sum)
+    var cum = BigInt(0)
+    weights.sortBy(t => portableHash(t._1)).flatMap { case (id, w) =>
+      cum += w
+      val hi = cum * k / total
+      val lo = (cum - w) * k / total
+      if (hi > lo) Some((id, w, cum.toLong, hi.toLong)) else None
+    }
+  }
+
+  test("PPS stride boundary: a weight above the stride absorbs multiple sample points") {
+    // 200 light docs (w=10) + one heavy doc whose segment (w=3000) spans
+    // 3000/(5000/50) = 30 sample points: selected once, and the total
+    // crossing count over the whole line is still exactly k
+    val weights = (1L to 200L).map(i => (i, 10L)) :+ (999999L, 3000L)
+    val out = Warehouse.sampleWeightedPps(spark, writeWeights(weights)).collect()
+    val k = Warehouse.PpsK
+    val total = BigInt(weights.map(_._2).sum)
+    assert(out.map(_.getLong(0)).contains(999999L), "heavy doc must be sampled")
+    assert(out.length < k, "multi-point segments emit once -> fewer than k rows")
+    // crossing multiplicities over selected rows must sum to exactly k
+    val crossings = out.map { r =>
+      val w = BigInt(r.getLong(1)); val cum = BigInt(r.getLong(2))
+      (cum * k / total - (cum - w) * k / total).toLong
+    }
+    assert(crossings.sum === k.toLong)
+    assert(out.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      === ppsReference(weights))
+  }
+
+  test("PPS integer crossing survives cum*k beyond 2^53 (double math would round)") {
+    // 64 seeded weights in [2^50, 2^51): cum*k reaches ~5e18, where a
+    // double quotient has 1024-ulp spacing — only exact 64-bit integer
+    // division reproduces the BigInt reference bit for bit
+    val rnd = new scala.util.Random(42)
+    val weights = (1L to 64L).map { i =>
+      (i, (1L << 50) + (rnd.nextLong() & ((1L << 50) - 1)))
+    }
+    val total = weights.map(_._2).sum
+    assert(total <= Long.MaxValue / Warehouse.PpsK, "fixture must respect the overflow guard")
+    val out = Warehouse.sampleWeightedPps(spark, writeWeights(weights))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === ppsReference(weights))
+  }
+
+  test("PPS exact-boundary landing: uniform weights select every doc exactly once") {
+    // 50 docs of weight exactly one stride: every segment END lands on a
+    // sample point (cum*k == m*total), pinning the >-vs->= convention
+    val weights = (1L to 50L).map(i => (i, 100L))
+    val out = Warehouse.sampleWeightedPps(spark, writeWeights(weights)).collect()
+    assert(out.length === 50)
+    assert(out.map(_.getLong(3)).toSeq === (1L to 50L))
+    assert(out.map(_.getLong(0)).toSet === (1L to 50L).toSet)
+  }
+
   test("merge against a bucketed snapshot shuffles only the delta") {
     // the real MERGE INTO deployment shape: the snapshot table is stored
     // bucketed by the merge key, so the periodic merge re-shuffles ONLY

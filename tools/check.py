@@ -21,6 +21,45 @@ def norm(df):
     df = df.reindex(sorted(df.columns), axis=1).reset_index(drop=True)
     return df
 
+def kind(series):
+    """Canonical dtype kind for driver-equivalent strictness: the driver
+    hashes rendered values, so int 1 vs float 1.0 must NOT compare equal
+    here. Width differences (int32 vs int64) are benign; numeric *class*
+    differences (int vs float vs Decimal) are not."""
+    k = series.dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    # object column: classify by first non-null value
+    nn = series.dropna()
+    if len(nn) == 0:
+        return "empty"
+    v = nn.iloc[0]
+    import decimal
+    import numpy as np
+    if isinstance(v, decimal.Decimal):
+        return "decimal"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, np.integer)):
+        return "int"
+    if isinstance(v, (float, np.floating)):
+        return "float"
+    if isinstance(v, str):
+        return "str"
+    if isinstance(v, (bytes, bytearray)):
+        return "bytes"
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "list"
+    if isinstance(v, dict):
+        return "map"
+    return type(v).__name__
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -47,6 +86,11 @@ def main(sf_dir, out_dir):
         mismatch = []
         for c in s.columns:
             sv, dv = s[c], d[c]
+            sk, dk = kind(sv), kind(dv)
+            if sk != dk and "empty" not in (sk, dk):
+                mismatch.append(f"col {c} dtype: spark={sk}({sv.dtype}) "
+                                f"duck={dk}({dv.dtype})")
+                continue
             try:
                 # null-aware: pandas `==` treats None/NaN as never-equal
                 eq = (sv.isna() & dv.isna()) | (sv.astype(object) == dv.astype(object))
