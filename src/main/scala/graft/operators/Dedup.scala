@@ -588,7 +588,120 @@ object Dedup {
        |WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
 
+  // ------------------------------------------- incremental (delta-vs-base)
+
+  /** Hot-bucket cap on the BASE side of the incremental join: a band
+    * bucket holding >100 base docs is boilerplate-grade content already
+    * collapsed by exact/minhash dedup; joining deltas into it would be
+    * the one quadratic edge of the incremental path.
+    */
+  private val IncrBucketCap = 100
+
+  /** Incremental dedup — the production ingest shape none of the
+    * full-corpus queries exercise: a NEW batch (delta = doc_id%10 >= 8,
+    * a deterministic 20% stand-in for today's crawl) is deduped AGAINST
+    * the existing corpus (base = the other 80%), not against itself.
+    * Delta band rows probe the base's banded minhash index; candidates
+    * are signature-verified (est Jaccard >= 0.5) and each delta doc
+    * gets a keep/drop verdict with its best base match (highest est,
+    * ties to the smaller base id).
+    *
+    * At 100 TB the base's signatures+bands are a STORED table (written
+    * once per batch by this same chain, exactly like the snapshot side
+    * of merge_upsert), so per-batch cost is ∝ delta size: delta sigs
+    * are computed fresh, the band join is delta-bands × matching base
+    * buckets (capped at [[IncrBucketCap]]), and nothing ever scans the
+    * base text. Reference analog: the reference recomputes full-corpus
+    * stats per run (spark_analysis.py:42–143); incremental arrival is
+    * the 100 TB re-expression of that daily batch.
+    */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val k = MinhashK
+    val (sigs, bands) = minhashBands(spark, dir, k)
+    val isDelta = (col("doc_id") % 10) >= 8
+    val baseIdx = bands
+      .filter(!isDelta)
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("base_docs"))
+      .filter(size(col("base_docs")) <= IncrBucketCap)
+    val cand = bands
+      .filter(isDelta)
+      .join(baseIdx, Seq("band", "bh"))
+      .select(col("doc_id").as("delta_id"), explode(col("base_docs")).as("base_id"))
+      .dropDuplicates("delta_id", "base_id")
+    val est = cand
+      .join(sigs.select(col("doc_id").as("delta_id"), col("sig").as("sig_a")), "delta_id")
+      .join(sigs.select(col("doc_id").as("base_id"), col("sig").as("sig_b")), "base_id")
+      .select(
+        col("delta_id"),
+        col("base_id"),
+        Det.detRound(
+          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
+          6).as("est"))
+      .filter(col("est") >= 0.5)
+    // best match + match count per delta doc (the matched frame is
+    // delta-bounded and sparse — a per-key window here is fine)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("delta_id"))
+      .orderBy(desc("est"), asc("base_id"))
+    val best = est
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_dups", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("delta_id"))))
+      .filter(col("rn") === 1)
+      .select(col("delta_id"), col("base_id"), col("est"), col("n_dups"))
+    Tables
+      .documents(spark, dir)
+      .filter(isDelta)
+      .select(col("doc_id"))
+      .join(best.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("base_id").as("dup_of"),
+        col("est"),
+        col("base_id").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupIncrementalSql = {
+    val est = estJaccardSql(MinhashK)
+    s"""WITH ${minhashSqlPrefix(MinhashK)},
+       |bidx AS (
+       |  SELECT band, bh, list_sort(list(doc_id)) AS base_docs
+       |  FROM bands WHERE doc_id % 10 < 8
+       |  GROUP BY band, bh
+       |  HAVING count(*) <= $IncrBucketCap
+       |), cand AS (
+       |  SELECT DISTINCT db.doc_id AS delta_id, b.x AS base_id
+       |  FROM bands db
+       |  JOIN bidx USING (band, bh), unnest(bidx.base_docs) AS b(x)
+       |  WHERE db.doc_id % 10 >= 8
+       |), e AS (
+       |  SELECT c.delta_id, c.base_id, ${Det.roundSql(est, 6)} AS est
+       |  FROM cand c
+       |  JOIN sigs sa ON c.delta_id = sa.doc_id
+       |  JOIN sigs sb ON c.base_id = sb.doc_id
+       |  WHERE ${Det.roundSql(est, 6)} >= 0.5
+       |), best AS (
+       |  SELECT delta_id, base_id, est,
+       |         row_number() OVER (PARTITION BY delta_id ORDER BY est DESC, base_id) AS rn,
+       |         count(*) OVER (PARTITION BY delta_id) AS n
+       |  FROM e
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(b.n, 0) AS n_dups,
+       |       b.base_id AS dup_of,
+       |       b.est,
+       |       b.base_id IS NULL AS keep
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+       |LEFT JOIN best b ON d.doc_id = b.delta_id AND b.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_keep_best" -> QueryDef(dedupKeepBest, Some(dedupKeepBestSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),

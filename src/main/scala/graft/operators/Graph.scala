@@ -129,9 +129,15 @@ object Graph {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val fwd = pairs.toDF("src", "dst")
+    // iteration-invariant: partition the edge list by the join key ONCE
+    // (same recipe as pagerankParts) — the checkpointed partitioning is
+    // reused by every round's labels join, so the per-round exchanges
+    // drop to just the groupBy(dst); without this the full edge list
+    // re-shuffles every round
     val edges = fwd
       .union(fwd.select(col("dst"), col("src")))
       .toDF("src", "dst")
+      .repartition(col("src"))
       .localCheckpoint()
     var labels = edges
       .select(col("src").as("node"))

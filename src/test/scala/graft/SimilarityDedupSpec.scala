@@ -73,4 +73,23 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(df.filter("predicted_lang IS NULL").count() === 0)
     assert(df.count() === Tables.documents(spark, TestSpark.Sf).count())
   }
+
+  test("dedup_incremental: delta-only universe, base-only matches, consistent verdicts") {
+    val out = Dedup.dedupIncremental(spark, TestSpark.Sf).collect()
+    val nDelta = Tables.documents(spark, TestSpark.Sf)
+      .filter("doc_id % 10 >= 8").count()
+    assert(out.length.toLong === nDelta, "one verdict row per delta doc")
+    out.foreach { r =>
+      val docId = r.getLong(0)
+      assert(docId % 10 >= 8, s"non-delta doc $docId in output")
+      val nDups = r.getLong(1)
+      val keep  = r.getBoolean(4)
+      assert(keep === (nDups == 0L), s"keep/n_dups disagree for $docId")
+      if (!r.isNullAt(2)) {
+        assert(r.getLong(2) % 10 < 8, s"dup_of must be a BASE doc for $docId")
+        assert(r.getDouble(3) >= 0.5, "best match must clear the verify threshold")
+      } else assert(nDups === 0L)
+    }
+    assert(out.exists(!_.getBoolean(4)), "fixture should contain at least one cross-split dup")
+  }
 }
