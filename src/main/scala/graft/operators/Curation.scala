@@ -376,7 +376,87 @@ object Curation {
        |ORDER BY score DESC, doc_id
        |LIMIT 20""".stripMargin
 
+  /** Adaptive per-language quality gate — the data-driven counterpart
+    * to quality_filter's FIXED Gopher thresholds: each language's drop
+    * line is mean(score) − stddev(score) of ITS OWN distinct-token
+    * ratio distribution (a z-score gate), so a morphology-rich language
+    * is not punished by an English-tuned constant. Everything is built
+    * from mergeable aggregates — exact DECIMAL power sums (the
+    * engagement_spend_corr recipe; stddev/var builtins are
+    * partition-order-dependent doubles and can never hash-match) plus
+    * one broadcast join of the |langs|-row stats back onto the scan —
+    * so unlike a per-group percentile threshold there is no
+    * all-values-on-one-reducer stage anywhere: the gate scales to any
+    * corpus a cluster can scan twice.
+    */
+  def qualityAdaptiveGate(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables
+      .documents(spark, dir)
+      .select(
+        col("lang"),
+        expr(
+          "size(array_distinct(split(text, ' '))) / CAST(size(split(text, ' ')) AS DOUBLE)")
+          .as("score"))
+    val stats = scored
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n"),
+        Det.fineSum(col("score")).as("s1"),
+        Det.fineSum(col("score") * col("score")).as("s2"))
+    val nD   = col("n").cast("double")
+    val mean = col("s1") / nD
+    val sd = when(col("n") < 2, lit(0.0))
+      .otherwise(sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / nD) / (nD - 1.0), lit(0.0))))
+    scored
+      .join(broadcast(stats), "lang")
+      .groupBy(col("lang"), col("n"), col("s1"), col("s2"))
+      .agg(
+        sum(when(col("n") >= 2 && col("score") < mean - sd, 1L).otherwise(0L))
+          .as("n_drop"))
+      .select(
+        col("lang"),
+        col("n").as("n_docs"),
+        Det.detRound(mean, 6).as("mean_score"),
+        Det.detRound(sd, 6).as("sd_score"),
+        Det.detRound(mean - sd, 6).as("threshold"),
+        col("n_drop"),
+        Det.detRound(col("n_drop").cast("double") / nD, 6).as("drop_rate"))
+      .orderBy(col("lang"))
+  }
+
+  private val qualityAdaptiveGateSql =
+    s"""WITH scored AS (
+       |  SELECT lang,
+       |         len(list_distinct(string_split(text, ' ')))
+       |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+       |  FROM documents
+       |), st AS (
+       |  SELECT lang, count(*) AS n,
+       |         CAST(SUM(CAST(score AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+       |         CAST(SUM(CAST(score * score AS DECIMAL(30,10))) AS DOUBLE) AS s2
+       |  FROM scored GROUP BY lang
+       |), thr AS (
+       |  SELECT lang, n, s1 / n AS mean,
+       |         CASE WHEN n < 2 THEN 0.0
+       |              ELSE sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) END AS sd
+       |  FROM st
+       |)
+       |SELECT t.lang,
+       |       t.n AS n_docs,
+       |       ${Det.roundSql("t.mean", 6)} AS mean_score,
+       |       ${Det.roundSql("t.sd", 6)} AS sd_score,
+       |       ${Det.roundSql("t.mean - t.sd", 6)} AS threshold,
+       |       CAST(SUM(CASE WHEN t.n >= 2 AND s.score < t.mean - t.sd
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_drop,
+       |       ${Det.roundSql(
+        "CAST(SUM(CASE WHEN t.n >= 2 AND s.score < t.mean - t.sd THEN 1 ELSE 0 END) AS DOUBLE) / t.n", 6)} AS drop_rate
+       |FROM scored s JOIN thr t USING (lang)
+       |GROUP BY t.lang, t.n, t.mean, t.sd
+       |ORDER BY t.lang""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "quality_adaptive_gate" -> QueryDef(qualityAdaptiveGate, Some(qualityAdaptiveGateSql)),
     "sample_diverse"     -> QueryDef(sampleDiverse, Some(sampleDiverseSql)),
     "doc_repetition"     -> QueryDef(docRepetition, Some(docRepetitionSql)),
     "sample_per_lang"    -> QueryDef(samplePerLang, Some(samplePerLangSql)),

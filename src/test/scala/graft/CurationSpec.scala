@@ -13,6 +13,22 @@ import org.scalatest.funsuite.AnyFunSuite
 class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("quality_adaptive_gate: z-score thresholds are internally consistent and Chebyshev-bounded") {
+    val rows = Curation.qualityAdaptiveGate(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, mean, sd, thr, nDrop, rate) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getDouble(6))
+      assert(sd >= 0.0)
+      assert(math.abs(thr - (mean - sd)) < 2e-6, s"threshold != mean - sd for ${r.getString(0)}")
+      assert(nDrop >= 0 && nDrop <= n)
+      // one-sided Chebyshev: P(X < mean - 1*sd) <= 1/(1+1) = 0.5
+      assert(rate <= 0.5 + 1e-9, s"drop_rate $rate violates the Chebyshev bound")
+      assert(math.abs(rate - nDrop.toDouble / n) < 2e-6)
+    }
+  }
+
   test("pii scrub redacts emails, urls, digit runs — in that order") {
     import spark.implicits._
     val df = Seq(
