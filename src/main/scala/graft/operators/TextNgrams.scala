@@ -55,6 +55,144 @@ object TextNgrams {
       |ORDER BY cnt DESC, w1, w2
       |LIMIT 40""".stripMargin
 
+  /** Top-50 adjacent character pairs inside words — the counting
+    * primitive of one BPE tokenizer-training merge step (count all
+    * symbol pairs, merge the most frequent; Sennrich et al. 2016,
+    * public algorithm). Pair expansion is IN-ROW (transform over each
+    * word's index range) and collapses to per-partition (pair, count)
+    * partials before any shuffle, so shuffle volume is bounded by
+    * |charset|² per partition regardless of corpus size — the same
+    * map-side-combine shape as bigram_topk, one level down the
+    * tokenization stack.
+    */
+  def bpePairCounts(spark: SparkSession, dir: String): DataFrame = {
+    Tables
+      .documents(spark, dir)
+      .select(
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> length(x) >= 2)").as("ws"))
+      .select(explode(expr(
+        // NB: sequence() guard — Spark's sequence(1, 0) is DESCENDING,
+        // not empty, so 1-char words must be filtered before expansion
+        "flatten(transform(ws, w -> transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("pair"))
+      .limit(50)
+  }
+
+  private val bpePairCountsSql =
+    """WITH ws AS (
+      |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |                            x -> length(x) >= 2)) AS w
+      |  FROM documents
+      |), pairs AS (
+      |  SELECT substr(w, i, 2) AS pair
+      |  FROM ws, LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) AS i)
+      |)
+      |SELECT pair, count(*) AS cnt
+      |FROM pairs
+      |GROUP BY pair
+      |ORDER BY cnt DESC, pair
+      |LIMIT 50""".stripMargin
+
+  private val BpeMerges = 8
+
+  /** BPE merge training (Sennrich et al. 2016, the public algorithm):
+    * [[BpeMerges]] greedy rounds of count-all-adjacent-symbol-pairs →
+    * merge the most frequent, run on the DISTINCT word-frequency table
+    * — the classic optimization that makes BPE training corpus-size-
+    * independent: the corpus is scanned once (word counts, map-side
+    * combinable), every merge round then works on the vocabulary-sized
+    * frame. Words are space-separated symbol strings; a merge is a
+    * boundary-guarded non-overlapping left-to-right string replace
+    * (' a b ' → ' ab '), identical semantics in JVM replace and DuckDB
+    * replace, so the oracle reproduces the whole merge TRACE (step,
+    * pair, merged symbol, count) hash-exactly via 8 unrolled CTEs —
+    * the same unrolling pattern as the Lloyd-iteration oracles. Ties
+    * break max-count → lexicographic pair. Per round one tiny job over
+    * the persisted vocab frame; only the best pair (1 row) reaches the
+    * driver, mirroring trainCentroids' k×dim collects.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val words = Tables
+      .documents(spark, dir)
+      .select(explode(
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
+        col("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def bestPair(seqs: DataFrame): Option[(String, String, Long)] = {
+      val t = seqs
+        .select(split(expr("trim(s)"), " ").as("t"), col("cnt"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i+1] AS b))"))
+          .as("p"), col("cnt"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("total"))
+        .orderBy(desc("total"), asc("a"), asc("b"))
+        .limit(1)
+        .collect()
+      t.headOption.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    }
+    var seqs = words
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= BpeMerges && !done) {
+      bestPair(seqs) match {
+        case None => done = true
+        case Some((a, b, total)) =>
+          trace += ((step.toLong, a, b, a + b, total))
+          seqs = seqs.select(
+            expr(s"replace(s, ' ${a} ${b} ', ' ${a + b} ')").as("s"),
+            col("cnt"))
+          step += 1
+      }
+    }
+    words.unpersist()
+    trace.toSeq.toDF("step", "left_sym", "right_sym", "merged", "cnt")
+      .orderBy(col("step"))
+  }
+
+  private val bpeTrainSql = {
+    def pairsCte(i: Int) =
+      s"""p$i AS (
+         |  SELECT t[i] AS a, t[i+1] AS b, SUM(cnt) AS total
+         |  FROM (SELECT string_split(trim(s), ' ') AS t, cnt FROM w${i - 1}),
+         |       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+         |  WHERE len(t) >= 2
+         |  GROUP BY t[i], t[i+1]
+         |), b$i AS (
+         |  SELECT a, b, total FROM p$i ORDER BY total DESC, a, b LIMIT 1
+         |), w$i AS (
+         |  SELECT replace(s, ' ' || b$i.a || ' ' || b$i.b || ' ',
+         |                 ' ' || b$i.a || b$i.b || ' ') AS s, cnt
+         |  FROM w${i - 1}, b$i
+         |)""".stripMargin
+    val steps = (1 to BpeMerges).map(pairsCte).mkString(",\n")
+    val rows = (1 to BpeMerges)
+      .map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, a AS left_sym, b AS right_sym, a || b AS merged, CAST(total AS BIGINT) AS cnt FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words AS (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                              x -> x <> '')) AS w
+       |    FROM documents) GROUP BY w
+       |), w0 AS (
+       |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, cnt FROM words
+       |),
+       |$steps
+       |$rows
+       |ORDER BY step""".stripMargin
+  }
+
   /** Top-3 TF-IDF terms per document (idf = ln(N/df), raw counts — the
     * classic keyword extraction). Ranking runs on the unrounded score so
     * Spark and the oracle order identically; the emitted score is
@@ -348,6 +486,8 @@ object TextNgrams {
        |   FROM ($qualityFilterSql)) AS quality_pass_rate""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
+    "bpe_pair_counts"     -> QueryDef(bpePairCounts, Some(bpePairCountsSql)),
+    "bpe_train"           -> QueryDef(bpeTrain, Some(bpeTrainSql)),
     "corpus_report"       -> QueryDef(corpusReport, Some(corpusReportSql)),
     "contamination_check" -> QueryDef(contaminationCheck, Some(contaminationCheckSql)),
     "doc_pack_bins"       -> QueryDef(docPackBins, Some(docPackBinsSql)),

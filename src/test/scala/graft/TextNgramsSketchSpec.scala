@@ -175,4 +175,21 @@ class TextNgramsSketchSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.0) // event values are non-negative
     }
   }
+
+  test("bpe_train: consecutive greedy merges; step 1 equals the top raw char pair") {
+    val trace = graft.operators.TextNgrams.bpeTrain(spark, TestSpark.Sf).collect()
+    assert(trace.nonEmpty)
+    trace.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i + 1L, "steps must be consecutive from 1")
+      assert(r.getString(3) === r.getString(1) + r.getString(2), "merged = left || right")
+      assert(r.getLong(4) > 0L)
+      assert(r.getString(3).matches("[a-z0-9]+"), "symbols stay alnum")
+    }
+    // cross-query: the first merge IS the most frequent adjacent char
+    // pair, which bpe_pair_counts counts by the same overlap rules
+    val top = graft.operators.TextNgrams.bpePairCounts(spark, TestSpark.Sf).head()
+    val s1 = trace.head
+    assert(s1.getString(3) === top.getString(0), "step-1 pair != top raw pair")
+    assert(s1.getLong(4) === top.getLong(1), "step-1 count != top raw pair count")
+  }
 }
