@@ -628,27 +628,25 @@ object Dedup {
     * dir, rebuilt only if missing (deterministic content).
     */
   private def baseIndexDir(spark: SparkSession, dir: String, k: Int): String = {
-    val key  = Integer.toHexString(dir.hashCode)
-    val base = sys.props("java.io.tmpdir").stripSuffix("/")
-    val out  = s"$base/graft-dedup-base-$key"
-    this.synchronized {
-      if (!new java.io.File(s"$out/sigs/_SUCCESS").exists() ||
-        !new java.io.File(s"$out/bidx/_SUCCESS").exists()) {
-        val (sigs, bands) = minhashBandsOf(
-          Tables.documents(spark, dir).filter((col("doc_id") % 10) < 8), k)
-        sigs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$out/sigs")
-        bands
-          .groupBy(col("band"), col("bh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("base_docs"))
-          .filter(size(col("base_docs")) <= IncrBucketCap)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(s"$out/bidx")
-        sigs.unpersist()
-        ()
-      }
+    // fingerprint = corpus row count + sketch parameters: regenerated
+    // testdata, a different k, or a re-tuned bucket cap rebuilds the
+    // stored index instead of silently probing a stale one
+    val rows = Tables.cachedCount(spark, dir, "documents")
+    graft.sources.DerivedCache.dir(
+      dir, "dedup-base", s"rows=$rows;k=$k;cap=$IncrBucketCap") { out =>
+      val (sigs, bands) = minhashBandsOf(
+        Tables.documents(spark, dir).filter((col("doc_id") % 10) < 8), k)
+      sigs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/sigs")
+      bands
+        .groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("base_docs"))
+        .filter(size(col("base_docs")) <= IncrBucketCap)
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/bidx")
+      sigs.unpersist()
+      ()
     }
-    out
   }
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {

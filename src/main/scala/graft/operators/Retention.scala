@@ -385,6 +385,11 @@ object Retention {
       count(lit(1)).as("n_completed"),
       Det.detRound(avg(col("hours")), 6).as("avg_hours"),
       Det.detRound(max(col("hours")), 6).as("max_hours"))
+      // 1-row materialization: est feeds BOTH the rank pass and the
+      // final join; without it each consumer re-runs the KLL aggregate,
+      // whose merge tree follows shuffle arrival order — two executions
+      // could disagree and the self-join on est_val would silently miss
+      .localCheckpoint()
     // exact rank of the single estimate: one more pass over the tiny
     // completed-funnel frame, broadcast-joined (1-row build side)
     val ranks = hours

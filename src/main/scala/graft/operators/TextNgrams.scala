@@ -113,6 +113,16 @@ object TextNgrams {
     * break max-count → lexicographic pair. Per round one tiny job over
     * the persisted vocab frame; only the best pair (1 row) reaches the
     * driver, mirroring trainCentroids' k×dim collects.
+    *
+    * Merge-application variant, documented precisely: the literal
+    * replace consumes BOTH delimiter spaces, so of two back-to-back
+    * occurrences ('abab' → ' a b a b ') only the first merges in that
+    * round — reference BPE with zero-width boundary guards would merge
+    * both. The skipped occurrence still exists next round, so the same
+    * pair can legitimately reappear in the trace (self-correcting);
+    * `cnt` is the standard adjacency statistic (what greedy selection
+    * ranks on), not the number of rewrites applied. Both engines apply
+    * the identical variant, which is what the hash compare certifies.
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -32,6 +32,34 @@ import scala.jdk.CollectionConverters._
   * per ~64 files), not a driver loop — a million-file table's manifest
   * build is itself distributed.
   */
+/** Build-once cache for DERIVED layouts under the system tmpdir — the
+  * shared idiom behind [[StatsManifest.manifestRangeScan]]'s day layout
+  * and graft.operators.Dedup's stored base index. The cache key carries
+  * a caller-supplied content FINGERPRINT (row counts, parameter
+  * constants) in addition to the source path, so regenerated testdata
+  * or changed sketch parameters rebuild instead of silently reusing a
+  * stale artifact; completion is marked by an explicit done-file
+  * written only after `build` returns.
+  */
+object DerivedCache {
+  def dir(srcDir: String, name: String, fingerprint: String)(
+      build: String => Unit): String = {
+    val key  = Integer.toHexString((srcDir + "|" + fingerprint).hashCode)
+    val base = sys.props("java.io.tmpdir").stripSuffix("/")
+    val out  = s"$base/graft-$name-$key"
+    val done = new java.io.File(out, "_GRAFT_DONE")
+    this.synchronized {
+      if (!done.exists()) {
+        build(out)
+        java.nio.file.Files.createDirectories(done.toPath.getParent)
+        java.nio.file.Files.write(done.toPath, fingerprint.getBytes)
+        ()
+      }
+    }
+    out
+  }
+}
+
 object StatsManifest {
 
   final case class FileStats(
@@ -178,25 +206,22 @@ object StatsManifest {
     * sink produces naturally at 100 TB).
     */
   private def eventsDayLayout(spark: SparkSession, dir: String): String = {
-    val key  = Integer.toHexString(dir.hashCode)
-    val base = sys.props("java.io.tmpdir").stripSuffix("/")
-    val out  = s"$base/graft-manifest-$key/events_day"
-    val done = new java.io.File(out, "_SUCCESS")
-    this.synchronized {
-      if (!done.exists() || !java.nio.file.Files.exists(manifestPath(out))) {
-        graft.Tables
-          .events(spark, dir)
-          .select(
-            expr("(ts div 1000) div 86400000000").as("day"),
-            col("user_id"),
-            col("value"))
-          .repartitionByRange(LayoutFiles, col("day"))
-          .sortWithinPartitions("day")
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
-        write(spark, out, Seq("day"))
-      }
+    // fingerprint = row count + layout width: regenerated testdata or a
+    // re-tuned file count rebuilds instead of reusing a stale layout
+    val rows = graft.Tables.cachedCount(spark, dir, "events")
+    DerivedCache.dir(dir, "manifest-events-day", s"rows=$rows;files=$LayoutFiles") { out =>
+      graft.Tables
+        .events(spark, dir)
+        .select(
+          expr("(ts div 1000) div 86400000000").as("day"),
+          col("user_id"),
+          col("value"))
+        .repartitionByRange(LayoutFiles, col("day"))
+        .sortWithinPartitions("day")
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(out)
+      write(spark, out, Seq("day"))
+      ()
     }
-    out
   }
 
   /** Manifest-pruned range scan as a CORRECTNESS-gated query: a 10-day
@@ -213,7 +238,13 @@ object StatsManifest {
     val layout   = eventsDayLayout(spark, dir)
     val manifest = read(layout)
     val dayStats = manifest.flatMap(_.stats.get("day"))
-    val minDay   = dayStats.map(_._1).reduceOption(_ min _).getOrElse(BigDecimal(0))
+    // a NON-empty layout whose footers carry no usable day stats is a
+    // manifest-integrity failure, not a query result: the window would
+    // anchor at day 0 and silently diverge from the oracle's MIN(day)
+    require(
+      dayStats.nonEmpty || manifest.map(_.rows).sum == 0,
+      s"no usable day statistics in the manifest under $layout")
+    val minDay = dayStats.map(_._1).reduceOption(_ min _).getOrElse(BigDecimal(0))
     val lo = minDay + 5
     val hi = minDay + 14
     val (pruned, report) = prunedRead(
