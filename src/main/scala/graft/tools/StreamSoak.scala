@@ -108,13 +108,6 @@ object StreamSoak {
     val base      = s"/tmp/graft-soak-$stamp"
     val out       = new ArrayBuffer[String]
 
-    def rateStream() = EventStreams.rateToEvents(
-      spark.readStream.format("rate")
-        .option("rowsPerSecond", rowsPerS.toString)
-        .option("numPartitions", "4")
-        .load(),
-      users)
-
     // ---- soak 1: manifest-committed incremental view -------------------
     locally {
       val viewDir = s"$base/view"
@@ -169,8 +162,26 @@ object StreamSoak {
 
     // ---- soak 2: native session windows (watermarked state) ------------
     locally {
+      // Bursty cohorts: with the plain rate mapping every user emits an
+      // event every `users/rowsPerS` seconds, so no per-user gap ever
+      // exceeds the 30 s session gap and `closed` stays 0 by construction.
+      // Rotating the active third of the user base every `burstS` seconds
+      // gives each cohort a 2*burstS idle window (> gap + watermark), so
+      // its sessions genuinely close mid-stream — making both asserts
+      // (closures happen, state plateaus) reachable and meaningful.
+      val cohorts = 3
+      val burstS  = 40L // idle 80 s > 30 s gap + 10 s watermark
+      val perCohort = users / cohorts
+      val bursty = EventStreams.rateToEvents(
+          spark.readStream.format("rate")
+            .option("rowsPerSecond", rowsPerS.toString)
+            .option("numPartitions", "4")
+            .load(), perCohort)
+        .withColumn("user_id",
+          col("user_id") + lit(perCohort) *
+            pmod((col("ts") / lit(1000000000L * burstS)).cast("long"), lit(cohorts.toLong)))
       val q = EventStreams
-        .sessionWindows(rateStream(), gap = "30 seconds", watermark = "10 seconds")
+        .sessionWindows(bursty, gap = "30 seconds", watermark = "10 seconds")
         .writeStream
         .outputMode("append")
         .format("noop")
@@ -204,7 +215,7 @@ object StreamSoak {
     }
 
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench/SOAK_r4.json"),
+      java.nio.file.Paths.get("bench/SOAK_r5.json"),
       (out.mkString("\n") + "\n").getBytes)
     spark.stop()
   }
