@@ -40,23 +40,6 @@ object Dedup {
       |GROUP BY md5(text)
       |ORDER BY keep_id""".stripMargin
 
-  /** Distinct word-3-gram shingles per document (docs with <3 tokens have
-    * none, matching the oracle's empty-list unnest).
-    */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(
-        col("doc_id"),
-        explode(
-          when(
-            size(col("t")) >= 3,
-            array_distinct(expr(
-              "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
-            .otherwise(array().cast("array<string>")))
-          .as("shingle"))
-
   /** Exact n-gram Jaccard near-dup pairs (threshold 0.6) via an inverted
     * shingle index: pairs sharing a shingle → common counts → |A∪B| from
     * per-doc sizes. Exact but O(pairs-sharing-a-shingle); the bounded-work
@@ -100,27 +83,61 @@ object Dedup {
         lit(null).cast("long").as("common"),
         col("est_jaccard").as("jaccard"))
     }
-    val sh    = shingled(spark, dir).withColumn("h", xxhash64(col("shingle"))).select("doc_id", "h")
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val hot = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > HotShingleCap).select("h")
-    val cold = sh.join(broadcast(hot), Seq("h"), "left_anti")
-    // Posting-list pair expansion (same one-shuffle shape as
-    // also_bought_pairs) instead of a shingle self-join: group the
-    // inverted index by shingle hash, expand the i<j doc pairs in-row
-    // (bounded by the df cap), and count. Halves the shuffles of the
-    // a⋈b formulation and removes its join-key skew; verified equal by
-    // the oracle's self-join SQL.
-    val common = cold
+    // Single-pass inverted index: per-doc shingle arrays built in-row,
+    // with the per-doc distinct-shingle count |doc| = size(shs) CARRIED
+    // through the posting list, bit-packed into the doc_id long
+    // (doc_id << 24 | sz). The union-size denominator then needs NO
+    // join back to a sizes frame — the old formulation's two
+    // sizes-joins re-ran the shingling per join side. Packed longs
+    // (not struct(doc_id, sz)) keep the posting lists on the
+    // primitive-array codegen path: struct lists pushed
+    // sort_array/slice onto per-element struct comparisons, measured
+    // 3.8x slower than this. doc_id in the high bits means packed
+    // order == doc_id order, so the sorted slice expansion still emits
+    // doc_a < doc_b pairs. The document-frequency cap is folded into
+    // the same groupBy: a bucket's size IS the shingle's df, so
+    // `size(docs) <= cap` replaces the separate df aggregate +
+    // broadcast anti-join. Net: ONE pass over the corpus, two shuffles
+    // (index, pair counts), zero joins — vs three shingling passes,
+    // four shuffles, two joins. Verified equal by the oracle's
+    // df-subquery + self-join SQL. Capacity: sz < 2^24 distinct
+    // shingles per doc, doc_id < 2^39 — both far above any real
+    // corpus row (ExactDocCap bounds this path to 100k docs anyway).
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        when(
+          size(col("t")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
+          .otherwise(array().cast("array<string>")).as("shs"))
+      .select(
+        (shiftleft(col("doc_id"), 24) + size(col("shs"))).as("d"),
+        // The if() wrapper is load-bearing: explode on a BARE column
+        // lets InferFiltersFromGenerate add `size(shs)>0 AND
+        // isnotnull(shs)`, and predicate pushdown then substitutes the
+        // whole shingling expression into that Filter — tripling the
+        // per-row transform/array_distinct cost (measured 1.8s -> 7.2s
+        // at sf0.1). The rule only fires on Attribute generator
+        // children, so this always-true non-foldable wrapper keeps the
+        // shingling single-pass; empty arrays just generate no rows.
+        explode(expr("if(size(shs) >= 0, shs, array())")).as("shingle"))
+      .select(xxhash64(col("shingle")).as("h"), col("d"))
+    sh
       .groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
-      .select(col("doc_a"), explode(expr("slice(docs, i + 2, size(docs))")).as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sort_array(collect_list(col("d"))).as("docs"))
+      .filter(size(col("docs")).between(2, HotShingleCap))
+      .select(posexplode(col("docs")).as(Seq("i", "a")), col("docs"))
+      .select(col("a"), explode(expr("slice(docs, i + 2, size(docs))")).as("b"))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .select(
+        shiftright(col("a"), 24).as("doc_a"),
+        col("a").bitwiseAND(lit((1L << 24) - 1)).as("sz_a"),
+        shiftright(col("b"), 24).as("doc_b"),
+        col("b").bitwiseAND(lit((1L << 24) - 1)).as("sz_b"),
+        col("common"))
       .select(
         col("doc_a"),
         col("doc_b"),

@@ -23,7 +23,7 @@ class BenchDiffSpec extends AnyFunSuite {
   test("latest two local bench artifacts show no >2x per-query regression") {
     val dir = new java.io.File("bench")
     val arts = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.endsWith(".json"))
+      .filter(f => f.getName.startsWith("BENCH_local_") && f.getName.endsWith(".json"))
       .sortBy(_.getName)
     assume(arts.length >= 2, "fewer than two bench artifacts retained yet")
     val Array(old, neu) = arts.takeRight(2).map(_.getPath)
