@@ -486,12 +486,28 @@ object Similarity {
       .select(col("vec_id"), col("m.cent_id").as("cell"), col("m.d2").as("d2"), col("v"))
   }
 
+  /** JVM-lifetime memo of trained quantizers (k·dim doubles each).
+    * Training is deterministic in (dir, k, iters), so its two consumers
+    * (embedding_kmeans, ann_ivf_trained) share ONE Lloyd run per
+    * session — the model-registry shape a production pipeline uses
+    * (train once, serve many). A concurrent duplicate just retrains
+    * identically; the map only ever holds tiny k·dim arrays.
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(Int, Seq[Double])]]()
+
+  private def trainCentroids(
+      spark: SparkSession, dir: String,
+      k: Int, iters: Int): Seq[(Int, Seq[Double])] =
+    centroidCache.computeIfAbsent(
+      (dir, k, iters), _ => trainCentroidsImpl(spark, dir, k, iters))
+
   /** The fixed-init Lloyd loop (first k vectors seed, `iters` steps,
     * exact DECIMAL per-dimension means) — the trained quantizer shared
     * by embedding_kmeans and ann_ivf_trained. k·dim driver collect per
     * step only.
     */
-  private def trainCentroids(
+  private def trainCentroidsImpl(
       spark: SparkSession, dir: String,
       k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val e = corpus(spark, dir)
