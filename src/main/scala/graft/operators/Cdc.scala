@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Det, QueryDef, Tables}
+
+/** Content-defined chunking (CDC) over the document corpus — the
+  * storage-system dedup primitive (Rabin-style rolling-window
+  * boundaries, as in LBFS/backup dedup and dataset-curation pipelines)
+  * applied to training text at word granularity.
+  *
+  * Why content-defined instead of fixed-size: a one-word insertion
+  * shifts EVERY fixed-size chunk after it, so fixed chunking finds no
+  * sharing between a document and its lightly-edited copy. CDC draws
+  * chunk boundaries where the CONTENT's rolling-window hash hits a
+  * pattern, so after any local edit the boundaries re-synchronize at
+  * the next matching window and all later chunks hash identically
+  * (shift-robustness is spec-asserted in CdcSpec).
+  *
+  * The boundary rule is deliberately STATELESS per window — boundary
+  * after word i iff md5(word_{i-1} || ' ' || word_i) starts with hex
+  * '0' (p = 1/16, so ~16-word average chunks) — which makes the whole
+  * chunker one codegen'd per-row projection: no sequential scan state,
+  * no UDF, and the identical rule is re-computed verbatim by the
+  * DuckDB oracle (md5 is engine-portable; xxhash64 is not). At 100 TB
+  * the corpus is chunked in a single pass; only (md5, word-count,
+  * char-count) triples reach the shuffle — chunk TEXT never leaves the
+  * scan stage.
+  *
+  * Beyond-reference training-pipeline tier (the reference corpus has
+  * no sub-document dedup); complements dedup_exact (whole-doc),
+  * chunk_dedup (fixed chunks) and boilerplate_ngrams (n-gram level).
+  */
+object Cdc {
+
+  /** Minimum chunk size (words) for a duplicate to be reported:
+    * single-word "chunks" between two adjacent boundaries are just
+    * frequent-word noise, not reusable spans. Mirrored in the oracle.
+    */
+  private val MinDupWords = 4
+
+  /** Top-k duplicated chunks reported by cdc_chunk_dedup. */
+  private val TopK = 100
+
+  /** Per-document chunk stream: (doc_id, chunk, chunk_md5, words,
+    * chunk_len). One projection pass — split, boundary flags, segment
+    * bounds, and chunk strings are all in-row array expressions.
+    * Package-private so CdcSpec can chunk synthetic frames directly.
+    */
+  private[graft] def chunkFrame(docs: DataFrame): DataFrame = {
+    val segs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        col("t"),
+        // 1-based word positions i with a boundary AFTER word i; the
+        // size(t) >= 2 guard matters because Spark's sequence(2, 1)
+        // counts DOWN (DuckDB's generate_series is empty there).
+        expr(s"""CASE WHEN size(t) >= 2
+                 |  THEN filter(sequence(2, size(t)),
+                 |              i -> substr(md5(concat(t[i-2], ' ', t[i-1])), 1, 1) = '0')
+                 |  ELSE array() END""".stripMargin).as("cuts"))
+      .select(
+        col("doc_id"),
+        col("t"),
+        expr("concat(array(0), cuts, array(size(t)))").as("cs"))
+      .select(
+        col("doc_id"),
+        col("t"),
+        // consecutive cut pairs -> (s, e] word ranges; a boundary at
+        // the last word leaves an empty trailing segment, dropped here.
+        expr("""filter(transform(sequence(1, size(cs) - 1),
+                |                j -> named_struct('s', cs[j-1], 'e', cs[j])),
+                |       p -> p.e > p.s)""".stripMargin).as("segs"))
+    segs
+      .select(
+        col("doc_id"),
+        col("t"),
+        // The if() wrapper is load-bearing (same trap as dedupJaccard):
+        // explode on a bare array column lets InferFiltersFromGenerate
+        // add size/isnotnull filters, and pushdown then substitutes the
+        // whole md5-per-window chunking expression into that Filter,
+        // tripling the per-row cost. A non-Attribute generator child
+        // keeps the chunker single-pass; slice(segs, 1, 0) is the
+        // same-typed empty array.
+        explode(expr("if(size(segs) >= 0, segs, slice(segs, 1, 0))")).as("p"))
+      .select(
+        col("doc_id"),
+        col("p.s").cast("long").as("start"),
+        concat_ws(" ", expr("slice(t, p.s + 1, p.e - p.s)")).as("chunk"),
+        (col("p.e") - col("p.s")).cast("long").as("words"))
+      .select(
+        col("doc_id"),
+        col("start"),
+        col("chunk"),
+        md5(col("chunk")).as("chunk_md5"),
+        col("words"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+  }
+
+  private def chunks(spark: SparkSession, dir: String): DataFrame =
+    chunkFrame(Tables.documents(spark, dir))
+      // chunk text is dropped BEFORE any shuffle — at scale only the
+      // 16-byte hash + two longs leave the scan stage.
+      .select(col("doc_id"), col("chunk_md5"), col("words"), col("chunk_len"))
+
+  /** Top duplicated content-defined chunks across the corpus: the
+    * reusable spans a sub-document dedup would collapse. Carried
+    * entirely by the chunk hash — one shuffle, bucket sizes bounded by
+    * chunk frequency.
+    */
+  def cdcChunkDedup(spark: SparkSession, dir: String): DataFrame =
+    chunks(spark, dir)
+      .filter(col("words") >= MinDupWords)
+      .groupBy(col("chunk_md5"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        max(col("words")).as("chunk_words"),
+        max(col("chunk_len")).as("chunk_len"))
+      .filter(col("n_total") >= 2)
+      .orderBy(col("n_total").desc, col("chunk_md5"))
+      .limit(TopK)
+
+  /** The SQL body shared by both oracles: per-(doc, chunk) rows with
+    * hash, word count and char count, boundary rule identical to the
+    * Spark expression (DuckDB lists are 1-based where Spark arrays are
+    * 0-based — w[i-1]/w[i] here IS t[i-2]/t[i-1] there).
+    */
+  private val chunkSqlBody =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |), cut AS (
+      |  SELECT doc_id, w,
+      |         CASE WHEN len(w) >= 2
+      |              THEN list_filter(generate_series(2, len(w)),
+      |                               i -> substr(md5(w[i-1] || ' ' || w[i]), 1, 1) = '0')
+      |              ELSE [] END AS cuts
+      |  FROM t
+      |), cs AS (
+      |  SELECT doc_id, w, list_concat(list_concat([0], cuts), [len(w)]) AS cs FROM cut
+      |), seg AS (
+      |  SELECT doc_id, w,
+      |         unnest(list_filter(
+      |           list_transform(generate_series(1, len(cs) - 1),
+      |                          j -> {'s': cs[j], 'e': cs[j+1]}),
+      |           p -> p.e > p.s)) AS p
+      |  FROM cs
+      |), ch AS (
+      |  SELECT doc_id,
+      |         md5(array_to_string(w[(p.s + 1):(p.e)], ' ')) AS chunk_md5,
+      |         CAST(p.e - p.s AS BIGINT) AS words,
+      |         CAST(length(array_to_string(w[(p.s + 1):(p.e)], ' ')) AS BIGINT) AS chunk_len
+      |  FROM seg
+      |)""".stripMargin
+
+  private val cdcChunkDedupSql =
+    s"""$chunkSqlBody
+       |SELECT chunk_md5, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs,
+       |       max(words) AS chunk_words, max(chunk_len) AS chunk_len
+       |FROM ch
+       |WHERE words >= $MinDupWords
+       |GROUP BY 1
+       |HAVING count(*) >= 2
+       |ORDER BY n_total DESC, chunk_md5
+       |LIMIT $TopK""".stripMargin
+
+  /** One-row corpus savings report: how much a content-addressed chunk
+    * store would shrink this corpus (the dedup-ratio headline a storage
+    * or dataset-curation system publishes). Two cheap aggregations —
+    * per-hash then global; all-long arithmetic until the final ratio.
+    */
+  def cdcDedupRatio(spark: SparkSession, dir: String): DataFrame =
+    chunks(spark, dir)
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n"), max(col("chunk_len")).as("clen"))
+      .agg(
+        sum(col("n")).as("total_chunks"),
+        count(lit(1)).as("distinct_chunks"),
+        sum(col("n") * col("clen")).as("chunk_chars_total"),
+        sum(col("clen")).as("chunk_chars_stored"),
+        Det.detRound(
+          lit(1.0) - sum(col("clen")).cast("double") /
+            sum(col("n") * col("clen")).cast("double"),
+          6).as("savings_ratio"))
+
+  private val cdcDedupRatioSql =
+    s"""$chunkSqlBody, g AS (
+       |  SELECT chunk_md5, count(*) AS n, max(chunk_len) AS clen FROM ch GROUP BY 1
+       |)
+       |SELECT CAST(SUM(n) AS BIGINT) AS total_chunks,
+       |       count(*) AS distinct_chunks,
+       |       CAST(SUM(n * clen) AS BIGINT) AS chunk_chars_total,
+       |       CAST(SUM(clen) AS BIGINT) AS chunk_chars_stored,
+       |       ${Det.roundSql(
+        "1.0 - CAST(SUM(clen) AS DOUBLE) / CAST(SUM(n * clen) AS DOUBLE)", 6)} AS savings_ratio
+       |FROM g""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "cdc_chunk_dedup" -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
+    "cdc_dedup_ratio" -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)))
+}

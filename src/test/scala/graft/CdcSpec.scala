@@ -1,0 +1,96 @@
+package graft
+
+import graft.operators.Cdc
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Content-defined chunking invariants: lossless segmentation, the
+  * shift-robustness property that motivates CDC over fixed-size
+  * chunking, and the dedup report's gates.
+  */
+class CdcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("chunks reconstruct every document exactly (lossless segmentation)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    val bad = Cdc
+      .chunkFrame(docs)
+      .groupBy(col("doc_id"))
+      // collect_list order is arrival order, so sort by the chunk's
+      // word offset before rebuilding — offset order must give back
+      // the original byte-for-byte.
+      .agg(
+        concat_ws(
+          " ",
+          expr("transform(sort_array(collect_list(struct(start, chunk))), p -> p.chunk)"))
+          .as("rebuilt"))
+      .join(docs, "doc_id")
+      .filter(col("rebuilt") =!= col("text"))
+      .count()
+    assert(bad === 0L)
+  }
+
+  test("boundaries re-synchronize after a prefix edit (shift-robustness)") {
+    import spark.implicits._
+    val docs = Tables
+      .documents(spark, TestSpark.Sf)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), col("text"))
+    val shifted = docs.select(
+      col("doc_id"),
+      concat(lit("inserted prefix words "), col("text")).as("text"))
+    val origChunks = Cdc
+      .chunkFrame(docs)
+      .select(col("doc_id"), col("chunk_md5"))
+    val shiftChunks = Cdc
+      .chunkFrame(shifted)
+      .select(col("doc_id"), col("chunk_md5"))
+    val orig   = origChunks.count()
+    val shared = origChunks.intersect(shiftChunks).count()
+    // Fixed-size chunking would share ~zero chunks after a 3-word
+    // prefix insertion; content-defined boundaries re-sync at the next
+    // matching hash window, so most chunks survive. >= 40% is far above
+    // anything a shifted fixed grid could produce while robust to the
+    // docs whose first boundary sits late.
+    assert(orig > 0L)
+    assert(shared.toDouble / orig >= 0.4,
+      s"only $shared of $orig chunks survived a prefix edit")
+  }
+
+  test("chunking is deterministic across runs") {
+    val a = Cdc
+      .chunkFrame(Tables.documents(spark, TestSpark.Sf))
+      .select("doc_id", "chunk_md5")
+      .collect()
+      .map(_.toSeq)
+      .sortBy(_.toString)
+    val b = Cdc
+      .chunkFrame(Tables.documents(spark, TestSpark.Sf))
+      .select("doc_id", "chunk_md5")
+      .collect()
+      .map(_.toSeq)
+      .sortBy(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("dedup report gates: every row duplicated and above the size floor") {
+    val rows = Cdc.cdcChunkDedup(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_total") >= 2L)
+      assert(r.getAs[Long]("chunk_words") >= 4L)
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_total"))
+    }
+  }
+
+  test("savings ratio is consistent with its own numerators") {
+    val r = Cdc.cdcDedupRatio(spark, TestSpark.Sf).collect().head
+    val total  = r.getAs[Long]("chunk_chars_total")
+    val stored = r.getAs[Long]("chunk_chars_stored")
+    assert(total >= stored)
+    assert(r.getAs[Long]("total_chunks") >= r.getAs[Long]("distinct_chunks"))
+    val expect = math.floor((1.0 - stored.toDouble / total) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("savings_ratio") === expect)
+  }
+}
