@@ -197,7 +197,118 @@ object Cdc {
         "1.0 - CAST(SUM(clen) AS DOUBLE) / CAST(SUM(n * clen) AS DOUBLE)", 6)} AS savings_ratio
        |FROM g""".stripMargin
 
+  /** Chunk-frequency cap for the span pair expansion: chunks shared by
+    * more than this many (doc, offset) occurrences are boilerplate, not
+    * span anchors, and would blow the pair expansion up quadratically.
+    * Folded into the posting-list groupBy (bucket size IS the
+    * frequency); mirrored verbatim in the oracle.
+    */
+  private val HotChunkCap = 200
+
+  /** Only spans of at least this many words are reported — shorter
+    * shared runs are covered by cdc_chunk_dedup itself.
+    */
+  private val MinSpanWords = 12
+
+  /** Maximal duplicated spans between document pairs: adjacent shared
+    * chunks merged into their longest runs (the gaps-and-islands
+    * pattern), i.e. the output a substring-level dedup pipeline reports
+    * for span removal. Shape: ONE posting-list shuffle on the chunk
+    * hash with (doc_id, word-offset) bit-packed into a long (primitive
+    * arrays stay on the codegen path, as in dedupJaccard), an i<j
+    * in-row pair expansion bounded by HotChunkCap, then per-doc-pair
+    * windows — partitioned by (doc_a, doc_b), never global. A chunk is
+    * adjacent-in-span when it continues the PREVIOUS chunk in BOTH
+    * documents (two lag() checks over one shared window sort).
+    * Output-quadratic on heavily duplicated corpora by nature (every
+    * copy pair shares every span), bounded by the frequency cap.
+    */
+  def dupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpansFrame(Tables.documents(spark, dir))
+
+  private[graft] def dupSpansFrame(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = chunkFrame(docs)
+      .select(
+        col("chunk_md5"),
+        (shiftleft(col("doc_id"), 20) + col("start")).as("d"),
+        col("words"))
+    val pairs = postings
+      .groupBy(col("chunk_md5"))
+      .agg(sort_array(collect_list(col("d"))).as("docs"), max(col("words")).as("words"))
+      .filter(size(col("docs")).between(2, HotChunkCap))
+      .select(posexplode(col("docs")).as(Seq("i", "a")), col("docs"), col("words"))
+      .select(
+        col("a"),
+        explode(expr("slice(docs, i + 2, size(docs))")).as("b"),
+        col("words"))
+      // i<j over the packed sort also pairs re-occurrences WITHIN one
+      // document; intra-doc repetition is doc_repetition's domain.
+      .filter(shiftright(col("a"), 20) < shiftright(col("b"), 20))
+      .select(
+        shiftright(col("a"), 20).as("doc_a"),
+        col("a").bitwiseAND(lit((1L << 20) - 1)).as("start_a"),
+        shiftright(col("b"), 20).as("doc_b"),
+        col("b").bitwiseAND(lit((1L << 20) - 1)).as("start_b"),
+        col("words"))
+    val w = Window
+      .partitionBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("start_a"), col("start_b"))
+    val acc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .withColumn(
+        "brk",
+        when(
+          lag(col("start_a") + col("words"), 1).over(w) === col("start_a") &&
+            lag(col("start_b") + col("words"), 1).over(w) === col("start_b"),
+          0L).otherwise(1L))
+      .withColumn("island", sum(col("brk")).over(acc))
+      .groupBy(col("doc_a"), col("doc_b"), col("island"))
+      .agg(
+        min(col("start_a")).as("start_a"),
+        min(col("start_b")).as("start_b"),
+        sum(col("words")).as("span_words"),
+        count(lit(1)).as("n_chunks"))
+      .filter(col("span_words") >= MinSpanWords)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_words"), col("n_chunks"))
+      .orderBy(col("span_words").desc, col("doc_a"), col("doc_b"), col("start_a"))
+      .limit(TopK)
+  }
+
+  private val dupSpansSql =
+    s"""$chunkSqlBody, chs AS (
+       |  SELECT doc_id, CAST(p.s AS BIGINT) AS start,
+       |         md5(array_to_string(w[(p.s + 1):(p.e)], ' ')) AS h,
+       |         CAST(p.e - p.s AS BIGINT) AS words
+       |  FROM seg
+       |), cold AS (
+       |  SELECT * FROM chs WHERE h IN (
+       |    SELECT h FROM chs GROUP BY 1 HAVING count(*) <= $HotChunkCap)
+       |), pair AS (
+       |  SELECT a.doc_id AS doc_a, a.start AS start_a,
+       |         b.doc_id AS doc_b, b.start AS start_b, a.words AS words
+       |  FROM cold a JOIN cold b ON a.h = b.h AND a.doc_id < b.doc_id
+       |), isl AS (
+       |  SELECT *, SUM(brk) OVER (PARTITION BY doc_a, doc_b
+       |                           ORDER BY start_a, start_b
+       |                           ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM (
+       |    SELECT *, CASE WHEN lag(start_a + words) OVER win = start_a
+       |                    AND lag(start_b + words) OVER win = start_b
+       |              THEN 0 ELSE 1 END AS brk
+       |    FROM pair
+       |    WINDOW win AS (PARTITION BY doc_a, doc_b ORDER BY start_a, start_b))
+       |)
+       |SELECT doc_a, doc_b, min(start_a) AS start_a, min(start_b) AS start_b,
+       |       CAST(SUM(words) AS BIGINT) AS span_words, count(*) AS n_chunks
+       |FROM isl GROUP BY doc_a, doc_b, island
+       |HAVING SUM(words) >= $MinSpanWords
+       |ORDER BY span_words DESC, doc_a, doc_b, start_a
+       |LIMIT $TopK""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "cdc_chunk_dedup" -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
-    "cdc_dedup_ratio" -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)))
+    "cdc_dedup_ratio" -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)),
+    "dup_spans"       -> QueryDef(dupSpans, Some(dupSpansSql)))
 }

@@ -84,6 +84,43 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("dup_spans merges an injected shared run into one maximal span") {
+    import spark.implicits._
+    // Two docs sharing an exact 60-word middle run under different
+    // prefixes/suffixes. The boundary rule is deterministic: the run
+    // "shared1..shared60" has internal cuts at run-relative word
+    // positions 3, 32, 47 (md5 windows fully inside the run, so
+    // identical in both docs), giving two fully-shared ADJACENT chunks
+    // of 29 and 15 words; edge chunks blend with the differing context
+    // and are not shared. The island merge must fuse the two into one
+    // 44-word span starting at prefix+3 in each doc.
+    val run    = (1 to 60).map(i => s"shared$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"alpha beta gamma delta $run tail1 tail2"),
+      (1L, s"one two $run other words here")).toDF("doc_id", "text")
+    val spans = Cdc.dupSpansFrame(docs).collect()
+    assert(spans.length === 1, s"expected one span, got ${spans.toSeq}")
+    val s = spans.head
+    assert(s.getAs[Long]("doc_a") === 0L)
+    assert(s.getAs[Long]("doc_b") === 1L)
+    assert(s.getAs[Long]("span_words") === 44L)
+    assert(s.getAs[Long]("n_chunks") === 2L)
+    assert(s.getAs[Long]("start_a") === 7L) // 4-word prefix + 3
+    assert(s.getAs[Long]("start_b") === 5L) // 2-word prefix + 3
+  }
+
+  test("identical documents collapse to one whole-document span") {
+    import spark.implicits._
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((0L, text), (1L, text)).toDF("doc_id", "text")
+    val spans = Cdc.dupSpansFrame(docs).collect()
+    assert(spans.length === 1)
+    val s = spans.head
+    assert(s.getAs[Long]("start_a") === 0L)
+    assert(s.getAs[Long]("start_b") === 0L)
+    assert(s.getAs[Long]("span_words") === 40L)
+  }
+
   test("savings ratio is consistent with its own numerators") {
     val r = Cdc.cdcDedupRatio(spark, TestSpark.Sf).collect().head
     val total  = r.getAs[Long]("chunk_chars_total")
