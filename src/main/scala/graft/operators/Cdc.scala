@@ -210,6 +210,18 @@ object Cdc {
     */
   private val MinSpanWords = 12
 
+  /** Pair expansion is bounded to the first SpanOccCap occurrences of
+    * each chunk (in (doc_id, offset) order — deterministic, mirrored
+    * as `row_number() <= cap` in the oracle): on a copy-heavy corpus
+    * every copy PAIR shares every span, so uncapped expansion is
+    * quadratic in the copy count (measured: 5.6 GiB spill at 100×
+    * duplicated docs; 120 pairs/chunk max and zero spill with the
+    * cap). Spans among the remaining occurrences are recoverable
+    * transitively, and in the normal pipeline order doc-level dedup
+    * runs first anyway.
+    */
+  private val SpanOccCap = 16
+
   /** Maximal duplicated spans between document pairs: adjacent shared
     * chunks merged into their longest runs (the gaps-and-islands
     * pattern), i.e. the output a substring-level dedup pipeline reports
@@ -237,6 +249,9 @@ object Cdc {
       .groupBy(col("chunk_md5"))
       .agg(sort_array(collect_list(col("d"))).as("docs"), max(col("words")).as("words"))
       .filter(size(col("docs")).between(2, HotChunkCap))
+      .select(
+        expr(s"slice(docs, 1, $SpanOccCap)").as("docs"),
+        col("words"))
       .select(posexplode(col("docs")).as(Seq("i", "a")), col("docs"), col("words"))
       .select(
         col("a"),
@@ -283,8 +298,11 @@ object Cdc {
        |         CAST(p.e - p.s AS BIGINT) AS words
        |  FROM seg
        |), cold AS (
-       |  SELECT * FROM chs WHERE h IN (
-       |    SELECT h FROM chs GROUP BY 1 HAVING count(*) <= $HotChunkCap)
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
+       |    FROM chs WHERE h IN (
+       |      SELECT h FROM chs GROUP BY 1 HAVING count(*) <= $HotChunkCap))
+       |  WHERE rn <= $SpanOccCap
        |), pair AS (
        |  SELECT a.doc_id AS doc_a, a.start AS start_a,
        |         b.doc_id AS doc_b, b.start AS start_b, a.words AS words
