@@ -62,17 +62,32 @@ object StreamSoak {
     }
   }
 
+  /** Runs until BOTH the batch count and the minimum wall time are
+    * reached (or timeout). The wall-time floor matters when the soak's
+    * asserts depend on event-time progress — the rate source's event
+    * time tracks wall clock, so on hardware where batches keep up with
+    * the trigger a pure batch-count budget can finish before any
+    * watermark-gated output is even possible.
+    */
   private def awaitBatches(
       spark: SparkSession, q: StreamingQuery, c: Collector, n: Int,
-      timeoutMs: Long): Unit = {
+      timeoutMs: Long, minElapsedMs: Long = 0L): Unit = {
     val t0 = System.currentTimeMillis()
-    while (c.recs.synchronized(c.recs.size) < n &&
-      System.currentTimeMillis() - t0 < timeoutMs && q.isActive)
+    def elapsed = System.currentTimeMillis() - t0
+    while ((c.recs.synchronized(c.recs.size) < n || elapsed < minElapsedMs) &&
+      elapsed < timeoutMs && q.isActive)
       Thread.sleep(200)
     q.stop()
     q.awaitTermination(60000)
     ()
   }
+
+  /** The one rate-source reader both soaks drive (4 scan partitions). */
+  private def rateSource(spark: SparkSession, rowsPerS: Int) =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerS.toString)
+      .option("numPartitions", "4")
+      .load()
 
   private def dirStats(dir: String): (Long, Long, Long) = {
     def walk(f: java.io.File): (Long, Long) =
@@ -116,11 +131,7 @@ object StreamSoak {
       // two actions over the micro-batch, and source metrics sum per
       // scan), so convergence is checked against our own counts.
       val batchRows = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-      val q = EventStreams.rateToEvents(
-          spark.readStream.format("rate")
-            .option("rowsPerSecond", rowsPerS.toString)
-            .option("numPartitions", "4")
-            .load(), users)
+      val q = EventStreams.rateToEvents(rateSource(spark, rowsPerS), users)
         .writeStream
         .outputMode("update")
         .foreachBatch {
@@ -171,12 +182,11 @@ object StreamSoak {
       // (closures happen, state plateaus) reachable and meaningful.
       val cohorts = 3
       val burstS  = 40L // idle 80 s > 30 s gap + 10 s watermark
+      require(users >= cohorts, s"SOAK_USERS=$users must be >= $cohorts cohorts")
+      // integer division: the active base is perCohort*cohorts users
+      // (up to 2 fewer than SOAK_USERS), never a pmod-by-zero.
       val perCohort = users / cohorts
-      val bursty = EventStreams.rateToEvents(
-          spark.readStream.format("rate")
-            .option("rowsPerSecond", rowsPerS.toString)
-            .option("numPartitions", "4")
-            .load(), perCohort)
+      val bursty = EventStreams.rateToEvents(rateSource(spark, rowsPerS), perCohort)
         .withColumn("user_id",
           col("user_id") + lit(perCohort) *
             pmod((col("ts") / lit(1000000000L * burstS)).cast("long"), lit(cohorts.toLong)))
@@ -190,7 +200,15 @@ object StreamSoak {
         .start()
       val c = new Collector(q.id)
       spark.streams.addListener(c)
-      awaitBatches(spark, q, c, batches, timeoutMs = 15 * 60 * 1000L)
+      // Wall-time floor: the first epoch-aligned rotation boundary can
+      // land anywhere 0..burstS into the run, and a cohort's sessions
+      // only emit once the watermark passes last-event + gap — so the
+      // earliest possible closure is ~burstS + gap + watermark after
+      // start. A pure batch-count budget finishes sooner on hardware
+      // that keeps up with the trigger, leaving closed == 0 and failing
+      // the require below spuriously.
+      awaitBatches(spark, q, c, batches, timeoutMs = 15 * 60 * 1000L,
+        minElapsedMs = (burstS + 30 + 10 + 15) * 1000L)
       spark.streams.removeListener(c)
       val recs = c.recs.synchronized(c.recs.toVector).sortBy(_.batchId)
 
