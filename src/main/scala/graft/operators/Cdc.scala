@@ -325,8 +325,89 @@ object Cdc {
        |ORDER BY span_words DESC, doc_a, doc_b, start_a
        |LIMIT $TopK""".stripMargin
 
+  /** Build-once stored chunk store for [[cdcIncremental]] — the
+    * "already ingested" side of a content-addressed store really IS a
+    * materialized table (distinct chunk hashes + char counts of the
+    * base 80% of the corpus), built under DerivedCache exactly like
+    * Dedup.baseIndexDir: keyed by source, fingerprinted by corpus row
+    * count, rebuilt only when missing.
+    */
+  private def cdcStoreDir(spark: SparkSession, dir: String): String = {
+    val rows = Tables.cachedCount(spark, dir, "documents")
+    graft.sources.DerivedCache.dir(dir, "cdc-store", s"rows=$rows") { out =>
+      chunkFrame(Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8))
+        .groupBy(col("chunk_md5"))
+        .agg(max(col("chunk_len")).as("chunk_len"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/chunks")
+      ()
+    }
+  }
+
+  /** Incremental content-addressed ingest: chunk TODAY'S batch (the
+    * delta 20% of the corpus), probe the STORED chunk store, and report
+    * what a CAS store would actually persist — new vs already-stored
+    * chunks, logical bytes ingested vs physical bytes written, and the
+    * resulting dedup ratio. Per-batch cost is ∝ delta size: only delta
+    * text is chunked; the base never re-chunks (it is a parquet table
+    * from cdcStoreDir). The store-side probe is a hash equi-join — at
+    * 100 TB the store lives bucketed by chunk_md5 so the probe shuffles
+    * only the delta (the sources/Bucketing layout; plain parquet
+    * here). Oracle: DuckDB recomputes the base chunk set from the same
+    * deterministic boundary rule, which is bit-identical to the stored
+    * table's content.
+    */
+  def cdcIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val store = spark.read.parquet(s"${cdcStoreDir(spark, dir)}/chunks")
+    val perHash = chunkFrame(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8))
+      .groupBy(col("chunk_md5"))
+      .agg(count(lit(1)).as("n"), max(col("chunk_len")).as("clen"))
+    perHash
+      .join(
+        store.select(col("chunk_md5"), lit(1).as("in_store")),
+        Seq("chunk_md5"), "left")
+      .agg(
+        count(lit(1)).as("delta_distinct_chunks"),
+        sum(col("n")).as("delta_chunks"),
+        sum(when(col("in_store").isNull, 1L).otherwise(0L)).as("new_chunks"),
+        sum(when(col("in_store").isNotNull, col("n")).otherwise(0L))
+          .as("dup_chunk_occurrences"),
+        sum(col("n") * col("clen")).as("bytes_ingested"),
+        sum(when(col("in_store").isNull, col("clen")).otherwise(0L))
+          .as("bytes_written"),
+        Det.detRound(
+          lit(1.0) -
+            sum(when(col("in_store").isNull, col("clen")).otherwise(0L))
+              .cast("double") /
+            sum(col("n") * col("clen")).cast("double"),
+          6).as("dedup_ratio"))
+  }
+
+  private val cdcIncrementalSql =
+    s"""$chunkSqlBody, store AS (
+       |  SELECT chunk_md5 FROM ch WHERE doc_id % 10 < 8 GROUP BY 1
+       |), g AS (
+       |  SELECT chunk_md5, count(*) AS n, max(chunk_len) AS clen
+       |  FROM ch WHERE doc_id % 10 >= 8 GROUP BY 1
+       |)
+       |SELECT count(*) AS delta_distinct_chunks,
+       |       CAST(SUM(n) AS BIGINT) AS delta_chunks,
+       |       CAST(SUM(CASE WHEN s.chunk_md5 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS new_chunks,
+       |       CAST(SUM(CASE WHEN s.chunk_md5 IS NOT NULL THEN n ELSE 0 END) AS BIGINT)
+       |         AS dup_chunk_occurrences,
+       |       CAST(SUM(n * clen) AS BIGINT) AS bytes_ingested,
+       |       CAST(SUM(CASE WHEN s.chunk_md5 IS NULL THEN clen ELSE 0 END) AS BIGINT)
+       |         AS bytes_written,
+       |       ${Det.roundSql(
+        "1.0 - CAST(SUM(CASE WHEN s.chunk_md5 IS NULL THEN clen ELSE 0 END) AS DOUBLE)" +
+          " / CAST(SUM(n * clen) AS DOUBLE)", 6)} AS dedup_ratio
+       |FROM g LEFT JOIN store s ON g.chunk_md5 = s.chunk_md5""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "cdc_chunk_dedup" -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
     "cdc_dedup_ratio" -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)),
+    "cdc_incremental" -> QueryDef(cdcIncremental, Some(cdcIncrementalSql)),
     "dup_spans"       -> QueryDef(dupSpans, Some(dupSpansSql)))
 }

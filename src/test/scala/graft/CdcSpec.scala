@@ -121,6 +121,25 @@ class CdcSpec extends AnyFunSuite {
     assert(s.getAs[Long]("span_words") === 40L)
   }
 
+  test("incremental ingest report is internally consistent and store-backed") {
+    val r1 = Cdc.cdcIncremental(spark, TestSpark.Sf).collect().head
+    val distinct = r1.getAs[Long]("delta_distinct_chunks")
+    val total    = r1.getAs[Long]("delta_chunks")
+    val newC     = r1.getAs[Long]("new_chunks")
+    val dupOcc   = r1.getAs[Long]("dup_chunk_occurrences")
+    assert(distinct <= total)
+    assert(newC <= distinct)
+    // every occurrence is either of a new hash or an already-stored one
+    assert(dupOcc <= total - newC || newC == distinct)
+    assert(r1.getAs[Long]("bytes_written") <= r1.getAs[Long]("bytes_ingested"))
+    // the driver corpus contains cross-split near-dups, so SOME delta
+    // chunks must already be in the store
+    assert(dupOcc > 0L)
+    // second run reuses the stored chunk store (same values, no rebuild)
+    val r2 = Cdc.cdcIncremental(spark, TestSpark.Sf).collect().head
+    assert(r1.toSeq === r2.toSeq)
+  }
+
   test("savings ratio is consistent with its own numerators") {
     val r = Cdc.cdcDedupRatio(spark, TestSpark.Sf).collect().head
     val total  = r.getAs[Long]("chunk_chars_total")
