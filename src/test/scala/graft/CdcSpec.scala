@@ -2,6 +2,8 @@ package graft
 
 import graft.operators.Cdc
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Content-defined chunking invariants: lossless segmentation, the
@@ -119,6 +121,49 @@ class CdcSpec extends AnyFunSuite {
     assert(s.getAs[Long]("start_a") === 0L)
     assert(s.getAs[Long]("start_b") === 0L)
     assert(s.getAs[Long]("span_words") === 40L)
+  }
+
+  /** Reference chunker: the documented boundary rule re-implemented
+    * independently of Spark (JDK MessageDigest md5, plain Scala) —
+    * boundary after word i (1-based, i >= 2) iff md5(w_{i-1} + " " +
+    * w_i) starts with hex '0'.
+    */
+  private def referenceChunks(text: String): Seq[(Int, String)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val w = text.split(" ", -1)
+    val cuts = (2 to w.length).filter(i => md5hex(w(i - 2) + " " + w(i - 1)).startsWith("0"))
+    val cs = (0 +: cuts :+ w.length).distinct
+    cs.sliding(2).collect {
+      case Seq(s, e) if e > s => (s, w.slice(s, e).mkString(" "))
+    }.toSeq
+  }
+
+  test("property: Spark chunker matches the independent reference on random texts") {
+    import spark.implicits._
+    val word: Gen[String] =
+      Gen.frequency(
+        8 -> Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(10)),
+        1 -> Gen.const(""), // consecutive/edge spaces survive split(-1)
+        1 -> Gen.oneOf("the", "a", "data", "row")) // force repeats
+    val text: Gen[String] =
+      Gen.chooseNum(0, 80).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docs = (1 to 60).flatMap { i =>
+      text.apply(Gen.Parameters.default, Seed(i.toLong)).map(t => (i.toLong, t))
+    }
+    val got = Cdc
+      .chunkFrame(docs.toDF("doc_id", "text"))
+      .select("doc_id", "start", "chunk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt, r.getString(2)))
+      .groupBy(_._1)
+      .view.mapValues(_.map(x => (x._2, x._3)).sortBy(_._1).toSeq)
+      .toMap
+    docs.foreach { case (id, t) =>
+      val expect = referenceChunks(t)
+      assert(got.getOrElse(id, Nil) === expect, s"doc $id text='$t'")
+    }
   }
 
   test("incremental ingest report is internally consistent and store-backed") {
