@@ -405,9 +405,107 @@ object Cdc {
           " / CAST(SUM(n * clen) AS DOUBLE)", 6)} AS dedup_ratio
        |FROM g LEFT JOIN store s ON g.chunk_md5 = s.chunk_md5""".stripMargin
 
+  /** Train→eval leakage at chunk granularity: for each eval split
+    * (val/test, assigned by dataset_split's salted-hash rule, repeated
+    * verbatim here), how many of its content-defined chunks also occur
+    * in train, and how many of its documents carry at least one such
+    * chunk — the split-contamination measurement substring-level dedup
+    * papers run before reporting eval numbers. Shape: the train chunk
+    * set is a distinct hash frame; eval chunks left-join it, then TWO
+    * plain two-stage aggregations (per-chunk and per-doc hit flags →
+    * per-split counts) — no multi-column Expand, everything map-side
+    * combinable; only hashes shuffle.
+    */
+  def splitContamination(spark: SparkSession, dir: String): DataFrame = {
+    val splitCol =
+      when(
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1) <= "b",
+        "train")
+        .when(
+          substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1) <= "d",
+          "val")
+        .otherwise("test")
+    val ch = chunkFrame(Tables.documents(spark, dir))
+      .filter(col("words") >= MinDupWords)
+      .select(col("doc_id"), col("chunk_md5"), splitCol.as("split"))
+    val trainH = ch
+      .filter(col("split") === "train")
+      .select(col("chunk_md5"))
+      .distinct()
+      .withColumn("in_train", lit(1L))
+    val evalCh = ch
+      .filter(col("split") =!= "train")
+      .join(trainH, Seq("chunk_md5"), "left")
+      .withColumn("hit", coalesce(col("in_train"), lit(0L)))
+    val byChunk = evalCh
+      .groupBy(col("split"), col("chunk_md5"))
+      .agg(max(col("hit")).as("hit"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("hit")).as("contaminated_chunks"))
+    val byDoc = evalCh
+      .groupBy(col("split"), col("doc_id"))
+      .agg(max(col("hit")).as("hit"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("hit")).as("docs_affected"))
+    byChunk
+      .join(byDoc, "split")
+      .select(
+        col("split"),
+        col("n_chunks"),
+        col("contaminated_chunks"),
+        Det.detRound(
+          col("contaminated_chunks").cast("double") / col("n_chunks"), 6)
+          .as("chunk_contamination_rate"),
+        col("n_docs"),
+        col("docs_affected"),
+        Det.detRound(col("docs_affected").cast("double") / col("n_docs"), 6)
+          .as("doc_contamination_rate"))
+      .orderBy(col("split"))
+  }
+
+  private val splitContaminationSql =
+    s"""$chunkSqlBody, sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+       |              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+       |              ELSE 'test' END AS split,
+       |         chunk_md5
+       |  FROM ch WHERE words >= $MinDupWords
+       |), tr AS (
+       |  SELECT DISTINCT chunk_md5 FROM sp WHERE split = 'train'
+       |), ev AS (
+       |  SELECT s.split, s.doc_id, s.chunk_md5,
+       |         CASE WHEN t.chunk_md5 IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM sp s LEFT JOIN tr t ON s.chunk_md5 = t.chunk_md5
+       |  WHERE s.split != 'train'
+       |), bc AS (
+       |  SELECT split, count(*) AS n_chunks,
+       |         CAST(SUM(hit) AS BIGINT) AS contaminated_chunks
+       |  FROM (SELECT split, chunk_md5, max(hit) AS hit FROM ev GROUP BY 1, 2)
+       |  GROUP BY split
+       |), bd AS (
+       |  SELECT split, count(*) AS n_docs,
+       |         CAST(SUM(hit) AS BIGINT) AS docs_affected
+       |  FROM (SELECT split, doc_id, max(hit) AS hit FROM ev GROUP BY 1, 2)
+       |  GROUP BY split
+       |)
+       |SELECT bc.split, n_chunks, contaminated_chunks,
+       |       ${Det.roundSql(
+        "CAST(contaminated_chunks AS DOUBLE) / n_chunks", 6)} AS chunk_contamination_rate,
+       |       n_docs, docs_affected,
+       |       ${Det.roundSql(
+        "CAST(docs_affected AS DOUBLE) / n_docs", 6)} AS doc_contamination_rate
+       |FROM bc JOIN bd ON bc.split = bd.split
+       |ORDER BY bc.split""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "cdc_chunk_dedup" -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
-    "cdc_dedup_ratio" -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)),
-    "cdc_incremental" -> QueryDef(cdcIncremental, Some(cdcIncrementalSql)),
-    "dup_spans"       -> QueryDef(dupSpans, Some(dupSpansSql)))
+    "cdc_chunk_dedup"     -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
+    "cdc_dedup_ratio"     -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)),
+    "cdc_incremental"     -> QueryDef(cdcIncremental, Some(cdcIncrementalSql)),
+    "dup_spans"           -> QueryDef(dupSpans, Some(dupSpansSql)),
+    "split_contamination" -> QueryDef(splitContamination, Some(splitContaminationSql)))
 }

@@ -185,6 +185,22 @@ class CdcSpec extends AnyFunSuite {
     assert(r1.toSeq === r2.toSeq)
   }
 
+  test("split contamination report: one row per eval split, rates well-formed") {
+    val rows = Cdc.splitContamination(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getAs[String]("split")).toSeq === Seq("test", "val"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("contaminated_chunks") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("docs_affected") <= r.getAs[Long]("n_docs"))
+      val cr = r.getAs[Double]("chunk_contamination_rate")
+      val dr = r.getAs[Double]("doc_contamination_rate")
+      assert(cr >= 0.0 && cr <= 1.0)
+      assert(dr >= 0.0 && dr <= 1.0)
+      // a doc is affected iff one of its chunks is contaminated, so the
+      // corpus's cross-split near-dups must surface in BOTH measures
+      assert((cr > 0.0) === (dr > 0.0))
+    }
+  }
+
   test("savings ratio is consistent with its own numerators") {
     val r = Cdc.cdcDedupRatio(spark, TestSpark.Sf).collect().head
     val total  = r.getAs[Long]("chunk_chars_total")
