@@ -214,18 +214,24 @@ object Cdc {
     * each chunk (in (doc_id, offset) order — deterministic, mirrored
     * as `row_number() <= cap` in the oracle): on a copy-heavy corpus
     * every copy PAIR shares every span, so uncapped expansion is
-    * quadratic in the copy count (measured: 5.6 GiB spill at 100×
-    * duplicated docs; 120 pairs/chunk max and zero spill with the
-    * cap). Spans among the remaining occurrences are recoverable
-    * transitively, and in the normal pipeline order doc-level dedup
-    * runs first anyway.
+    * quadratic in the copy count (measured at 100× duplicated docs:
+    * 5.6 GiB memory + 1.0 GiB disk spill uncapped; 120 pairs/chunk max
+    * and zero spill with the cap). The cap is a COVERAGE bound, not a
+    * transitive shorthand: occurrences ranked above it appear in no
+    * output pair, and a doc pair surviving for one chunk but capped
+    * out of an adjacent chunk gets that span reported only partially.
+    * Results are exact whenever every chunk has <= SpanOccCap
+    * occurrences — guaranteed in the stated pipeline order, where
+    * doc-level dedup runs before span analysis; cdc_chunk_dedup
+    * carries the full per-chunk frequency truth regardless.
     */
   private val SpanOccCap = 16
 
-  /** Maximal duplicated spans between document pairs: adjacent shared
-    * chunks merged into their longest runs (the gaps-and-islands
-    * pattern), i.e. the output a substring-level dedup pipeline reports
-    * for span removal. Shape: ONE posting-list shuffle on the chunk
+  /** Duplicated spans between document pairs: adjacent shared chunks
+    * merged into their longest runs (the gaps-and-islands pattern),
+    * i.e. the output a substring-level dedup pipeline reports for span
+    * removal. Spans are maximal over the occurrences that survive
+    * [[SpanOccCap]] — see its note for the exactness condition. Shape: ONE posting-list shuffle on the chunk
     * hash with (doc_id, word-offset) bit-packed into a long (primitive
     * arrays stay on the codegen path, as in dedupJaccard), an i<j
     * in-row pair expansion bounded by HotChunkCap, then per-doc-pair
@@ -240,7 +246,14 @@ object Cdc {
 
   private[graft] def dupSpansFrame(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The 20-bit offset packing is LOAD-BEARING since the occurrence
+    // cap selects WHICH postings survive by packed order: an offset at
+    // or above 2^20 would corrupt that order (and the unpack) and
+    // silently diverge from the oracle's ORDER BY doc_id, start. Guard
+    // by excluding such chunks on BOTH sides — a >1M-word document's
+    // tail is out of span-analysis scope, consistently in each engine.
     val postings = chunkFrame(docs)
+      .filter(col("start") < (1L << 20))
       .select(
         col("chunk_md5"),
         (shiftleft(col("doc_id"), 20) + col("start")).as("d"),
@@ -297,6 +310,7 @@ object Cdc {
        |         md5(array_to_string(w[(p.s + 1):(p.e)], ' ')) AS h,
        |         CAST(p.e - p.s AS BIGINT) AS words
        |  FROM seg
+       |  WHERE p.s < 1048576
        |), cold AS (
        |  SELECT * FROM (
        |    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, start) AS rn
