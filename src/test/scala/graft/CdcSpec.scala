@@ -201,6 +201,27 @@ class CdcSpec extends AnyFunSuite {
     }
   }
 
+  test("plan: chunk TEXT never reaches a shuffle (hash-only exchanges)") {
+    import org.apache.spark.sql.classic.{Dataset => CDataset}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val savedAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try Seq("cdc_chunk_dedup", "cdc_dedup_ratio", "dup_spans", "split_contamination")
+      .foreach { q =>
+        val exec = SparkEntry.queries(q)(spark, TestSpark.Sf)
+          .asInstanceOf[CDataset[Row]].queryExecution.executedPlan
+        val shuffles = exec.collect { case e: ShuffleExchangeLike => e }
+        assert(shuffles.nonEmpty, s"$q plan has no exchange to check")
+        shuffles.foreach { e =>
+          val cols = e.child.output.map(_.name)
+          assert(!cols.contains("chunk") && !cols.contains("text") && !cols.contains("t"),
+            s"$q shuffles raw text columns: $cols")
+        }
+      }
+    finally spark.conf.set("spark.sql.adaptive.enabled", savedAqe)
+  }
+
   test("savings ratio is consistent with its own numerators") {
     val r = Cdc.cdcDedupRatio(spark, TestSpark.Sf).collect().head
     val total  = r.getAs[Long]("chunk_chars_total")
