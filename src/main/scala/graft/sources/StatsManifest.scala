@@ -42,9 +42,25 @@ import scala.jdk.CollectionConverters._
   * written only after `build` returns.
   */
 object DerivedCache {
+  /** File-metadata stamp of a source path (recursive size+mtime sum —
+    * no data scan): appended to every cache key so REGENERATED source
+    * data invalidates stored artifacts even when caller-level
+    * fingerprints (e.g. row counts) happen to collide. A row-count
+    * fingerprint alone cannot see a same-cardinality regeneration,
+    * and a stale stored index would silently diverge from an oracle
+    * that reads the fresh data.
+    */
+  private def sourceStamp(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length * 31 + f.lastModified
+      else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+    walk(new java.io.File(path))
+  }
+
   def dir(srcDir: String, name: String, fingerprint: String)(
       build: String => Unit): String = {
-    val key  = Integer.toHexString((srcDir + "|" + fingerprint).hashCode)
+    val fp   = s"$fingerprint;src=${sourceStamp(srcDir)}"
+    val key  = Integer.toHexString((srcDir + "|" + fp).hashCode)
     val base = sys.props("java.io.tmpdir").stripSuffix("/")
     val out  = s"$base/graft-$name-$key"
     val done = new java.io.File(out, "_GRAFT_DONE")
@@ -52,7 +68,7 @@ object DerivedCache {
       if (!done.exists()) {
         build(out)
         java.nio.file.Files.createDirectories(done.toPath.getParent)
-        java.nio.file.Files.write(done.toPath, fingerprint.getBytes)
+        java.nio.file.Files.write(done.toPath, fp.getBytes)
         ()
       }
     }
