@@ -29,8 +29,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      // events.parquet stores ts as INT64 TIMESTAMP(NANOS); Spark 4 only
-      // reads it as a long when this legacy flag is on (see FIXTURES.md).
+      // events.parquet has shipped as both INT64 TIMESTAMP(NANOS) and
+      // timestamp[us]; the legacy flag makes the nanos encoding readable
+      // (as BIGINT) and Tables.events normalizes either shape to epoch-µs.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
@@ -68,15 +69,36 @@ object Tables {
   def part(s: SparkSession, d: String)      = table(s, d, "part")
   def orders(s: SparkSession, d: String)    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String)  = table(s, d, "lineitem")
-  /** `ts` arrives as BIGINT nanoseconds since epoch (nanosAsLong).
-    * The flag is (re)set at runtime so queries also work when invoked
-    * from a caller-built session (e.g. the driver's entry() smoke) that
-    * lacks GraftSession's config.
+  /** events with `ts` normalized to epoch-MICROSECONDS BIGINT regardless
+    * of the physical parquet encoding — the engine-wide µs convention
+    * lives at this table boundary, not in per-query arithmetic. The
+    * testdata has shipped `ts` as INT64 TIMESTAMP(NANOS) (read as BIGINT
+    * nanos under nanosAsLong) and as timestamp[us] (read as
+    * TIMESTAMP_NTZ); both arrive here as the same µs value DuckDB's
+    * `epoch_us(ts)` oracle produces. Confs are runtime-settable, set
+    * defensively so queries also work from a caller-built session (the
+    * driver's entry() smoke) lacking GraftSession's config; UTC makes the
+    * NTZ→timestamp cast deterministic.
     */
-  def events(s: SparkSession, d: String) = {
-    try s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    catch { case _: Throwable => () } // static-conf refusal: assume preset
-    table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    try {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+    } catch { case _: Throwable => () } // static-conf refusal: assume preset
+    val raw = table(s, d, "events")
+    val us = raw.schema("ts").dataType match {
+      // legacy INT64 TIMESTAMP(NANOS) under nanosAsLong: exact long
+      // division (nanos exceed 2^53, double arithmetic would corrupt them)
+      case LongType         => expr("ts div 1000")
+      case TimestampType    => unix_micros(col("ts"))
+      case TimestampNTZType => unix_micros(col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported physical type $other (expected INT64 " +
+            "nanos, TIMESTAMP, or TIMESTAMP_NTZ) — testdata schema drifted " +
+            "past what Tables.events normalizes; extend the dispatch here")
+    }
+    raw.withColumn("ts", us)
   }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")

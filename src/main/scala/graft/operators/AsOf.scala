@@ -59,7 +59,7 @@ object AsOf {
     * (two completely different algorithms, same result).
     */
   def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).withColumn("ts", expr("ts div 1000"))
+    val ev = Tables.events(spark, dir) // ts already epoch-µs
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("pid"), col("user_id"), col("ts").as("pt"))
     val views = ev.filter(col("event_type") === "view")
@@ -98,7 +98,7 @@ object AsOf {
     */
   def nearEventPairs(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"))
+      .select(col("user_id"), col("event_id"), col("ts").as("t"))
     val a = ev.select(
       col("user_id"), col("event_id").as("a_id"), col("t").as("at"),
       expr(s"t div $BandUs").as("band"))
@@ -136,7 +136,7 @@ object AsOf {
     * join and that results are identical with the rule disabled.
     */
   def nearGlobalPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir).select(expr("ts div 1000").as("t"))
+    val ev = Tables.events(spark, dir).select(col("ts").as("t"))
     val a  = ev.select(col("t").as("at"))
     val b  = ev.select(col("t").as("bt"))
     a.join(b, col("bt") > col("at") && col("bt") - col("at") <= GlobalBandUs)

@@ -10,22 +10,21 @@ import org.apache.spark.sql.functions._
   * integrated engagement-vs-spend query
   * (ref: load_hbase_sessions_stream.py, integrated_query_engagement_vs_spend.py).
   *
-  * Timestamps: `events.ts` arrives as BIGINT nanoseconds (nanosAsLong, see
-  * GraftSession), but DuckDB's parquet reader truncates TIMESTAMP(NANOS)
-  * to microseconds — so every query works in MICROSECONDS (`ts div 1000`
-  * here, `epoch_us(ts)` in the oracles) to keep both engines on the same
-  * int64 value. All sums go through Det decimal casts for bit-exact
-  * cross-engine results.
+  * Timestamps: `events.ts` is epoch-MICROSECONDS BIGINT — normalized at
+  * the Tables.events boundary from whatever the parquet physically stores
+  * (INT64 nanos or timestamp[us]) — matching `epoch_us(ts)` in the DuckDB
+  * oracles, so both engines see the same int64 value. All sums go through
+  * Det decimal casts for bit-exact cross-engine results.
   */
 object Engagement {
 
   private val GapUs: Long = 12L * 3600 * 1000 * 1000 // 12h session gap, µs
 
-  /** events with ts truncated to epoch microseconds (exact long division —
-    * nanos exceed 2^53 so double arithmetic would corrupt them).
+  /** events with ts in epoch microseconds — already normalized at the
+    * Tables.events boundary; kept as a named alias for readability.
     */
   private def eventsUs(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir).withColumn("ts", expr("ts div 1000"))
+    Tables.events(spark, dir)
 
   /** Per-user engagement metrics: the scan-side aggregation the reference
     * does in Python defaultdicts over an HBase scan

@@ -211,8 +211,7 @@ object Extended {
     */
   def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables
-      .events(spark, dir)
-      .withColumn("ts", expr("ts div 1000"))
+      .events(spark, dir) // ts already epoch-µs
       .groupBy(col("user_id"))
       .agg(
         min(when(col("event_type") === "view", col("ts"))).as("first_view"),

@@ -267,7 +267,7 @@ object Pipeline {
   def incrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables
       .events(spark, dir)
-      .withColumn("us", expr("ts div 1000"))
+      .withColumn("us", col("ts"))
     def partial(f: DataFrame): DataFrame =
       f.groupBy(col("user_id"))
         .agg(

@@ -165,7 +165,7 @@ object Retention {
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
     val DayUs = 86400000000L
     val base = Tables.events(spark, dir)
-      .select(expr(s"(ts div 1000) div $DayUs").as("day"), col("user_id"))
+      .select(expr(s"ts div $DayUs").as("day"), col("user_id"))
       .distinct()
     val bounds = broadcast(base.agg(
       min(col("day")).as("d_min"), max(col("day")).as("d_max")))
@@ -265,7 +265,7 @@ object Retention {
       .events(spark, dir)
       .select(
         col("user_id"),
-        expr("ts div 1000").as("us"),
+        col("ts").as("us"),
         col("event_type").as("et"))
     funnelDepths(ev, Seq("view", "click", "purchase"), FunnelWinUs)
       .groupBy(col("depth"))
@@ -323,7 +323,7 @@ object Retention {
       .events(spark, dir)
       .select(
         col("user_id"),
-        expr("ts div 1000").as("us"),
+        col("ts").as("us"),
         col("event_type").as("et"))
     // the depth gate is folded into the projection (null = incomplete)
     // instead of a filter: a Filter on the derived column would get the
@@ -366,7 +366,7 @@ object Retention {
       .events(spark, dir)
       .select(
         col("user_id"),
-        expr("ts div 1000").as("us"),
+        col("ts").as("us"),
         col("event_type").as("et"))
     // depth gate as a null-producing projection, not a filter — see
     // funnelLatency for why (lambda-chain duplication under pushdown)
@@ -483,7 +483,7 @@ object Retention {
       .events(spark, dir)
       .select(
         col("user_id"),
-        expr("ts div 1000").as("us"),
+        col("ts").as("us"),
         col("event_id"),
         col("event_type").as("cur"))
       .withColumn("prev", lag(col("cur"), 1).over(byUser))

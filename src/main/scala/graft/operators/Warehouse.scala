@@ -253,7 +253,7 @@ object Warehouse {
     val ev = Tables
       .events(spark, dir)
       .select(
-        to_date(timestamp_micros(expr("ts div 1000"))).as("day"),
+        to_date(timestamp_micros(col("ts"))).as("day"),
         col("user_id"))
     val daily = ev
       .groupBy(col("day"))

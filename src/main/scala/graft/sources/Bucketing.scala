@@ -82,7 +82,7 @@ object Bucketing {
     graft.Tables.events(spark, dir)
       .select(
         col("user_id"),
-        expr("(ts div 1000) div 86400000000").as("day"))
+        expr("ts div 86400000000").as("day"))
       .distinct()
       .select(
         col("user_id"), col("day"),

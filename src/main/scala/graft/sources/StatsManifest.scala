@@ -229,7 +229,7 @@ object StatsManifest {
       graft.Tables
         .events(spark, dir)
         .select(
-          expr("(ts div 1000) div 86400000000").as("day"),
+          expr("ts div 86400000000").as("day"),
           col("user_id"),
           col("value"))
         .repartitionByRange(LayoutFiles, col("day"))

@@ -20,11 +20,20 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
-  /** nanos-long ts → proper event-time timestamp column (µs precision,
-    * matching the engine-wide µs convention).
+  /** `ts` → proper event-time timestamp column. Accepts the engine-wide
+    * epoch-µs BIGINT convention (Tables.events output, rateToEvents) and
+    * raw TIMESTAMP/_NTZ columns from un-normalized streaming reads of the
+    * regenerated timestamp[us] parquet. NOTE: a BIGINT ts here means µs —
+    * legacy-nanos parquet must enter through Tables.events (batch) or be
+    * pre-normalized before streaming.
     */
-  def withEventTime(events: DataFrame): DataFrame =
-    events.withColumn("event_time", expr("timestamp_micros(ts div 1000)"))
+  def withEventTime(events: DataFrame): DataFrame = {
+    val t = events.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts)")
+      case _                                   => col("ts").cast("timestamp")
+    }
+    events.withColumn("event_time", t)
+  }
 
   /** Adapter from Spark's built-in unbounded sources (`rate`,
     * `rate-micro-batch`: columns `timestamp`, `value`) to the engine's
@@ -35,7 +44,7 @@ object EventStreams {
   def rateToEvents(rate: DataFrame, users: Long): DataFrame =
     rate.select(
       col("value").as("event_id"),
-      (unix_micros(col("timestamp")) * lit(1000L)).as("ts"),
+      unix_micros(col("timestamp")).as("ts"),
       pmod(col("value"), lit(users)).as("user_id"),
       element_at(
         array(lit("view"), lit("click"), lit("purchase"), lit("search")),

@@ -189,7 +189,7 @@ object StreamSoak {
       val bursty = EventStreams.rateToEvents(rateSource(spark, rowsPerS), perCohort)
         .withColumn("user_id",
           col("user_id") + lit(perCohort) *
-            pmod((col("ts") / lit(1000000000L * burstS)).cast("long"), lit(cohorts.toLong)))
+            pmod((col("ts") / lit(1000000L * burstS)).cast("long"), lit(cohorts.toLong)))
       val q = EventStreams
         .sessionWindows(bursty, gap = "30 seconds", watermark = "10 seconds")
         .writeStream

@@ -118,7 +118,7 @@ class RangeJoinRewriteSpec extends AnyFunSuite {
     val bandUs   = 24L * 3600 * 1000 * 1000
     def naive = {
       val ev = Tables.events(spark, TestSpark.Sf)
-        .select(col("user_id"), expr("ts div 1000").as("t"))
+        .select(col("user_id"), col("ts").as("t"))
       val a = ev.select(col("user_id"), col("t").as("at"))
       val b = ev.select(col("user_id").as("user_id_b"), col("t").as("bt"))
       a.join(b,

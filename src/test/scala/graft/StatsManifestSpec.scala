@@ -17,7 +17,7 @@ class StatsManifestSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-statsman").toFile
     dir.deleteOnExit()
     val ev = Tables.events(spark, TestSpark.Sf)
-      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .select(col("user_id"), col("ts").as("tus"))
       .withColumn("day", expr("tus div 86400000000"))
     val nFiles = 16
     val zPath = dir.getAbsolutePath + "/z"
@@ -108,7 +108,7 @@ class StatsManifestSpec extends AnyFunSuite {
     // soundness against the ORIGINAL table: same 10-day window computed
     // with a plain full scan must agree row for row
     val ev = Tables.events(spark, TestSpark.Sf)
-      .select(expr("(ts div 1000) div 86400000000").as("day"),
+      .select(expr("ts div 86400000000").as("day"),
         col("user_id"), col("value"))
     val lo = ev.agg(min("day")).collect().head.getLong(0) + 5
     val full = ev.filter(col("day").between(lo, lo + 9))

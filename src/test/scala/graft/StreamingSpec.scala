@@ -112,7 +112,7 @@ class StreamingSpec extends AnyFunSuite {
     val raw = Tables.events(spark, TestSpark.Sf)
     // time-split into two micro-batch files: early 45 days, then the rest
     val minTs = raw.agg(min(col("ts"))).collect().head.getLong(0)
-    val cutoff = minTs + 45L * 86400 * 1000000000L // ts is nanos
+    val cutoff = minTs + 45L * 86400 * 1000000L // ts is epoch-µs
     raw.filter(col("ts") < cutoff).coalesce(1)
       .write.parquet(dir.getAbsolutePath + "/src/f1")
     raw.filter(col("ts") >= cutoff).coalesce(1)
@@ -154,14 +154,14 @@ class StreamingSpec extends AnyFunSuite {
     dir.deleteOnExit()
     val raw = Tables.events(spark, TestSpark.Sf)
     val minTs  = raw.agg(min(col("ts"))).collect().head.getLong(0)
-    val cutoff = minTs + 45L * 86400 * 1000000000L // ts is nanos
+    val cutoff = minTs + 45L * 86400 * 1000000L // ts is epoch-µs
     raw.filter(col("ts") < cutoff).coalesce(1)
       .write.parquet(dir.getAbsolutePath + "/src/f1")
     raw.filter(col("ts") >= cutoff).coalesce(1)
       .write.parquet(dir.getAbsolutePath + "/src/f2")
     def prep(df: org.apache.spark.sql.DataFrame) = df.select(
       col("user_id"),
-      expr("timestamp_micros(ts div 1000)").as("t"),
+      expr("timestamp_micros(ts)").as("t"),
       col("value"))
     val stream = spark.readStream
       .schema(raw.schema)

@@ -218,7 +218,7 @@ class WarehouseSpec extends AnyFunSuite {
     import org.apache.spark.sql.DataFrame
     val T = 7L * 86400L * 1000000L
     val ev = Tables.events(spark, dir)
-      .select(col("user_id"), expr("ts div 1000").as("us"), col("event_type").as("et"))
+      .select(col("user_id"), col("ts").as("us"), col("event_type").as("et"))
       .cache()
     // independent formulation: dependent minimums via joins (the oracle
     // shape), for an arbitrary step list

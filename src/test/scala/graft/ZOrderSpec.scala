@@ -30,7 +30,7 @@ class ZOrderSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toFile
     dir.deleteOnExit()
     val ev = Tables.events(spark, TestSpark.Sf)
-      .select(col("user_id"), expr("ts div 1000").as("tus"))
+      .select(col("user_id"), col("ts").as("tus"))
       .withColumn("day", expr("tus div 86400000000"))
     val nFiles = 16
     val zPath = dir.getAbsolutePath + "/z"
