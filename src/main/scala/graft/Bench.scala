@@ -6,27 +6,54 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints one JSON line. Results are forced with a
   * noop-format write (full plan execution, nothing skipped by count()'s
   * column pruning) after a warm-up pass that triggers JIT + codegen.
+  *
+  * Fail-honest contract: a query that throws is recorded by NAME in the
+  * `failed` array and excluded from `value`/`queries` — it must never
+  * surface as a fake near-zero timing (round 6 recorded 25 broken queries
+  * as 0.00–0.15 s and the artifact read as "events tier got fast").
+  * Summary fields (value, n_ok, n_failed, failed, sf) lead the line so a
+  * truncated log capture still carries the verdict.
   */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
 
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
-      fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+  final case class Timing(name: String, sec: Double, gcS: Double, jitS: Double)
 
-    // Warm-up: trigger parquet footer reads + JIT/codegen infra once so
-    // per-query timings reflect engine steady state, not JVM start-up.
-    try {
-      Seq("top_spenders", "user_engagement", "dedup_exact", "embedding_neardup")
-        .foreach(n => run(SparkEntry.queries(n)))
-    } catch { case _: Throwable => () }
+  final case class Report(
+      ok: Seq[Timing],
+      failed: Seq[(String, String)],
+      sf: String) {
+    def totalSec: Double = ok.map(_.sec).sum
 
-    // dev-only subset filter (unset in driver runs): cold-time a few
-    // queries in a fresh JVM without the full 81-query sweep
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    def json: String = {
+      def jmap(f: Timing => Double): String =
+        ok.map(t => "\"" + t.name + "\":" + f"${f(t)}%.3f")
+          .mkString("{", ",", "}")
+      val failedArr =
+        failed.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
+      f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec",""" +
+        s""""n_ok":${ok.size},"n_failed":${failed.size},""" +
+        s""""failed":$failedArr,""" +
+        f""""gc_total_s":${ok.map(_.gcS).sum}%.3f,""" +
+        f""""jit_total_s":${ok.map(_.jitS).sum}%.3f,"sf":"$sf",""" +
+        s""""queries":${jmap(_.sec)},"gc":${jmap(_.gcS)},"jit":${jmap(_.jitS)}}"""
+    }
+  }
+
+  private def force(
+      spark: SparkSession,
+      sfDir: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
+    fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+
+  /** Time every query; failures are collected, never timed. Testable core
+    * (BenchDiffSpec injects a throwing query and asserts it lands in
+    * `failed`, not in the totals).
+    */
+  def runAll(
+      spark: SparkSession,
+      sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)])
+      : Report = {
     // Per-query GC + JIT attribution: a wall-time outlier whose gc_s
     // accounts for the delta is a roving collector pause, not a plan
     // regression — the artifact self-diagnoses instead of needing a
@@ -46,13 +73,16 @@ object Bench {
         c.getTotalCompilationTime
       else 0L
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
-      .map { case (name, fn) =>
+    val outcomes = queries.map { case (name, fn) =>
       val gc0 = gcMillis(); val jit0 = jitMillis()
       val t0 = System.nanoTime()
-      try run(fn)
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
+      val err =
+        try { force(spark, sfDir, fn); None }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName))
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9 // BEFORE cache teardown
       val gcS  = (gcMillis() - gc0) / 1e3
       val jitS = (jitMillis() - jit0) / 1e3
@@ -61,18 +91,43 @@ object Bench {
       // spill against later queries — outside the timed window, so the
       // artifact number is the query, not the cleanup
       QueryState.release(spark)
-      (name, elapsed, gcS, jitS)
+      (Timing(name, elapsed, gcS, jitS), err)
     }
-    def jmap(f: ((String, Double, Double, Double)) => Double): String = results
-      .map(r => "\"" + r._1 + "\":" + f"${f(r)}%.3f")
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    val gcTotal = results.map(_._3).sum
-    val jitTotal = results.map(_._4).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(_._2)},""" +
-        f""""gc":${jmap(_._3)},"jit":${jmap(_._4)},""" +
-        f""""gc_total_s":$gcTotal%.3f,"jit_total_s":$jitTotal%.3f,"sf":"$sfDir"}""")
+    Report(
+      ok = outcomes.collect { case (t, None) => t },
+      failed = outcomes.collect { case (t, Some(m)) => (t.name, m) },
+      sf = sfDir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Warm-up: trigger parquet footer reads + JIT/codegen infra once so
+    // per-query timings reflect engine steady state, not JVM start-up.
+    // Each query in its own try — one broken warm-up query must not
+    // leave the rest of the JVM cold (round 6: user_engagement threw and
+    // dedup_exact/embedding_neardup never warmed).
+    Seq("top_spenders", "user_engagement", "dedup_exact", "embedding_neardup")
+      .foreach { n =>
+        try force(spark, sfDir, SparkEntry.queries(n))
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] warm-up $n failed: ${e.getMessage}")
+        }
+      }
+
+    // dev-only subset filter (unset in driver runs): cold-time a few
+    // queries in a fresh JVM without the full sweep
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val report = runAll(
+      spark,
+      sfDir,
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) })
+    println(report.json)
     spark.stop()
   }
 }

@@ -12,6 +12,26 @@ import org.scalatest.funsuite.AnyFunSuite
 class BenchDiffSpec extends AnyFunSuite {
   import scala.sys.process._
 
+  test("a throwing query lands in failed[], not as a fake timing") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.lit
+    val queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq(
+        "ok_tiny" -> ((s, _) => s.range(10).toDF("n").withColumn("c", lit(1))),
+        "broken"  -> ((_, _) => throw new IllegalStateException("deliberately broken")))
+    val rep = Bench.runAll(spark, TestSpark.Sf, queries)
+    assert(rep.ok.map(_.name) === Seq("ok_tiny"))
+    assert(rep.failed.map(_._1) === Seq("broken"))
+    assert(rep.failed.head._2.contains("deliberately broken"))
+    // the JSON line must carry the verdict in its prefix and must not
+    // contain a timing entry for the broken query
+    val j = rep.json
+    assert(j.indexOf("\"failed\":[\"broken\"]") >= 0 &&
+      j.indexOf("\"failed\"") < j.indexOf("\"queries\""))
+    assert(!j.contains("\"broken\":"))
+    assert(j.contains("\"n_failed\":1"))
+  }
+
   test("bench_diff selftest passes") {
     val out = new StringBuilder
     val code = Process(Seq("python3", "tools/bench_diff.py", "--selftest"))
