@@ -666,6 +666,16 @@ object Dedup {
     }
   }
 
+  /** Previous invocation's persisted delta signatures: the persist is
+    * only useful while that query's plan executes (deltaBands + the est
+    * join both read it), but unpersisting can't be scheduled "after the
+    * caller's action" from inside a builder — so the handle is dropped
+    * on the NEXT call, bounding a long library session to one cached
+    * frame instead of one per invocation. Harness paths (Bench, Verify)
+    * release eagerly between queries via QueryState.release.
+    */
+  @volatile private var lastDeltaSigs: Option[DataFrame] = None
+
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
     val k   = MinhashK
@@ -674,8 +684,10 @@ object Dedup {
     val baseIdx  = spark.read.parquet(s"$idx/bidx")
     // only the DELTA is signed at query time — the base comes from the
     // stored index, so this pass costs ∝ today's batch, not the corpus
+    lastDeltaSigs.foreach(_.unpersist(blocking = false))
     val (deltaSigs, deltaBands) = minhashBandsOf(
       Tables.documents(spark, dir).filter((col("doc_id") % 10) >= 8), k)
+    lastDeltaSigs = Some(deltaSigs)
     val cand = deltaBands
       .join(baseIdx, Seq("band", "bh"))
       .select(col("doc_id").as("delta_id"), explode(col("base_docs")).as("base_id"))

@@ -159,8 +159,11 @@ object TextNgrams {
         case None => done = true
         case Some((a, b, total)) =>
           trace += ((step.toLong, a, b, a + b, total))
+          // Column-API replace, NOT sql-string interpolation: a and b are
+          // corpus-derived symbols collected to the driver — interpolating
+          // them into expr() would let crafted corpus text inject SQL
           seqs = seqs.select(
-            expr(s"replace(s, ' ${a} ${b} ', ' ${a + b} ')").as("s"),
+            replace(col("s"), lit(s" $a $b "), lit(s" ${a + b} ")).as("s"),
             col("cnt"))
           step += 1
       }

@@ -57,19 +57,56 @@ object DerivedCache {
     walk(new java.io.File(path))
   }
 
+  /** 128-bit key: a 32-bit String.hashCode over long fingerprint strings
+    * WILL collide across a long-lived tmpdir (birthday bound ~77k keys);
+    * a collision here silently serves another layout's data.
+    */
+  private def digest(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).take(16).map("%02x".format(_)).mkString
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+
   def dir(srcDir: String, name: String, fingerprint: String)(
       build: String => Unit): String = {
     val fp   = s"$fingerprint;src=${sourceStamp(srcDir)}"
-    val key  = Integer.toHexString((srcDir + "|" + fp).hashCode)
+    val key  = digest(srcDir + "|" + fp)
     val base = sys.props("java.io.tmpdir").stripSuffix("/")
     val out  = s"$base/graft-$name-$key"
     val done = new java.io.File(out, "_GRAFT_DONE")
+    // reuse is valid only if the done-file's recorded fingerprint matches
+    // EXACTLY — guards torn builds (done written, content stale) and the
+    // residual digest-collision case the key alone can't rule out
+    def valid(): Boolean =
+      done.exists() && new String(
+        java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") == fp
     this.synchronized {
-      if (!done.exists()) {
-        build(out)
-        java.nio.file.Files.createDirectories(done.toPath.getParent)
-        java.nio.file.Files.write(done.toPath, fp.getBytes)
-        ()
+      if (!valid()) {
+        // cross-PROCESS exclusion: sbt test and a bench JVM can race the
+        // same derived layout; serialize builders on a tmpdir lock file
+        // (the JVM-level synchronized above only covers in-process races)
+        val lockPath = java.nio.file.Paths.get(s"$out.lock")
+        val ch = java.nio.channels.FileChannel.open(
+          lockPath,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          val lock = ch.lock()
+          try {
+            if (!valid()) { // losing racer: winner built it while we waited
+              deleteRecursively(new java.io.File(out))
+              build(out)
+              java.nio.file.Files.createDirectories(done.toPath.getParent)
+              java.nio.file.Files.write(done.toPath, fp.getBytes("UTF-8"))
+              ()
+            }
+          } finally lock.release()
+        } finally ch.close()
       }
     }
     out
@@ -260,7 +297,16 @@ object StatsManifest {
     require(
       dayStats.nonEmpty || manifest.map(_.rows).sum == 0,
       s"no usable day statistics in the manifest under $layout")
-    val minDay = dayStats.map(_._1).reduceOption(_ min _).getOrElse(BigDecimal(0))
+    // footer-only anchoring is sound only when EVERY rows-bearing file
+    // carries day stats; otherwise a stats-less file can hide the true
+    // minimum and the window would diverge from the oracle's MIN(day) —
+    // fall back to an exact scan for the anchor in that case
+    val statless = manifest.exists(fs => fs.rows > 0 && !fs.stats.contains("day"))
+    val minDay =
+      if (statless)
+        BigDecimal(
+          spark.read.parquet(layout).agg(min(col("day"))).collect().head.getLong(0))
+      else dayStats.map(_._1).reduceOption(_ min _).getOrElse(BigDecimal(0))
     val lo = minDay + 5
     val hi = minDay + 14
     val (pruned, report) = prunedRead(

@@ -35,30 +35,36 @@ def kind(series):
         return "bool"
     if k == "M":
         return "datetime"
-    # object column: classify by first non-null value
+    # object column: classify over ALL non-null values — first-value
+    # classing hides a mixed int/float column whose later rows would
+    # hash-differ under the driver's rendered-value compare
     nn = series.dropna()
     if len(nn) == 0:
         return "empty"
-    v = nn.iloc[0]
     import decimal
     import numpy as np
-    if isinstance(v, decimal.Decimal):
-        return "decimal"
-    if isinstance(v, bool):
-        return "bool"
-    if isinstance(v, (int, np.integer)):
-        return "int"
-    if isinstance(v, (float, np.floating)):
-        return "float"
-    if isinstance(v, str):
-        return "str"
-    if isinstance(v, (bytes, bytearray)):
-        return "bytes"
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "list"
-    if isinstance(v, dict):
-        return "map"
-    return type(v).__name__
+    def vclass(v):
+        if isinstance(v, decimal.Decimal):
+            return "decimal"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "list"
+        if isinstance(v, dict):
+            return "map"
+        return type(v).__name__
+    kinds = {vclass(v) for v in nn}
+    if len(kinds) == 1:
+        return kinds.pop()
+    return "mixed:" + "+".join(sorted(kinds))
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
