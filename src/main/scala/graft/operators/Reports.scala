@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import graft.{Det, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
 /** S14 parity: the reference writes a human-readable analysis summary
@@ -30,4 +32,115 @@ object Reports {
 
   def writeIntegratedSummary(spark: SparkSession, dir: String, outPath: String): Unit =
     Files.writeString(Paths.get(outPath), integratedSummary(spark, dir))
+
+  // ---------------------------------------------------------------------
+  // Chart-ready outputs: the exact frames the reference's plot scripts
+  // read (plots_from_spark_outputs.py:81,97,113 — top-10 bar-chart CSVs —
+  // and integratedplots_query.py:20–27 — the engagement-vs-spend scatter
+  // input). Rendering stays out of the engine (matplotlib is a driver-side
+  // concern); the ENGINE's job is the pivoted, ordered, limited frame.
+  // ---------------------------------------------------------------------
+
+  /** Top-10 categories by revenue, chart column names
+    * (plots_from_spark_outputs.py:84 reads category_id/revenue).
+    */
+  def chartRevenueByCategory(spark: SparkSession, dir: String): DataFrame =
+    Commerce.revenueByCategory(spark, dir)
+      .select(col("p_brand").as("category_id"), col("revenue"))
+      .limit(10)
+
+  private val chartRevenueByCategorySql =
+    s"""SELECT p.p_brand AS category_id,
+       |       ${Det.roundSql("CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(30,10))) AS DOUBLE)", 2)} AS revenue
+       |FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+       |GROUP BY p.p_brand
+       |ORDER BY revenue DESC NULLS LAST, category_id ASC NULLS FIRST
+       |LIMIT 10""".stripMargin
+
+  /** Top-10 spenders, chart column names
+    * (plots_from_spark_outputs.py:100 reads user_id/total_spent).
+    */
+  def chartTopSpenders(spark: SparkSession, dir: String): DataFrame =
+    Commerce.topSpenders(spark, dir)
+      .select(col("o_custkey").as("user_id"), col("total_spent"))
+
+  private val chartTopSpendersSql =
+    s"""SELECT o_custkey AS user_id,
+       |       ${Det.roundSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS total_spent
+       |FROM orders
+       |GROUP BY o_custkey
+       |ORDER BY total_spent DESC, user_id
+       |LIMIT 10""".stripMargin
+
+  /** Top-10 co-purchase pairs with the reference's rendered "x + y" pair
+    * label (plots_from_spark_outputs.py:113–115). Built from pairCounts
+    * directly — a limit(10) over the top-50 query would not be
+    * order-stable through a second CollectLimit.
+    */
+  def chartAlsoBoughtPairs(spark: SparkSession, dir: String): DataFrame =
+    Commerce
+      .pairCounts(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+      .orderBy(desc("pair_count"), asc("part_x"), asc("part_y"))
+      .limit(10)
+      .select(
+        concat_ws(" + ", col("part_x"), col("part_y")).as("pair"),
+        col("pair_count").as("co_purchase_count"))
+
+  private val chartAlsoBoughtPairsSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      |), pc AS (
+      |  SELECT a.l_partkey AS part_x, b.l_partkey AS part_y, count(*) AS pair_count
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT CAST(part_x AS VARCHAR) || ' + ' || CAST(part_y AS VARCHAR) AS pair,
+      |       pair_count AS co_purchase_count
+      |FROM pc
+      |ORDER BY pair_count DESC, part_x, part_y
+      |LIMIT 10""".stripMargin
+
+  /** Scatter input for the integrated plot: buyers only, engagement vs
+    * spend (integratedplots_query.py:20 filters total_spent > 0).
+    */
+  def chartEngagementScatter(spark: SparkSession, dir: String): DataFrame =
+    Engagement.engagementVsSpend(spark, dir)
+      .filter(col("total_spent") > 0)
+      .select(col("user_id"), col("sessions_count"), col("total_spent"))
+      .orderBy(col("user_id"))
+
+  val defs: Map[String, QueryDef] = Map(
+    "chart_revenue_by_category" ->
+      QueryDef(chartRevenueByCategory, Some(chartRevenueByCategorySql)),
+    "chart_top_spenders" ->
+      QueryDef(chartTopSpenders, Some(chartTopSpendersSql)),
+    "chart_also_bought_pairs" ->
+      QueryDef(chartAlsoBoughtPairs, Some(chartAlsoBoughtPairsSql)),
+    "chart_engagement_scatter" ->
+      QueryDef(
+        chartEngagementScatter,
+        Some(
+          s"""SELECT user_id, sessions_count, total_spent
+             |FROM (${Engagement.defs("engagement_vs_spend").oracle.get})
+             |WHERE total_spent > 0
+             |ORDER BY user_id""".stripMargin)))
+
+  /** Single-file chart CSVs (S11 sink form): one header-bearing CSV per
+    * plot family, the drop-in inputs for the reference's plot scripts.
+    */
+  def writeChartCsvs(spark: SparkSession, dir: String, outDir: String): Unit =
+    Seq(
+      "chart_revenue_by_category" -> chartRevenueByCategory _,
+      "chart_top_spenders"        -> chartTopSpenders _,
+      "chart_also_bought_pairs"   -> chartAlsoBoughtPairs _,
+      "chart_engagement_scatter"  -> chartEngagementScatter _)
+      .foreach { case (n, f) =>
+        f(spark, dir)
+          .coalesce(1)
+          .write.mode("overwrite").option("header", "true")
+          .csv(s"$outDir/$n")
+      }
 }

@@ -19,6 +19,32 @@ class ReportsSpec extends AnyFunSuite {
     assert(text.linesIterator.count(_.startsWith("- ")) >= 4)
   }
 
+  test("chart CSVs are single header-bearing files with the reference's columns") {
+    val out = Files.createTempDirectory("graft-charts").toFile
+    out.deleteOnExit()
+    Reports.writeChartCsvs(spark, TestSpark.Sf, out.getAbsolutePath)
+    val expected = Map(
+      "chart_revenue_by_category" -> "category_id,revenue",
+      "chart_top_spenders"        -> "user_id,total_spent",
+      "chart_also_bought_pairs"   -> "pair,co_purchase_count",
+      "chart_engagement_scatter"  -> "user_id,sessions_count,total_spent")
+    expected.foreach { case (name, header) =>
+      val files = new java.io.File(out, name)
+        .listFiles().filter(_.getName.endsWith(".csv"))
+      assert(files.length === 1, s"$name must be a SINGLE csv file")
+      val lines = Files.readAllLines(files.head.toPath)
+      assert(lines.get(0) === header, s"$name header")
+      assert(lines.size > 1, s"$name must carry data rows")
+    }
+    // top-10 families are capped at 10 data rows like the reference plots
+    Seq("chart_revenue_by_category", "chart_top_spenders", "chart_also_bought_pairs")
+      .foreach { name =>
+        val f = new java.io.File(out, name)
+          .listFiles().filter(_.getName.endsWith(".csv")).head
+        assert(Files.readAllLines(f.toPath).size <= 11, s"$name rows > 10")
+      }
+  }
+
   test("sanitize strips control characters and trims (P15)") {
     import spark.implicits._
     // the reference's rowkey sanitizer: strip \n/\r, trim
