@@ -71,7 +71,11 @@ object ScaleProbe {
         else ev.withColumn("user_id", col("user_id") + lit(i * K))
           .withColumn("event_id", col("event_id") + lit(i * K))
       }
+      // write ts as a PROPER timestamp column: Tables.events emits epoch-µs
+      // BIGINT, and a BIGINT ts in parquet re-enters the legacy-nanos
+      // branch on the next read — a silent ÷1000 mis-scale on the replica
       evReplicas.reduce(_ union _)
+        .withColumn("ts", timestamp_micros(col("ts")))
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/events.parquet")
       replicate(spark, Tables.customer(spark, Src), Map("c_custkey" -> K))
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/customer.parquet")
