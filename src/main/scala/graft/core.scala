@@ -80,12 +80,47 @@ object Tables {
     * driver's entry() smoke) lacking GraftSession's config; UTC makes the
     * NTZ→timestamp cast deterministic.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeTs(rawEvents(s, d))
+
+  /** events scan with an epoch-µs half-open range [loUs, hiUs) applied
+    * to the RAW ts column BEFORE normalization, so the predicate reaches
+    * the parquet reader (row-group pruning, `PushedFilters` in the plan)
+    * under every physical encoding. A filter on the normalized ts — a
+    * DERIVED column after round 7 — cannot push down; at 100 TB that is
+    * the difference between reading a day and reading the table.
+    * EventsSchemaSpec plan-asserts the pushdown for both encodings.
+    */
+  def eventsBetween(s: SparkSession, d: String, loUs: Long, hiUs: Long): DataFrame = {
+    val raw = rawEvents(s, d)
+    val pred = raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos bounds; saturating multiply so callers may pass open
+        // sides as Long.MinValue / Long.MaxValue without overflow
+        def ns(us: Long): Long =
+          if (us >= Long.MaxValue / 1000) Long.MaxValue
+          else if (us <= Long.MinValue / 1000) Long.MinValue
+          else us * 1000
+        col("ts") >= lit(ns(loUs)) && col("ts") < lit(ns(hiUs))
+      case t @ (TimestampType | TimestampNTZType) =>
+        col("ts") >= timestamp_micros(lit(loUs)).cast(t) &&
+          col("ts") < timestamp_micros(lit(hiUs)).cast(t)
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported physical type $other")
+    }
+    normalizeTs(raw.filter(pred))
+  }
+
+  private def rawEvents(s: SparkSession, d: String): DataFrame = {
     try {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       s.conf.set("spark.sql.session.timeZone", "UTC")
     } catch { case _: Throwable => () } // static-conf refusal: assume preset
-    val raw = table(s, d, "events")
+    table(s, d, "events")
+  }
+
+  private def normalizeTs(raw: DataFrame): DataFrame = {
     val us = raw.schema("ts").dataType match {
       // legacy INT64 TIMESTAMP(NANOS) under nanosAsLong: exact long
       // division (nanos exceed 2^53, double arithmetic would corrupt them)

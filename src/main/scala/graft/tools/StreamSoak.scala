@@ -233,7 +233,8 @@ object StreamSoak {
     }
 
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench/SOAK_r5.json"),
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SOAK_OUT", "bench/SOAK_last.json")),
       (out.mkString("\n") + "\n").getBytes)
     spark.stop()
   }

@@ -71,6 +71,38 @@ class EventsSchemaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unsupported physical type"))
   }
 
+  test("eventsBetween pushes the raw-ts range to the scan for BOTH encodings") {
+    import spark.implicits._
+    val nanosDir = dirWith { p =>
+      Seq((1L, (UsValue - 10) * 1000L), (2L, UsValue * 1000L),
+        (3L, (UsValue + 10) * 1000L))
+        .toDF("event_id", "ts").write.parquet(p)
+    }
+    val ntzDir = dirWith { p =>
+      Seq((1L, UsValue - 10), (2L, UsValue), (3L, UsValue + 10))
+        .toDF("event_id", "us")
+        .select(
+          col("event_id"),
+          timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+        .write.parquet(p)
+    }
+    Seq("nanos" -> nanosDir, "ntz" -> ntzDir).foreach { case (enc, d) =>
+      val df = Tables.eventsBetween(spark, d, UsValue, UsValue + 1)
+      // half-open window keeps exactly the middle row, normalized to µs
+      val rows = df.select(col("event_id"), col("ts")).collect()
+      assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+        Seq((2L, UsValue)), s"$enc: boundary semantics")
+      // and the range predicate reached the parquet reader: a derived-ts
+      // filter shows PushedFilters: [] — the 100 TB regression this
+      // helper exists to prevent
+      val plan = df.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,") &&
+          plan.contains("LessThan(ts,"),
+        s"$enc: ts range not pushed to scan:\n$plan")
+    }
+  }
+
   test("driver testdata events.ts normalizes end-to-end") {
     val ev = Tables.events(spark, TestSpark.Sf)
     assert(ev.schema("ts").dataType === LongType)
