@@ -126,6 +126,24 @@ object TextNgrams {
     */
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    trainedMerges(spark, dir)
+      .toDF("step", "left_sym", "right_sym", "merged", "cnt")
+      .orderBy(col("step"))
+  }
+
+  /** Memoized merge trainer (same per-session memo pattern as the
+    * k-means trainer): the trace is a vocab-derived constant per source
+    * dir, and bpeApply re-uses it without re-running the 8 merge jobs.
+    */
+  private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, String, String, String, Long)]]()
+
+  private def trainedMerges(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
+    mergeMemo.computeIfAbsent(dir, _ => trainMergesUncached(spark, dir))
+
+  private def trainMergesUncached(
+      spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] = {
     val words = Tables
       .documents(spark, dir)
       .select(explode(
@@ -169,11 +187,53 @@ object TextNgrams {
       }
     }
     words.unpersist()
-    trace.toSeq.toDF("step", "left_sym", "right_sym", "merged", "cnt")
-      .orderBy(col("step"))
+    trace.toSeq
   }
 
-  private val bpeTrainSql = {
+  /** Corpus-wide application of the trained merges — the tokenize-the-
+    * corpus step that follows tokenizer training in a real pipeline.
+    * Per doc: words are char-spaced exactly like the training prep, the
+    * [[BpeMerges]] merges replay IN ORDER as chained codegen'd string
+    * replaces (same boundary-guarded non-overlapping variant as
+    * training, see bpeTrain's scaladoc), and the output is the per-doc
+    * token accounting (words, chars, BPE tokens). Cost is linear in the
+    * corpus — one scan, 8 fused replaces, one hash agg; the merge list
+    * is a driver-side vocab-sized constant (memoized), so at 100 TB
+    * this is a single map-side-combinable pass.
+    */
+  def bpeApply(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(spark, dir)
+    val perWord = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        explode(
+          expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("w"))
+      .select(
+        col("doc_id"),
+        length(col("w")).as("wc"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+    val applied = merges.foldLeft(perWord) { case (df, (_, a, b, m, _)) =>
+      // Column-API replace — corpus-derived symbols never enter SQL text
+      df.withColumn("s", replace(col("s"), lit(s" $a $b "), lit(s" $m ")))
+    }
+    applied
+      .select(
+        col("doc_id"), col("wc"),
+        size(split(trim(col("s")), " ")).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("wc")).cast("long").as("n_chars"),
+        sum(col("tok")).cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The training CTE chain (words → w0 → p_i/b_i/w_i per merge),
+    * shared by the train and apply oracles so both replay the identical
+    * greedy merge sequence.
+    */
+  private def bpeChainSql: String = {
     def pairsCte(i: Int) =
       s"""p$i AS (
          |  SELECT t[i] AS a, t[i+1] AS b, SUM(cnt) AS total
@@ -189,11 +249,7 @@ object TextNgrams {
          |  FROM w${i - 1}, b$i
          |)""".stripMargin
     val steps = (1 to BpeMerges).map(pairsCte).mkString(",\n")
-    val rows = (1 to BpeMerges)
-      .map(i =>
-        s"SELECT CAST($i AS BIGINT) AS step, a AS left_sym, b AS right_sym, a || b AS merged, CAST(total AS BIGINT) AS cnt FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH words AS (
+    s"""words AS (
        |  SELECT w, count(*) AS cnt FROM (
        |    SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |                              x -> x <> '')) AS w
@@ -201,9 +257,48 @@ object TextNgrams {
        |), w0 AS (
        |  SELECT ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, cnt FROM words
        |),
-       |$steps
+       |$steps""".stripMargin
+  }
+
+  private val bpeTrainSql = {
+    val rows = (1 to BpeMerges)
+      .map(i =>
+        s"SELECT CAST($i AS BIGINT) AS step, a AS left_sym, b AS right_sym, a || b AS merged, CAST(total AS BIGINT) AS cnt FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeChainSql
        |$rows
        |ORDER BY step""".stripMargin
+  }
+
+  private val bpeApplySql = {
+    // replay the merges over the PER-DOC word stream: d0 is the same
+    // char-spaced prep as w0 but keyed by doc_id, and each d_i applies
+    // merge b_i (trained on the word-frequency table) in order
+    def applyCte(i: Int) =
+      s"""d$i AS (
+         |  SELECT doc_id, wc, replace(s, ' ' || b$i.a || ' ' || b$i.b || ' ',
+         |                             ' ' || b$i.a || b$i.b || ' ') AS s
+         |  FROM d${i - 1}, b$i
+         |)""".stripMargin
+    val steps = (1 to BpeMerges).map(applyCte).mkString(",\n")
+    s"""WITH $bpeChainSql,
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                                    x -> x <> '')) AS w
+       |  FROM documents
+       |), d0 AS (
+       |  SELECT doc_id, length(w) AS wc,
+       |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+       |  FROM dw
+       |),
+       |$steps
+       |SELECT doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(wc) AS BIGINT) AS n_chars,
+       |       CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens
+       |FROM d$BpeMerges
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** Top-3 TF-IDF terms per document (idf = ln(N/df), raw counts — the
@@ -501,6 +596,7 @@ object TextNgrams {
   val defs: Map[String, QueryDef] = Map(
     "bpe_pair_counts"     -> QueryDef(bpePairCounts, Some(bpePairCountsSql)),
     "bpe_train"           -> QueryDef(bpeTrain, Some(bpeTrainSql)),
+    "bpe_apply"           -> QueryDef(bpeApply, Some(bpeApplySql)),
     "corpus_report"       -> QueryDef(corpusReport, Some(corpusReportSql)),
     "contamination_check" -> QueryDef(contaminationCheck, Some(contaminationCheckSql)),
     "doc_pack_bins"       -> QueryDef(docPackBins, Some(docPackBinsSql)),

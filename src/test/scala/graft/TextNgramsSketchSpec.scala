@@ -17,6 +17,22 @@ class TextNgramsSketchSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getString(0).matches("[a-z0-9]+") && r.getString(1).matches("[a-z0-9]+")))
   }
 
+  test("bpe_apply: token accounting is conserved and merges compress") {
+    val rows = TextNgrams.bpeApply(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, chars, toks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // every word is at least one token; merging only ever shrinks the
+      // char-level tokenization, never below one token per word
+      assert(words >= 1 && toks >= words, s"doc ${r.getLong(0)}: $toks < $words")
+      assert(toks <= chars, s"doc ${r.getLong(0)}: $toks > $chars")
+    }
+    // the 8 trained merges must actually fire somewhere in the corpus
+    val (chars, toks) =
+      rows.foldLeft((0L, 0L)) { case ((c, t), r) => (c + r.getLong(2), t + r.getLong(3)) }
+    assert(toks < chars, "no merge applied anywhere — apply chain is dead")
+  }
+
   test("tfidf_topk: 3 ranked terms per doc, tfidf non-increasing, df consistent") {
     val rows = TextNgrams.tfidfTopK(spark, TestSpark.Sf).collect()
     val nDocs = Tables.documents(spark, TestSpark.Sf).count()
