@@ -6,6 +6,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class SimilarityDedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("ann_ivf_stored serves byte-identical results to the in-plan build") {
+    val inPlan = Similarity.annIvfTrained(spark, TestSpark.Sf).collect().toSeq
+    val stored = Similarity.annIvfStored(spark, TestSpark.Sf).collect().toSeq
+    assert(stored === inPlan,
+      "stored-index serve path diverged from the in-plan IVF build")
+    // second serve must hit the DerivedCache (no rebuild): same results,
+    // and the stored cells layout is partitioned by cell for probe-side
+    // partition pruning
+    val again = Similarity.annIvfStored(spark, TestSpark.Sf)
+    assert(again.collect().toSeq === inPlan)
+    val scan = again.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") || scan.contains("cell"),
+      s"cells scan lost its partition column:\n$scan")
+  }
+
   test("minhash-LSH pairs match exact jaccard pairs on the fixture") {
     val exact = Dedup.dedupJaccard(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
