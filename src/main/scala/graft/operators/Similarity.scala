@@ -340,8 +340,21 @@ object Similarity {
         .parquet(s"$out/cells")
       ()
     }
-    val centsDf  = broadcast(spark.read.parquet(s"$idx/cents"))
-    val assigned = spark.read.parquet(s"$idx/cells")
+    // explicit read schemas: an EMPTY corpus stores an index with no
+    // parquet data files, and schema inference would throw where every
+    // other query degrades to an empty result (EmptyInputSpec contract)
+    import org.apache.spark.sql.types._
+    val centsDf = broadcast(spark.read
+      .schema(StructType(Seq(
+        StructField("cent_id", IntegerType),
+        StructField("cent_vec", ArrayType(DoubleType)))))
+      .parquet(s"$idx/cents"))
+    val assigned = spark.read
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("cell", IntegerType))))
+      .parquet(s"$idx/cells")
     ivfProbeRank(spark, dir, assigned, centsDf)
   }
 
