@@ -32,6 +32,16 @@ class PlanAssertionsSpec extends AnyFunSuite {
       s"prefix-scan predicate not pushed:\n$p")
   }
 
+  test("incremental_agg_merge pushes its time bounds to the events scans") {
+    // both sides route through Tables.eventsBetween — the raw-ts range
+    // must reach the reader (normalized ts is a derived column and
+    // would read the whole table at 100 TB)
+    val p = plan("incremental_agg_merge")
+    assert(
+      p.contains("GreaterThanOrEqual(ts,") && p.contains("LessThan(ts,"),
+      s"time bounds not pushed to the events scans:\n$p")
+  }
+
   test("global top-k plans as TakeOrderedAndProject, not a full sort") {
     val p = plan("top_spenders")
     assert(p.contains("TakeOrderedAndProject"), s"top_spenders plan:\n$p")
