@@ -112,6 +112,15 @@ object Tables {
     normalizeTs(raw.filter(pred))
   }
 
+  /** Reads the raw events scan, defensively pinning the two confs the
+    * encoding dispatch depends on. NOTE the deliberate tradeoff: setting
+    * the session timeZone to UTC mutates GLOBAL session state, which can
+    * shift a caller's own non-events date arithmetic if their session ran
+    * in another zone. UTC-everywhere is this engine's documented contract
+    * (GraftSession pins it; every DuckDB oracle assumes it) and the NTZ→
+    * µs cast is wrong under any other zone, so correctness for events
+    * queries wins over zone transparency here.
+    */
   private def rawEvents(s: SparkSession, d: String): DataFrame = {
     try {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -674,7 +674,8 @@ object Dedup {
     * frame instead of one per invocation. Harness paths (Bench, Verify)
     * release eagerly between queries via QueryState.release.
     */
-  @volatile private var lastDeltaSigs: Option[DataFrame] = None
+  private val lastDeltaSigs =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
@@ -684,10 +685,12 @@ object Dedup {
     val baseIdx  = spark.read.parquet(s"$idx/bidx")
     // only the DELTA is signed at query time — the base comes from the
     // stored index, so this pass costs ∝ today's batch, not the corpus
-    lastDeltaSigs.foreach(_.unpersist(blocking = false))
     val (deltaSigs, deltaBands) = minhashBandsOf(
       Tables.documents(spark, dir).filter((col("doc_id") % 10) >= 8), k)
-    lastDeltaSigs = Some(deltaSigs)
+    // atomic swap: concurrent callers must not unpersist each other's
+    // in-flight frame, and no handle may be lost in the exchange
+    val prev = lastDeltaSigs.getAndSet(deltaSigs)
+    if (prev != null && (prev ne deltaSigs)) prev.unpersist(blocking = false)
     val cand = deltaBands
       .join(baseIdx, Seq("band", "bh"))
       .select(col("doc_id").as("delta_id"), explode(col("base_docs")).as("base_id"))

@@ -132,15 +132,12 @@ object Reports {
     * plot family, the drop-in inputs for the reference's plot scripts.
     */
   def writeChartCsvs(spark: SparkSession, dir: String, outDir: String): Unit =
-    Seq(
-      "chart_revenue_by_category" -> chartRevenueByCategory _,
-      "chart_top_spenders"        -> chartTopSpenders _,
-      "chart_also_bought_pairs"   -> chartAlsoBoughtPairs _,
-      "chart_engagement_scatter"  -> chartEngagementScatter _)
-      .foreach { case (n, f) =>
-        f(spark, dir)
-          .coalesce(1)
-          .write.mode("overwrite").option("header", "true")
-          .csv(s"$outDir/$n")
-      }
+    // driven by defs so a chart query added to the registry can never be
+    // silently missing from the CSV sink layer
+    defs.toSeq.sortBy(_._1).foreach { case (n, d) =>
+      d.build(spark, dir)
+        .coalesce(1)
+        .write.mode("overwrite").option("header", "true")
+        .csv(s"$outDir/$n")
+    }
 }

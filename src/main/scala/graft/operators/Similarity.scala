@@ -557,13 +557,17 @@ object Similarity {
     * identically; the map only ever holds tiny k·dim arrays.
     */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(Int, Seq[Double])]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int), Seq[(Int, Seq[Double])]]()
 
   private def trainCentroids(
       spark: SparkSession, dir: String,
       k: Int, iters: Int): Seq[(Int, Seq[Double])] =
+    // key carries the embeddings file-metadata stamp so an in-place
+    // testdata regeneration retrains instead of serving stale centroids
     centroidCache.computeIfAbsent(
-      (dir, k, iters), _ => trainCentroidsImpl(spark, dir, k, iters))
+      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet"),
+        k, iters),
+      _ => trainCentroidsImpl(spark, dir, k, iters))
 
   /** The fixed-init Lloyd loop (first k vectors seed, `iters` steps,
     * exact DECIMAL per-dimension means) — the trained quantizer shared

@@ -134,13 +134,18 @@ object TextNgrams {
   /** Memoized merge trainer (same per-session memo pattern as the
     * k-means trainer): the trace is a vocab-derived constant per source
     * dir, and bpeApply re-uses it without re-running the 8 merge jobs.
+    * The key carries the documents file-metadata stamp so an IN-PLACE
+    * testdata regeneration (it happened: see FIXTURES.md) retrains
+    * instead of serving the old corpus's merges for the rest of the JVM.
     */
   private val mergeMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Long, String, String, String, Long)]]()
+    (String, Long), Seq[(Long, String, String, String, Long)]]()
 
   private def trainedMerges(
       spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] =
-    mergeMemo.computeIfAbsent(dir, _ => trainMergesUncached(spark, dir))
+    mergeMemo.computeIfAbsent(
+      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/documents.parquet")),
+      _ => trainMergesUncached(spark, dir))
 
   private def trainMergesUncached(
       spark: SparkSession, dir: String): Seq[(Long, String, String, String, Long)] = {
@@ -274,11 +279,17 @@ object TextNgrams {
     // replay the merges over the PER-DOC word stream: d0 is the same
     // char-spaced prep as w0 but keyed by doc_id, and each d_i applies
     // merge b_i (trained on the word-frequency table) in order
+    // LEFT JOIN + CASE, not a cross join: a corpus that exhausts its
+    // merges before step i leaves b$i EMPTY, and `FROM d, b` would
+    // annihilate every doc row where the Spark side (whose trainer just
+    // stops early) still returns them
     def applyCte(i: Int) =
       s"""d$i AS (
-         |  SELECT doc_id, wc, replace(s, ' ' || b$i.a || ' ' || b$i.b || ' ',
-         |                             ' ' || b$i.a || b$i.b || ' ') AS s
-         |  FROM d${i - 1}, b$i
+         |  SELECT doc_id, wc,
+         |         CASE WHEN b$i.a IS NULL THEN s
+         |              ELSE replace(s, ' ' || b$i.a || ' ' || b$i.b || ' ',
+         |                           ' ' || b$i.a || b$i.b || ' ') END AS s
+         |  FROM d${i - 1} LEFT JOIN b$i ON true
          |)""".stripMargin
     val steps = (1 to BpeMerges).map(applyCte).mkString(",\n")
     s"""WITH $bpeChainSql,

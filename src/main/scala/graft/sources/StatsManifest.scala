@@ -50,7 +50,7 @@ object DerivedCache {
     * and a stale stored index would silently diverge from an oracle
     * that reads the fresh data.
     */
-  private def sourceStamp(path: String): Long = {
+  private[graft] def sourceStamp(path: String): Long = {
     def walk(f: java.io.File): Long =
       if (f.isFile) f.length * 31 + f.lastModified
       else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
@@ -85,11 +85,15 @@ object DerivedCache {
     def valid(): Boolean =
       done.exists() && new String(
         java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") == fp
-    this.synchronized {
+    // PER-KEY monitor, not a JVM-global one: while one thread blocks on
+    // another PROCESS's file lock for a slow build, requests for other
+    // (already-built) layouts must keep their fast path
+    val mon = keyLocks.computeIfAbsent(out, _ => new Object)
+    mon.synchronized {
       if (!valid()) {
         // cross-PROCESS exclusion: sbt test and a bench JVM can race the
         // same derived layout; serialize builders on a tmpdir lock file
-        // (the JVM-level synchronized above only covers in-process races)
+        // (the per-key monitor above only covers in-process races)
         val lockPath = java.nio.file.Paths.get(s"$out.lock")
         val ch = java.nio.channels.FileChannel.open(
           lockPath,
@@ -111,6 +115,9 @@ object DerivedCache {
     }
     out
   }
+
+  private val keyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }
 
 object StatsManifest {

@@ -28,9 +28,16 @@ object EventStreams {
     * pre-normalized before streaming.
     */
   def withEventTime(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
     val t = events.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts)")
-      case _                                   => col("ts").cast("timestamp")
+      case LongType                          => expr("timestamp_micros(ts)")
+      case TimestampType | TimestampNTZType  => col("ts").cast("timestamp")
+      case other =>
+        // fail loudly like Tables.events — a catch-all cast would turn
+        // the next schema drift into silently-null event times (every
+        // row dropped by the watermark) instead of a named error
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported type $other for event-time streaming")
     }
     events.withColumn("event_time", t)
   }
