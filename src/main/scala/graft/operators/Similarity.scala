@@ -514,6 +514,47 @@ object Similarity {
        |ORDER BY cos DESC, vec_a, vec_b
        |LIMIT 20""".stripMargin
 
+  /** Curve notches spanning the synthetic corpus's actual candidate
+    * cosine range (top LSH pairs land ≈0.44–0.51 at every SF; a
+    * production text-embedding corpus would move this toward 0.8–0.99,
+    * which is a parameter change, not a shape change).
+    */
+  private val CurveThresholds: Seq[Double] = (30 to 48 by 2).map(_ / 100.0)
+
+  /** Near-dup threshold-yield curve: for each cosine threshold, how
+    * many candidate pairs clear it and how many documents a
+    * keep-lowest-id dedup would drop — the tuning view an operator
+    * reads to PRICE each threshold notch before committing a full
+    * dedup run over the corpus. One pass over the bucketed LSH
+    * candidate set (never all-pairs); each pair fans out only to the
+    * thresholds it clears, ≤ |curve| rows per pair, then a tiny
+    * per-threshold aggregate.
+    */
+  def neardupThresholdCurve(spark: SparkSession, dir: String): DataFrame = {
+    lshScoredPairs(spark, dir)
+      .select(
+        col("vec_b"), col("cos"),
+        explode(array(CurveThresholds.map(lit): _*)).as("threshold"))
+      .filter(col("cos") >= col("threshold"))
+      .groupBy(col("threshold"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("vec_b")).as("n_docs_dropped"))
+      .orderBy(col("threshold"))
+  }
+
+  private val neardupThresholdCurveSql = {
+    val arr = CurveThresholds.map(t => f"$t%.2f").mkString("[", ", ", "]")
+    s"""WITH $lshPairsSqlChain,
+       |curve AS (SELECT CAST(unnest($arr) AS DOUBLE) AS threshold)
+       |SELECT c.threshold,
+       |       CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(count(DISTINCT s.vec_b) AS BIGINT) AS n_docs_dropped
+       |FROM lscored s JOIN curve c ON s.cos >= c.threshold
+       |GROUP BY c.threshold
+       |ORDER BY c.threshold""".stripMargin
+  }
+
   /** Distributed Lloyd's k-means over the embedding corpus (k = 8,
     * 3 iterations, deterministic init = the k lowest vec_ids) — the
     * trained-quantizer counterpart to ann_ivf's fixed coarse quantizer.
@@ -748,6 +789,7 @@ object Similarity {
     "ann_ivf"           -> QueryDef(annIvf, Some(annIvfSql)),
     "embedding_kmeans"  -> QueryDef(embeddingKmeans, Some(embeddingKmeansSql)),
     "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, Some(embeddingNeardupLshSql)),
+    "neardup_threshold_curve" -> QueryDef(neardupThresholdCurve, Some(neardupThresholdCurveSql)),
     "embedding_quantize"    -> QueryDef(embeddingQuantize, Some(embeddingQuantizeSql)),
     "ann_ivf_trained"       -> QueryDef(annIvfTrained, Some(annIvfTrainedSql)),
     // identical results by construction — the stored index must serve

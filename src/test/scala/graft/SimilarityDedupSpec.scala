@@ -6,6 +6,24 @@ import org.scalatest.funsuite.AnyFunSuite
 class SimilarityDedupSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("neardup_threshold_curve is monotone and self-consistent") {
+    val rows = Similarity.neardupThresholdCurve(spark, TestSpark.Sf)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty, "curve empty — thresholds miss the cosine range")
+    // rows ascend by threshold; yields must be non-increasing
+    rows.sliding(2).foreach {
+      case Array((t1, p1, d1), (t2, p2, d2)) =>
+        assert(t1 < t2)
+        assert(p2 <= p1, s"n_pairs rose with threshold: $t1→$t2")
+        assert(d2 <= d1, s"n_docs_dropped rose with threshold: $t1→$t2")
+      case _ => ()
+    }
+    // a dropped doc needs at least one pair; pairs can share a drop doc
+    rows.foreach { case (t, p, d) =>
+      assert(d >= 1 && d <= p, s"t=$t: n_docs_dropped=$d vs n_pairs=$p")
+    }
+  }
+
   test("ann_ivf_stored serves byte-identical results to the in-plan build") {
     val inPlan = Similarity.annIvfTrained(spark, TestSpark.Sf).collect().toSeq
     val stored = Similarity.annIvfStored(spark, TestSpark.Sf).collect().toSeq
