@@ -455,7 +455,73 @@ object Curation {
        |GROUP BY t.lang, t.n, t.mean, t.sd
        |ORDER BY t.lang""".stripMargin
 
+  private val OverlapN = 5
+
+  /** Cross-source n-gram overlap matrix: for every source pair, the
+    * shared distinct 5-gram shingles and the Jaccard overlap of the two
+    * shingle sets — the curation view that locates sources duplicating
+    * each other (mirror sites, re-crawls) BEFORE mix weights are
+    * chosen. Scale shape: shingles collapse to 60-bit content hashes in
+    * the scan (Det.md5h60Col), the distinct (source, h) set is
+    * map-side combinable, and the pair intersection is a self-equi-join
+    * on the HASH — only hashes ever shuffle, and the output is
+    * |sources|² tiny. Set sizes broadcast back onto the pair rows.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables
+      .documents(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= OverlapN)
+      .select(
+        col("source"),
+        explode(expr(
+          s"transform(sequence(0, size(t) - $OverlapN), i -> concat_ws(' ', slice(t, i + 1, $OverlapN)))"))
+          .as("s"))
+      .select(col("source"), Det.md5h60Col(col("s")).as("h"))
+      .distinct()
+    val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    sh.select(col("source").as("src_a"), col("h"))
+      .join(sh.select(col("source").as("src_b"), col("h")), "h")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(
+        col("src_a"), col("src_b"), col("n_shared"),
+        Det.detRound(
+          col("n_shared").cast("double") /
+            (col("na") + col("nb") - col("n_shared")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(desc("n_shared"), asc("src_a"), asc("src_b"))
+      .limit(50)
+  }
+
+  private val sourceOverlapSql =
+    s"""WITH t AS (
+       |  SELECT source, string_split(text, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT source,
+       |         ('0x' || substr(md5(array_to_string(list_slice(t, i, i + ${OverlapN - 1}), ' ')), 1, 15))::BIGINT AS h
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - ${OverlapN - 1})) AS i)
+       |  WHERE len(t) >= $OverlapN
+       |), sizes AS (
+       |  SELECT source, count(*) AS n FROM sh GROUP BY source
+       |), inter AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT src_a, src_b, n_shared,
+       |       ${Det.roundSql("CAST(n_shared AS DOUBLE) / CAST(sa.n + sb.n - n_shared AS DOUBLE)", 6)} AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON src_a = sa.source
+       |JOIN sizes sb ON src_b = sb.source
+       |ORDER BY n_shared DESC, src_a, src_b
+       |LIMIT 50""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "source_overlap"     -> QueryDef(sourceOverlap, Some(sourceOverlapSql)),
     "quality_adaptive_gate" -> QueryDef(qualityAdaptiveGate, Some(qualityAdaptiveGateSql)),
     "sample_diverse"     -> QueryDef(sampleDiverse, Some(sampleDiverseSql)),
     "doc_repetition"     -> QueryDef(docRepetition, Some(docRepetitionSql)),

@@ -13,6 +13,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("source_overlap: canonical pair order, jaccard in (0,1], shared bounded by sets") {
+    val rows = Curation.sourceOverlap(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty, "no overlapping source pairs found")
+    rows.foreach { r =>
+      val (a, b, shared, j) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(a < b, s"pair ($a,$b) not canonical")
+      assert(shared >= 1)
+      assert(j > 0.0 && j <= 1.0, s"jaccard out of range: $j for ($a,$b)")
+    }
+  }
+
   test("quality_adaptive_gate: z-score thresholds are internally consistent and Chebyshev-bounded") {
     val rows = Curation.qualityAdaptiveGate(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
