@@ -16,6 +16,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** %.3f with an explicit ROOT locale: the f"" interpolator uses the JVM
+    * default locale, and under a comma-decimal locale (de_DE) the artifact
+    * would be invalid JSON.
+    */
+  private def d3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   final case class Timing(name: String, sec: Double, gcS: Double, jitS: Double)
 
   final case class Report(
@@ -26,16 +33,32 @@ object Bench {
 
     def json: String = {
       def jmap(f: Timing => Double): String =
-        ok.map(t => "\"" + t.name + "\":" + f"${f(t)}%.3f")
+        ok.map(t => "\"" + t.name + "\":" + d3(f(t)))
           .mkString("{", ",", "}")
       val failedArr =
         failed.map(f => "\"" + f._1 + "\"").mkString("[", ",", "]")
-      f"""{"metric":"total","value":$totalSec%.3f,"unit":"sec",""" +
+      s"""{"metric":"total","value":${d3(totalSec)},"unit":"sec",""" +
         s""""n_ok":${ok.size},"n_failed":${failed.size},""" +
         s""""failed":$failedArr,""" +
-        f""""gc_total_s":${ok.map(_.gcS).sum}%.3f,""" +
-        f""""jit_total_s":${ok.map(_.jitS).sum}%.3f,"sf":"$sf",""" +
+        s""""gc_total_s":${d3(ok.map(_.gcS).sum)},""" +
+        s""""jit_total_s":${d3(ok.map(_.jitS).sum)},"sf":"$sf",""" +
         s""""queries":${jmap(_.sec)},"gc":${jmap(_.gcS)},"jit":${jmap(_.jitS)}}"""
+    }
+
+    /** Compact trailing summary — totals + failed names only, no per-query
+      * map. The driver captures only the LAST ~2000 chars of output, so the
+      * full line's leading totals get truncated away; this line is emitted
+      * after it and stays well under 1 KB so the tail always contains one
+      * complete parseable JSON object. Failed names are capped (the count
+      * is always exact) to keep the bound even in a worst-case round.
+      */
+    def summaryJson: String = {
+      val names = failed.map(_._1)
+      val shown = names.take(8)
+      val arr = shown.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val trunc = if (names.size > shown.size) s""","failed_truncated":true""" else ""
+      s"""{"metric":"summary","total_s":${d3(totalSec)},"n_ok":${ok.size},""" +
+        s""""n_failed":${failed.size},"failed":$arr$trunc,"sf":"$sf"}"""
     }
   }
 
@@ -128,6 +151,9 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) })
     println(report.json)
+    // must stay the LAST stdout line before sbt's epilogue: the driver
+    // parses the tail of the captured log (see summaryJson)
+    println(report.summaryJson)
     spark.stop()
   }
 }

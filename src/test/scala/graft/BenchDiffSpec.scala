@@ -32,6 +32,33 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(j.contains("\"n_failed\":1"))
   }
 
+  test("trailing summary line parses standalone and stays under 1 KB") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.lit
+    val manyFailed: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("ok_tiny" -> ((s: org.apache.spark.sql.SparkSession, _: String) =>
+        s.range(3).toDF("n").withColumn("c", lit(1)))) ++
+        (1 to 40).map(i => s"broken_query_with_a_long_name_$i" ->
+          ((_: org.apache.spark.sql.SparkSession, _: String) =>
+            throw new IllegalStateException("boom")))
+    val rep = Bench.runAll(spark, TestSpark.Sf, manyFailed)
+    val line = rep.summaryJson
+    // the driver captures the last ~2000 chars of output — the summary
+    // must fit with room for sbt's epilogue even with dozens of failures
+    assert(line.length < 1024, s"summary too long (${line.length}): $line")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText() === "summary")
+    assert(node.get("n_ok").asInt() === 1)
+    assert(node.get("n_failed").asInt() === 40)
+    assert(node.get("failed").size() === 8) // capped list, exact count
+    assert(node.get("failed_truncated").asBoolean())
+    assert(node.get("total_s").asDouble() >= 0.0)
+    // and in the healthy case there is no truncation marker
+    val healthy = Bench.runAll(spark, TestSpark.Sf, manyFailed.take(1)).summaryJson
+    val h = new com.fasterxml.jackson.databind.ObjectMapper().readTree(healthy)
+    assert(h.get("n_failed").asInt() === 0 && h.get("failed_truncated") == null)
+  }
+
   test("bench_diff selftest passes") {
     val out = new StringBuilder
     val code = Process(Seq("python3", "tools/bench_diff.py", "--selftest"))
