@@ -25,6 +25,17 @@ object Graph {
     * top-50 parts by rank. Rows-only check (fixed-iteration PageRank has
     * no tractable SQL twin); invariants in GraphSpec — rank mass
     * conservation and cross-run determinism.
+    *
+    * Cold-run design: the edge list is symmetric, so every node has
+    * in-edges and the per-iteration frame never needs a dangling-node
+    * left join — each round is exactly one join + one aggregation with
+    * the damping affine fold inside the aggregate. Ranks checkpoint per
+    * round: the round plans are then structurally identical, so rounds
+    * 2..k hit Spark's generated-code cache instead of compiling one
+    * giant unrolled plan (the dominant cost of this query in a cold JVM
+    * was JIT/codegen, ~16 s of compiler-thread load, not data).
+    * Iteration 1 folds away entirely because rank₀ ≡ 1.0 makes the first
+    * contribution sum just Σ frac per destination.
     */
   def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
     val iters = 3
@@ -32,6 +43,10 @@ object Graph {
       .pairCounts(
         Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
       .filter(col("pair_count") >= 2)
+      // pairs feeds rawEdges twice and outWeight through it — checkpoint
+      // so the distinct+self-join+groupBy pair generation (the expensive
+      // part) runs once regardless of how Catalyst dedupes the subtrees
+      .localCheckpoint()
     // undirected → both directions; weight = pair support
     val rawEdges = pairs
       .select(col("part_x").as("src"), col("part_y").as("dst"), col("pair_count").as("w"))
@@ -41,30 +56,24 @@ object Graph {
       .agg(sum(col("w")).as("w_out"))
     // iteration-invariant: fold the out-weight normalization into the
     // edge list ONCE (w/w_out), checkpoint, and repartition by src so
-    // every iteration's ranks join reuses the partitioning — the loop
-    // body is then a single join + aggregation per iteration.
+    // every iteration's ranks join reuses the partitioning.
     val edges = rawEdges
       .join(outWeight, "src")
       .select(col("src"), col("dst"), (col("w") / col("w_out")).as("frac"))
       .repartition(col("src"))
       .localCheckpoint()
-    // derive nodes from the CHECKPOINTED edges — deriving from outWeight
-    // would re-run the whole pair-generation a second time (eager
-    // localCheckpoint), which the 10× probe surfaced as doubled runtime
-    val nodes = edges.select(col("src").as("node")).distinct().localCheckpoint()
-
-    var ranks = nodes.withColumn("rank", lit(1.0))
-    for (_ <- 1 to iters) {
-      val contribs = edges
+    // iteration 1: rank₀ = 1.0 for every node, so contrib ≡ frac
+    var ranks = edges
+      .groupBy(col("dst").as("node"))
+      .agg((lit(0.15) + lit(0.85) * Det.fineSum(col("frac"))).as("rank"))
+      .localCheckpoint()
+    for (_ <- 2 to iters) {
+      ranks = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") * col("frac")).as("contrib"))
         .groupBy(col("node"))
-        .agg(Det.fineSum(col("contrib")).as("in_rank"))
-      ranks = nodes
-        .join(contribs, Seq("node"), "left")
-        .select(
-          col("node"),
-          (lit(0.15) + lit(0.85) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+        .agg((lit(0.15) + lit(0.85) * Det.fineSum(col("contrib"))).as("rank"))
+        .localCheckpoint()
     }
     ranks
       .select(col("node").as("l_partkey"), Det.detRound(col("rank"), 8).as("rank"))
