@@ -466,6 +466,15 @@ object Curation {
     * map-side combinable, and the pair intersection is a self-equi-join
     * on the HASH — only hashes ever shuffle, and the output is
     * |sources|² tiny. Set sizes broadcast back onto the pair rows.
+    *
+    * The distinct shingle frame feeds FOUR plan branches (two self-join
+    * sides, two size broadcasts) — without a checkpoint each branch
+    * re-derives the corpus scan + explode + distinct, and AQE stage
+    * reuse only collapses the two branch pairs (the sizes branches
+    * canonicalize differently, so the corpus still scans twice, 4× if a
+    * Catalyst change drops the reuse). localCheckpoint pins it to ONE
+    * corpus scan; CurationSpec plan-asserts no parquet scan survives in
+    * the consuming plan.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
     val sh = Tables
@@ -479,6 +488,7 @@ object Curation {
           .as("s"))
       .select(col("source"), Det.md5h60Col(col("s")).as("h"))
       .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     sh.select(col("source").as("src_a"), col("h"))
       .join(sh.select(col("source").as("src_b"), col("h")), "h")

@@ -25,6 +25,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("source_overlap: corpus scans once — consumers read the checkpointed shingle frame") {
+    // the distinct (source, h) frame feeds four plan branches; without
+    // the localCheckpoint each re-derives the documents scan + explode
+    // (4 FileScans in the initial plan, ≥2 even after AQE stage reuse).
+    // Red here = the checkpoint was dropped and the corpus scan
+    // multiplied again.
+    import org.apache.spark.sql.classic.{Dataset => CDataset}
+    import org.apache.spark.sql.Row
+    val p = Curation.sourceOverlap(spark, TestSpark.Sf)
+      .asInstanceOf[CDataset[Row]].queryExecution.executedPlan.toString
+    assert(!p.contains("FileScan parquet"),
+      s"source_overlap consumers re-scan the corpus:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"expected checkpointed shingle leaves in plan:\n$p")
+  }
+
   test("quality_adaptive_gate: z-score thresholds are internally consistent and Chebyshev-bounded") {
     val rows = Curation.qualityAdaptiveGate(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
