@@ -782,7 +782,124 @@ object Similarity {
        |GROUP BY vec_id, n_dims
        |ORDER BY vec_id""".stripMargin
 
+  /** ANN quality observability: recall@k of each approximate search
+    * path (ann_lsh, ann_ivf) against the exact brute-force anchor
+    * (ann_cosine_topk ground truth), per query vector — the measurement
+    * that prices a probe/table setting before trusting it on a real
+    * corpus (neardup_threshold_curve gives yield; this gives quality).
+    * recall = |approx top-k ∩ exact top-k| / |exact top-k|. All frames
+    * involved are query-batch sized (≤ NumQueries·TopK rows), so the
+    * comparison costs nothing beyond the two approximate searches and
+    * the capped exact anchor it grades.
+    */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    // exact feeds three consumers (two per-method joins + the
+    // denominators) — checkpoint so the brute-force anchor runs once
+    val exact = annCosineTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+      .localCheckpoint()
+    val exactN = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    def recallOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = approx
+        .select(col("q_id"), col("neighbor_id"))
+        .join(exact, Seq("q_id", "neighbor_id"))
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_hit"))
+      exactN
+        .join(hits, Seq("q_id"), "left")
+        .select(
+          lit(method).as("method"),
+          col("q_id"),
+          col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          Det.detRound(
+            coalesce(col("n_hit"), lit(0L)).cast("double") /
+              col("n_exact").cast("double"), 6).as("recall"))
+    }
+    recallOf("ann_ivf", annIvf(spark, dir))
+      .unionAll(recallOf("ann_lsh", annLsh(spark, dir)))
+      .orderBy(col("method"), col("q_id"))
+  }
+
+  /** DuckDB twin of annRecall: the exact anchor, the LSH candidate
+    * chain (lshSqlPrefix — same portable sign matrix as the ann_lsh
+    * oracle), and the fixed-quantizer IVF chain, intersected per query.
+    */
+  private val annRecallSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH ${lshSqlPrefix(LshTables, LshPlanes)},
+       |x_rank AS (
+       |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |           ${r6("list_cosine_similarity(q.v, c.v)")} AS cos
+       |    FROM e q JOIN e c ON c.vec_id != q.vec_id
+       |    WHERE q.vec_id < $NumQueries
+       |  )
+       |), exact AS (
+       |  SELECT q_id, neighbor_id FROM x_rank WHERE rn <= $TopK
+       |), exact_n AS (
+       |  SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id
+       |), l_rank AS (
+       |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT cand.q_id, cand.neighbor_id,
+       |           ${r6("list_cosine_similarity(qe.v, ce.v)")} AS cos
+       |    FROM (
+       |      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+       |      FROM bck c JOIN bck q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |      WHERE q.vec_id < $NumQueries AND c.vec_id != q.vec_id
+       |    ) cand
+       |    JOIN e qe ON cand.q_id = qe.vec_id
+       |    JOIN e ce ON cand.neighbor_id = ce.vec_id
+       |  )
+       |), lsh AS (
+       |  SELECT q_id, neighbor_id FROM l_rank WHERE rn <= $TopK
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 16
+       |), assigned AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${r6("list_cosine_similarity(e.v, c.cvec)")} DESC, c.cent_id DESC) AS rk
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE rk = 1
+       |), probed AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.vec_id AS q_id, q.v AS qv, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${r6("list_cosine_similarity(q.v, c.cvec)")} DESC, c.cent_id ASC) AS rk
+       |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $NumQueries
+       |  ) WHERE rk <= 2
+       |), i_rank AS (
+       |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT p.q_id, a.vec_id AS neighbor_id,
+       |           ${r6("list_cosine_similarity(p.qv, a.v)")} AS cos
+       |    FROM assigned a JOIN probed p ON a.cell = p.cell
+       |    WHERE a.vec_id != p.q_id
+       |  )
+       |), ivf AS (
+       |  SELECT q_id, neighbor_id FROM i_rank WHERE rn <= $TopK
+       |), hit_l AS (
+       |  SELECT q_id, count(*) AS n_hit FROM lsh JOIN exact USING (q_id, neighbor_id) GROUP BY q_id
+       |), hit_i AS (
+       |  SELECT q_id, count(*) AS n_hit FROM ivf JOIN exact USING (q_id, neighbor_id) GROUP BY q_id
+       |)
+       |SELECT method, q_id, n_exact, n_hit,
+       |       ${r6("CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall
+       |FROM (
+       |  SELECT 'ann_ivf' AS method, en.q_id, en.n_exact, COALESCE(h.n_hit, 0) AS n_hit
+       |  FROM exact_n en LEFT JOIN hit_i h USING (q_id)
+       |  UNION ALL
+       |  SELECT 'ann_lsh' AS method, en.q_id, en.n_exact, COALESCE(h.n_hit, 0) AS n_hit
+       |  FROM exact_n en LEFT JOIN hit_l h USING (q_id)
+       |)
+       |ORDER BY method, q_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "ann_recall"        -> QueryDef(annRecall, Some(annRecallSql)),
     "ann_cosine_topk"   -> QueryDef(annCosineTopK, Some(annCosineTopKSql)),
     "embedding_neardup" -> QueryDef(embeddingNeardup, Some(embeddingNeardupSql)),
     "ann_lsh"           -> QueryDef(annLsh, Some(annLshSql)),

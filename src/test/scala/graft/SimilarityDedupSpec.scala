@@ -71,6 +71,25 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(approx.forall { case (q, n) => q != n })
   }
 
+  test("ann_recall agrees with the independently computed per-method recall") {
+    val rows = Similarity.annRecall(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSet === Set("ann_ivf", "ann_lsh"))
+    rows.foreach { case (m, q, nExact, nHit, recall) =>
+      assert(nExact >= 1 && nExact <= 10, s"$m/$q n_exact=$nExact")
+      assert(nHit >= 0 && nHit <= nExact, s"$m/$q n_hit=$nHit > n_exact=$nExact")
+      assert(math.abs(recall - nHit.toDouble / nExact) < 2e-6, s"$m/$q recall mismatch")
+    }
+    // cross-check one method against a from-scratch set intersection
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact  = pairs(Similarity.annCosineTopK(spark, TestSpark.Sf))
+    val approx = pairs(Similarity.annIvf(spark, TestSpark.Sf))
+    val reported = rows.filter(_._1 == "ann_ivf").map(_._4).sum
+    assert(reported === (exact & approx).size.toLong,
+      "ann_recall's ivf hit total disagrees with the direct intersection")
+  }
+
   test("dedup clusters: every near-dup pair lands in one cluster, canonical id is min") {
     val pairs = Dedup.dedupJaccard(spark, TestSpark.Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
