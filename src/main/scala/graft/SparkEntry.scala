@@ -15,7 +15,8 @@ object SparkEntry {
       Retention.defs ++ Rank.defs ++ TextNgrams.defs ++ Sketches.defs ++
       Graph.defs ++ Typed.defs ++ Skew.defs ++ Curation.defs ++ Pipeline.defs ++
       Warehouse.defs ++ Quality.defs ++ Cdc.defs ++ Reports.defs ++
-      graft.streaming.EventStreams.defs ++ graft.multimodal.Multimodal.defs ++
+      graft.streaming.EventStreams.defs ++ graft.streaming.DocStreams.defs ++
+      graft.multimodal.Multimodal.defs ++
       graft.sources.Bucketing.defs ++ graft.sources.StatsManifest.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -202,12 +202,18 @@ object Dedup {
   /** Same sketch over an arbitrary (doc_id, text) frame — the
     * incremental path signs base and delta separately.
     */
-  private def minhashBandsOf(docs: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val sigs = docs
+  private def minhashBandsOf(
+      docs: DataFrame, k: Int, persistSigs: Boolean = true): (DataFrame, DataFrame) = {
+    val raw = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), expr(s"graft_minhash_md5(t, $k)").as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persist pays when the corpus-sized sigs frame feeds two plan
+    // branches; a bounded micro-batch (streaming probe) signs twice
+    // cheaper than it persists — caller picks
+    val sigs =
+      if (persistSigs) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw
     val bands = sigs.select(
       col("doc_id"),
       explode(expr(
@@ -677,26 +683,45 @@ object Dedup {
   private val lastDeltaSigs =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+  /** The stored-index dir for the incremental path (shared with the
+    * streaming ingest registration in DocStreams).
+    */
+  private[graft] def incrementalIndexDir(spark: SparkSession, dir: String): String =
+    baseIndexDir(spark, dir, MinhashK)
+
+  /** Sign `delta` docs (doc_id, text) and probe the stored base index
+    * at `idx`: one verdict row per delta doc, schema (doc_id, n_dups,
+    * dup_of, est, keep), unordered. Verdicts are PER-DELTA-ROW
+    * independent — any partition of the delta into batches unions to
+    * the identical table — which is what lets the streaming ingest path
+    * (stream_dedup_ingest) drive this same probe per micro-batch and
+    * share dedup_incremental's oracle. Returns the verdict frame and
+    * the PERSISTED delta-signature frame; the caller owns the
+    * unpersist.
+    *
+    * `deltaIsSmall` = the caller guarantees a bounded micro-batch
+    * (streaming ingest): the delta side gets broadcast hints so the
+    * per-batch probe never shuffles the stored index — at scale the
+    * index is corpus-sized and the batch is not. The batch query's
+    * delta is corpus-proportional, so it must NOT set this.
+    */
+  private[graft] def incrementalProbe(
+      spark: SparkSession, idx: String, delta: DataFrame,
+      deltaIsSmall: Boolean = false): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
-    val k   = MinhashK
-    val idx = baseIndexDir(spark, dir, k)
+    val k = MinhashK
+    def hinted(df: DataFrame): DataFrame = if (deltaIsSmall) broadcast(df) else df
     val baseSigs = spark.read.parquet(s"$idx/sigs")
     val baseIdx  = spark.read.parquet(s"$idx/bidx")
-    // only the DELTA is signed at query time — the base comes from the
+    // only the DELTA is signed at probe time — the base comes from the
     // stored index, so this pass costs ∝ today's batch, not the corpus
-    val (deltaSigs, deltaBands) = minhashBandsOf(
-      Tables.documents(spark, dir).filter((col("doc_id") % 10) >= 8), k)
-    // atomic swap: concurrent callers must not unpersist each other's
-    // in-flight frame, and no handle may be lost in the exchange
-    val prev = lastDeltaSigs.getAndSet(deltaSigs)
-    if (prev != null && (prev ne deltaSigs)) prev.unpersist(blocking = false)
-    val cand = deltaBands
+    val (deltaSigs, deltaBands) = minhashBandsOf(delta, k, persistSigs = !deltaIsSmall)
+    val cand = hinted(deltaBands)
       .join(baseIdx, Seq("band", "bh"))
       .select(col("doc_id").as("delta_id"), explode(col("base_docs")).as("base_id"))
       .dropDuplicates("delta_id", "base_id")
-    val est = cand
-      .join(deltaSigs.select(col("doc_id").as("delta_id"), col("sig").as("sig_a")), "delta_id")
+    val est = hinted(cand
+      .join(hinted(deltaSigs.select(col("doc_id").as("delta_id"), col("sig").as("sig_a"))), "delta_id"))
       .join(baseSigs.select(col("doc_id").as("base_id"), col("sig").as("sig_b")), "base_id")
       .select(
         col("delta_id"),
@@ -716,9 +741,7 @@ object Dedup {
         org.apache.spark.sql.expressions.Window.partitionBy(col("delta_id"))))
       .filter(col("rn") === 1)
       .select(col("delta_id"), col("base_id"), col("est"), col("n_dups"))
-    Tables
-      .documents(spark, dir)
-      .filter((col("doc_id") % 10) >= 8)
+    val verdicts = delta
       .select(col("doc_id"))
       .join(best.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
       .select(
@@ -727,10 +750,21 @@ object Dedup {
         col("base_id").as("dup_of"),
         col("est"),
         col("base_id").isNull.as("keep"))
-      .orderBy(col("doc_id"))
+    (verdicts, deltaSigs)
   }
 
-  private val dedupIncrementalSql = {
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val idx = incrementalIndexDir(spark, dir)
+    val (verdicts, deltaSigs) = incrementalProbe(
+      spark, idx, Tables.documents(spark, dir).filter((col("doc_id") % 10) >= 8))
+    // atomic swap: concurrent callers must not unpersist each other's
+    // in-flight frame, and no handle may be lost in the exchange
+    val prev = lastDeltaSigs.getAndSet(deltaSigs)
+    if (prev != null && (prev ne deltaSigs)) prev.unpersist(blocking = false)
+    verdicts.orderBy(col("doc_id"))
+  }
+
+  private[graft] val dedupIncrementalSql = {
     val est = estJaccardSql(MinhashK)
     s"""WITH ${minhashSqlPrefix(MinhashK)},
        |bidx AS (

@@ -1,9 +1,10 @@
 package graft.streaming
 
+import graft.{QueryDef, Tables}
 import graft.functions.GraftFunctions
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Streaming document pipeline: the ingest-side twin of the batch dedup
   * tier. A 100 TB crawl doesn't arrive as a table — it arrives as a
@@ -89,4 +90,91 @@ object DocStreams {
           out.result().iterator
         })
   }
+
+  /** Batch-checkable registration of the streaming ingest path: the
+    * delta corpus (doc_id % 10 >= 8 — the same split dedup_incremental
+    * uses) is re-published as a 4-file parquet stream and consumed with
+    * Trigger.AvailableNow + maxFilesPerTrigger=2 — two micro-batches,
+    * so the run exercises REAL micro-batch plumbing (multiple
+    * foreachBatch calls with checkpointed progress), not one degenerate
+    * batch, while keeping the per-batch plan-execution floor (~1 s at
+    * sf0.1, size-independent) from dominating the bench number. Each
+    * micro-batch probes the SAME stored base index as the batch query
+    * (Dedup.incrementalProbe) and appends its verdicts. Because the
+    * verdicts are per-delta-row independent, the union over any batch
+    * partitioning is byte-identical to dedup_incremental's output, so
+    * this query shares its DuckDB oracle — the streaming surface a
+    * 100 TB crawl ingest runs: state lives in the stored index,
+    * per-batch cost ∝ batch size.
+    */
+  def streamDedupIngest(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val idx = graft.operators.Dedup.incrementalIndexDir(spark, dir)
+    val delta = Tables
+      .documents(spark, dir)
+      .filter((col("doc_id") % 10) >= 8)
+      .select(col("doc_id"), col("text"))
+    // the published 4-file stream source is deterministic per corpus —
+    // build it once via DerivedCache (a production ingest's source
+    // already exists; re-publishing per run is scaffolding cost)
+    val rows = Tables.cachedCount(spark, dir, "documents")
+    val srcDir = graft.sources.DerivedCache.dir(
+      dir, "stream-dedup-src", s"rows=$rows;files=4") { out =>
+      delta.repartition(4, col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/files")
+      ()
+    } + "/files"
+    val tmp    = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    val outDir = s"$tmp/out"
+    val handler: (Dataset[Row], Long) => Unit = (batch, _) => {
+      val (verdicts, sigs) = graft.operators.Dedup
+        .incrementalProbe(spark, idx, batch.toDF(), deltaIsSmall = true)
+      verdicts.write.mode("append").parquet(outDir)
+      // no-op today (small-batch probes skip the persist), kept so a
+      // future persistSigs change can't leak per-batch cached frames
+      sigs.unpersist(blocking = false)
+      ()
+    }
+    val query = spark.readStream
+      .schema(delta.schema)
+      .option("maxFilesPerTrigger", 2)
+      .parquet(srcDir)
+      .writeStream
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(handler)
+      .start()
+    query.awaitTermination()
+    val produced = {
+      val d = new java.io.File(outDir)
+      d.exists && Option(d.listFiles).exists(_.exists(_.getName.endsWith(".parquet")))
+    }
+    val result =
+      if (produced)
+        // checkpoint so the temp output tree can be deleted immediately
+        spark.read.parquet(outDir).orderBy(col("doc_id")).localCheckpoint()
+      else {
+        // zero-row delta: the stream ran no data batches — degrade to an
+        // empty frame with the verdict schema (EmptyInputSpec contract)
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("n_dups", LongType, nullable = false),
+            StructField("dup_of", LongType),
+            StructField("est", DoubleType),
+            StructField("keep", BooleanType, nullable = false))))
+      }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(tmp.toFile)
+    result
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "stream_dedup_ingest" -> QueryDef(
+      streamDedupIngest, Some(graft.operators.Dedup.dedupIncrementalSql)))
 }

@@ -30,6 +30,18 @@ class DocStreamsSpec extends AnyFunSuite {
     15L -> "streaming systems flag duplicate documents before they ever reach the storage layer",
     16L -> "streaming systems flag duplicate documents before they ever reach the archive layer")
 
+  test("stream_dedup_ingest micro-batch union equals the batch incremental verdicts") {
+    // the registered streaming ingest run (4-file AvailableNow stream,
+    // multiple foreachBatch probes) must produce exactly the batch
+    // query's table — per-delta-row independence is the contract that
+    // makes the shared oracle valid
+    val streamed = DocStreams.streamDedupIngest(spark, TestSpark.Sf).collect()
+    val batch    = graft.operators.Dedup.dedupIncremental(spark, TestSpark.Sf).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toString).toSeq === batch.map(_.toString).toSeq,
+      "streamed verdicts diverge from the batch incremental path")
+  }
+
   test("stream flags later near-copies against first-seen originals") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-docstream").toFile
