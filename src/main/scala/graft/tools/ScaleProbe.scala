@@ -15,14 +15,21 @@ object ScaleProbe {
   private val Src    = "/root/testdata/sf0.1"
   private val Copies = sys.env.getOrElse("SCALE_COPIES", "10").toInt
   private val SkewMode = sys.env.get("SCALE_SKEW").contains("1")
+  // SCALE_EVENTS=1: replicate ONLY the events table (the engagement
+  // tier's sole input) and copy every other table at 1× — a 100×
+  // events probe shouldn't pay for building 100× lineitem/orders
+  private val EventsMode = sys.env.get("SCALE_EVENTS").contains("1")
   private val Dest =
-    if (SkewMode) s"/tmp/graft-scale-skew-x$Copies"
+    if (EventsMode)
+      s"/tmp/graft-scale-events${if (SkewMode) "-skew" else ""}-x$Copies"
+    else if (SkewMode) s"/tmp/graft-scale-skew-x$Copies"
     else if (sys.env.get("SCALE_DOCS").contains("1")) s"/tmp/graft-scale-docs-x$Copies"
     else s"/tmp/graft-scale-x$Copies"
 
   private def replicate(
-      spark: SparkSession, df: DataFrame, shifts: Map[String, Long]): DataFrame = {
-    val replicas = (0 until Copies).map { i =>
+      spark: SparkSession, df: DataFrame, shifts: Map[String, Long],
+      copies: Int = Copies): DataFrame = {
+    val replicas = (0 until copies).map { i =>
       shifts.foldLeft(df) { case (d, (c, base)) =>
         d.withColumn(c, col(c) + lit(i * base))
       }
@@ -41,7 +48,8 @@ object ScaleProbe {
       // distinct via partkey shift / event_id shift), so ~1% of keys
       // carry Copies× the rows of the rest: the hot-key distribution a
       // Zipf-tailed 100 TB workload has. Uniform mode shifts every key.
-      val liReplicas = (0 until Copies).map { i =>
+      val commerceCopies = if (EventsMode) 1 else Copies
+      val liReplicas = (0 until commerceCopies).map { i =>
         val li = Tables.lineitem(spark, Src)
         if (SkewMode && i > 0)
           // partkey shift FIRST (its hot test must see the original
@@ -58,7 +66,7 @@ object ScaleProbe {
       liReplicas.reduce(_ union _)
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/lineitem.parquet")
       replicate(spark, Tables.orders(spark, Src),
-        Map("o_orderkey" -> K, "o_custkey" -> K))
+        Map("o_orderkey" -> K, "o_custkey" -> K), commerceCopies)
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/orders.parquet")
       val evReplicas = (0 until Copies).map { i =>
         val ev = Tables.events(spark, Src)
@@ -77,7 +85,7 @@ object ScaleProbe {
       evReplicas.reduce(_ union _)
         .withColumn("ts", timestamp_micros(col("ts")))
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/events.parquet")
-      replicate(spark, Tables.customer(spark, Src), Map("c_custkey" -> K))
+      replicate(spark, Tables.customer(spark, Src), Map("c_custkey" -> K), commerceCopies)
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/customer.parquet")
       // documents/embeddings grow too (SCALE_DOCS=1): each copy keeps the
       // content but appends a copy-marker token / shifts ids — cross-copy
