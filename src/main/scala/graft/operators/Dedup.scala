@@ -757,8 +757,12 @@ object Dedup {
     val idx = incrementalIndexDir(spark, dir)
     val (verdicts, deltaSigs) = incrementalProbe(
       spark, idx, Tables.documents(spark, dir).filter((col("doc_id") % 10) >= 8))
-    // atomic swap: concurrent callers must not unpersist each other's
-    // in-flight frame, and no handle may be lost in the exchange
+    // atomic swap: guarantees no double-unpersist and no lost handle.
+    // It does NOT serialize concurrent callers — caller B's swap may
+    // unpersist the frame caller A's still-running plan references, in
+    // which case Spark silently recomputes A's signatures (a perf
+    // hiccup, never a correctness one); ref-counting isn't worth that
+    // rare cost. Harness paths release eagerly via QueryState anyway.
     val prev = lastDeltaSigs.getAndSet(deltaSigs)
     if (prev != null && (prev ne deltaSigs)) prev.unpersist(blocking = false)
     verdicts.orderBy(col("doc_id"))

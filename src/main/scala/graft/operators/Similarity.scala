@@ -325,35 +325,55 @@ object Similarity {
     val idx = graft.sources.DerivedCache.dir(
       dir, "ann-ivf", s"rows=$rows;k=$k;iters=$iters") { out =>
       import spark.implicits._
+      def writeWithSchema(df: DataFrame, sub: String, partitionCols: Seq[String]): Unit = {
+        val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(s"$out/$sub")
+        // persist the as-written schema next to the data: the serve
+        // path reads it back instead of hard-coding column widths, so
+        // a tolerated source-schema drift (int32 vec_id, array<double>
+        // embedding) can never break the stored-index read while the
+        // class-level canary stays green
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(s"$out/$sub.schema.json"),
+          df.schema.json.getBytes("UTF-8"))
+        ()
+      }
       val cents = trainCentroids(spark, dir, k, iters)
-      cents.toDF("cent_id", "cent_vec")
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$out/cents")
+      writeWithSchema(cents.toDF("cent_id", "cent_vec"), "cents", Nil)
       val e = corpus(spark, dir).select(
         col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      kmeansAssign(spark, e, cents)
-        .join(corpus(spark, dir), "vec_id")
-        .select(col("vec_id"), col("embedding"), col("cell"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .partitionBy("cell")
-        .parquet(s"$out/cells")
+      writeWithSchema(
+        kmeansAssign(spark, e, cents)
+          .join(corpus(spark, dir), "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cell")),
+        "cells", Seq("cell"))
       ()
     }
-    // explicit read schemas: an EMPTY corpus stores an index with no
+    // explicit read schemas (an EMPTY corpus stores an index with no
     // parquet data files, and schema inference would throw where every
-    // other query degrades to an empty result (EmptyInputSpec contract)
+    // other query degrades to an empty result — EmptyInputSpec
+    // contract), loaded from the build-time stamp so they always match
+    // what was actually written; the literal fallback covers caches
+    // built before the stamp existed.
     import org.apache.spark.sql.types._
+    def storedSchema(sub: String, fallback: StructType): StructType =
+      try DataType.fromJson(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$idx/$sub.schema.json")), "UTF-8"))
+        .asInstanceOf[StructType]
+      catch { case _: Exception => fallback }
     val centsDf = broadcast(spark.read
-      .schema(StructType(Seq(
+      .schema(storedSchema("cents", StructType(Seq(
         StructField("cent_id", IntegerType),
-        StructField("cent_vec", ArrayType(DoubleType)))))
+        StructField("cent_vec", ArrayType(DoubleType))))))
       .parquet(s"$idx/cents"))
     val assigned = spark.read
-      .schema(StructType(Seq(
+      .schema(storedSchema("cells", StructType(Seq(
         StructField("vec_id", LongType),
         StructField("embedding", ArrayType(FloatType)),
-        StructField("cell", IntegerType))))
+        StructField("cell", IntegerType)))))
       .parquet(s"$idx/cells")
     ivfProbeRank(spark, dir, assigned, centsDf)
   }

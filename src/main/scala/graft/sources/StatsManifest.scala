@@ -81,10 +81,15 @@ object DerivedCache {
     val done = new java.io.File(out, "_GRAFT_DONE")
     // reuse is valid only if the done-file's recorded fingerprint matches
     // EXACTLY — guards torn builds (done written, content stale) and the
-    // residual digest-collision case the key alone can't rule out
+    // residual digest-collision case the key alone can't rule out. Any
+    // IO error (file vanished between exists and read — cross-process
+    // rebuild window, eviction race) degrades to "invalid, rebuild
+    // under lock" instead of throwing out of dir().
     def valid(): Boolean =
-      done.exists() && new String(
-        java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") == fp
+      try {
+        done.exists() && new String(
+          java.nio.file.Files.readAllBytes(done.toPath), "UTF-8") == fp
+      } catch { case _: java.io.IOException => false }
     // PER-KEY monitor, not a JVM-global one: while one thread blocks on
     // another PROCESS's file lock for a slow build, requests for other
     // (already-built) layouts must keep their fast path
@@ -112,9 +117,74 @@ object DerivedCache {
           } finally lock.release()
         } finally ch.close()
       }
+      // LRU stamp: the done-file's mtime records last USE, not last
+      // build — prune() below orders eviction candidates by it
+      done.setLastModified(System.currentTimeMillis())
+      ()
     }
+    prune(base, out)
     out
   }
+
+  /** Size-capped LRU eviction over the whole derived-cache tmpdir: a
+    * long-lived machine otherwise accumulates one stored layout per
+    * (rows, params) permutation across every testdata regeneration.
+    * Policy: scan `graft-*-<key>` dirs carrying a done-file, and while
+    * the total exceeds the cap delete the least-recently-USED first —
+    * skipping `keep` (the layout the caller is about to read), anything
+    * used within the min-age window (a concurrent reader has, by
+    * definition, just stamped it), and anything whose build lock is
+    * currently held. Best-effort by design: eviction failure must never
+    * fail the query that triggered it.
+    */
+  private[graft] def prune(base: String, keep: String): Unit =
+    try {
+      val capBytes =
+        sys.props.get("graft.derivedCache.capBytes").map(_.toLong)
+          .getOrElse(4L * 1024 * 1024 * 1024)
+      val minAgeMs =
+        sys.props.get("graft.derivedCache.minAgeMs").map(_.toLong)
+          .getOrElse(10L * 60 * 1000)
+      val keyDir = "^graft-.+-[0-9a-f]{32}$".r
+      def sizeOf(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty).map(sizeOf).sum
+      val entries = Option(new java.io.File(base).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isDirectory && keyDir.matches(f.getName))
+        .flatMap { d =>
+          val done = new java.io.File(d, "_GRAFT_DONE")
+          if (done.exists()) Some((d, done.lastModified(), sizeOf(d))) else None
+        }
+      var excess = entries.map(_._3).sum - capBytes
+      if (excess > 0) {
+        val now = System.currentTimeMillis()
+        entries
+          .sortBy(_._2) // least-recently-used first
+          .iterator
+          .takeWhile(_ => excess > 0)
+          .foreach { case (d, used, size) =>
+            val lockHeld = {
+              val lockPath = java.nio.file.Paths.get(s"${d.getPath}.lock")
+              try {
+                val ch = java.nio.channels.FileChannel.open(
+                  lockPath,
+                  java.nio.file.StandardOpenOption.CREATE,
+                  java.nio.file.StandardOpenOption.WRITE)
+                try {
+                  val l = ch.tryLock()
+                  if (l == null) true else { l.release(); false }
+                } finally ch.close()
+              } catch { case _: java.io.IOException => true }
+            }
+            if (d.getPath != keep && now - used >= minAgeMs && !lockHeld) {
+              deleteRecursively(d)
+              new java.io.File(s"${d.getPath}.lock").delete()
+              excess -= size
+            }
+          }
+      }
+    } catch { case _: Exception => () }
 
   private val keyLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
