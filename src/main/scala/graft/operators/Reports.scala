@@ -140,4 +140,29 @@ object Reports {
         .write.mode("overwrite").option("header", "true")
         .csv(s"$outDir/$n")
     }
+
+  /** One-shot chart-report run artifact: every chart CSV plus a run
+    * manifest (`_chart_report.json` — per-chart row counts and the
+    * relative CSV path) under a single directory, so a consumer gets an
+    * atomic "this run produced these charts with these cardinalities"
+    * record instead of four unconnected sink dirs. Returns the manifest
+    * path.
+    */
+  def chartReport(spark: SparkSession, dir: String, outDir: String): String = {
+    writeChartCsvs(spark, dir, outDir)
+    val entries = defs.toSeq.sortBy(_._1).map { case (n, _) =>
+      val csv = Option(new java.io.File(s"$outDir/$n").listFiles())
+        .getOrElse(Array.empty)
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv"))
+        .map(f => s"$n/${f.getName}")
+        .getOrElse(sys.error(s"chart $n produced no CSV part file"))
+      val rows = Files.readAllLines(Paths.get(s"$outDir/$csv")).size - 1 // header
+      s"""{"chart":"$n","csv":"$csv","rows":$rows}"""
+    }
+    val manifest = Paths.get(outDir, "_chart_report.json")
+    Files.writeString(
+      manifest,
+      entries.mkString("{\"charts\":[", ",", "]}"))
+    manifest.toString
+  }
 }

@@ -19,6 +19,23 @@ class ReportsSpec extends AnyFunSuite {
     assert(text.linesIterator.count(_.startsWith("- ")) >= 4)
   }
 
+  test("chart_report emits one run artifact: all CSVs plus a manifest with true row counts") {
+    val out = Files.createTempDirectory("graft-chart-report").toFile
+    out.deleteOnExit()
+    val manifestPath = Reports.chartReport(spark, TestSpark.Sf, out.getAbsolutePath)
+    val manifest = Files.readString(java.nio.file.Paths.get(manifestPath))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(manifest)
+    val charts = node.get("charts")
+    assert(charts.size() === Reports.defs.size, "manifest must list every chart family")
+    (0 until charts.size()).foreach { i =>
+      val e = charts.get(i)
+      val csv = new java.io.File(out, e.get("csv").asText())
+      assert(csv.isFile, s"manifest points at missing csv: ${e.get("csv")}")
+      assert(Files.readAllLines(csv.toPath).size - 1 === e.get("rows").asInt(),
+        s"${e.get("chart")} manifest row count diverges from the file")
+    }
+  }
+
   test("chart CSVs are single header-bearing files with the reference's columns") {
     val out = Files.createTempDirectory("graft-charts").toFile
     out.deleteOnExit()

@@ -71,6 +71,30 @@ class TablesSchemaSpec extends AnyFunSuite {
       "n_chars" -> I),
     "embeddings" -> Map("vec_id" -> I, "embedding" -> VecF, "label" -> I))
 
+  test("embeddings vector dimension matches the LSH oracle's sign matrix (64)") {
+    // the portable LSH sign-matrix oracles (Similarity.lshSqlPrefix) and
+    // the quantizer chains generate exactly 64 dimensions; a regenerated
+    // embeddings table with a different dim would break the ann oracles
+    // with opaque hash mismatches instead of a named assertion here
+    import org.apache.spark.sql.functions._
+    val dims = Tables.table(spark, TestSpark.Sf, "embeddings")
+      .select(size(col("embedding")).as("d")).distinct().collect().map(_.getInt(0))
+    assert(dims.toSeq == Seq(64),
+      s"embeddings dim drifted to ${dims.mkString(",")} — adapt " +
+        "Similarity.lshSqlPrefix's generate_series bound and re-derive oracles")
+  }
+
+  test("documents text is non-null word text (the shingle/token contract)") {
+    // every text-tier operator splits on single spaces; a regeneration
+    // that ships NULL text or empty strings en masse would silently
+    // change dedup/ngram yields — pin the invariant with a count
+    import org.apache.spark.sql.functions._
+    val bad = Tables.table(spark, TestSpark.Sf, "documents")
+      .filter(col("text").isNull || length(col("text")) === 0).count()
+    assert(bad === 0L, s"$bad documents rows have null/empty text — " +
+      "text-tier operators assume word text; adapt filters if intentional")
+  }
+
   for ((tableName, cols) <- contract.toSeq.sortBy(_._1))
     test(s"$tableName columns and type classes match the engine's contract") {
       val schema = Tables.table(spark, TestSpark.Sf, tableName).schema
