@@ -918,8 +918,200 @@ object Similarity {
        |ORDER BY method, q_id""".stripMargin
   }
 
+  // ------------------------------------------------- product quantization
+
+  private val PqM     = 8  // subspaces
+  private val PqDsub  = 8  // dims per subspace (embeddings dim 64, canaried)
+  private val PqK     = 32 // codewords per subspace
+  private val PqIters = 2
+
+  /** The corpus split into PqM subvector streams: (sub, vec_id, v) with
+    * v = dims [sub·PqDsub, (sub+1)·PqDsub). ONE corpus scan — the
+    * subspace axis is an in-row transform+explode, not PqM reads.
+    */
+  private def pqSubspaces(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fv"))
+      .select(
+        col("vec_id"),
+        explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), " +
+            s"s -> named_struct('sub', s, 'sv', slice(fv, s * $PqDsub + 1, $PqDsub)))")).as("p"))
+      .select(col("p.sub").as("sub"), col("vec_id"), col("p.sv").as("v"))
+
+  /** Min-d2 codeword assignment per (sub, vec_id) against the broadcast
+    * per-subspace codebooks; same tie contract as kmeansAssign (smaller
+    * cent_id wins). cents rows: (sub, cent_id, cvec).
+    */
+  private def pqAssign(
+      spark: SparkSession, es: DataFrame,
+      cents: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    val centsDf = broadcast(cents.toDF("csub", "cent_id", "cent_vec"))
+    es.join(centsDf, col("sub") === col("csub"))
+      .select(
+        col("sub"), col("vec_id"), col("v"), col("cent_id"),
+        expr(KmeansDistExpr).as("d2"))
+      .groupBy(col("sub"), col("vec_id"))
+      .agg(min(struct(col("d2"), col("cent_id"))).as("m"), first(col("v")).as("v"))
+      .select(
+        col("sub"), col("vec_id"),
+        col("m.cent_id").as("cell"), col("m.d2").as("d2"), col("v"))
+  }
+
+  /** JVM-lifetime memo of the PQ codebooks (PqM·PqK·PqDsub doubles),
+    * keyed on the embeddings file stamp like trainCentroids.
+    */
+  private val pqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[(Int, Long, Seq[Double])]]()
+
+  private def trainPq(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    pqCache.computeIfAbsent(
+      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
+      _ => trainPqImpl(spark, dir))
+
+  /** Per-subspace Lloyd (PqK codewords, PqIters steps, seeds = the
+    * first PqK vectors' subvectors, cent_id = seed vec_id). All PqM
+    * codebooks train in the SAME jobs — the subspace axis rides the
+    * (sub, cell, dim) group keys, so each iteration is one corpus-wide
+    * assign plus one k·m·dsub-row driver collect, exactly the
+    * trainCentroids dataflow with one extra key column.
+    */
+  private def trainPqImpl(
+      spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] = {
+    val es = pqSubspaces(spark, dir)
+    var cents: Seq[(Int, Long, Seq[Double])] = es
+      .filter(col("vec_id") < PqK)
+      .orderBy(col("sub"), col("vec_id"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      .toSeq
+    for (_ <- 1 to PqIters) {
+      val means = pqAssign(spark, es, cents)
+        .select(col("sub"), col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("sub"), col("cell"), col("dim"))
+        .agg((Det.fineSum(col("x")) / count(lit(1))).as("mean"))
+        .collect()
+      cents = means
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case ((sub, cell), rows) =>
+          (sub, cell, rows.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq)
+        }
+        .toSeq
+        .sortBy(c => (c._1, c._2))
+    }
+    cents
+  }
+
+  /** Product-quantized ANN (ADC scan): each corpus vector is compressed
+    * to PqM one-byte codes (16 codewords/subspace trained by
+    * per-subspace Lloyd), a query's distance table (PqM·PqK partial
+    * d2s, one per (sub, codeword)) is broadcast, and the approximate
+    * squared-L2 distance is the table-lookup sum over the code columns
+    * — top-10 per query by that ADC distance.
+    *
+    * This is the memory-bound 100 TB serving shape: the scan touches
+    * PqM bytes per vector instead of 4·dim (64× compression at dim 64),
+    * codes shuffle once on (sub, code) against a Q·m·k-row broadcast
+    * LUT, and the per-(q, vec) sum is m DECIMAL partials — exact and
+    * order-invariant, which is what lets DuckDB replay the whole thing
+    * hash-for-hash (ranking is on the exact decimal ADC, not a rounded
+    * double). Accuracy vs the exact anchor is asserted in
+    * SimilarityDedupSpec (recall@10 against brute-force L2).
+    */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val es    = pqSubspaces(spark, dir)
+    val cents = trainPq(spark, dir)
+    val codes = pqAssign(spark, es, cents)
+      .select(col("sub"), col("vec_id"), col("cell").as("code"))
+    val centsDf = broadcast(cents.toDF("csub", "cent_id", "cent_vec"))
+    val lut = es
+      .filter(col("vec_id") < NumQueries)
+      .select(col("sub").as("lsub"), col("vec_id").as("q_id"), col("v"))
+      .join(centsDf, col("lsub") === col("csub"))
+      .select(
+        col("q_id"), col("lsub"), col("cent_id").as("lcode"),
+        expr(KmeansDistExpr).as("pd2"))
+    val scan = codes
+      .join(broadcast(lut), col("sub") === col("lsub") && col("code") === col("lcode"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd2").cast(Det.Fine)).as("adc_dec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(asc("adc_dec"), asc("vec_id"))
+    scan
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        Det.detRound(col("adc_dec").cast("double"), 6).as("adc"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** DuckDB twin of annPq: the per-subspace Lloyd chains unrolled as
+    * CTEs (the kmeansChainSql shape with `sub` riding every key), then
+    * codes ⋈ LUT summed as DECIMAL — the identical exactness contract.
+    */
+  private val annPqSql = {
+    def d2(v: String, c: String) = kmeansD2Sql(v, c)
+    def assignCte(name: String, centsCte: String, keep: String) =
+      s"""$name AS (
+         |  SELECT $keep FROM (
+         |    SELECT e.sub, e.vec_id, e.sv, c.cent_id AS cell, ${d2("e.sv", "c.cvec")} AS d2,
+         |           row_number() OVER (PARTITION BY e.sub, e.vec_id
+         |             ORDER BY ${d2("e.sv", "c.cvec")} ASC, c.cent_id ASC) AS rk
+         |    FROM es e JOIN $centsCte c ON c.sub = e.sub
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    def centsCte(name: String, assignCteName: String) =
+      s"""$name AS (
+         |  SELECT sub, cell AS cent_id, list(mean ORDER BY dim) AS cvec FROM (
+         |    SELECT sub, cell, dim, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
+         |    FROM (SELECT sub, cell, unnest(generate_series(1, len(sv))) AS dim, unnest(sv) AS x
+         |          FROM $assignCteName)
+         |    GROUP BY sub, cell, dim
+         |  ) GROUP BY sub, cell
+         |)""".stripMargin
+    val chain = (1 to PqIters)
+      .flatMap(i => Seq(
+        assignCte(s"pa$i", s"pc${i - 1}", "sub, vec_id, sv, cell"),
+        centsCte(s"pc$i", s"pa$i")))
+      .mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), es AS (
+       |  SELECT t.s AS sub, vec_id,
+       |         list_slice(v, t.s * $PqDsub + 1, t.s * $PqDsub + $PqDsub) AS sv
+       |  FROM e, unnest(generate_series(0, ${PqM - 1})) AS t(s)
+       |), pc0 AS (
+       |  SELECT sub, vec_id AS cent_id, sv AS cvec FROM es WHERE vec_id < $PqK
+       |),
+       |$chain,
+       |${assignCte("codes", s"pc$PqIters", "sub, vec_id, cell AS code")},
+       |lut AS (
+       |  SELECT q.vec_id AS q_id, q.sub, c.cent_id AS code, ${d2("q.sv", "c.cvec")} AS pd2
+       |  FROM es q JOIN pc$PqIters c ON c.sub = q.sub
+       |  WHERE q.vec_id < $NumQueries
+       |), scan AS (
+       |  SELECT l.q_id, k.vec_id, SUM(CAST(pd2 AS DECIMAL(30,10))) AS adc_dec
+       |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+       |  WHERE k.vec_id != l.q_id
+       |  GROUP BY l.q_id, k.vec_id
+       |), ranked AS (
+       |  SELECT q_id, vec_id AS neighbor_id, adc_dec,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dec ASC, vec_id ASC) AS rn
+       |  FROM scan
+       |)
+       |SELECT q_id, neighbor_id,
+       |       ${Det.roundSql("CAST(adc_dec AS DOUBLE)", 6)} AS adc,
+       |       CAST(rn AS BIGINT) AS rn
+       |FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ann_recall"        -> QueryDef(annRecall, Some(annRecallSql)),
+    "ann_pq"            -> QueryDef(annPq, Some(annPqSql)),
     "ann_cosine_topk"   -> QueryDef(annCosineTopK, Some(annCosineTopKSql)),
     "embedding_neardup" -> QueryDef(embeddingNeardup, Some(embeddingNeardupSql)),
     "ann_lsh"           -> QueryDef(annLsh, Some(annLshSql)),

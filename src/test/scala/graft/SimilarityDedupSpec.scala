@@ -144,4 +144,35 @@ class SimilarityDedupSpec extends AnyFunSuite {
     }
     assert(out.exists(!_.getBoolean(4)), "fixture should contain at least one cross-split dup")
   }
+
+  test("ann_pq: well-formed ADC top-k with recall against exact L2") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.annPq(spark, TestSpark.Sf).collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size === 10, "one block per query vector")
+    perQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).toSeq === (1L to 10L), s"q=$q rn not 1..10")
+      val adcs = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(adcs.sliding(2).forall(p => p(0) <= p(1)), s"q=$q ADC not ascending")
+      assert(adcs.forall(_ >= 0.0), s"q=$q negative ADC")
+      assert(!rs.exists(_.getLong(1) == q), s"q=$q returned itself")
+    }
+    // recall@10 vs brute-force exact squared-L2 (PQ m=4, k=16 is a lossy
+    // 64x compression; anything near-random would score ~10/n ≈ 0.02)
+    val e = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(asc("d2"), asc("vec_id"))))
+      .filter(col("rn") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.3, f"PQ recall@10 = $recall%.2f — below the 0.3 floor")
+  }
 }
