@@ -306,6 +306,32 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Persist `df` under `out/$sub` plus its as-written schema as a
+    * sidecar (`$sub.schema.json`): serve paths read the stamp back
+    * instead of hard-coding column widths, so a tolerated source-schema
+    * drift (int32 vec_id, array<double> embedding) can never break a
+    * stored-index read while the class-level canary stays green.
+    */
+  private def writeStored(
+      df: DataFrame, out: String, sub: String, partitionCols: Seq[String]): Unit = {
+    val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$out/$sub")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out/$sub.schema.json"),
+      df.schema.json.getBytes("UTF-8"))
+    ()
+  }
+
+  private def readStoredSchema(
+      idx: String, sub: String,
+      fallback: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    try org.apache.spark.sql.types.DataType.fromJson(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$idx/$sub.schema.json")), "UTF-8"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    catch { case _: Exception => fallback }
+
   /** Stored-index IVF — the index-build/serve split of a production
     * vector store (the ANN analog of dedup_incremental's stored base
     * index): the trained quantizer and the cell-partitioned corpus
@@ -325,20 +351,8 @@ object Similarity {
     val idx = graft.sources.DerivedCache.dir(
       dir, "ann-ivf", s"rows=$rows;k=$k;iters=$iters") { out =>
       import spark.implicits._
-      def writeWithSchema(df: DataFrame, sub: String, partitionCols: Seq[String]): Unit = {
-        val w = df.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-          .parquet(s"$out/$sub")
-        // persist the as-written schema next to the data: the serve
-        // path reads it back instead of hard-coding column widths, so
-        // a tolerated source-schema drift (int32 vec_id, array<double>
-        // embedding) can never break the stored-index read while the
-        // class-level canary stays green
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$out/$sub.schema.json"),
-          df.schema.json.getBytes("UTF-8"))
-        ()
-      }
+      def writeWithSchema(df: DataFrame, sub: String, partitionCols: Seq[String]): Unit =
+        writeStored(df, out, sub, partitionCols)
       val cents = trainCentroids(spark, dir, k, iters)
       writeWithSchema(cents.toDF("cent_id", "cent_vec"), "cents", Nil)
       val e = corpus(spark, dir).select(
@@ -359,11 +373,7 @@ object Similarity {
     // built before the stamp existed.
     import org.apache.spark.sql.types._
     def storedSchema(sub: String, fallback: StructType): StructType =
-      try DataType.fromJson(new String(
-        java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(s"$idx/$sub.schema.json")), "UTF-8"))
-        .asInstanceOf[StructType]
-      catch { case _: Exception => fallback }
+      readStoredSchema(idx, sub, fallback)
     val centsDf = broadcast(spark.read
       .schema(storedSchema("cents", StructType(Seq(
         StructField("cent_id", IntegerType),
@@ -1109,9 +1119,71 @@ object Similarity {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Stored-index PQ — ann_pq's build/serve split. The build persists
+    * the PqM codebooks plus the compressed corpus in its REAL index
+    * layout: one row per vector, codes packed as a single
+    * array<int>[PqM] column (8 codes ≈ 8 bytes vs 256 bytes of floats —
+    * the whole point of PQ is that THIS is the only corpus-sized thing
+    * a serving scan ever reads). Serve = read codes, in-row posexplode
+    * to (sub, code), join the broadcast query LUT, same exact-DECIMAL
+    * ADC rank as annPq — identical results by construction, so it
+    * shares annPqSql. Build once ∝ corpus; serve reads PqM bytes/vector
+    * and never touches `embeddings`.
+    */
+  def annPqStored(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val rows = Tables.cachedCount(spark, dir, "embeddings")
+    val idx = graft.sources.DerivedCache.dir(
+      dir, "ann-pq", s"rows=$rows;m=$PqM;k=$PqK;iters=$PqIters") { out =>
+      val cents = trainPq(spark, dir)
+      writeStored(cents.toDF("sub", "cent_id", "cvec"), out, "books", Nil)
+      val packed = pqAssign(spark, pqSubspaces(spark, dir), cents)
+        .groupBy(col("vec_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(sub, cell))), p -> CAST(p.cell AS INT))")
+          .as("codes"))
+      writeStored(packed, out, "codes", Nil)
+    }
+    val books = broadcast(spark.read
+      .schema(readStoredSchema(idx, "books", StructType(Seq(
+        StructField("sub", IntegerType),
+        StructField("cent_id", LongType),
+        StructField("cvec", ArrayType(DoubleType))))))
+      .parquet(s"$idx/books"))
+    val codes = spark.read
+      .schema(readStoredSchema(idx, "codes", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("codes", ArrayType(IntegerType))))))
+      .parquet(s"$idx/codes")
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
+    val lut = pqSubspaces(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(col("sub").as("lsub"), col("vec_id").as("q_id"), col("v"))
+      .join(books.withColumnRenamed("cvec", "cent_vec"), col("lsub") === col("sub"))
+      .select(
+        col("q_id"), col("lsub"), col("cent_id").cast("int").as("lcode"),
+        expr(KmeansDistExpr).as("pd2"))
+    val scan = codes
+      .join(broadcast(lut), codes("sub") === col("lsub") && col("code") === col("lcode"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd2").cast(Det.Fine)).as("adc_dec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(asc("adc_dec"), asc("vec_id"))
+    scan
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        Det.detRound(col("adc_dec").cast("double"), 6).as("adc"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ann_recall"        -> QueryDef(annRecall, Some(annRecallSql)),
     "ann_pq"            -> QueryDef(annPq, Some(annPqSql)),
+    // identical to ann_pq by construction (the stored index must serve
+    // exactly what the in-plan build computes) — shares its oracle
+    "ann_pq_stored"     -> QueryDef(annPqStored, Some(annPqSql)),
     "ann_cosine_topk"   -> QueryDef(annCosineTopK, Some(annCosineTopKSql)),
     "embedding_neardup" -> QueryDef(embeddingNeardup, Some(embeddingNeardupSql)),
     "ann_lsh"           -> QueryDef(annLsh, Some(annLshSql)),

@@ -175,4 +175,14 @@ class SimilarityDedupSpec extends AnyFunSuite {
     val recall = (exact & got).size.toDouble / exact.size
     assert(recall >= 0.3, f"PQ recall@10 = $recall%.2f — below the 0.3 floor")
   }
+
+  test("ann_pq_stored serves byte-identical results to the in-plan ADC scan") {
+    val inPlan = Similarity.annPq(spark, TestSpark.Sf).collect().toSeq
+    val stored = Similarity.annPqStored(spark, TestSpark.Sf).collect().toSeq
+    assert(stored === inPlan, "stored-codes serve path diverged from in-plan PQ")
+    // second serve must reuse the cached index and never scan embeddings
+    // for the corpus side (queries still come from the base table)
+    val again = Similarity.annPqStored(spark, TestSpark.Sf)
+    assert(again.collect().toSeq === inPlan)
+  }
 }
