@@ -30,6 +30,11 @@ object Similarity {
   private val TopK       = 10
   private val LshTables  = 8
   private val LshPlanes  = 6
+  // product quantization (ann_pq*): m subspaces x k codewords
+  private val PqM     = 8  // subspaces
+  private val PqDsub  = 8  // dims per subspace (embeddings dim 64, canaried)
+  private val PqK     = 32 // codewords per subspace
+  private val PqIters = 2
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -813,7 +818,7 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
 
   /** ANN quality observability: recall@k of each approximate search
-    * path (ann_lsh, ann_ivf) against the exact brute-force anchor
+    * path (ann_lsh, ann_ivf, ann_pq) against the exact brute-force anchor
     * (ann_cosine_topk ground truth), per query vector — the measurement
     * that prices a probe/table setting before trusting it on a real
     * corpus (neardup_threshold_curve gives yield; this gives quality).
@@ -848,6 +853,7 @@ object Similarity {
     }
     recallOf("ann_ivf", annIvf(spark, dir))
       .unionAll(recallOf("ann_lsh", annLsh(spark, dir)))
+      .unionAll(recallOf("ann_pq", annPq(spark, dir)))
       .orderBy(col("method"), col("q_id"))
   }
 
@@ -911,10 +917,16 @@ object Similarity {
        |  )
        |), ivf AS (
        |  SELECT q_id, neighbor_id FROM i_rank WHERE rn <= $TopK
+       |),
+       |$pqSqlChain,
+       |pq AS (
+       |  SELECT q_id, neighbor_id FROM pq_rank WHERE rn <= $TopK
        |), hit_l AS (
        |  SELECT q_id, count(*) AS n_hit FROM lsh JOIN exact USING (q_id, neighbor_id) GROUP BY q_id
        |), hit_i AS (
        |  SELECT q_id, count(*) AS n_hit FROM ivf JOIN exact USING (q_id, neighbor_id) GROUP BY q_id
+       |), hit_p AS (
+       |  SELECT q_id, count(*) AS n_hit FROM pq JOIN exact USING (q_id, neighbor_id) GROUP BY q_id
        |)
        |SELECT method, q_id, n_exact, n_hit,
        |       ${r6("CAST(n_hit AS DOUBLE) / CAST(n_exact AS DOUBLE)")} AS recall
@@ -924,16 +936,14 @@ object Similarity {
        |  UNION ALL
        |  SELECT 'ann_lsh' AS method, en.q_id, en.n_exact, COALESCE(h.n_hit, 0) AS n_hit
        |  FROM exact_n en LEFT JOIN hit_l h USING (q_id)
+       |  UNION ALL
+       |  SELECT 'ann_pq' AS method, en.q_id, en.n_exact, COALESCE(h.n_hit, 0) AS n_hit
+       |  FROM exact_n en LEFT JOIN hit_p h USING (q_id)
        |)
        |ORDER BY method, q_id""".stripMargin
   }
 
   // ------------------------------------------------- product quantization
-
-  private val PqM     = 8  // subspaces
-  private val PqDsub  = 8  // dims per subspace (embeddings dim 64, canaried)
-  private val PqK     = 32 // codewords per subspace
-  private val PqIters = 2
 
   /** The corpus split into PqM subvector streams: (sub, vec_id, v) with
     * v = dims [sub·PqDsub, (sub+1)·PqDsub). ONE corpus scan — the
@@ -949,24 +959,34 @@ object Similarity {
             s"s -> named_struct('sub', s, 'sv', slice(fv, s * $PqDsub + 1, $PqDsub)))")).as("p"))
       .select(col("p.sub").as("sub"), col("vec_id"), col("p.sv").as("v"))
 
-  /** Min-d2 codeword assignment per (sub, vec_id) against the broadcast
-    * per-subspace codebooks; same tie contract as kmeansAssign (smaller
-    * cent_id wins). cents rows: (sub, cent_id, cvec).
+  /** Min-d2 codeword assignment per (sub, vec_id); same tie contract as
+    * kmeansAssign (smaller cent_id wins). cents rows: (sub, cent_id,
+    * cvec). The codebooks are tiny (m·k·dsub doubles) so they ride as a
+    * CONSTANT-FOLDED 3-D literal and the argmin is one in-row
+    * expression — array_position of the array minimum, which is the
+    * first (= lowest cent_id, cents sorted) minimal d2. ZERO shuffle:
+    * the first cut joined a broadcast codebook frame and min-of-struct
+    * grouped on (sub, vec_id), which exploded k× rows carrying the
+    * subvector payload into a corpus-keyed hash agg — 7.6 GiB of spill
+    * at the 100×-docs probe; this form encodes the same corpus with no
+    * exchange at all.
     */
   private def pqAssign(
       spark: SparkSession, es: DataFrame,
       cents: Seq[(Int, Long, Seq[Double])]): DataFrame = {
-    import spark.implicits._
-    val centsDf = broadcast(cents.toDF("csub", "cent_id", "cent_vec"))
-    es.join(centsDf, col("sub") === col("csub"))
-      .select(
-        col("sub"), col("vec_id"), col("v"), col("cent_id"),
-        expr(KmeansDistExpr).as("d2"))
-      .groupBy(col("sub"), col("vec_id"))
-      .agg(min(struct(col("d2"), col("cent_id"))).as("m"), first(col("v")).as("v"))
+    val bySub: Seq[Seq[(Long, Seq[Double])]] =
+      (0 until PqM).map(s => cents.filter(_._1 == s).sortBy(_._2).map(c => (c._2, c._3)))
+    es.withColumn("pq_books", typedLit(bySub.map(_.map(_._2))))
+      .withColumn("pq_cids", typedLit(bySub.map(_.map(_._1))))
+      .withColumn("d2s", expr(
+        "transform(element_at(pq_books, sub + 1), " +
+          "c -> aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))"))
+      .withColumn("idx", expr("array_position(d2s, array_min(d2s))").cast("int"))
       .select(
         col("sub"), col("vec_id"),
-        col("m.cent_id").as("cell"), col("m.d2").as("d2"), col("v"))
+        expr("element_at(element_at(pq_cids, sub + 1), idx)").as("cell"),
+        expr("element_at(d2s, idx)").as("d2"),
+        col("v"))
   }
 
   /** JVM-lifetime memo of the PQ codebooks (PqM·PqK·PqDsub doubles),
@@ -1058,11 +1078,15 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** DuckDB twin of annPq: the per-subspace Lloyd chains unrolled as
-    * CTEs (the kmeansChainSql shape with `sub` riding every key), then
-    * codes ⋈ LUT summed as DECIMAL — the identical exactness contract.
+  /** PQ oracle CTE chain (assumes `e(vec_id, v: DOUBLE[])` is already
+    * defined): subspace slices, the per-subspace Lloyd chains unrolled
+    * (the kmeansChainSql shape with `sub` riding every key), codes ⋈
+    * LUT summed as DECIMAL, ranked per query. Terminal CTE `pq_rank`
+    * has (q_id, neighbor_id, adc_dec, rn). Shared by annPqSql and the
+    * PQ branch of annRecallSql; all CTE names are pq_-prefixed so the
+    * chain composes with the LSH/IVF chains without collision.
     */
-  private val annPqSql = {
+  private def pqSqlChain: String = {
     def d2(v: String, c: String) = kmeansD2Sql(v, c)
     def assignCte(name: String, centsCte: String, keep: String) =
       s"""$name AS (
@@ -1070,7 +1094,7 @@ object Similarity {
          |    SELECT e.sub, e.vec_id, e.sv, c.cent_id AS cell, ${d2("e.sv", "c.cvec")} AS d2,
          |           row_number() OVER (PARTITION BY e.sub, e.vec_id
          |             ORDER BY ${d2("e.sv", "c.cvec")} ASC, c.cent_id ASC) AS rk
-         |    FROM es e JOIN $centsCte c ON c.sub = e.sub
+         |    FROM pq_es e JOIN $centsCte c ON c.sub = e.sub
          |  ) WHERE rk = 1
          |)""".stripMargin
     def centsCte(name: String, assignCteName: String) =
@@ -1084,40 +1108,47 @@ object Similarity {
          |)""".stripMargin
     val chain = (1 to PqIters)
       .flatMap(i => Seq(
-        assignCte(s"pa$i", s"pc${i - 1}", "sub, vec_id, sv, cell"),
-        centsCte(s"pc$i", s"pa$i")))
+        assignCte(s"pq_a$i", s"pq_c${i - 1}", "sub, vec_id, sv, cell"),
+        centsCte(s"pq_c$i", s"pq_a$i")))
       .mkString(",\n")
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |), es AS (
+    s"""pq_es AS (
        |  SELECT t.s AS sub, vec_id,
        |         list_slice(v, t.s * $PqDsub + 1, t.s * $PqDsub + $PqDsub) AS sv
        |  FROM e, unnest(generate_series(0, ${PqM - 1})) AS t(s)
-       |), pc0 AS (
-       |  SELECT sub, vec_id AS cent_id, sv AS cvec FROM es WHERE vec_id < $PqK
+       |), pq_c0 AS (
+       |  SELECT sub, vec_id AS cent_id, sv AS cvec FROM pq_es WHERE vec_id < $PqK
        |),
        |$chain,
-       |${assignCte("codes", s"pc$PqIters", "sub, vec_id, cell AS code")},
-       |lut AS (
+       |${assignCte("pq_codes", s"pq_c$PqIters", "sub, vec_id, cell AS code")},
+       |pq_lut AS (
        |  SELECT q.vec_id AS q_id, q.sub, c.cent_id AS code, ${d2("q.sv", "c.cvec")} AS pd2
-       |  FROM es q JOIN pc$PqIters c ON c.sub = q.sub
+       |  FROM pq_es q JOIN pq_c$PqIters c ON c.sub = q.sub
        |  WHERE q.vec_id < $NumQueries
-       |), scan AS (
+       |), pq_scan AS (
        |  SELECT l.q_id, k.vec_id, SUM(CAST(pd2 AS DECIMAL(30,10))) AS adc_dec
-       |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+       |  FROM pq_codes k JOIN pq_lut l ON l.sub = k.sub AND l.code = k.code
        |  WHERE k.vec_id != l.q_id
        |  GROUP BY l.q_id, k.vec_id
-       |), ranked AS (
+       |), pq_rank AS (
        |  SELECT q_id, vec_id AS neighbor_id, adc_dec,
        |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dec ASC, vec_id ASC) AS rn
-       |  FROM scan
-       |)
+       |  FROM pq_scan
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of annPq — the shared pqSqlChain plus the top-k
+    * projection; the identical exactness contract (exact decimal ADC).
+    */
+  private val annPqSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |),
+       |$pqSqlChain
        |SELECT q_id, neighbor_id,
        |       ${Det.roundSql("CAST(adc_dec AS DOUBLE)", 6)} AS adc,
        |       CAST(rn AS BIGINT) AS rn
-       |FROM ranked WHERE rn <= $TopK
+       |FROM pq_rank WHERE rn <= $TopK
        |ORDER BY q_id, rn""".stripMargin
-  }
 
   /** Stored-index PQ — ann_pq's build/serve split. The build persists
     * the PqM codebooks plus the compressed corpus in its REAL index

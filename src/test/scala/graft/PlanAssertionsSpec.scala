@@ -78,6 +78,22 @@ class PlanAssertionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_pq encodes in-row: no corpus-keyed shuffle before the ADC agg") {
+    // the PQ argmin is a constant-folded codebook literal + one in-row
+    // expression; the only hashpartitioning exchanges allowed are the
+    // ADC partial-sum on (q_id, vec_id) and the rank window on q_id.
+    // A (sub, vec_id)-keyed exchange means the encode regressed into
+    // the join + min-of-struct formulation (7.6 GiB spill at 100×).
+    val p = plan("ann_pq")
+    val hashEx = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    hashEx.foreach { keys =>
+      assert(!(keys.contains("sub") && keys.contains("vec_id")),
+        s"ann_pq grew a corpus-keyed encode shuffle on ($keys):\n$p")
+    }
+    assert(hashEx.size <= 2, s"ann_pq has ${hashEx.size} hash exchanges:\n$p")
+  }
+
   test("curation queries keep their scale shapes") {
     // vocab join stays broadcast (the vocabulary is top-V, tiny by
     // construction); the per-stratum sampler runs on bounded heaps

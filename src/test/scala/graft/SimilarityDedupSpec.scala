@@ -74,7 +74,7 @@ class SimilarityDedupSpec extends AnyFunSuite {
   test("ann_recall agrees with the independently computed per-method recall") {
     val rows = Similarity.annRecall(spark, TestSpark.Sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-    assert(rows.map(_._1).toSet === Set("ann_ivf", "ann_lsh"))
+    assert(rows.map(_._1).toSet === Set("ann_ivf", "ann_lsh", "ann_pq"))
     rows.foreach { case (m, q, nExact, nHit, recall) =>
       assert(nExact >= 1 && nExact <= 10, s"$m/$q n_exact=$nExact")
       assert(nHit >= 0 && nHit <= nExact, s"$m/$q n_hit=$nHit > n_exact=$nExact")
