@@ -828,7 +828,7 @@ object Similarity {
     * the capped exact anchor it grades.
     */
   def annRecall(spark: SparkSession, dir: String): DataFrame = {
-    // exact feeds three consumers (two per-method joins + the
+    // exact feeds four consumers (three per-method joins + the
     // denominators) — checkpoint so the brute-force anchor runs once
     val exact = annCosineTopK(spark, dir)
       .select(col("q_id"), col("neighbor_id"))
@@ -993,11 +993,12 @@ object Similarity {
     * keyed on the embeddings file stamp like trainCentroids.
     */
   private val pqCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[(Int, Long, Seq[Double])]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int, Int, Int), Seq[(Int, Long, Seq[Double])]]()
 
   private def trainPq(spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
     pqCache.computeIfAbsent(
-      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
+      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet"),
+        PqM, PqK, PqIters),
       _ => trainPqImpl(spark, dir))
 
   /** Per-subspace Lloyd (PqK codewords, PqIters steps, seeds = the
@@ -1014,7 +1015,9 @@ object Similarity {
       .filter(col("vec_id") < PqK)
       .orderBy(col("sub"), col("vec_id"))
       .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+      // vec_id via Number: the tolerated int32 vec_id testdata drift
+      // (TablesSchemaSpec) must not ClassCastException the seed read
+      .map(r => (r.getInt(0), r.getAs[Number](1).longValue, r.getSeq[Double](2)))
       .toSeq
     for (_ <- 1 to PqIters) {
       val means = pqAssign(spark, es, cents)
@@ -1034,16 +1037,17 @@ object Similarity {
   }
 
   /** Product-quantized ANN (ADC scan): each corpus vector is compressed
-    * to PqM one-byte codes (16 codewords/subspace trained by
+    * to PqM one-byte codes (PqK = 32 codewords/subspace trained by
     * per-subspace Lloyd), a query's distance table (PqM·PqK partial
     * d2s, one per (sub, codeword)) is broadcast, and the approximate
     * squared-L2 distance is the table-lookup sum over the code columns
     * — top-10 per query by that ADC distance.
     *
     * This is the memory-bound 100 TB serving shape: the scan touches
-    * PqM bytes per vector instead of 4·dim (64× compression at dim 64),
-    * codes shuffle once on (sub, code) against a Q·m·k-row broadcast
-    * LUT, and the per-(q, vec) sum is m DECIMAL partials — exact and
+    * PqM bytes per vector instead of 4·dim (32× compression at dim 64),
+    * codes never shuffle for the lookup (the Q·m·k-row LUT broadcasts;
+    * PlanAssertionsSpec pins the exchange budget), and the per-(q, vec)
+    * sum is m DECIMAL partials — exact and
     * order-invariant, which is what lets DuckDB replay the whole thing
     * hash-for-hash (ranking is on the exact decimal ADC, not a rounded
     * double). Accuracy vs the exact anchor is asserted in
@@ -1051,20 +1055,34 @@ object Similarity {
     */
   def annPq(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val es    = pqSubspaces(spark, dir)
     val cents = trainPq(spark, dir)
-    val codes = pqAssign(spark, es, cents)
+    val codes = pqAssign(spark, pqSubspaces(spark, dir), cents)
       .select(col("sub"), col("vec_id"), col("cell").as("code"))
-    val centsDf = broadcast(cents.toDF("csub", "cent_id", "cent_vec"))
-    val lut = es
+    pqAdcRank(spark, dir, codes, broadcast(cents.toDF("bsub", "cent_id", "cent_vec")))
+  }
+
+  /** The shared PQ serve path (the ADC analog of ivfProbeRank): build
+    * the query LUT against the broadcast codebooks `books(bsub,
+    * cent_id, cent_vec)`, look each (sub, code) row of `codes` up via a
+    * broadcast join, sum the PqM partials as exact DECIMAL, rank top-k
+    * per query. Both ann_pq and ann_pq_stored rank through THIS code —
+    * their byte-identical-results contract (shared oracle) must never
+    * depend on two hand-synced copies.
+    */
+  private def pqAdcRank(
+      spark: SparkSession, dir: String,
+      codes: DataFrame, books: DataFrame): DataFrame = {
+    val lut = pqSubspaces(spark, dir)
       .filter(col("vec_id") < NumQueries)
       .select(col("sub").as("lsub"), col("vec_id").as("q_id"), col("v"))
-      .join(centsDf, col("lsub") === col("csub"))
+      .join(books, col("lsub") === col("bsub"))
       .select(
-        col("q_id"), col("lsub"), col("cent_id").as("lcode"),
+        col("q_id"), col("lsub"), col("cent_id").cast("long").as("lcode"),
         expr(KmeansDistExpr).as("pd2"))
     val scan = codes
-      .join(broadcast(lut), col("sub") === col("lsub") && col("code") === col("lcode"))
+      .join(
+        broadcast(lut),
+        col("sub") === col("lsub") && col("code").cast("long") === col("lcode"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(sum(col("pd2").cast(Det.Fine)).as("adc_dec"))
@@ -1187,26 +1205,9 @@ object Similarity {
         StructField("codes", ArrayType(IntegerType))))))
       .parquet(s"$idx/codes")
       .select(col("vec_id"), posexplode(col("codes")).as(Seq("sub", "code")))
-    val lut = pqSubspaces(spark, dir)
-      .filter(col("vec_id") < NumQueries)
-      .select(col("sub").as("lsub"), col("vec_id").as("q_id"), col("v"))
-      .join(books.withColumnRenamed("cvec", "cent_vec"), col("lsub") === col("sub"))
-      .select(
-        col("q_id"), col("lsub"), col("cent_id").cast("int").as("lcode"),
-        expr(KmeansDistExpr).as("pd2"))
-    val scan = codes
-      .join(broadcast(lut), codes("sub") === col("lsub") && col("code") === col("lcode"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(sum(col("pd2").cast(Det.Fine)).as("adc_dec"))
-    val w = Window.partitionBy(col("q_id")).orderBy(asc("adc_dec"), asc("vec_id"))
-    scan
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= TopK)
-      .select(
-        col("q_id"), col("vec_id").as("neighbor_id"),
-        Det.detRound(col("adc_dec").cast("double"), 6).as("adc"), col("rn"))
-      .orderBy(col("q_id"), col("rn"))
+    pqAdcRank(spark, dir, codes,
+      books.select(
+        col("sub").as("bsub"), col("cent_id"), col("cvec").as("cent_vec")))
   }
 
   val defs: Map[String, QueryDef] = Map(

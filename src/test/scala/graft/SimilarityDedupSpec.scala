@@ -157,8 +157,8 @@ class SimilarityDedupSpec extends AnyFunSuite {
       assert(adcs.forall(_ >= 0.0), s"q=$q negative ADC")
       assert(!rs.exists(_.getLong(1) == q), s"q=$q returned itself")
     }
-    // recall@10 vs brute-force exact squared-L2 (PQ m=4, k=16 is a lossy
-    // 64x compression; anything near-random would score ~10/n ≈ 0.02)
+    // recall@10 vs brute-force exact squared-L2 (PQ m=8, k=32 is a lossy
+    // 32x compression; anything near-random would score ~10/n ≈ 0.02)
     val e = Tables.embeddings(spark, TestSpark.Sf)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
