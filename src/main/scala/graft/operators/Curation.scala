@@ -530,7 +530,93 @@ object Curation {
        |ORDER BY n_shared DESC, src_a, src_b
        |LIMIT 50""".stripMargin
 
+  // token-budget planner parameters: the budget is 4× the corpus (so
+  // upweighted small sources need >1 epoch and exercise the cap) and no
+  // source may repeat more than MaxEpochs times (the data-repetition
+  // degradation bound every mixture recipe carries)
+  private val BudgetMultiple = 4.0
+  private val MaxEpochs      = 8.0
+
+  /** Token-budget mix planner — the step AFTER source_mix_weights in a
+    * training-data recipe: given the temperature-weighted mix and a
+    * total token budget, how many epochs of each source fill its
+    * allocation, where does the repetition cap bind, and how many
+    * tokens fall short. Per source:
+    *   target_tokens  = budget · w_i   (budget = BudgetMultiple × Σ avail)
+    *   epochs         = min(MaxEpochs, target/avail)  (<1 ⇒ subsample)
+    *   planned_tokens = epochs · avail
+    *   shortfall      = target − planned  (>0 ⇔ the cap bound)
+    * Same exactness discipline as source_mix_weights: √n̄ weights (IEEE
+    * sqrt, correctly rounded in both engines), DECIMAL denominator,
+    * plain double arithmetic after that so DuckDB replays bit-for-bit.
+    * One map-side-combinable aggregate over documents; everything
+    * downstream is |sources|-sized — the planner costs one scan at any
+    * corpus size.
+    */
+  def tokenMixPlan(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables
+      .documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("avail_tokens"))
+      .withColumn("sq", sqrt(col("n_docs").cast("double")))
+    val denom = per.agg(
+      sum(col("sq").cast(Det.Fine)).cast("double").as("sq_sum"),
+      sum(col("avail_tokens")).as("total_tokens"))
+    per
+      .crossJoin(broadcast(denom))
+      .withColumn("w", col("sq") / col("sq_sum"))
+      .withColumn("target", col("w") * (lit(BudgetMultiple) * col("total_tokens").cast("double")))
+      .withColumn("epochs",
+        least(lit(MaxEpochs), col("target") / col("avail_tokens").cast("double")))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("avail_tokens"),
+        Det.detRound(col("w"), 8).as("mix_weight"),
+        Det.detRound(col("target"), 2).as("target_tokens"),
+        Det.detRound(col("epochs"), 6).as("epochs"),
+        Det.detRound(col("epochs") * col("avail_tokens").cast("double"), 2)
+          .as("planned_tokens"),
+        Det.detRound(
+          greatest(lit(0.0),
+            col("target") - col("epochs") * col("avail_tokens").cast("double")), 2)
+          .as("shortfall"))
+      .orderBy(col("source"))
+  }
+
+  private val tokenMixPlanSql =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS avail_tokens
+       |  FROM documents GROUP BY source
+       |), sq AS (
+       |  SELECT source, n_docs, avail_tokens, sqrt(CAST(n_docs AS DOUBLE)) AS sq FROM per
+       |), denom AS (
+       |  SELECT CAST(SUM(CAST(sq AS DECIMAL(30,10))) AS DOUBLE) AS sq_sum,
+       |         CAST(SUM(avail_tokens) AS BIGINT) AS total_tokens
+       |  FROM sq
+       |), plan AS (
+       |  SELECT source, n_docs, avail_tokens,
+       |         sq / sq_sum AS w,
+       |         (sq / sq_sum) * ($BudgetMultiple * CAST(total_tokens AS DOUBLE)) AS target,
+       |         least($MaxEpochs,
+       |               (sq / sq_sum) * ($BudgetMultiple * CAST(total_tokens AS DOUBLE))
+       |                 / CAST(avail_tokens AS DOUBLE)) AS epochs
+       |  FROM sq, denom
+       |)
+       |SELECT source, n_docs, avail_tokens,
+       |       ${Det.roundSql("w", 8)} AS mix_weight,
+       |       ${Det.roundSql("target", 2)} AS target_tokens,
+       |       ${Det.roundSql("epochs", 6)} AS epochs,
+       |       ${Det.roundSql("epochs * CAST(avail_tokens AS DOUBLE)", 2)} AS planned_tokens,
+       |       ${Det.roundSql("greatest(0.0, target - epochs * CAST(avail_tokens AS DOUBLE))", 2)} AS shortfall
+       |FROM plan
+       |ORDER BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "token_mix_plan"     -> QueryDef(tokenMixPlan, Some(tokenMixPlanSql)),
     "source_overlap"     -> QueryDef(sourceOverlap, Some(sourceOverlapSql)),
     "quality_adaptive_gate" -> QueryDef(qualityAdaptiveGate, Some(qualityAdaptiveGateSql)),
     "sample_diverse"     -> QueryDef(sampleDiverse, Some(sampleDiverseSql)),

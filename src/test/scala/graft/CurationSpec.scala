@@ -13,6 +13,27 @@ import org.scalatest.funsuite.AnyFunSuite
 class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("token_mix_plan: weights normalize, budget conserved, cap semantics hold") {
+    val rows = Curation.tokenMixPlan(spark, TestSpark.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    val totalAvail = rows.map(_._3).sum.toDouble
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-6, "mix weights must sum to 1")
+    assert(math.abs(rows.map(_._5).sum - 4.0 * totalAvail) < 1.0,
+      "targets must sum to the 4x-corpus budget")
+    rows.foreach { case (src, nDocs, avail, w, target, epochs, planned, shortfall) =>
+      assert(nDocs > 0 && avail >= nDocs, s"$src: degenerate counts")
+      assert(w > 0 && w < 1, s"$src: weight $w out of range")
+      assert(epochs > 0 && epochs <= 8.0, s"$src: epochs $epochs breaks the cap")
+      assert(math.abs(planned - epochs * avail) < 0.5, s"$src: planned != epochs*avail")
+      assert(math.abs(shortfall - math.max(0.0, target - planned)) < 0.5,
+        s"$src: shortfall inconsistent")
+      if (epochs < 8.0 - 1e-9)
+        assert(shortfall < 0.5, s"$src: shortfall with slack epochs")
+    }
+  }
+
   test("source_overlap: canonical pair order, jaccard in (0,1], shared bounded by sets") {
     val rows = Curation.sourceOverlap(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty, "no overlapping source pairs found")
