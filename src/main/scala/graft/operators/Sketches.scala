@@ -195,7 +195,135 @@ object Sketches {
        |SELECT event_type, CAST(0.90 AS DOUBLE), ${Det.roundSql("q90", 6)}, TRUE FROM g
        |ORDER BY event_type, q""".stripMargin
 
+  /** Audience overlap across event segments through the stored-sketch
+    * lifecycle: ONE pass over events builds a KMV PARTIAL per
+    * event_type (the mergeable array, not the collapsed estimate), then
+    * every pairwise union is answered by in-row array merge — sort the
+    * concatenation, truncate to k, which reproduces the direct sketch
+    * of the union exactly — and the intersection by inclusion-exclusion
+    * (|A∩B| ≈ estA + estB − estA∪B, clamped at 0). The exact side
+    * (two-stage distinct + user-keyed self-join) rides along as the
+    * accounting check. At 100 TB the sketch side is the product — facts
+    * are scanned once, |types| arrays of k longs answer all |types|²/2
+    * overlap questions — and the exact self-join is the thing it
+    * replaces. Hash-exact oracle: same portable md5h60 hashes, same
+    * k-th order statistic, same double arithmetic.
+    */
+  def segmentOverlapSketch(spark: SparkSession, dir: String): DataFrame = {
+    val estConst = (KmvK - 1).toDouble * graft.functions.KmvDistinct.HashRange
+    def estOf(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(size(arr) < KmvK, size(arr).cast("double"))
+        .otherwise(lit(estConst) / element_at(arr, KmvK).cast("double"))
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val sk = ev
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvSketch.udf(KmvK)(col("user_id")).as("sk"))
+    val tu = ev.distinct()
+    val per = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
+    val overlap = tu
+      .join(
+        tu.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val a = sk.join(per, "event_type")
+      .select(
+        col("event_type").as("type_a"), col("sk").as("sk_a"),
+        col("n_exact").as("n_a"))
+    val b = sk.join(per, "event_type")
+      .select(
+        col("event_type").as("type_b"), col("sk").as("sk_b"),
+        col("n_exact").as("n_b"))
+    a.crossJoin(b)
+      .filter(col("type_a") < col("type_b"))
+      .join(overlap, Seq("type_a", "type_b"), "left")
+      .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
+      .withColumn("merged",
+        slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))), 1, KmvK))
+      .withColumn("est_union", estOf(col("merged")))
+      .withColumn("est_overlap",
+        greatest(
+          lit(0.0),
+          estOf(col("sk_a")) + estOf(col("sk_b")) - col("est_union")))
+      .select(
+        col("type_a"),
+        col("type_b"),
+        (col("n_a") + col("n_b") - col("exact_overlap")).as("exact_union"),
+        col("exact_overlap"),
+        Det.detRound(col("est_union"), 2).as("kmv_union_est"),
+        Det.detRound(col("est_overlap"), 2).as("kmv_overlap_est"),
+        Det.detRound(
+          abs(col("est_overlap") - col("exact_overlap").cast("double")), 2)
+          .as("overlap_abs_err"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val segmentOverlapSketchSql = {
+    val estConst =
+      s"(CAST(${KmvK - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE))"
+    def est(nh: String, hk: String) =
+      s"CASE WHEN $nh < $KmvK THEN CAST($nh AS DOUBLE) ELSE $estConst / CAST($hk AS DOUBLE) END"
+    s"""WITH tu AS (
+       |  SELECT DISTINCT event_type, user_id FROM events
+       |), per AS (
+       |  SELECT event_type, count(*) AS n_exact FROM tu GROUP BY event_type
+       |), pairs AS (
+       |  SELECT a.event_type AS type_a, a.n_exact AS n_a,
+       |         b.event_type AS type_b, b.n_exact AS n_b
+       |  FROM per a JOIN per b ON a.event_type < b.event_type
+       |), ov AS (
+       |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS exact_overlap
+       |  FROM tu a JOIN tu b
+       |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+       |  GROUP BY 1, 2
+       |), h AS (
+       |  SELECT DISTINCT event_type,
+       |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM events
+       |), tr AS (
+       |  SELECT event_type, h,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+       |  FROM h
+       |), tsk AS (
+       |  SELECT event_type, count(*) AS n_h,
+       |         max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |  FROM tr WHERE rn <= $KmvK GROUP BY event_type
+       |), uh AS (
+       |  SELECT DISTINCT p.type_a, p.type_b, h.h
+       |  FROM pairs p JOIN h ON h.event_type IN (p.type_a, p.type_b)
+       |), ur AS (
+       |  SELECT type_a, type_b, h,
+       |         row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+       |  FROM uh
+       |), usk AS (
+       |  SELECT type_a, type_b, count(*) AS n_h,
+       |         max(CASE WHEN rn = $KmvK THEN h END) AS hk
+       |  FROM ur WHERE rn <= $KmvK GROUP BY type_a, type_b
+       |), est AS (
+       |  SELECT p.type_a, p.type_b,
+       |         p.n_a + p.n_b - COALESCE(o.exact_overlap, 0) AS exact_union,
+       |         COALESCE(o.exact_overlap, 0) AS exact_overlap,
+       |         ${est("u.n_h", "u.hk")} AS est_union,
+       |         greatest(0.0,
+       |           ${est("ta.n_h", "ta.hk")} + ${est("tb.n_h", "tb.hk")}
+       |             - ${est("u.n_h", "u.hk")}) AS est_overlap
+       |  FROM pairs p
+       |  LEFT JOIN ov o ON o.type_a = p.type_a AND o.type_b = p.type_b
+       |  JOIN tsk ta ON ta.event_type = p.type_a
+       |  JOIN tsk tb ON tb.event_type = p.type_b
+       |  JOIN usk u  ON u.type_a = p.type_a AND u.type_b = p.type_b
+       |)
+       |SELECT type_a, type_b, exact_union, exact_overlap,
+       |       ${Det.roundSql("est_union", 2)} AS kmv_union_est,
+       |       ${Det.roundSql("est_overlap", 2)} AS kmv_overlap_est,
+       |       ${Det.roundSql("abs(est_overlap - CAST(exact_overlap AS DOUBLE))", 2)} AS overlap_abs_err
+       |FROM est
+       |ORDER BY type_a, type_b""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "segment_overlap_sketch" -> QueryDef(segmentOverlapSketch, Some(segmentOverlapSketchSql)),
     "distinct_users_sketch"  -> QueryDef(distinctUsersSketch, Some(distinctUsersSketchSql)),
     "frequent_parts"         -> QueryDef(frequentParts, Some(frequentPartsSql)),
     "value_quantiles_sketch" -> QueryDef(valueQuantilesSketch, Some(valueQuantilesSketchSql)))

@@ -42,4 +42,35 @@ class SkewKmvSpec extends AnyFunSuite {
     val est = spark.range(20).agg(kmv($"id")).collect().head.getDouble(0)
     assert(est === 20.0)
   }
+
+  test("segment_overlap_sketch: inclusion-exclusion on crafted disjoint/nested/partial segments") {
+    // X = users 0..99, Y = 50..149 (|X∩Y| = 50), Z = 200..219 (disjoint)
+    val d = java.nio.file.Files.createTempDirectory("graft-segoverlap").toFile
+    d.deleteOnExit()
+    def seg(t: String, lo: Long, hi: Long) =
+      spark.range(lo, hi).select(
+        $"id".as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + $"id").as("ts"),
+        $"id".as("user_id"),
+        lit(t).as("event_type"))
+    seg("X", 0, 100).unionAll(seg("Y", 50, 150))
+      .unionAll(seg("Z", 200, 220))
+      .write.parquet(d.getAbsolutePath + "/events.parquet")
+    val rows = graft.operators.Sketches
+      .segmentOverlapSketch(spark, d.getAbsolutePath)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.map(t => (t._1, t._2)).toSeq === Seq(("X", "Y"), ("X", "Z"), ("Y", "Z")))
+    val byPair = rows.map(t => (t._1, t._2) -> t).toMap
+    // all sets are below k=256, so every estimate is EXACT
+    val xy = byPair(("X", "Y"))
+    assert((xy._3, xy._4) === (150L, 50L))
+    assert(xy._5 === 150.0 && xy._6 === 50.0, s"XY estimates not exact: $xy")
+    val xz = byPair(("X", "Z"))
+    assert((xz._3, xz._4) === (120L, 0L))
+    assert(xz._5 === 120.0 && xz._6 === 0.0, s"XZ estimates not exact: $xz")
+    val yz = byPair(("Y", "Z"))
+    assert((yz._3, yz._4) === (120L, 0L))
+  }
 }
