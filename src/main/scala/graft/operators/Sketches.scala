@@ -218,7 +218,12 @@ object Sketches {
     val sk = ev
       .groupBy(col("event_type"))
       .agg(graft.functions.KmvSketch.udf(KmvK)(col("user_id")).as("sk"))
-    val tu = ev.distinct()
+    // the distinct (type, user) frame feeds three consumers (per-type
+    // counts + both sides of the overlap self-join) — checkpoint so the
+    // fact scan + distinct shuffle run ONCE (the frame is audience-
+    // sized, bounded by |users|·|types|, not fact-sized); same pattern
+    // as source_overlap's pinned shingle frame
+    val tu = ev.distinct().localCheckpoint()
     val per = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
     val overlap = tu
       .join(
@@ -237,7 +242,7 @@ object Sketches {
         col("n_exact").as("n_b"))
     a.crossJoin(b)
       .filter(col("type_a") < col("type_b"))
-      .join(overlap, Seq("type_a", "type_b"), "left")
+      .join(broadcast(overlap), Seq("type_a", "type_b"), "left")
       .withColumn("exact_overlap", coalesce(col("exact_overlap"), lit(0L)))
       .withColumn("merged",
         slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))), 1, KmvK))
