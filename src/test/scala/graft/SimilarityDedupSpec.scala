@@ -176,6 +176,26 @@ class SimilarityDedupSpec extends AnyFunSuite {
     assert(recall >= 0.3, f"PQ recall@10 = $recall%.2f — below the 0.3 floor")
   }
 
+  test("ann_pq: an exact duplicate of a query vector ranks first") {
+    // ADC(q, x) is minimized when x's codes equal q's own argmin codes —
+    // which is exactly what an exact duplicate encodes to. So the dup
+    // must be the top-1 neighbor (its ADC = q's own quantization error,
+    // the floor of the metric).
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-pq-dup").toFile
+    d.deleteOnExit()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(j => (((i * 31 + j * 7 + i * j) % 97) / 97.0f) * 2 - 1)
+    val rows = (0 until 40).map(i => (i.toLong, vec(i), 0)) :+ ((100L, vec(3), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(d.getAbsolutePath + "/embeddings.parquet")
+    val out = Similarity.annPq(spark, d.getAbsolutePath).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+    val top1For3 = out.collectFirst { case (3L, 1L, n) => n }
+    assert(top1For3 === Some(100L),
+      s"duplicate of query 3 did not rank first: got $top1For3")
+  }
+
   test("ann_pq_stored serves byte-identical results to the in-plan ADC scan") {
     val inPlan = Similarity.annPq(spark, TestSpark.Sf).collect().toSeq
     val stored = Similarity.annPqStored(spark, TestSpark.Sf).collect().toSeq
