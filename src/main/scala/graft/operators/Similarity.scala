@@ -34,7 +34,7 @@ object Similarity {
   private val PqM     = 8  // subspaces
   private val PqDsub  = 8  // dims per subspace (embeddings dim 64, canaried)
   private val PqK     = 32 // codewords per subspace
-  private val PqIters = 2
+  private val PqIters = 1
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
