@@ -615,7 +615,175 @@ object Curation {
        |FROM plan
        |ORDER BY source""".stripMargin
 
+  // -------------------------------------------------------- curation funnel
+
+  /** End-to-end curation funnel: the four gates a pre-training pipeline
+    * chains between raw crawl and tokenization, reported as a per-stage
+    * survivor funnel (the observability artifact every data run ships):
+    *
+    *   1. min_length   — whitespace token count ≥ 30
+    *   2. repetition   — top-bigram share < 8% (integer compare; the
+    *                     per-doc gate docRepetition generalizes)
+    *   3. exact_dedup  — keep the lowest doc_id per md5(text) group
+    *                     among stage-2 survivors
+    *   4. near_dedup   — MinHash-LSH (the dedupMinhash sketch: same
+    *                     shingles, permutations, band keys, bucket cap,
+    *                     0.5 verify threshold) over stage-3 survivors;
+    *                     a doc drops when it pairs with a LOWER-id
+    *                     stage-3 survivor (greedy by id — deterministic,
+    *                     one pass, no iteration).
+    *
+    * Output is 4 rows (stage, rule, n_in, n_out, n_dropped) — counts
+    * only, so the hash contract needs no float discipline.
+    *
+    * Scale: stages shrink the frame monotonically; the per-doc flag
+    * frame is persisted once and feeds all three consumers, signatures
+    * are computed only for stage-3 survivors, and every aggregate is
+    * map-side combinable. The sketch stage inherits dedupMinhash's
+    * bucket-size cap, so no hot bucket can go quadratic.
+    */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val k = Dedup.MinhashK
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+
+    val gramStats = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+          .as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_g"), max(col("c")).as("top_cnt"))
+
+    val flagged = docs
+      .select(
+        col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(gramStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("text"),
+        (col("n_tokens") >= 30).as("p1"),
+        (col("n_tokens") >= 30 &&
+          coalesce(col("top_cnt") * 100 < col("n_g") * 8, lit(false))).as("p2"))
+      .persist()
+
+    val s2 = flagged.filter(col("p2")).select(col("doc_id"), col("text"))
+    val keepIds = s2
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("keep_id"))
+    val s3 = s2.join(keepIds, s2("doc_id") === keepIds("keep_id"), "left_semi")
+      .persist()
+
+    val (sigs, bands) = Dedup.minhashBandsOf(s3, k)
+    val drops = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 100))
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+          |  transform(slice(ds, i + 2, size(ds)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .filter(
+        Det.detRound(
+          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
+          6) >= 0.5)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    val s4 = s3.join(drops, Seq("doc_id"), "left_anti")
+
+    val c01 = flagged.agg(
+      count(lit(1)).as("n0"),
+      sum(when(col("p1"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("p2"), 1L).otherwise(0L)).as("n2"))
+    val c3 = s3.agg(count(lit(1)).as("n3"))
+    val c4 = s4.agg(count(lit(1)).as("n4"))
+    c01.crossJoin(c3).crossJoin(c4)
+      .select(explode(array(
+        struct(lit(1).as("stage"), lit("min_length").as("rule"),
+          col("n0").as("n_in"), col("n1").as("n_out")),
+        struct(lit(2).as("stage"), lit("repetition").as("rule"),
+          col("n1").as("n_in"), col("n2").as("n_out")),
+        struct(lit(3).as("stage"), lit("exact_dedup").as("rule"),
+          col("n2").as("n_in"), col("n3").as("n_out")),
+        struct(lit(4).as("stage"), lit("near_dedup").as("rule"),
+          col("n3").as("n_in"), col("n4").as("n_out")))).as("s"))
+      .select(
+        col("s.stage"), col("s.rule"), col("s.n_in"), col("s.n_out"),
+        (col("s.n_in") - col("s.n_out")).as("n_dropped"))
+      .orderBy(col("stage"))
+  }
+
+  private val curationFunnelSql = {
+    val k   = Dedup.MinhashK
+    val est = Dedup.estJaccardSql(k)
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text FROM documents
+       |), tarr AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM d0
+       |), g AS (
+       |  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+       |  FROM tarr, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |  WHERE len(t) >= 2
+       |), gs AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_g, max(c) AS top_cnt
+       |  FROM (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram)
+       |  GROUP BY doc_id
+       |), flagged AS (
+       |  SELECT d.doc_id, d.text,
+       |         len(string_split(d.text, ' ')) >= 30 AS p1,
+       |         (len(string_split(d.text, ' ')) >= 30)
+       |           AND COALESCE(gs.top_cnt*100 < gs.n_g*8, FALSE) AS p2
+       |  FROM d0 d LEFT JOIN gs USING (doc_id)
+       |), s2 AS (
+       |  SELECT doc_id, text FROM flagged WHERE p2
+       |), keep AS (
+       |  SELECT min(doc_id) AS keep_id FROM s2 GROUP BY md5(text)
+       |), s3 AS (
+       |  SELECT doc_id, text FROM s2 WHERE doc_id IN (SELECT keep_id FROM keep)
+       |),
+       |${Dedup.minhashSqlPrefix(k, "s3")},
+       |cand AS (
+       |  SELECT DISTINCT a.x AS doc_a, b.x AS doc_b
+       |  FROM buck, unnest(docs) AS a(x), unnest(docs) AS b(x)
+       |  WHERE len(docs) BETWEEN 2 AND 100 AND a.x < b.x
+       |), drops AS (
+       |  SELECT DISTINCT c.doc_b AS doc_id
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_b = sb.doc_id
+       |  WHERE ${Det.roundSql(est, 6)} >= 0.5
+       |), s4 AS (
+       |  SELECT doc_id FROM s3 WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+       |), c01 AS (
+       |  SELECT count(*) AS n0,
+       |         count(*) FILTER (p1) AS n1,
+       |         count(*) FILTER (p2) AS n2
+       |  FROM flagged
+       |), wide AS (
+       |  SELECT * FROM c01, (SELECT count(*) AS n3 FROM s3), (SELECT count(*) AS n4 FROM s4)
+       |)
+       |SELECT * FROM (
+       |  SELECT 1 AS stage, 'min_length' AS rule, n0 AS n_in, n1 AS n_out, n0 - n1 AS n_dropped FROM wide
+       |  UNION ALL SELECT 2, 'repetition', n1, n2, n1 - n2 FROM wide
+       |  UNION ALL SELECT 3, 'exact_dedup', n2, n3, n2 - n3 FROM wide
+       |  UNION ALL SELECT 4, 'near_dedup', n3, n4, n3 - n4 FROM wide
+       |)
+       |ORDER BY stage""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "curation_funnel"    -> QueryDef(curationFunnel, Some(curationFunnelSql)),
     "token_mix_plan"     -> QueryDef(tokenMixPlan, Some(tokenMixPlanSql)),
     "source_overlap"     -> QueryDef(sourceOverlap, Some(sourceOverlapSql)),
     "quality_adaptive_gate" -> QueryDef(qualityAdaptiveGate, Some(qualityAdaptiveGateSql)),

@@ -184,7 +184,7 @@ object Dedup {
     * Bucket size capped at 100 to bound degenerate-skew blowup — capped
     * buckets are near-identical content, caught by dedup_exact anyway.
     */
-  private val MinhashK = 64
+  private[operators] val MinhashK = 64
 
   /** Shared minhash stage: per-doc md5-basis signatures and their 16×4
     * LSH band rows (band key = the 4 signature values joined as a
@@ -202,7 +202,7 @@ object Dedup {
   /** Same sketch over an arbitrary (doc_id, text) frame — the
     * incremental path signs base and delta separately.
     */
-  private def minhashBandsOf(
+  private[operators] def minhashBandsOf(
       docs: DataFrame, k: Int, persistSigs: Boolean = true): (DataFrame, DataFrame) = {
     val raw = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -228,13 +228,13 @@ object Dedup {
     * k affine-permutation minima (the same (a_j, b_j) literals the
     * codegen kernel uses) → band rows → sorted bucket lists.
     */
-  private def minhashSqlPrefix(k: Int): String = {
+  private[operators] def minhashSqlPrefix(k: Int, src: String = "documents"): String = {
     import graft.functions.{MinHashMd5, PortableHash}
     val sigList = (0 until k)
       .map(j => s"min((${MinHashMd5.as(j)} * h + ${MinHashMd5.bs(j)}) % ${PortableHash.P})")
       .mkString("[\n           ", ",\n           ", "]")
     s"""toks AS (
-       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM ${src}
        |), sh AS (
        |  SELECT doc_id, unnest(
        |    CASE WHEN len(t) >= 3
@@ -257,7 +257,7 @@ object Dedup {
        |)""".stripMargin
   }
 
-  private def estJaccardSql(k: Int) =
+  private[operators] def estJaccardSql(k: Int) =
     s"CAST(len(list_filter(generate_series(1, $k), j -> sa.sig[j] = sb.sig[j])) AS DOUBLE) / $k"
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {

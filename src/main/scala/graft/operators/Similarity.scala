@@ -817,6 +817,124 @@ object Similarity {
        |GROUP BY vec_id, n_dims
        |ORDER BY vec_id""".stripMargin
 
+  // ------------------------------------------------------ semantic dedup
+
+  private val SemTau = 0.38
+  private[graft] val SemanticCap = 20000L
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication" — public knowledge): cluster the embeddings with the
+    * trained k-means quantizer (shared, memoized trainer — the same
+    * centroids embedding_kmeans / ann_ivf_trained serve), then drop a
+    * vector when it is ≥ τ cosine-similar to an earlier-ranked member of
+    * ITS OWN cluster, rank = distance-to-centroid ascending (ties on
+    * vec_id). Greedy against earlier-ranked members regardless of their
+    * own verdict — deterministic, one join, no iteration; the kept set
+    * is exactly "members with no closer-to-centroid semantic twin".
+    *
+    * Scale: the within-cluster pair join is quadratic in CLUSTER size by
+    * design — SemDeDup's contract is k ∝ corpus so clusters stay
+    * O(constant). The oracle pins k=8, so past SemanticCap the candidate
+    * set downgrades to the LSH-bucketed pair stream (lshScoredPairs:
+    * capped buckets, subquadratic) intersected with same-cell — same
+    * verdict shape, approximate recall, recorded via Downgrades.
+    */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupGuarded(spark, dir, SemanticCap)
+
+  private[graft] def semanticDedupGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    GraftFunctions.register(spark)
+    val k     = 8
+    val iters = 3
+    val cents = trainCentroids(spark, dir, k, iters)
+    val e = corpus(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val wRank = Window.partitionBy(col("cell")).orderBy(asc("d2"), asc("vec_id"))
+    // graft_cosine reads FLOAT arrays (and accumulates in double — the
+    // exact arithmetic DuckDB does on CAST(embedding AS DOUBLE[])), so
+    // carry the original float vectors through, not the double copies
+    val ranked = kmeansAssign(spark, e, cents)
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .join(corpus(spark, dir).select(col("vec_id"), col("embedding")), "vec_id")
+      .select(col("vec_id"), col("cell"), col("rk"), col("embedding"))
+
+    val n = Tables.cachedCount(spark, dir, "embeddings")
+    val pairs =
+      if (n <= cap) {
+        // exact within-cluster candidate set
+        val a = ranked.select(
+          col("cell"), col("rk").as("rk_a"), col("vec_id").as("cand_id"),
+          col("embedding").as("va"))
+        val b = ranked.select(
+          col("cell"), col("rk").as("rk_b"), col("vec_id"),
+          col("embedding").as("vb"))
+        b.join(a, Seq("cell"))
+          .filter(col("rk_a") < col("rk_b"))
+          .select(
+            col("vec_id"), col("rk_a"), col("cand_id"),
+            Det.detRound(expr("graft_cosine(va, vb)"), 6).as("cos"))
+      } else {
+        graft.Downgrades.record("semantic_dedup", "lsh-bucketed candidates", n, cap)
+        val ra = ranked.select(
+          col("vec_id").as("vec_a"), col("cell").as("cell_a"), col("rk").as("rka"))
+        val rb = ranked.select(
+          col("vec_id").as("vec_b"), col("cell").as("cell_b"), col("rk").as("rkb"))
+        lshScoredPairs(spark, dir)
+          .join(ra, "vec_a")
+          .join(rb, "vec_b")
+          .filter(col("cell_a") === col("cell_b"))
+          .select(
+            // orient: lower-ranked member is the keep candidate
+            when(col("rka") < col("rkb"), col("vec_b")).otherwise(col("vec_a")).as("vec_id"),
+            least(col("rka"), col("rkb")).as("rk_a"),
+            when(col("rka") < col("rkb"), col("vec_a")).otherwise(col("vec_b")).as("cand_id"),
+            col("cos"))
+      }
+
+    val best = pairs
+      .filter(col("cos") >= SemTau)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("rk_a"), col("cand_id"), col("cos"))).as("m"))
+      .select(
+        col("vec_id"),
+        col("m.cand_id").as("matched_id"),
+        col("m.cos").as("match_cos"))
+    ranked
+      .join(best, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"), col("cell"), col("rk"),
+        when(col("matched_id").isNull, "keep").otherwise("drop").as("verdict"),
+        col("matched_id"), col("match_cos"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val semanticDedupSql = {
+    val iters = 3
+    s"""WITH ${kmeansChainSql(8, iters)},
+       |${kmeansAssignCte("afinal", s"c$iters")},
+       |ranked AS (
+       |  SELECT vec_id, cell, v,
+       |         row_number() OVER (PARTITION BY cell ORDER BY d2 ASC, vec_id ASC) AS rk
+       |  FROM afinal
+       |), pairs AS (
+       |  SELECT b.vec_id, a.rk AS rk_a, a.vec_id AS cand_id,
+       |         ${Det.roundSql("list_cosine_similarity(a.v, b.v)", 6)} AS cos
+       |  FROM ranked b JOIN ranked a ON a.cell = b.cell AND a.rk < b.rk
+       |), best AS (
+       |  SELECT vec_id, cand_id AS matched_id, cos AS match_cos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY rk_a ASC) AS pick
+       |        FROM pairs WHERE cos >= $SemTau)
+       |  WHERE pick = 1
+       |)
+       |SELECT r.vec_id, r.cell, r.rk,
+       |       CASE WHEN m.matched_id IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+       |       m.matched_id, m.match_cos
+       |FROM ranked r LEFT JOIN best m USING (vec_id)
+       |ORDER BY r.vec_id""".stripMargin
+  }
+
   /** ANN quality observability: recall@k of each approximate search
     * path (ann_lsh, ann_ivf, ann_pq) against the exact brute-force anchor
     * (ann_cosine_topk ground truth), per query vector — the measurement
@@ -1211,6 +1329,7 @@ object Similarity {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "semantic_dedup"    -> QueryDef(semanticDedup, Some(semanticDedupSql)),
     "ann_recall"        -> QueryDef(annRecall, Some(annRecallSql)),
     "ann_pq"            -> QueryDef(annPq, Some(annPqSql)),
     // identical to ann_pq by construction (the stored index must serve

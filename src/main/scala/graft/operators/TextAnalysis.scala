@@ -386,7 +386,103 @@ object TextAnalysis {
        |GROUP BY b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Per-SOURCE repetition profile: the corpus-observability rollup of
+    * the Gopher repetition rules (Rae et al. 2021, §A1.1 — public
+    * knowledge). Complements the per-document gate
+    * (Curation.docRepetition) with the signal that one does not compute:
+    * the DUPLICATE-n-gram fraction (share of bigrams that repeat an
+    * earlier bigram of the same document), rolled up per source so a
+    * pipeline operator can compare crawl feeds at a glance. A real
+    * pipeline sweeps n over 2..10; the shape is gram-size-generic (one
+    * constant), and n=2 is the size the generator's corpus actually
+    * exercises (its dup-5-gram rate is 0).
+    *
+    * Flags are INTEGER-arithmetic compares (top_cnt·100 ≥ 8·n_grams,
+    * dup·100 ≥ 5·n_grams), corpus rates come from BIGINT sums — fully
+    * order-independent, so the DuckDB twin hash-matches without any
+    * float discipline.
+    *
+    * Scale: one gram-level explode whose (doc_id, gram) groupBy is
+    * map-side combinable (grams of one doc live in one input split), a
+    * doc-level agg AQE-coalesces, and the output is |sources| rows —
+    * linear in corpus size, bounded output, no joins.
+    */
+  def repetitionProfile(spark: SparkSession, dir: String): DataFrame =
+    repetitionProfileOf(Tables.documents(spark, dir))
+
+  /** Same profile over any (doc_id, source, text) frame — lets specs
+    * prove the flags on crafted repetitive-vs-diverse fixtures the
+    * generator corpus can't produce.
+    */
+  def repetitionProfileOf(docs: DataFrame): DataFrame = {
+    val perDoc = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(
+        col("doc_id"),
+        col("source"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i+1]))"))
+          .as("gram"))
+      .groupBy(col("doc_id"), col("source"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(
+        sum(col("c")).as("n_g"),
+        count(lit(1)).as("nd"),
+        max(col("c")).as("top_cnt"))
+    perDoc
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("top_cnt") * 100 >= col("n_g") * 8, 1L).otherwise(0L))
+          .as("n_flag_top2"),
+        sum(when((col("n_g") - col("nd")) * 100 >= col("n_g") * 5, 1L).otherwise(0L))
+          .as("n_flag_dup2"),
+        sum(when(
+          col("top_cnt") * 100 >= col("n_g") * 8 ||
+            (col("n_g") - col("nd")) * 100 >= col("n_g") * 5, 1L).otherwise(0L))
+          .as("n_flagged"),
+        sum(col("top_cnt")).as("s_top"),
+        sum(col("n_g") - col("nd")).as("s_dup"),
+        sum(col("n_g")).as("s_g"))
+      .select(
+        col("source"), col("n_docs"), col("n_flag_top2"), col("n_flag_dup2"),
+        col("n_flagged"),
+        Det.detRound(col("s_top").cast("double") / col("s_g"), 6).as("top2_rate"),
+        Det.detRound(col("s_dup").cast("double") / col("s_g"), 6).as("dup2_rate"))
+      .orderBy(col("source"))
+  }
+
+  private val repetitionProfileSql =
+    s"""WITH tarr AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |), g AS (
+       |  SELECT doc_id, source, t[i] || ' ' || t[i+1] AS gram
+       |  FROM tarr, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |  WHERE len(t) >= 2
+       |), perdoc AS (
+       |  SELECT doc_id, source,
+       |         CAST(sum(c) AS BIGINT) AS n_g,
+       |         count(*) AS nd,
+       |         max(c) AS top_cnt
+       |  FROM (SELECT doc_id, source, gram, count(*) AS c
+       |        FROM g GROUP BY doc_id, source, gram)
+       |  GROUP BY doc_id, source
+       |)
+       |SELECT source,
+       |       count(*) AS n_docs,
+       |       CAST(count(*) FILTER (top_cnt*100 >= n_g*8) AS BIGINT) AS n_flag_top2,
+       |       CAST(count(*) FILTER ((n_g - nd)*100 >= n_g*5) AS BIGINT) AS n_flag_dup2,
+       |       CAST(count(*) FILTER (top_cnt*100 >= n_g*8 OR (n_g - nd)*100 >= n_g*5) AS BIGINT) AS n_flagged,
+       |       ${Det.roundSql("CAST(sum(top_cnt) AS DOUBLE) / sum(n_g)", 6)} AS top2_rate,
+       |       ${Det.roundSql("CAST(sum(n_g - nd) AS DOUBLE) / sum(n_g)", 6)} AS dup2_rate
+       |FROM perdoc
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "repetition_profile" -> QueryDef(repetitionProfile, Some(repetitionProfileSql)),
     "lm_bigram_score"   -> QueryDef(lmBigramScore, Some(lmBigramScoreSql)),
     "lm_score"          -> QueryDef(lmScore, Some(lmScoreSql)),
     "sample_stratified" -> QueryDef(sampleStratified, Some(sampleStratifiedSql)),

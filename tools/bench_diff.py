@@ -49,12 +49,39 @@ def load(path):
     return {"queries": qs}
 
 
+# Queries sharing a JVM-memoized trainer (the Lloyd k-means centroids /
+# PQ codebooks in Similarity.scala): WHICH member pays the one-time
+# training cost depends on cache state at run start (e.g. whether the
+# stored-index disk cache is valid, letting the stored variant skip its
+# build), so individual times legitimately flip between members run to
+# run while the group's combined cost is unchanged. Gate these on the
+# GROUP SUM instead of per-query — a real plan regression still moves
+# the sum; an attribution flip does not.
+SHARED_COST_GROUPS = {
+    "trainer": {"embedding_kmeans", "ann_ivf_trained", "ann_ivf_stored",
+                "ann_pq", "ann_pq_stored", "ann_recall", "semantic_dedup"},
+}
+
+
 def diff(old, new, factor=2.0, floor=0.5):
     """Return (regressions, improvements, added, removed); each entry is
-    (name, old_sec, new_sec)."""
+    (name, old_sec, new_sec). Members of a SHARED_COST_GROUPS entry are
+    gated on the group's summed time (reported as "group:NAME")."""
     oq, nq = old["queries"], new["queries"]
+    grouped = set()
     regress, improve = [], []
-    for name in sorted(set(oq) & set(nq)):
+    for gname, members in sorted(SHARED_COST_GROUPS.items()):
+        both = members & set(oq) & set(nq)
+        if len(both) < 2:
+            continue  # fall through to per-query gating below
+        grouped |= both
+        o = sum(oq[m] for m in both)
+        n = sum(nq[m] for m in both)
+        if n >= factor * o and n - o >= floor:
+            regress.append((f"group:{gname}", o, n))
+        elif o >= factor * n and o - n >= floor:
+            improve.append((f"group:{gname}", o, n))
+    for name in sorted(set(oq) & set(nq) - grouped):
         o, n = oq[name], nq[name]
         if n >= factor * o and n - o >= floor:
             regress.append((name, o, n))
@@ -73,6 +100,21 @@ def selftest():
     assert i == [("c", 4.0, 1.5)], i          # 2.7x faster -> improvement
     # b tripled but +0.2s is under the floor -> jitter, not a regression
     assert add == ["fresh"] and rm == ["gone"]
+    # shared-cost group: an attribution flip (member 4x slower, another
+    # member absorbs it) is NOT a regression — the sum barely moves
+    old_g = {"queries": {"ann_ivf_trained": 0.9, "ann_ivf_stored": 3.1}}
+    new_g = {"queries": {"ann_ivf_trained": 3.4, "ann_ivf_stored": 1.0}}
+    r, i, _, _ = diff(old_g, new_g)
+    assert r == [] and i == [], (r, i)
+    # ...but a real regression across the whole group still fails
+    new_g2 = {"queries": {"ann_ivf_trained": 6.0, "ann_ivf_stored": 6.2}}
+    r, _, _, _ = diff(old_g, new_g2)
+    assert r == [("group:trainer", 4.0, 12.2)], r
+    # a group with only one member present falls back to per-query gating
+    old_s = {"queries": {"ann_pq": 1.0}}
+    new_s = {"queries": {"ann_pq": 3.0}}
+    r, _, _, _ = diff(old_s, new_s)
+    assert r == [("ann_pq", 1.0, 3.0)], r
     print("selftest ok")
 
 
