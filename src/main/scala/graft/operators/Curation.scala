@@ -680,25 +680,40 @@ object Curation {
     val s3 = s2.join(keepIds, s2("doc_id") === keepIds("keep_id"), "left_semi")
       .persist()
 
-    val (sigs, bands) = Dedup.minhashBandsOf(s3, k)
-    val drops = bands
+    // Stage 4 needs only the DROP SET (any doc with a lower-id ≥0.5
+    // match), not the scored pair list — so the signature-verify runs
+    // IN-ROW per bucket instead of expanding candidate pairs. The pair
+    // expansion (dedupMinhash's shape, correct when pairs ARE the
+    // output) shuffles O(cap²·buckets) rows on a duplicated corpus:
+    // measured 28 GiB memory spill / 109 s at the 100×-docs worst case
+    // (every doc has 99 near-copies). Carrying sigs into the bucket
+    // list instead costs one bands·|sig| shuffle (~16×520 B/doc) and
+    // emits only dropped ids — pair volume never leaves the row.
+    // est ≥ 0.5 ⇔ matching minima ≥ k/2 (multiples of 1/k are exact
+    // doubles, so this is the oracle's detRound compare verbatim).
+    val (sigs, _) = Dedup.minhashBandsOf(s3, k, persistSigs = false)
+    // minima are < PortableHash.P = 2^31−1, so int32 carries them
+    // losslessly — halves the per-band-row signature bytes shuffled
+    val sigBands = sigs
+      .select(col("doc_id"), expr("transform(sig, x -> CAST(x AS INT))").as("sig"))
+      .select(
+        col("doc_id"), col("sig"),
+      explode(expr(
+        """transform(sequence(0, 15), b -> struct(b AS band,
+          |  array_join(transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)), ',') AS bh))""".stripMargin))
+        .as("lsh"))
+      .select(col("doc_id"), col("sig"), col("lsh.band"), col("lsh.bh"))
+    val drops = sigBands
       .groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .filter(size(col("ds")).between(2, 100))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")).between(2, 100))
       .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-          |  transform(slice(ds, i + 2, size(ds)), y ->
-          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .filter(
-        Det.detRound(
-          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
-          6) >= 0.5)
-      .select(col("doc_b").as("doc_id"))
+        s"""filter(transform(ms, (m, i) ->
+           |  IF(exists(slice(ms, 1, i), a ->
+           |       size(filter(zip_with(a.sig, m.sig, (x, y) -> x = y), eq -> eq)) >= $k / 2),
+           |     m.doc_id, CAST(NULL AS BIGINT))),
+           |  x -> x IS NOT NULL)""".stripMargin))
+        .as("doc_id"))
       .distinct()
     val s4 = s3.join(drops, Seq("doc_id"), "left_anti")
 
