@@ -14,6 +14,7 @@ object SparkEntry {
       Similarity.defs ++ Extended.defs ++ AsOf.defs ++ Olap.defs ++
       Retention.defs ++ Rank.defs ++ TextNgrams.defs ++ Sketches.defs ++
       Graph.defs ++ Typed.defs ++ Skew.defs ++ Curation.defs ++ Pipeline.defs ++
+      Temporal.defs ++
       Warehouse.defs ++ Quality.defs ++ Cdc.defs ++ Reports.defs ++
       graft.streaming.EventStreams.defs ++ graft.streaming.DocStreams.defs ++
       graft.multimodal.Multimodal.defs ++
