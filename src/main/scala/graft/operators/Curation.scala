@@ -797,7 +797,103 @@ object Curation {
        |ORDER BY stage""".stripMargin
   }
 
+  /** Keyword-rule topic taxonomy: (topic → keyword set), evaluated in
+    * topic-name order so argmax ties break deterministically. The
+    * rule-based domain tagger is the standard first pass for corpus
+    * domain-mix reporting (before any learned classifier exists); at
+    * scale it is a pure per-row map — keyword sets live in the closure,
+    * zero shuffle before the final (source, topic) rollup.
+    */
+  private val Topics: Seq[(String, Seq[String])] = Seq(
+    "exec"      -> Seq("agg", "filter", "group", "join", "merge", "query", "scan", "sort"),
+    "perf"      -> Seq("big", "fast", "slow", "small", "vector"),
+    "storage"   -> Seq("column", "hash", "key", "line", "part", "row", "table"),
+    "streaming" -> Seq("batch", "spark", "stream", "window"))
+
+  /** Per-(source, topic) document counts and within-source shares under
+    * the keyword-rule tagger: each doc is assigned the topic with the
+    * most keyword hits (ties → first topic name, zero hits → 'other').
+    */
+  def topicTagging(spark: SparkSession, dir: String): DataFrame =
+    topicTaggingOf(Tables.documents(spark, dir))
+
+  /** The tagger core over any (source, text) frame — exposed for
+    * CorpusOpsSpec's crafted-fixture tests.
+    */
+  private[graft] def topicTaggingOf(docs: DataFrame): DataFrame = {
+    val scores = Topics.map { case (name, kws) =>
+      val set = kws.map(k => s"'$k'").mkString(", ")
+      expr(s"size(filter(t, x -> x IN ($set)))").as(s"s_$name")
+    }
+    val names = Topics.map(_._1)
+    // argmax with name-order tie-break: first topic whose score beats
+    // all LATER topics (>=) and is positive
+    val topic = names.zipWithIndex
+      .foldRight(lit("other")) { case ((name, i), elseCol) =>
+        val beatsLater = names
+          .drop(i + 1)
+          .map(later => col(s"s_$name") >= col(s"s_$later"))
+          .foldLeft(col(s"s_$name") > 0)(_ && _)
+        when(beatsLater, lit(name)).otherwise(elseCol)
+      }
+    val perSource = Window.partitionBy(col("source"))
+    docs
+      .select(
+        col("source") +:
+          expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").as("t") +:
+          Nil: _*)
+      .select(col("source") +: scores: _*)
+      .withColumn("topic", topic)
+      .groupBy(col("source"), col("topic"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn(
+        "share",
+        Det.detRound(
+          col("n_docs").cast("double") / sum(col("n_docs")).over(perSource), 4))
+      .orderBy(col("source"), col("topic"))
+  }
+
+  private val topicTaggingSql = {
+    val scoreCols = Topics
+      .map { case (name, kws) =>
+        val set = kws.map(k => s"'$k'").mkString(", ")
+        s"len(list_filter(t, x -> x IN ($set))) AS s_$name"
+      }
+      .mkString(",\n         ")
+    val names = Topics.map(_._1)
+    val caseArms = names.zipWithIndex
+      .map { case (name, i) =>
+        val conds = (s"s_$name > 0" +:
+          names.drop(i + 1).map(later => s"s_$name >= s_$later")).mkString(" AND ")
+        s"WHEN $conds THEN '$name'"
+      }
+      .mkString("\n           ")
+    s"""WITH base AS (
+       |  SELECT source,
+       |         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t
+       |  FROM documents
+       |), scored AS (
+       |  SELECT source,
+       |         $scoreCols
+       |  FROM base
+       |), tagged AS (
+       |  SELECT source,
+       |         CASE $caseArms
+       |           ELSE 'other' END AS topic
+       |  FROM scored
+       |), counts AS (
+       |  SELECT source, topic, count(*) AS n_docs FROM tagged GROUP BY source, topic
+       |)
+       |SELECT source, topic, n_docs,
+       |       ${Det.roundSql(
+        "CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source)",
+        4)} AS share
+       |FROM counts
+       |ORDER BY source, topic""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "topic_tagging"      -> QueryDef(topicTagging, Some(topicTaggingSql)),
     "curation_funnel"    -> QueryDef(curationFunnel, Some(curationFunnelSql)),
     "token_mix_plan"     -> QueryDef(tokenMixPlan, Some(tokenMixPlanSql)),
     "source_overlap"     -> QueryDef(sourceOverlap, Some(sourceOverlapSql)),

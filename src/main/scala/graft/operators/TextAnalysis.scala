@@ -171,7 +171,11 @@ object TextAnalysis {
   def langId(spark: SparkSession, dir: String): DataFrame =
     classifyLang(Tables.documents(spark, dir))
 
-  private val langIdSql = {
+  /** The classifier CTE chain through `best` (per-doc winning language)
+    * — shared by the lang_id oracle and the lang_confusion rollup so
+    * both replay the identical rank-profile scoring.
+    */
+  private val langIdCoreSql = {
     def esc(s: String) = s.replace("'", "''")
     val profRows = LangSamples
       .flatMap { case (l, text) =>
@@ -216,13 +220,50 @@ object TextAnalysis {
        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score, pref) AS rk
        |    FROM scores
        |  ) WHERE rk = 1
-       |)
-       |SELECT d.doc_id, d.lang,
-       |       COALESCE(b.plang, 'und') AS predicted_lang,
-       |       COALESCE(b.plang, 'und') = d.lang AS agrees
-       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |), perdoc AS (
+       |  SELECT d.doc_id, d.lang,
+       |         COALESCE(b.plang, 'und') AS predicted_lang,
+       |         COALESCE(b.plang, 'und') = d.lang AS agrees
+       |  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+       |)""".stripMargin
   }
+
+  private val langIdSql =
+    s"""$langIdCoreSql
+       |SELECT doc_id, lang, predicted_lang, agrees
+       |FROM perdoc ORDER BY doc_id""".stripMargin
+
+  /** Label-vs-prediction confusion matrix for the language classifier:
+    * per (lang, predicted_lang) doc counts and within-label shares — the
+    * standard classifier-drift report a curation pipeline runs whenever
+    * the lang-id model or the crawl mix changes. Scale shape: the
+    * classifier is one codegen'd scalar per row; the rollup groups on a
+    * |langs|² key space, so the shuffle carries at most a few dozen rows
+    * per partition after map-side combine.
+    */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val perLabel = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    classifyLang(Tables.documents(spark, dir))
+      .groupBy(col("lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn(
+        "share",
+        Det.detRound(
+          col("n_docs").cast("double") / sum(col("n_docs")).over(perLabel), 4))
+      .orderBy(col("lang"), col("predicted_lang"))
+  }
+
+  private val langConfusionSql =
+    s"""$langIdCoreSql, counts AS (
+       |  SELECT lang, predicted_lang, count(*) AS n_docs
+       |  FROM perdoc GROUP BY lang, predicted_lang
+       |)
+       |SELECT lang, predicted_lang, n_docs,
+       |       ${Det.roundSql(
+        "CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY lang)",
+        4)} AS share
+       |FROM counts
+       |ORDER BY lang, predicted_lang""".stripMargin
 
   /** Polynomial rolling fingerprint over the token stream
     * (h ← (31·h + wordval) mod 1e9+7): order-sensitive document identity
@@ -489,5 +530,6 @@ object TextAnalysis {
     "token_count"     -> QueryDef(tokenCount, Some(tokenCountSql)),
     "text_stats"      -> QueryDef(textStats, Some(textStatsSql)),
     "lang_id"         -> QueryDef(langId, Some(langIdSql)),
+    "lang_confusion"  -> QueryDef(langConfusion, Some(langConfusionSql)),
     "doc_fingerprint" -> QueryDef(docFingerprint, Some(docFingerprintSql)))
 }

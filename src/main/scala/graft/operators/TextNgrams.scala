@@ -604,7 +604,180 @@ object TextNgrams {
        |  (SELECT ${Det.roundSql("CAST(SUM(n_pass) AS DOUBLE) / SUM(n_docs)", 6)}
        |   FROM ($qualityFilterSql)) AS quality_pass_rate""".stripMargin
 
+  /** PMI-ranked collocations (Church & Hanks 1990, public): top-50 word
+    * bigrams by pointwise mutual information ln(p(xy)/(p(x)p(y))) with a
+    * min-count floor — the classic phrase-mining pass over a corpus.
+    * Scale shape: unigram and bigram counts are map-side-combinable aggs;
+    * the two count joins key on vocab-sized frames; the global top-50 is
+    * TakeOrderedAndProject (per-partition heaps, no global sort).
+    * Selection ranks on the unrounded score (tfidf_topk precedent); the
+    * emitted score is deterministically rounded.
+    */
+  def pmiBigrams(spark: SparkSession, dir: String): DataFrame =
+    pmiBigramsOf(Tables.documents(spark, dir))
+
+  /** The PMI core over any frame with a `text` column — exposed for
+    * CorpusOpsSpec's crafted-collocation fixture.
+    */
+  private[graft] def pmiBigramsOf(docs: DataFrame): DataFrame = {
+    val MinCount = 5
+    val base = docs
+      .select(
+        expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").as("t"))
+    val uni = base
+      .select(explode(col("t")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val bg = base
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS a, t[i+1] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val bi = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_xy"))
+    // corpus totals: driver-side scalars (tfidf_topk's nDocs precedent) —
+    // one tiny agg job each, then literals inside codegen
+    val nu = uni.agg(sum(col("c")).cast("long")).collect()(0).getLong(0)
+    val nb = bg.count()
+    val scored = bi
+      .filter(col("c_xy") >= MinCount)
+      .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
+      .join(uni.select(col("w").as("b"), col("c").as("c_b")), "b")
+      .withColumn(
+        "pmi",
+        log(
+          (col("c_xy").cast("double") / nb.toDouble) /
+            ((col("c_a").cast("double") / nu.toDouble) *
+              (col("c_b").cast("double") / nu.toDouble))))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("pmi"), asc("a"), asc("b"))
+    scored
+      .orderBy(desc("pmi"), asc("a"), asc("b"))
+      .limit(50)
+      .withColumn("rn", row_number().over(w))
+      .select(
+        col("rn"), col("a"), col("b"), col("c_xy"), col("c_a"), col("c_b"),
+        Det.detRound(col("pmi"), 6).as("pmi"))
+      .orderBy(col("rn"))
+  }
+
+  private val pmiBigramsSql =
+    s"""WITH base AS (
+       |  SELECT list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                     x -> x <> '') AS t
+       |  FROM documents
+       |), toks AS (
+       |  SELECT unnest(t) AS w FROM base
+       |), uni AS (
+       |  SELECT w, count(*) AS c FROM toks GROUP BY w
+       |), bg AS (
+       |  SELECT t[i] AS a, t[i+1] AS b
+       |  FROM (SELECT t FROM base WHERE len(t) >= 2),
+       |       LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |), bi AS (
+       |  SELECT a, b, count(*) AS c_xy FROM bg GROUP BY a, b
+       |), tot AS (
+       |  SELECT (SELECT SUM(c) FROM uni) AS nu, (SELECT count(*) FROM bg) AS nb
+       |), scored AS (
+       |  SELECT bi.a, bi.b, bi.c_xy, ua.c AS c_a, ub.c AS c_b,
+       |         ln((CAST(bi.c_xy AS DOUBLE) / CAST(nb AS DOUBLE)) /
+       |            ((CAST(ua.c AS DOUBLE) / CAST(nu AS DOUBLE)) *
+       |             (CAST(ub.c AS DOUBLE) / CAST(nu AS DOUBLE)))) AS pmi
+       |  FROM bi, tot
+       |  JOIN uni ua ON bi.a = ua.w
+       |  JOIN uni ub ON bi.b = ub.w
+       |  WHERE bi.c_xy >= 5
+       |)
+       |SELECT rn, a, b, CAST(c_xy AS BIGINT) AS c_xy,
+       |       CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+       |       ${Det.roundSql("pmi", 6)} AS pmi
+       |FROM (
+       |  SELECT *, row_number() OVER (ORDER BY pmi DESC, a, b) AS rn
+       |  FROM scored
+       |) WHERE rn <= 50
+       |ORDER BY rn""".stripMargin
+
+  /** Tokenizer fertility report: per language, BPE tokens per word and
+    * chars per BPE token under the trained merges — THE standard metric
+    * for judging how well a tokenizer fits each language before
+    * committing to a vocab (a high-fertility language pays more sequence
+    * positions per sentence). Same single-scan chained-replace shape as
+    * bpe_apply, aggregated by lang instead of doc.
+    */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = trainedMerges(spark, dir)
+    val perWord = Tables
+      .documents(spark, dir)
+      .select(
+        col("lang"),
+        explode(
+          expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("w"))
+      .select(
+        col("lang"),
+        length(col("w")).as("wc"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"))
+    val applied = merges.foldLeft(perWord) { case (df, (_, a, b, m, _)) =>
+      df.withColumn("s", replace(col("s"), lit(s" $a $b "), lit(s" $m ")))
+    }
+    applied
+      .select(
+        col("lang"), col("wc"),
+        size(split(trim(col("s")), " ")).as("tok"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("wc")).cast("long").as("n_chars"),
+        sum(col("tok")).cast("long").as("n_tokens"))
+      .select(
+        col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        Det.detRound(col("n_tokens").cast("double") / col("n_words"), 6)
+          .as("tokens_per_word"),
+        Det.detRound(col("n_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"))
+      .orderBy(col("lang"))
+  }
+
+  private val tokenizerFertilitySql = {
+    // same LEFT JOIN guard as bpeApplySql: an exhausted-merge corpus
+    // leaves b$i empty and must not annihilate the row stream
+    def applyCte(i: Int) =
+      s"""f$i AS (
+         |  SELECT lang, wc,
+         |         CASE WHEN b$i.a IS NULL THEN s
+         |              ELSE replace(s, ' ' || b$i.a || ' ' || b$i.b || ' ',
+         |                           ' ' || b$i.a || b$i.b || ' ') END AS s
+         |  FROM f${i - 1} LEFT JOIN b$i ON true
+         |)""".stripMargin
+    val steps = (1 to BpeMerges).map(applyCte).mkString(",\n")
+    s"""WITH $bpeChainSql,
+       |fw AS (
+       |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                                  x -> x <> '')) AS w
+       |  FROM documents
+       |), f0 AS (
+       |  SELECT lang, length(w) AS wc,
+       |         ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s
+       |  FROM fw
+       |),
+       |$steps,
+       |agg AS (
+       |  SELECT lang,
+       |         CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(SUM(wc) AS BIGINT) AS n_chars,
+       |         CAST(SUM(len(string_split(trim(s), ' '))) AS BIGINT) AS n_tokens
+       |  FROM f$BpeMerges
+       |  GROUP BY lang
+       |)
+       |SELECT lang, n_words, n_chars, n_tokens,
+       |       ${Det.roundSql("CAST(n_tokens AS DOUBLE) / n_words", 6)} AS tokens_per_word,
+       |       ${Det.roundSql("CAST(n_chars AS DOUBLE) / n_tokens", 6)} AS chars_per_token
+       |FROM agg
+       |ORDER BY lang""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "pmi_bigrams"         -> QueryDef(pmiBigrams, Some(pmiBigramsSql)),
+    "tokenizer_fertility" -> QueryDef(tokenizerFertility, Some(tokenizerFertilitySql)),
     "bpe_pair_counts"     -> QueryDef(bpePairCounts, Some(bpePairCountsSql)),
     "bpe_train"           -> QueryDef(bpeTrain, Some(bpeTrainSql)),
     "bpe_apply"           -> QueryDef(bpeApply, Some(bpeApplySql)),
