@@ -401,7 +401,95 @@ object Quality {
       .mkString("", "\nUNION ALL\n", "\nORDER BY table_name")
   }
 
+  // ----------------------------------------------------------- key skew report
+
+  /** The (table, key column) pairs the engine's own joins shuffle on —
+    * exactly the keys whose distribution decides broadcast vs shuffle vs
+    * salt at plan time.
+    */
+  private val SkewKeys: Seq[(String, String)] = Seq(
+    "lineitem"  -> "l_orderkey",
+    "lineitem"  -> "l_partkey",
+    "orders"    -> "o_custkey",
+    "events"    -> "user_id",
+    "documents" -> "source")
+
+  /** Heavy-hitter join-key diagnostic: for each audited (table, key),
+    * the top-3 hottest key values with their row share, plus the key
+    * cardinality and a skew ratio (max group ÷ mean group; 1.0 =
+    * uniform). This is the report that justifies every
+    * broadcast()/salting decision the engine makes — run it before
+    * choosing a join strategy at a new scale, not after the stage OOMs.
+    *
+    * Scale shape: one map-side-combinable count per audited key, then
+    * per-table stats via an unpartitioned window over the KEY-sized
+    * frame, top-3 via TakeOrderedAndProject. Nothing fact-sized ever
+    * moves: the shuffle carries (key, count) partials only.
+    */
+  def keySkewReport(spark: SparkSession, dir: String): DataFrame = {
+    // per audited (table, key) pair — lineitem is audited under TWO keys
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("rel"), col("key_col"))
+    val perRel = SkewKeys.map { case (tbl, key) =>
+      Tables
+        .table(spark, dir, tbl)
+        .groupBy(col(key).cast("string").as("key_val"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(lit(tbl).as("rel"), lit(key).as("key_col"), col("key_val"), col("cnt"))
+    }
+    val counted = perRel.reduce(_ unionAll _)
+    val stats = counted
+      .withColumn("n_keys", count(lit(1)).over(whole))
+      .withColumn("n_rows", sum(col("cnt")).over(whole).cast("long"))
+    org.apache.spark.sql.graft.TopK
+      .perKey(
+        stats,
+        Seq("rel", "key_col"),
+        Seq("cnt" -> false, "key_val" -> true),
+        k = 3,
+        rankName = "rk")
+      .select(
+        col("rel"), col("key_col"), col("rk"), col("key_val"), col("cnt"),
+        Det.detRound(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
+        col("n_keys"), col("n_rows"),
+        // max÷mean group size; rk=1 row's cnt IS the max
+        Det.detRound(
+          max(col("cnt")).over(whole).cast("double") * col("n_keys") / col("n_rows"),
+          4).as("skew_ratio"))
+      .orderBy(col("rel"), col("key_col"), col("rk"))
+  }
+
+  private val keySkewReportSql = {
+    val blocks = SkewKeys
+      .map { case (tbl, key) =>
+        s"""SELECT '$tbl' AS rel, '$key' AS key_col,
+           |       CAST($key AS VARCHAR) AS key_val, count(*) AS cnt
+           |FROM $tbl GROUP BY $key""".stripMargin
+      }
+      .mkString("\nUNION ALL\n")
+    s"""WITH counted AS (
+       |$blocks
+       |), stats AS (
+       |  SELECT *,
+       |         count(*) OVER (PARTITION BY rel, key_col) AS n_keys,
+       |         SUM(cnt) OVER (PARTITION BY rel, key_col) AS n_rows,
+       |         MAX(cnt) OVER (PARTITION BY rel, key_col) AS max_cnt,
+       |         row_number() OVER (PARTITION BY rel, key_col
+       |                            ORDER BY cnt DESC, key_val) AS rk
+       |  FROM counted
+       |)
+       |SELECT rel, key_col, rk, key_val,
+       |       CAST(cnt AS BIGINT) AS cnt,
+       |       ${Det.roundSql("CAST(cnt AS DOUBLE) / n_rows", 6)} AS share,
+       |       CAST(n_keys AS BIGINT) AS n_keys, CAST(n_rows AS BIGINT) AS n_rows,
+       |       ${Det.roundSql("CAST(max_cnt AS DOUBLE) * n_keys / n_rows", 4)} AS skew_ratio
+       |FROM stats
+       |WHERE rk <= 3
+       |ORDER BY rel, key_col, rk""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "key_skew_report" -> QueryDef(keySkewReport, Some(keySkewReportSql)),
     "orders_profile" -> QueryDef(ordersProfile, Some(ordersProfileSql)),
     "orders_profile_sketch" -> QueryDef(ordersProfileSketch, Some(ordersProfileSketchSql)),
     "fk_orphans"     -> QueryDef(fkOrphans, Some(fkOrphansSql)),

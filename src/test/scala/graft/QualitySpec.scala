@@ -65,6 +65,28 @@ class QualitySpec extends AnyFunSuite {
     assert(mutated("lineitem") === base("lineitem"))
   }
 
+  test("key_skew_report: dense ranks, share algebra, skew ratio >= 1") {
+    val rows = Quality.keySkewReport(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .foreach { case ((rel, key), rs) =>
+        assert(rs.map(_.getLong(2)).sorted.toSeq === (1L to rs.length),
+          s"$rel.$key ranks not dense")
+        // rank 1 carries the max group; share and ratio must cohere
+        val sorted = rs.sortBy(_.getLong(2))
+        assert(sorted.map(_.getLong(4)).toSeq ===
+          sorted.map(_.getLong(4)).sortBy(-_).toSeq, s"$rel.$key counts not desc")
+        rs.foreach { r =>
+          val (cnt, share, nKeys, nRows, ratio) =
+            (r.getLong(4), r.getDouble(5), r.getLong(6), r.getLong(7), r.getDouble(8))
+          assert(share > 0.0 && share <= 1.0, s"$rel.$key share $share")
+          assert(cnt <= nRows && nKeys <= nRows, s"$rel.$key counts incoherent")
+          assert(ratio >= 1.0 - 1e-9, s"$rel.$key max/mean ratio $ratio < 1")
+        }
+      }
+  }
+
   test("snapshot_diff classifies keys consistently with the two states") {
     val d = Quality.snapshotDiff(spark, dir).cache()
     // inserts have no old state; updates strictly grow the order count
