@@ -636,9 +636,14 @@ object TextNgrams {
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val bi = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_xy"))
     // corpus totals: driver-side scalars (tfidf_topk's nDocs precedent) —
-    // one tiny agg job each, then literals inside codegen
-    val nu = uni.agg(sum(col("c")).cast("long")).collect()(0).getLong(0)
-    val nb = bg.count()
+    // one tiny agg job each, then literals inside codegen. Empty corpus:
+    // sum() is NULL and nb 0 — floor both at 1 so the (row-less) scoring
+    // pipeline never divides by zero instead of crashing the collect
+    val nu = math.max(
+      uni.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0),
+      1L)
+    val nb = math.max(bg.count(), 1L)
     val scored = bi
       .filter(col("c_xy") >= MinCount)
       .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")
