@@ -12,8 +12,10 @@ import org.apache.spark.sql.functions._
   *  - `interval_join` — interval-overlap join via the bin-bucketing
   *    rewrite: explode both interval sides into the fixed-width time bins
   *    they touch, equi-join on the bin, re-check the exact overlap
-  *    predicate, dedupe. Turns the O(|A|·|B|) nested-loop plan Spark
-  *    would otherwise pick for a non-equi time join into a hash join.
+  *    predicate, and emit each pair exactly once (from the one bin that
+  *    contains greatest(start_a, start_b) — no dedup shuffle). Turns the
+  *    O(|A|·|B|) nested-loop plan Spark would otherwise pick for a
+  *    non-equi time join into a hash join.
   *    [[org.apache.spark.sql.graft.RangeJoinRewrite]] already does this
   *    automatically for single-variable BAND predicates; the interval
   *    OVERLAP predicate (two attributes per side) additionally needs a
@@ -119,14 +121,18 @@ object Temporal {
     sessBins
       .join(broadcast(hotBins), Seq("bin"))
       .filter(col("s_start") < col("w_hi") && col("s_end") >= col("w_lo"))
-      // a (session, window) pair matches once per shared bin — dedupe
-      // before aggregating so the overlap sums count each window once
+      // exactly-once emission instead of a dedup shuffle: a matching pair
+      // shares every bin in the overlap, so emit it ONLY from the bin
+      // holding greatest(s_start, w_lo) — a point both intervals contain
+      // whenever they overlap. This is what lets the whole join run as
+      // one broadcast-hash stage with zero post-join exchanges before
+      // the final per-session rollup.
+      .filter(col("bin") === expr(s"greatest(s_start, w_lo) div $HourUs"))
       .select(
-        col("user_id"), col("sid"), col("s_start"), col("s_end"),
-        col("n_events"), col("w_lo"), col("w_hi"),
+        col("user_id"), col("s_start"), col("s_end"),
+        col("n_events"),
         (least(col("s_end") + 1, col("w_hi")) -
           greatest(col("s_start"), col("w_lo"))).as("ov"))
-      .distinct()
       .groupBy(col("user_id"), col("s_start"), col("s_end"), col("n_events"))
       .agg(
         count(lit(1)).as("n_windows"),
