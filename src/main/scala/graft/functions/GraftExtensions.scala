@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.TopKStrategy)
     e.injectOptimizerRule(_ => org.apache.spark.sql.graft.WindowTopKRewrite)
     e.injectOptimizerRule(_ => org.apache.spark.sql.graft.RangeJoinRewrite)
+    e.injectOptimizerRule(_ => org.apache.spark.sql.graft.IntervalJoinRewrite)
     e.injectFunction(fn(
       "graft_cosine",
       "graft_cosine(a, b) - cosine similarity of two float vectors",

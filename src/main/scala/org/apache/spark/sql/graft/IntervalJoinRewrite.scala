@@ -1,0 +1,167 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+/** Optimizer rule: rewrite an interval-OVERLAP theta join into a binned
+  * equi-join with exactly-once pair emission.
+  *
+  * The next rung on the extension ladder after [[RangeJoinRewrite]]: that
+  * rule handles a BAND on one attribute pair (`L <= x - y <= U`); this one
+  * handles the four-attribute overlap shape
+  * {{{ a.lo <= b.hi AND b.lo <= a.hi   -- any strictness, ± constants }}}
+  * — the predicate of session×window, validity-interval, and
+  * reservation-conflict joins — which Spark otherwise plans as a
+  * BroadcastNestedLoopJoin (every left row against every right row).
+  * Point-in-interval joins (`b.lo <= p AND p <= b.hi`) are the degenerate
+  * case `a.lo = a.hi = p` and rewrite the same way; pure bands (both
+  * bounds on the SAME pair) are left to [[RangeJoinRewrite]].
+  *
+  * The rewrite explodes each side into the fixed-width time bins its
+  * interval touches (`Sequence` of floor-divided bin ids) and equi-joins
+  * on the bin. Two overlapping intervals share every bin of their
+  * overlap, so a naive binned join emits duplicates; instead of a dedup
+  * shuffle the join keeps a pair only in the ONE bin containing
+  * `greatest(a.lo, b.lo)` — a point both intervals provably contain
+  * whenever the original predicate holds (if `greatest = a.lo` it is
+  * inside `[b.lo, b.hi]` by the two conjuncts, and vice versa; with a
+  * `+k` constant shift the exploded range is widened by `max(k, 0)` so
+  * the containment survives). The ORIGINAL condition is kept as a
+  * residual filter above the join, so semantics are multiset-exact:
+  * every qualifying pair appears exactly once, duplicates of input rows
+  * stay distinct, and a null endpoint produces an empty bin sequence —
+  * dropped, exactly as the inner join dropped it before.
+  *
+  * Unlike the band rule this one needs a BIN WIDTH — a physical tuning
+  * choice that depends on typical interval length, which no static
+  * analysis can derive (Databricks ships the same requirement as its
+  * range-join hint). The rule therefore only fires when
+  * `spark.graft.intervalJoinRewrite.binWidth` is set (positive long, in
+  * the unit of the interval attributes); rows explode into
+  * `len/width + 1` copies, so set it near the TYPICAL interval length.
+  * Disable entirely with `spark.graft.intervalJoinRewrite.enabled=false`.
+  *
+  * Preconditions, checked in [[tryRewrite]]:
+  *  - inner/cross batch join, no cross-side equi conjunct (Spark already
+  *    hashes on one), not already rewritten by either join rule;
+  *  - two conjuncts normalizing (via [[JoinRewriteMath.bandOf]]) to an
+  *    upper band `a.lo - b.hi <= k1` and a lower band `a.hi - b.lo >=
+  *    k2` on DIFFERENT attribute pairs, all integral, |k| < 2^50;
+  *  - bin ids use overflow-proof floor division (quotient fix-up, no
+  *    subtract that can underflow), and the `+k` widening only applies
+  *    for k > 0, so endpoint arithmetic stays in range for any
+  *    epoch-scale input; adversarial values within `k` of ±2^63 are the
+  *    same documented boundary the band rule carries.
+  */
+object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
+
+  import JoinRewriteMath._
+
+  private val BinAttrName = "__graft_bin"
+
+  /** Overflow-proof floor(x / w) for longs: fix up the truncated
+    * quotient when the remainder is negative. No subtraction on x, so no
+    * underflow for any input; q-1 cannot underflow because q =
+    * Long.MinValue requires w = 1, whose remainder is 0.
+    */
+  private def floorDiv(x: Expression, w: Long): Expression = {
+    val xl = Cast(x, LongType)
+    val q  = IntegralDivide(xl, Literal(w))
+    val r  = Remainder(xl, Literal(w))
+    If(LessThan(r, Literal(0L)), Subtract(q, Literal(1L)), q)
+  }
+
+  /** Bin ids an interval [lo, hi+max(k,0)] touches, as a Sequence — the
+    * Least/Greatest keeps the sequence ascending even for malformed
+    * (hi < lo) intervals, whose rows the residual filter judges.
+    */
+  private def binSeq(lo: Expression, hi: Expression, k: Long, w: Long): Expression = {
+    val hiAdj   = if (k > 0) Add(Cast(hi, LongType), Literal(k)) else hi
+    val (b1, b2) = (floorDiv(lo, w), floorDiv(hiAdj, w))
+    // post-analysis rules must supply the timezone themselves: Sequence
+    // is TimeZoneAwareExpression and stays UNRESOLVED without one (the
+    // analyzer's ResolveTimeZone has already run)
+    new Sequence(
+      Least(Seq(b1, b2)),
+      Greatest(Seq(b1, b2)),
+      Some(Literal(1L)),
+      Some(SQLConf.get.sessionLocalTimeZone))
+  }
+
+  private def tryRewrite(
+      l: LogicalPlan,
+      r: LogicalPlan,
+      cond: Expression,
+      hint: JoinHint): Option[LogicalPlan] = {
+    val conjuncts = splitConjunctivePredicates(cond)
+    // never re-fire on a join either rewrite rule already built
+    if (conjuncts.exists(_.references.exists(a =>
+        a.name == BinAttrName || a.name == "__graft_band"))) return None
+    if (hasCrossEquiKey(conjuncts, l, r)) return None
+    val width = SQLConf.get
+      .getConfString("spark.graft.intervalJoinRewrite.binWidth", "")
+    if (width.isEmpty) return None
+    val w = try width.toLong catch { case _: NumberFormatException => return None }
+    if (w < 1) return None
+
+    val bands = conjuncts.flatMap(bandOf(_, l, r))
+    // upper band: aLo - bHi <= k1  (aLo left, bHi right)
+    // lower band: aHi - bLo >= k2  (aHi left, bLo right)
+    val pairs = for {
+      u <- bands.filter(b => b.upper && math.abs(b.bound) < MaxBound)
+      d <- bands.filter(b => !b.upper && math.abs(b.bound) < MaxBound)
+      // a different pair — identical pairs are a pure band, the
+      // RangeJoinRewrite shape, not an interval overlap
+      if (u.la.exprId, u.rb.exprId) != (d.la.exprId, d.rb.exprId)
+    } yield (u, d)
+    pairs.headOption.map { case (u, d) =>
+      val (aLo, bHi, k1) = (u.la, u.rb, u.bound)
+      val (aHi, bLo, k2) = (d.la, d.rb, -d.bound)
+
+      // left side: bins of [aLo, aHi + max(k2, 0)]
+      val lBinAttr = AttributeReference(BinAttrName, LongType)()
+      val lGen = Generate(
+        Explode(binSeq(aLo, aHi, k2, w)),
+        unrequiredChildIndex = Nil,
+        outer = false,
+        qualifier = None,
+        generatorOutput = Seq(lBinAttr),
+        child = l)
+      // right side: bins of [bLo, bHi + max(k1, 0)]
+      val rBinAttr = AttributeReference(BinAttrName, LongType)()
+      val rGen = Generate(
+        Explode(binSeq(bLo, bHi, k1, w)),
+        unrequiredChildIndex = Nil,
+        outer = false,
+        qualifier = None,
+        generatorOutput = Seq(rBinAttr),
+        child = r)
+
+      // exactly-once: keep the pair only in the bin that contains
+      // greatest(aLo, bLo) — present in both sides' sequences whenever
+      // the original predicate holds
+      val onceBin = floorDiv(Greatest(Seq(aLo, bLo)), w)
+      val joinCond = And(
+        EqualTo(lBinAttr, rBinAttr),
+        EqualTo(lBinAttr, onceBin))
+      val binned = Join(lGen, rGen, Inner, Some(joinCond), hint)
+      Project(l.output ++ r.output, Filter(cond, binned))
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val enabled = SQLConf.get
+      .getConfString("spark.graft.intervalJoinRewrite.enabled", "true") == "true"
+    if (!enabled) plan
+    else
+      plan.transformUp {
+        case j @ Join(l, r, Inner | Cross, Some(cond), hint)
+            if !l.isStreaming && !r.isStreaming =>
+          tryRewrite(l, r, cond, hint).getOrElse(j)
+      }
+  }
+}
