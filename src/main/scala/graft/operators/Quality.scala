@@ -431,8 +431,11 @@ object Quality {
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy(col("rel"), col("key_col"))
     val perRel = SkewKeys.map { case (tbl, key) =>
-      Tables
-        .table(spark, dir, tbl)
+      // events goes through its normalizing loader: a raw scan fails
+      // schema inference outright under the INT64 TIMESTAMP(NANOS)
+      // encoding when the caller-built session lacks nanosAsLong
+      (if (tbl == "events") Tables.events(spark, dir)
+       else Tables.table(spark, dir, tbl))
         .groupBy(col(key).cast("string").as("key_val"))
         .agg(count(lit(1)).as("cnt"))
         .select(lit(tbl).as("rel"), lit(key).as("key_col"), col("key_val"), col("cnt"))

@@ -200,8 +200,10 @@ object Temporal {
       .groupBy(col("event_type"), col("hour"))
       .agg(count(lit(1)).as("cnt"))
       // every derived side below (span, types, the left join) reads this
-      // hours×types frame, not events — ONE data-sized scan total
-      .localCheckpoint()
+      // hours×types frame, not events — ONE data-sized scan total. Lazy:
+      // plan-only callers (explain, spec plan asserts) must not trigger
+      // the scan at DataFrame construction
+      .localCheckpoint(eager = false)
     val span = counts.agg(min(col("hour")).as("h_lo"), max(col("hour")).as("h_hi"))
     val grid = span
       .select(explode(expr("sequence(h_lo, h_hi)")).as("hour"))
@@ -211,6 +213,8 @@ object Temporal {
       .select(
         col("event_type"), col("hour"),
         coalesce(col("cnt"), lit(0L)).as("cnt"),
+        // pmod, and the oracle's ((h%24)+24)%24 twin: plain % disagrees
+        // between engines for pre-1970 (negative) epoch hours
         pmod(col("hour"), lit(24L)).as("hod"))
     val base = filled
       .groupBy(col("event_type"), col("hod"))
@@ -251,7 +255,7 @@ object Temporal {
        |), filled AS (
        |  SELECT g.event_type, g.hour,
        |         COALESCE(c.cnt, 0) AS cnt,
-       |         g.hour % 24 AS hod
+       |         ((g.hour % 24) + 24) % 24 AS hod
        |  FROM grid g LEFT JOIN counts c
        |    ON g.event_type = c.event_type AND g.hour = c.hour
        |), base AS (

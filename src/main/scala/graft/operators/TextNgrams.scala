@@ -635,15 +635,19 @@ object TextNgrams {
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val bi = bg.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_xy"))
-    // corpus totals: driver-side scalars (tfidf_topk's nDocs precedent) —
-    // one tiny agg job each, then literals inside codegen. Empty corpus:
-    // sum() is NULL and nb 0 — floor both at 1 so the (row-less) scoring
-    // pipeline never divides by zero instead of crashing the collect
-    val nu = math.max(
-      uni.agg(coalesce(sum(col("c")), lit(0L)).cast("long"))
-        .collect()(0).getLong(0),
-      1L)
-    val nb = math.max(bg.count(), 1L)
+    // corpus totals: driver-side scalars (tfidf_topk's nDocs precedent),
+    // but ONE shuffle-free mini-agg over `base` — no explode, no groupBy:
+    // nu = Σ|t|, nb = Σ max(|t|−1, 0). Empty corpus: sums are NULL —
+    // floor both at 1 so the (row-less) scoring pipeline never divides
+    // by zero instead of crashing the collect
+    val totRow = base
+      .agg(
+        coalesce(sum(size(col("t")).cast("long")), lit(0L)).as("nu"),
+        coalesce(sum(greatest(size(col("t")) - 1, lit(0)).cast("long")), lit(0L))
+          .as("nb"))
+      .collect()(0)
+    val nu = math.max(totRow.getLong(0), 1L)
+    val nb = math.max(totRow.getLong(1), 1L)
     val scored = bi
       .filter(col("c_xy") >= MinCount)
       .join(uni.select(col("w").as("a"), col("c").as("c_a")), "a")

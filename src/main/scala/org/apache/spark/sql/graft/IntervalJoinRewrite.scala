@@ -52,10 +52,10 @@ import org.apache.spark.sql.types._
   *    upper band `a.lo - b.hi <= k1` and a lower band `a.hi - b.lo >=
   *    k2` on DIFFERENT attribute pairs, all integral, |k| < 2^50;
   *  - bin ids use overflow-proof floor division (quotient fix-up, no
-  *    subtract that can underflow), and the `+k` widening only applies
-  *    for k > 0, so endpoint arithmetic stays in range for any
-  *    epoch-scale input; adversarial values within `k` of ±2^63 are the
-  *    same documented boundary the band rule carries.
+  *    subtract that can underflow) and the `+k` widening is a saturating
+  *    add in bin space, so no generated arithmetic can overflow for ANY
+  *    long input — the same guarantee the band rule gets from its
+  *    decimal bucket bases.
   */
 object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -77,11 +77,25 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   /** Bin ids an interval [lo, hi+max(k,0)] touches, as a Sequence — the
     * Least/Greatest keeps the sequence ascending even for malformed
-    * (hi < lo) intervals, whose rows the residual filter judges.
+    * (hi < lo) intervals, whose rows the residual filter judges. The +k
+    * widening happens in BIN space with a saturating add (floor((hi+k)/w)
+    * <= floor(hi/w) + k/w + 1, and over-covering by one bin is harmless —
+    * coverage only needs to be a superset), so no endpoint arithmetic can
+    * overflow for ANY long input, matching the band rule's decimal
+    * bucket-base guarantee.
     */
   private def binSeq(lo: Expression, hi: Expression, k: Long, w: Long): Expression = {
-    val hiAdj   = if (k > 0) Add(Cast(hi, LongType), Literal(k)) else hi
-    val (b1, b2) = (floorDiv(lo, w), floorDiv(hiAdj, w))
+    val b1 = floorDiv(lo, w)
+    val bHi = floorDiv(hi, w)
+    val b2 =
+      if (k <= 0) bHi
+      else {
+        val c = k / w + 1
+        If(
+          GreaterThan(bHi, Literal(Long.MaxValue - c)),
+          Literal(Long.MaxValue),
+          Add(bHi, Literal(c)))
+      }
     // post-analysis rules must supply the timezone themselves: Sequence
     // is TimeZoneAwareExpression and stays UNRESOLVED without one (the
     // analyzer's ResolveTimeZone has already run)
@@ -143,8 +157,12 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
       // exactly-once: keep the pair only in the bin that contains
       // greatest(aLo, bLo) — present in both sides' sequences whenever
-      // the original predicate holds
-      val onceBin = floorDiv(Greatest(Seq(aLo, bLo)), w)
+      // the original predicate holds. Cast BOTH operands: the analyzer's
+      // widening casts were stripped by decompose, so mixed int/long
+      // endpoint columns would otherwise hand Greatest an invalid
+      // mixed-type argument list (no type coercion after analysis).
+      val onceBin = floorDiv(
+        Greatest(Seq(Cast(aLo, LongType), Cast(bLo, LongType))), w)
       val joinCond = And(
         EqualTo(lBinAttr, rBinAttr),
         EqualTo(lBinAttr, onceBin))

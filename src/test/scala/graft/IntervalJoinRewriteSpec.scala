@@ -126,6 +126,22 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("mixed int/long endpoint widths rewrite and agree with the naive plan") {
+    withWidth(8L) {
+      // analyzer widening casts are stripped by decompose — the rule must
+      // re-cast before Greatest or the generated plan is invalid
+      val ints  = Seq((1, 0, 10), (2, 5, 9), (3, -9, -2)).toDF("i_id", "i_lo", "i_hi")
+      val longs = rb
+      val q = ints.join(longs,
+        col("i_lo").cast("long") <= col("b_hi") && col("b_lo") <= col("i_hi").cast("long"))
+      assert(physical(q).contains("__graft_bin"),
+        s"mixed-width overlap join not rewritten:\n${physical(q)}")
+      sameResults(
+        ints.join(longs,
+          col("i_lo").cast("long") <= col("b_hi") && col("b_lo") <= col("i_hi").cast("long")))
+    }
+  }
+
   test("no width conf -> rule inert") {
     val p = physical(
       la.join(rb, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi")))
