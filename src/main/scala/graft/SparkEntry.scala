@@ -17,6 +17,7 @@ object SparkEntry {
       Temporal.defs ++
       Warehouse.defs ++ Quality.defs ++ Cdc.defs ++ Reports.defs ++
       graft.streaming.EventStreams.defs ++ graft.streaming.DocStreams.defs ++
+      graft.streaming.AnomalyStreams.defs ++
       graft.multimodal.Multimodal.defs ++
       graft.sources.Bucketing.defs ++ graft.sources.StatsManifest.defs
 

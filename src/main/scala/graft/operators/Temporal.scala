@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
 object Temporal {
 
   /** Fixed bin width: one hour of epoch-µs. */
-  private val HourUs = 3600000000L
+  private[graft] val HourUs = 3600000000L
 
   /** Session gap for the interval-join's left side: 15 min. Deliberately
     * smaller than Engagement's 12 h analytics gap — interval sides should
@@ -193,17 +193,25 @@ object Temporal {
     * days·max²) so the double division and IEEE sqrt are bit-identical
     * in both engines.
     */
-  def tsAnomaly(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables
-      .events(spark, dir)
-      .select(col("event_type"), expr(s"ts div $HourUs").as("hour"))
-      .groupBy(col("event_type"), col("hour"))
-      .agg(count(lit(1)).as("cnt"))
-      // every derived side below (span, types, the left join) reads this
-      // hours×types frame, not events — ONE data-sized scan total. Lazy:
-      // plan-only callers (explain, spec plan asserts) must not trigger
-      // the scan at DataFrame construction
-      .localCheckpoint(eager = false)
+  def tsAnomaly(spark: SparkSession, dir: String): DataFrame =
+    scoreHourly(
+      Tables
+        .events(spark, dir)
+        .select(col("event_type"), expr(s"ts div $HourUs").as("hour"))
+        .groupBy(col("event_type"), col("hour"))
+        .agg(count(lit(1)).as("cnt")))
+
+  /** The scoring core over any (event_type, hour, cnt) frame — shared
+    * with the streaming twin (AnomalyStreams), whose merged partial
+    * counts are identical to the batch aggregate because counts are
+    * mergeable over any partition of the event stream.
+    */
+  private[graft] def scoreHourly(counts0: DataFrame): DataFrame = {
+    // every derived side below (span, types, the left join) reads this
+    // hours×types frame, not events — ONE data-sized scan total. Lazy:
+    // plan-only callers (explain, spec plan asserts) must not trigger
+    // the scan at DataFrame construction
+    val counts = counts0.localCheckpoint(eager = false)
     val span = counts.agg(min(col("hour")).as("h_lo"), max(col("hour")).as("h_hi"))
     val grid = span
       .select(explode(expr("sequence(h_lo, h_hi)")).as("hour"))
@@ -241,7 +249,7 @@ object Temporal {
       .orderBy(col("event_type"), col("hour"))
   }
 
-  private val tsAnomalySql =
+  private[graft] val tsAnomalySql =
     s"""WITH e AS (
        |  SELECT event_type, epoch_us(ts) // $HourUs AS hour FROM events
        |), counts AS (

@@ -63,6 +63,17 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("stream_ts_anomaly equals the batch scan row-for-row") {
+    val stream =
+      SparkEntry.queries("stream_ts_anomaly")(spark, TestSpark.Sf).collect().toSeq
+    val batch =
+      SparkEntry.queries("ts_anomaly")(spark, TestSpark.Sf).collect().toSeq
+    assert(stream.nonEmpty, "streaming twin produced no rows at sf0.001")
+    assert(stream == batch,
+      s"merged streaming partials diverge from the batch aggregate " +
+        s"(${stream.size} vs ${batch.size} rows)")
+  }
+
   test("ts_anomaly emits only |z| >= 2.5 rows and joins hash-wise") {
     val df = SparkEntry.queries("ts_anomaly")(spark, TestSpark.Sf)
     val p  = physical(df)
