@@ -187,7 +187,11 @@ object MediaCodec {
     out
   }
 
-  private def decodeWav(b: Array[Byte]): Media = {
+  /** Chunk walk shared by the WAV stat and sample decoders: validates
+    * the fmt chunk (PCM, mono, 16-bit) and returns the data chunk's
+    * (offset, byte length).
+    */
+  private def wavData(b: Array[Byte]): (Int, Int) = {
     require(b.length >= 44, "WAV truncated before chunks")
     // walk chunks from offset 12 until the data chunk
     var off = 12
@@ -212,8 +216,28 @@ object MediaCodec {
     }
     require(fmtOk, "WAV missing fmt chunk")
     require(dataOff > 0 && dataOff + dataLen <= b.length, "WAV data chunk out of range")
+    require(dataLen / 2 > 0, "empty WAV")
+    (dataOff, dataLen)
+  }
+
+  /** Raw sign-extended 16-bit samples — the frame-analysis decoders'
+    * input (audio_energy_windows).
+    */
+  def decodeWavSamples(b: Array[Byte]): Array[Int] = {
+    val (dataOff, dataLen) = wavData(b)
+    val n   = dataLen / 2
+    val out = new Array[Int](n)
+    var k = 0
+    while (k < n) {
+      out(k) = (rd16(b, dataOff + 2 * k) << 16) >> 16 // sign-extend
+      k += 1
+    }
+    out
+  }
+
+  private def decodeWav(b: Array[Byte]): Media = {
+    val (dataOff, dataLen) = wavData(b)
     val n = dataLen / 2
-    require(n > 0, "empty WAV")
     var sum = 0L; var max = Long.MinValue
     var k = 0
     while (k < n) {

@@ -283,7 +283,68 @@ object Multimodal {
        |GROUP BY origin
        |ORDER BY origin""".stripMargin
 
+  final case class AudioFrameRow(
+      doc_id: Long, frame_idx: Long, n_samples: Long, sum_sq: Long, peak: Long)
+
+  /** Registered query: windowed audio frame analysis — the
+    * frame-sample + feature-extract leg over the WAV payloads as REAL
+    * byte-level work. Each payload's chunk walk yields the raw
+    * sign-extended samples ([[MediaCodec.decodeWavSamples]]); frames of
+    * 8 samples (last partial kept) each emit exact integer power sums
+    * (sum of squares, peak |sample|) and the derived RMS — the
+    * voice-activity / loudness screening pass an audio curation
+    * pipeline runs before transcription. Per-row scalar work in the
+    * iterator→iterator partition shape, embarrassingly parallel; the
+    * oracle replays the synthesis formula through the same framing and
+    * the IEEE sqrt.
+    */
+  def audioEnergyWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val FrameN = 8
+    mediaBinaryTable(spark, dir)
+      .filter(_.kind == "wav")
+      .mapPartitions(_.flatMap { row =>
+        val s = MediaCodec.decodeWavSamples(row.content)
+        s.grouped(FrameN).zipWithIndex.map { case (fr, i) =>
+          var sq = 0L; var peak = 0L
+          fr.foreach { v =>
+            sq += v.toLong * v
+            val a = math.abs(v.toLong)
+            if (a > peak) peak = a
+          }
+          AudioFrameRow(row.doc_id, i.toLong, fr.length.toLong, sq, peak)
+        }
+      })
+      .toDF()
+      .withColumn(
+        "rms",
+        graft.Det.detRound(
+          sqrt(col("sum_sq").cast("double") / col("n_samples")), 6))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val audioEnergyWindowsSql =
+    s"""WITH wav AS (
+       |  SELECT doc_id, doc_id % 50 + 10 AS n
+       |  FROM documents WHERE doc_id % 2 = 1
+       |), s AS (
+       |  SELECT w.doc_id, t.k, (w.doc_id * 13 + t.k * 11) % 4096 - 2048 AS v
+       |  FROM wav w, unnest(generate_series(0, w.n - 1)) AS t(k)
+       |), fr AS (
+       |  SELECT doc_id, k // 8 AS frame_idx,
+       |         count(*) AS n_samples, SUM(v * v) AS sum_sq, MAX(abs(v)) AS peak
+       |  FROM s GROUP BY doc_id, k // 8
+       |)
+       |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       |       CAST(n_samples AS BIGINT) AS n_samples,
+       |       CAST(sum_sq AS BIGINT) AS sum_sq,
+       |       CAST(peak AS BIGINT) AS peak,
+       |       ${graft.Det.roundSql("sqrt(CAST(sum_sq AS DOUBLE) / n_samples)", 6)} AS rms
+       |FROM fr
+       |ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "audio_energy_windows" -> QueryDef(audioEnergyWindows, Some(audioEnergyWindowsSql)),
     "multimodal_features" -> QueryDef(multimodalFeatures, Some(multimodalFeaturesSql)),
     "multimodal_resize"   -> QueryDef(multimodalResize, Some(multimodalResizeSql)),
     "media_manifest"      -> QueryDef(mediaManifest, Some(mediaManifestSql)))

@@ -127,4 +127,30 @@ class MultimodalSpec extends AnyFunSuite {
     // downscale picks the floor-mapped source pixel
     assert(MediaCodec.resizeNearest(2, 2, Array(10, 20, 30, 40), 1, 1).toSeq === Seq(10))
   }
+
+  test("decodeWavSamples round-trips the synthesis formula; audio frames cover every sample") {
+    val docId = 12347L // odd -> wav
+    val s = MediaCodec.decodeWavSamples(MediaCodec.encodeWav(docId))
+    assert(s.length === MediaCodec.wavSamples(docId))
+    s.indices.foreach { k =>
+      assert(s(k) === MediaCodec.wavSample(docId, k), s"sample $k")
+    }
+    val rows = graft.multimodal.Multimodal
+      .audioEnergyWindows(spark, TestSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, frames) =>
+      val n = frames.map(_.getLong(2)).sum
+      assert(n === (id % 50) + 10, s"doc $id frames cover $n samples")
+      // dense frame indices; only the LAST frame may be partial
+      val byIdx = frames.sortBy(_.getLong(1))
+      assert(byIdx.map(_.getLong(1)).toSeq === (0L until frames.length).toSeq)
+      byIdx.init.foreach(f => assert(f.getLong(2) === 8L, s"doc $id inner frame partial"))
+      frames.foreach { f =>
+        assert(f.getLong(4) <= 2048L, s"doc $id peak out of 16-bit synth range")
+        val rms = f.getDouble(5)
+        assert(rms >= 0.0 && rms <= 2048.0, s"doc $id rms $rms out of range")
+      }
+    }
+  }
 }
