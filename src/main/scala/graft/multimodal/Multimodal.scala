@@ -343,7 +343,74 @@ object Multimodal {
        |FROM fr
        |ORDER BY doc_id, frame_idx""".stripMargin
 
+  final case class TileRow(
+      doc_id: Long, tile_y: Long, tile_x: Long, n_px: Long,
+      px_sum: Long, px_max: Long)
+
+  /** Registered query: 4×4 tile statistics over every decoded BMP — the
+    * patch-extraction pass a vision pipeline runs before any patch
+    * encoder (and the image twin of audio_energy_windows' framing).
+    * True decode via the shared byte-level BMP reader
+    * ([[MediaCodec.decodeBmpPixels]]: header parse, bottom-up row
+    * unpadding); edge tiles are partial, exact integer sums per tile,
+    * mean deterministically rounded. The oracle replays the pixel
+    * synthesis formula through the same row-major → (x, y) → tile index
+    * arithmetic, so a transposed or off-by-one tiling hash-fails.
+    */
+  def imageTileStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val T = 4
+    mediaBinaryTable(spark, dir)
+      .filter(_.kind == "bmp")
+      .mapPartitions(_.flatMap { row =>
+        val (w, h, px) = MediaCodec.decodeBmpPixels(row.content)
+        val agg = scala.collection.mutable.LinkedHashMap
+          .empty[(Int, Int), (Long, Long, Long)]
+        var k = 0
+        while (k < w * h) {
+          val key  = (k / w / T, k % w / T) // (tile_y, tile_x)
+          val v    = px(k).toLong
+          val cur  = agg.getOrElse(key, (0L, 0L, Long.MinValue))
+          agg(key) = (cur._1 + 1, cur._2 + v, math.max(cur._3, v))
+          k += 1
+        }
+        agg.iterator.map { case ((ty, tx), (n, sum, max)) =>
+          TileRow(row.doc_id, ty.toLong, tx.toLong, n, sum, max)
+        }
+      })
+      .toDF()
+      .withColumn(
+        "mean_val",
+        graft.Det.detRound(col("px_sum").cast("double") / col("n_px"), 6))
+      .orderBy(col("doc_id"), col("tile_y"), col("tile_x"))
+  }
+
+  private val imageTileStatsSql =
+    s"""WITH bmp AS (
+       |  SELECT doc_id, doc_id % 21 + 2 AS w, doc_id % 13 + 2 AS h
+       |  FROM documents WHERE doc_id % 2 = 0
+       |), px AS (
+       |  SELECT b.doc_id,
+       |         (t.k // b.w) // 4 AS tile_y,
+       |         (t.k % b.w) // 4 AS tile_x,
+       |         (b.doc_id * 31 + t.k * 7) % 256 AS v
+       |  FROM bmp b, unnest(generate_series(0, b.w * b.h - 1)) AS t(k)
+       |), tiles AS (
+       |  SELECT doc_id, tile_y, tile_x,
+       |         count(*) AS n_px, SUM(v) AS px_sum, MAX(v) AS px_max
+       |  FROM px GROUP BY doc_id, tile_y, tile_x
+       |)
+       |SELECT doc_id, CAST(tile_y AS BIGINT) AS tile_y,
+       |       CAST(tile_x AS BIGINT) AS tile_x,
+       |       CAST(n_px AS BIGINT) AS n_px,
+       |       CAST(px_sum AS BIGINT) AS px_sum,
+       |       CAST(px_max AS BIGINT) AS px_max,
+       |       ${graft.Det.roundSql("CAST(px_sum AS DOUBLE) / n_px", 6)} AS mean_val
+       |FROM tiles
+       |ORDER BY doc_id, tile_y, tile_x""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "image_tile_stats"     -> QueryDef(imageTileStats, Some(imageTileStatsSql)),
     "audio_energy_windows" -> QueryDef(audioEnergyWindows, Some(audioEnergyWindowsSql)),
     "multimodal_features" -> QueryDef(multimodalFeatures, Some(multimodalFeaturesSql)),
     "multimodal_resize"   -> QueryDef(multimodalResize, Some(multimodalResizeSql)),

@@ -153,4 +153,24 @@ class MultimodalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("image tiles cover every pixel exactly once, with full inner tiles") {
+    val rows = graft.multimodal.Multimodal
+      .imageTileStats(spark, TestSpark.Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (id, tiles) =>
+      val (w, h) = ((id % 21) + 2, (id % 13) + 2)
+      assert(tiles.map(_.getLong(3)).sum === w * h, s"doc $id tile coverage")
+      val maxTy = (h - 1) / 4
+      val maxTx = (w - 1) / 4
+      tiles.foreach { t =>
+        val (ty, tx, n) = (t.getLong(1), t.getLong(2), t.getLong(3))
+        assert(ty <= maxTy && tx <= maxTx, s"doc $id tile ($ty,$tx) out of grid")
+        // inner (non-edge) tiles are full 4x4
+        if (ty < maxTy && tx < maxTx) assert(n === 16L, s"doc $id inner tile $n px")
+        assert(t.getLong(5) <= 255L, s"doc $id pixel out of byte range")
+      }
+    }
+  }
 }
