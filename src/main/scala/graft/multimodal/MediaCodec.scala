@@ -212,10 +212,18 @@ object MediaCodec {
       } else if (id == "data") {
         dataOff = off + 8; dataLen = size
       }
-      off += 8 + size + (size & 1) // chunks are word-aligned
+      // Long math, like the BMP side's 3*w guard: a huge declared size
+      // (e.g. 0x7FFFFFF8) wraps Int addition negative, which would both
+      // stall this cursor and sail through the range check below —
+      // decodeWavSamples would then allocate a bogus multi-GiB array
+      val next = off.toLong + 8L + size.toLong + (size & 1)
+      require(next <= b.length.toLong + 8L, s"WAV chunk size $size overruns payload")
+      off = next.toInt
     }
     require(fmtOk, "WAV missing fmt chunk")
-    require(dataOff > 0 && dataOff + dataLen <= b.length, "WAV data chunk out of range")
+    require(
+      dataOff > 0 && dataOff.toLong + dataLen.toLong <= b.length,
+      "WAV data chunk out of range")
     require(dataLen / 2 > 0, "empty WAV")
     (dataOff, dataLen)
   }

@@ -97,11 +97,23 @@ object Multimodal {
     * BMP, odd doc_ids a 16-bit PCM WAV, pixels/samples a closed-form
     * function of doc_id (MediaCodec synthesis formulas).
     */
-  def mediaBinaryTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+  def mediaBinaryTable(spark: SparkSession, dir: String): Dataset[MediaRow] =
+    mediaBinaryTable(spark, dir, kind = None)
+
+  /** Single-kind callers pass `kind` so the parity filter runs BEFORE
+    * the encode map — encoding a payload just to filter it away is pure
+    * fixture waste on the hot per-partition path.
+    */
+  def mediaBinaryTable(
+      spark: SparkSession, dir: String, kind: Option[String]): Dataset[MediaRow] = {
     import spark.implicits._
-    Tables
-      .documents(spark, dir)
-      .select(col("doc_id"))
+    val ids = Tables.documents(spark, dir).select(col("doc_id"))
+    val wanted = kind match {
+      case Some("bmp") => ids.filter(col("doc_id") % 2 === 0)
+      case Some("wav") => ids.filter(col("doc_id") % 2 =!= 0)
+      case _           => ids
+    }
+    wanted
       .as[Long]
       .mapPartitions(_.map { id =>
         if (id % 2 == 0) MediaRow(id, MediaCodec.encodeBmp(id), "bmp")
@@ -181,9 +193,7 @@ object Multimodal {
   def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val side = 8
-    mediaBinaryTable(spark, dir)
-      .filter(col("kind") === "bmp")
-      .as[MediaRow]
+    mediaBinaryTable(spark, dir, kind = Some("bmp"))
       .mapPartitions(_.map { row =>
         val (w, h, px) = MediaCodec.decodeBmpPixels(row.content)
         val thumb      = MediaCodec.resizeNearest(w, h, px, side, side)
@@ -301,8 +311,7 @@ object Multimodal {
   def audioEnergyWindows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val FrameN = 8
-    mediaBinaryTable(spark, dir)
-      .filter(_.kind == "wav")
+    mediaBinaryTable(spark, dir, kind = Some("wav"))
       .mapPartitions(_.flatMap { row =>
         val s = MediaCodec.decodeWavSamples(row.content)
         s.grouped(FrameN).zipWithIndex.map { case (fr, i) =>
@@ -360,8 +369,7 @@ object Multimodal {
   def imageTileStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val T = 4
-    mediaBinaryTable(spark, dir)
-      .filter(_.kind == "bmp")
+    mediaBinaryTable(spark, dir, kind = Some("bmp"))
       .mapPartitions(_.flatMap { row =>
         val (w, h, px) = MediaCodec.decodeBmpPixels(row.content)
         val agg = scala.collection.mutable.LinkedHashMap

@@ -2,9 +2,8 @@ package graft.streaming
 
 import graft.{QueryDef, Tables}
 import graft.operators.Temporal
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
 
 /** Streaming twin of `ts_anomaly`, registered as a batch-checkable
   * query (the stream_dedup_ingest pattern): events arrive as a bounded
@@ -33,56 +32,38 @@ object AnomalyStreams {
         .parquet(s"$out/files")
       ()
     } + "/files"
-    val tmp    = java.nio.file.Files.createTempDirectory("graft-stream-anomaly")
-    val outDir = s"$tmp/partials"
-    val handler: (Dataset[Row], Long) => Unit = (batch, _) => {
-      batch
-        .groupBy(col("event_type"), col("hour"))
-        .agg(count(lit(1)).as("cnt"))
-        .write.mode("append").parquet(outDir)
-      ()
-    }
-    val query = spark.readStream
-      .schema(ev.schema)
-      .option("maxFilesPerTrigger", 2)
-      .parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch(handler)
-      .start()
-    query.awaitTermination()
-    val produced = {
-      val d = new java.io.File(outDir)
-      d.exists && Option(d.listFiles).exists(_.exists(_.getName.endsWith(".parquet")))
-    }
-    val result =
-      if (produced) {
-        val merged = spark.read
-          .parquet(outDir)
-          .groupBy(col("event_type"), col("hour"))
-          .agg(sum(col("cnt")).cast("long").as("cnt"))
-        // scoreHourly checkpoints its input, so the temp partials tree
-        // is safe to delete right after the frame materializes
-        Temporal.scoreHourly(merged).localCheckpoint()
-      } else {
-        // zero-row events: no data batches ran — empty frame with the
-        // scoring schema (EmptyInputSpec contract)
-        import org.apache.spark.sql.types._
+    StreamRunner.runAvailableNow(
+      spark,
+      schema = ev.schema,
+      srcDir = srcDir,
+      maxFilesPerTrigger = 2,
+      tmpPrefix = "graft-stream-anomaly",
+      mkHandler = outDir =>
+        (batch, _) => {
+          batch
+            .groupBy(col("event_type"), col("hour"))
+            .agg(count(lit(1)).as("cnt"))
+            .write.mode("append").parquet(outDir)
+          ()
+        },
+      finish = partials =>
+        Temporal.scoreHourly(
+          partials
+            .groupBy(col("event_type"), col("hour"))
+            .agg(sum(col("cnt")).cast("long").as("cnt"))),
+      // zero-row events: run the REAL scoring chain over an empty counts
+      // frame so the empty-case schema can never drift from the batch
+      // query's (EmptyInputSpec contract, manifestView precedent)
+      empty = Temporal.scoreHourly(
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row],
-          StructType(Seq(
-            StructField("event_type", StringType),
-            StructField("hour", LongType),
-            StructField("cnt", LongType),
-            StructField("baseline_mean", DoubleType),
-            StructField("z", DoubleType))))
-      }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(tmp.toFile)
-    result
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(
+              "event_type", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(
+              "hour", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField(
+              "cnt", org.apache.spark.sql.types.LongType, nullable = false))))))
   }
 
   val defs: Map[String, QueryDef] = Map(

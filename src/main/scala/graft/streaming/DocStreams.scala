@@ -125,38 +125,26 @@ object DocStreams {
         .parquet(s"$out/files")
       ()
     } + "/files"
-    val tmp    = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
-    val outDir = s"$tmp/out"
-    val handler: (Dataset[Row], Long) => Unit = (batch, _) => {
-      val (verdicts, sigs) = graft.operators.Dedup
-        .incrementalProbe(spark, idx, batch.toDF(), deltaIsSmall = true)
-      verdicts.write.mode("append").parquet(outDir)
-      // no-op today (small-batch probes skip the persist), kept so a
-      // future persistSigs change can't leak per-batch cached frames
-      sigs.unpersist(blocking = false)
-      ()
-    }
-    val query = spark.readStream
-      .schema(delta.schema)
-      .option("maxFilesPerTrigger", 2)
-      .parquet(srcDir)
-      .writeStream
-      .option("checkpointLocation", s"$tmp/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .foreachBatch(handler)
-      .start()
-    query.awaitTermination()
-    val produced = {
-      val d = new java.io.File(outDir)
-      d.exists && Option(d.listFiles).exists(_.exists(_.getName.endsWith(".parquet")))
-    }
-    val result =
-      if (produced)
-        // checkpoint so the temp output tree can be deleted immediately
-        spark.read.parquet(outDir).orderBy(col("doc_id")).localCheckpoint()
-      else {
-        // zero-row delta: the stream ran no data batches — degrade to an
-        // empty frame with the verdict schema (EmptyInputSpec contract)
+    StreamRunner.runAvailableNow(
+      spark,
+      schema = delta.schema,
+      srcDir = srcDir,
+      maxFilesPerTrigger = 2,
+      tmpPrefix = "graft-stream-dedup",
+      mkHandler = outDir =>
+        (batch, _) => {
+          val (verdicts, sigs) = graft.operators.Dedup
+            .incrementalProbe(spark, idx, batch.toDF(), deltaIsSmall = true)
+          verdicts.write.mode("append").parquet(outDir)
+          // no-op today (small-batch probes skip the persist), kept so a
+          // future persistSigs change can't leak per-batch cached frames
+          sigs.unpersist(blocking = false)
+          ()
+        },
+      finish = _.orderBy(col("doc_id")),
+      // zero-row delta: the stream ran no data batches — degrade to an
+      // empty frame with the verdict schema (EmptyInputSpec contract)
+      empty = {
         import org.apache.spark.sql.types._
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[Row],
@@ -166,12 +154,7 @@ object DocStreams {
             StructField("dup_of", LongType),
             StructField("est", DoubleType),
             StructField("keep", BooleanType, nullable = false))))
-      }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(tmp.toFile)
-    result
+      })
   }
 
   val defs: Map[String, QueryDef] = Map(
