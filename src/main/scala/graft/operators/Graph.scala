@@ -302,7 +302,71 @@ object Graph {
         "3.0 * (SELECT n_triangles FROM tri) / (SELECT SUM(d * (d - 1) / 2) FROM deg)", 8)}
        |       END AS clustering_coeff""".stripMargin
 
+  /** Degree / strength distribution of the co-purchase graph — the
+    * shape audit run before committing to any iterative algorithm on a
+    * new graph (a heavy-tailed histogram means hub-salting; a flat one
+    * means plain hash partitioning is enough). One histogram row per
+    * degree: node count, share of nodes, summed edge strength.
+    * Scale shape: edges aggregate per node (map-side combinable), the
+    * histogram groups a node-sized frame, and the share window runs
+    * over the degree-sized histogram — nothing fact-sized shuffles
+    * beyond the pair build the graph tier already pays.
+    */
+  def graphDegreeStats(spark: SparkSession, dir: String): DataFrame = {
+    val whole = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1))
+    val pairs = Commerce
+      .pairCounts(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+      .filter(col("pair_count") >= 2)
+    val deg = pairs
+      .select(col("part_x").as("node"), col("pair_count").as("w"))
+      .unionAll(pairs.select(col("part_y").as("node"), col("pair_count").as("w")))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("degree"), sum(col("w")).cast("long").as("strength"))
+    deg
+      .groupBy(col("degree"))
+      .agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("strength")).cast("long").as("strength_sum"))
+      .withColumn(
+        "share",
+        Det.detRound(
+          col("n_nodes").cast("double") / sum(col("n_nodes")).over(whole), 6))
+      .select(col("degree"), col("n_nodes"), col("share"), col("strength_sum"))
+      .orderBy(col("degree"))
+  }
+
+  private val graphDegreeStatsSql =
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+      |), pairs AS (
+      |  SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS w
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |  HAVING count(*) >= 2
+      |), nodes AS (
+      |  SELECT x AS node, w FROM pairs
+      |  UNION ALL
+      |  SELECT y AS node, w FROM pairs
+      |), deg AS (
+      |  SELECT node, count(*) AS degree, SUM(w) AS strength
+      |  FROM nodes GROUP BY node
+      |), hist AS (
+      |  SELECT degree, count(*) AS n_nodes, SUM(strength) AS strength_sum
+      |  FROM deg GROUP BY degree
+      |)
+      |SELECT CAST(degree AS BIGINT) AS degree,
+      |       CAST(n_nodes AS BIGINT) AS n_nodes,
+      |       floor((CAST(n_nodes AS DOUBLE) / SUM(n_nodes) OVER ())*1e6 + 0.5)/1e6 AS share,
+      |       CAST(strength_sum AS BIGINT) AS strength_sum
+      |FROM hist
+      |ORDER BY degree""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "graph_degree_stats" -> QueryDef(graphDegreeStats, Some(graphDegreeStatsSql)),
     "pagerank_parts"     -> QueryDef(pagerankParts, Some(pagerankPartsSql)),
     "embedding_clusters" -> QueryDef(embeddingClusters, Some(embeddingClustersSql)),
     "triangle_counts"    -> QueryDef(triangleCounts, Some(triangleCountsSql)))

@@ -65,6 +65,26 @@ class GraphMediaSpec extends AnyFunSuite {
     assert(exact.nonEmpty && sketch.nonEmpty)
   }
 
+  test("graph_degree_stats: histogram partitions the node set, shares sum to 1") {
+    val rows = graft.operators.Graph.graphDegreeStats(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1L, s"degree 0 node in an edge-derived graph: $r")
+      assert(r.getLong(3) >= r.getLong(0) * r.getLong(1),
+        s"strength below degree floor (every edge weighs >= 1... pruned >= 2): $r")
+    }
+    val shares = rows.map(_.getDouble(2)).sum
+    assert(math.abs(shares - 1.0) < 1e-3, s"shares sum to $shares")
+    // histogram node total == distinct nodes in the pruned edge list
+    val pairs = graft.operators.Commerce
+      .pairCounts(Tables.lineitem(spark, TestSpark.Sf)
+        .select($"l_orderkey", $"l_partkey"))
+      .filter($"pair_count" >= 2)
+    val nNodes = pairs.select($"part_x".as("n"))
+      .unionAll(pairs.select($"part_y".as("n"))).distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nNodes)
+  }
+
   test("media_manifest: blob accounting consistent with the documents table") {
     val rows = Multimodal.mediaManifest(spark, TestSpark.Sf).collect()
     val docs = Tables.documents(spark, TestSpark.Sf)
