@@ -515,7 +515,77 @@ object Pipeline {
       |GROUP BY h.attr
       |ORDER BY h.attr""".stripMargin
 
+  /** Time-ordered train/eval split of the event stream: everything
+    * before the 80%-of-span cutoff trains, the rest evaluates — the
+    * split discipline time-series models require (a hash split leaks
+    * the future into training). Emits per-split row/user counts plus
+    * the USER-overlap count, the leakage metric deciding between
+    * per-user and per-time splitting. Cutoff arithmetic is exact
+    * integer µs; the overlap semi-join runs on user-distinct frames,
+    * never raw events.
+    */
+  def temporalSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val whole = Window.partitionBy(lit(1))
+    val tagged = e
+      .withColumn("t_min", min(col("ts")).over(whole))
+      .withColumn("t_max", max(col("ts")).over(whole))
+      // integer div on both sides: `/` is FLOAT division in Spark and
+      // DuckDB alike, and a float cutoff would round differently
+      .withColumn("cutoff", col("t_min") + expr("((t_max - t_min) * 4) div 5"))
+      .withColumn("split", when(col("ts") < col("cutoff"), "train").otherwise("eval"))
+    val perSplit = tagged
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val overlap = tagged
+      .select(col("split"), col("user_id"))
+      .distinct()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_splits"))
+      .filter(col("n_splits") === 2)
+      .agg(count(lit(1)).as("n_overlap_users"))
+    perSplit
+      .crossJoin(broadcast(overlap))
+      .select(
+        col("split"), col("n_events"), col("n_users"), col("n_overlap_users"),
+        Det.detRound(
+          col("n_overlap_users").cast("double") / col("n_users"), 6)
+          .as("leakage_rate"))
+      .orderBy(col("split"))
+  }
+
+  private val temporalSplitSql =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts FROM events
+      |), bounds AS (
+      |  SELECT MIN(ts) AS t_min, MAX(ts) AS t_max FROM e
+      |), tagged AS (
+      |  SELECT e.user_id,
+      |         CASE WHEN e.ts < b.t_min + (b.t_max - b.t_min) * 4 // 5
+      |              THEN 'train' ELSE 'eval' END AS split
+      |  FROM e, bounds b
+      |), per_split AS (
+      |  SELECT split, count(*) AS n_events,
+      |         count(DISTINCT user_id) AS n_users
+      |  FROM tagged GROUP BY split
+      |), overlap AS (
+      |  SELECT count(*) AS n_overlap_users FROM (
+      |    SELECT user_id FROM (SELECT DISTINCT split, user_id FROM tagged)
+      |    GROUP BY user_id HAVING count(*) = 2
+      |  )
+      |)
+      |SELECT split, CAST(n_events AS BIGINT) AS n_events,
+      |       CAST(n_users AS BIGINT) AS n_users,
+      |       CAST(n_overlap_users AS BIGINT) AS n_overlap_users,
+      |       floor((CAST(n_overlap_users AS DOUBLE) / n_users)*1e6 + 0.5)/1e6 AS leakage_rate
+      |FROM per_split, overlap
+      |ORDER BY split""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "temporal_split"        -> QueryDef(temporalSplit, Some(temporalSplitSql)),
     "scd2_history"          -> QueryDef(scd2History, Some(scd2HistorySql)),
     "scd2_pit_join"         -> QueryDef(scd2PitJoin, Some(scd2PitJoinSql)),
     "doc_chunks"            -> QueryDef(docChunks, Some(docChunksSql)),

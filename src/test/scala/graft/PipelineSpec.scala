@@ -149,6 +149,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("temporal_split: both splits populated, overlap bounded, events conserved") {
+    val rows = Pipeline.temporalSplit(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet === Set("train", "eval"))
+    val total = rows.values.map(_.getLong(1)).sum
+    assert(total === Tables.events(spark, sf).count(), "splits must partition events")
+    rows.values.foreach { r =>
+      val (nEvents, nUsers, nOverlap, leak) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nEvents > 0 && nUsers > 0, s"empty split: $r")
+      assert(nOverlap <= nUsers, s"overlap exceeds split's user count: $r")
+      assert(leak >= 0.0 && leak <= 1.0, s"leakage rate out of range: $r")
+    }
+    // the 80% cutoff must put the bulk of events in train
+    assert(rows("train").getLong(1) > rows("eval").getLong(1),
+      "train split should dominate an 80%-of-span cutoff")
+  }
+
   test("boilerplate_ngrams: every reported shingle really occurs in >= 3 distinct docs") {
     val out = Pipeline.boilerplateNgrams(spark, sf).collect()
     if (out.nonEmpty) {
