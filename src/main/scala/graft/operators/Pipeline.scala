@@ -525,24 +525,29 @@ object Pipeline {
     * never raw events.
     */
   def temporalSplit(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e = Tables.events(spark, dir).select(col("user_id"), col("ts"))
-    val whole = Window.partitionBy(lit(1))
+    // span bounds as a broadcast 1-row frame — NOT an unpartitioned
+    // window, which would funnel the whole fact table into one partition
+    val bounds = e.agg(min(col("ts")).as("t_min"), max(col("ts")).as("t_max"))
     val tagged = e
-      .withColumn("t_min", min(col("ts")).over(whole))
-      .withColumn("t_max", max(col("ts")).over(whole))
+      .crossJoin(broadcast(bounds))
       // integer div on both sides: `/` is FLOAT division in Spark and
       // DuckDB alike, and a float cutoff would round differently
       .withColumn("cutoff", col("t_min") + expr("((t_max - t_min) * 4) div 5"))
       .withColumn("split", when(col("ts") < col("cutoff"), "train").otherwise("eval"))
-    val perSplit = tagged
+    // ONE fact-sized aggregate at (split, user) grain feeds both
+    // outputs; the lazy checkpoint pins the user-sized frame to a
+    // single computation
+    val perUser = tagged
+      .groupBy(col("split"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val perSplit = perUser
       .groupBy(col("split"))
       .agg(
-        count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"))
-    val overlap = tagged
-      .select(col("split"), col("user_id"))
-      .distinct()
+        sum(col("n")).cast("long").as("n_events"),
+        count(lit(1)).as("n_users"))
+    val overlap = perUser
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_splits"))
       .filter(col("n_splits") === 2)
