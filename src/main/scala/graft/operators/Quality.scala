@@ -427,9 +427,6 @@ object Quality {
     * moves: the shuffle carries (key, count) partials only.
     */
   def keySkewReport(spark: SparkSession, dir: String): DataFrame = {
-    // per audited (table, key) pair — lineitem is audited under TWO keys
-    val whole = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("rel"), col("key_col"))
     val perRel = SkewKeys.map { case (tbl, key) =>
       // events goes through its normalizing loader: a raw scan fails
       // schema inference outright under the INT64 TIMESTAMP(NANOS)
@@ -440,24 +437,33 @@ object Quality {
         .agg(count(lit(1)).as("cnt"))
         .select(lit(tbl).as("rel"), lit(key).as("key_col"), col("key_val"), col("cnt"))
     }
-    val counted = perRel.reduce(_ unionAll _)
+    // counted feeds the stats aggregate AND the top-3 heaps — pin the
+    // key-sized frame to one computation
+    val counted = perRel.reduce(_ unionAll _).localCheckpoint(eager = false)
+    // per-(rel, key_col) totals as a |SkewKeys|-row aggregate joined
+    // back broadcast — NOT a window over the full counts frame, which
+    // would funnel every key of a table into one partition at 100 TB
     val stats = counted
-      .withColumn("n_keys", count(lit(1)).over(whole))
-      .withColumn("n_rows", sum(col("cnt")).over(whole).cast("long"))
+      .groupBy(col("rel"), col("key_col"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).cast("long").as("n_rows"),
+        max(col("cnt")).cast("long").as("max_cnt"))
     org.apache.spark.sql.graft.TopK
       .perKey(
-        stats,
+        counted,
         Seq("rel", "key_col"),
         Seq("cnt" -> false, "key_val" -> true),
         k = 3,
         rankName = "rk")
+      .join(broadcast(stats), Seq("rel", "key_col"))
       .select(
         col("rel"), col("key_col"), col("rk"), col("key_val"), col("cnt"),
         Det.detRound(col("cnt").cast("double") / col("n_rows"), 6).as("share"),
         col("n_keys"), col("n_rows"),
-        // max÷mean group size; rk=1 row's cnt IS the max
+        // max÷mean group size
         Det.detRound(
-          max(col("cnt")).over(whole).cast("double") * col("n_keys") / col("n_rows"),
+          col("max_cnt").cast("double") * col("n_keys") / col("n_rows"),
           4).as("skew_ratio"))
       .orderBy(col("rel"), col("key_col"), col("rk"))
   }
