@@ -319,6 +319,9 @@ object Graph {
       .pairCounts(
         Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
       .filter(col("pair_count") >= 2)
+      // pairs feeds both unionAll legs — checkpoint so the expensive
+      // pair generation runs once (pagerankParts' measured lesson)
+      .localCheckpoint()
     val deg = pairs
       .select(col("part_x").as("node"), col("pair_count").as("w"))
       .unionAll(pairs.select(col("part_y").as("node"), col("pair_count").as("w")))

@@ -525,7 +525,13 @@ object Pipeline {
     * never raw events.
     */
   def temporalSplit(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    // null users carry no leakage identity; dropping them on BOTH sides
+    // keeps the Spark rollup count and the oracle's count(DISTINCT ...)
+    // (which skips NULLs) in lockstep
+    val e = Tables
+      .events(spark, dir)
+      .select(col("user_id"), col("ts"))
+      .filter(col("user_id").isNotNull)
     // span bounds as a broadcast 1-row frame — NOT an unpartitioned
     // window, which would funnel the whole fact table into one partition
     val bounds = e.agg(min(col("ts")).as("t_min"), max(col("ts")).as("t_max"))
@@ -565,6 +571,7 @@ object Pipeline {
   private val temporalSplitSql =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts FROM events
+      |  WHERE user_id IS NOT NULL
       |), bounds AS (
       |  SELECT MIN(ts) AS t_min, MAX(ts) AS t_max FROM e
       |), tagged AS (

@@ -421,10 +421,15 @@ object Quality {
     * broadcast()/salting decision the engine makes — run it before
     * choosing a join strategy at a new scale, not after the stage OOMs.
     *
-    * Scale shape: one map-side-combinable count per audited key, then
-    * per-table stats via an unpartitioned window over the KEY-sized
-    * frame, top-3 via TakeOrderedAndProject. Nothing fact-sized ever
-    * moves: the shuffle carries (key, count) partials only.
+    * Scale shape: one map-side-combinable count per audited key; the
+    * per-(table, key) totals are a |SkewKeys|-row aggregate broadcast-
+    * joined back, and top-3 runs on the bounded-heap TopKPerKey
+    * operator — no window ever sees the full key-sized frame. Nothing
+    * fact-sized moves: the shuffle carries (key, count) partials only.
+    * NULL key values are reported as the '<null>' group — in a skew
+    * audit the null key is often THE hot key, and folding it into a
+    * printable sentinel also keeps the top-3 tie-break engine-portable
+    * (Spark sorts NULLS FIRST ascending, DuckDB NULLS LAST).
     */
   def keySkewReport(spark: SparkSession, dir: String): DataFrame = {
     val perRel = SkewKeys.map { case (tbl, key) =>
@@ -433,7 +438,7 @@ object Quality {
       // encoding when the caller-built session lacks nanosAsLong
       (if (tbl == "events") Tables.events(spark, dir)
        else Tables.table(spark, dir, tbl))
-        .groupBy(col(key).cast("string").as("key_val"))
+        .groupBy(coalesce(col(key).cast("string"), lit("<null>")).as("key_val"))
         .agg(count(lit(1)).as("cnt"))
         .select(lit(tbl).as("rel"), lit(key).as("key_col"), col("key_val"), col("cnt"))
     }
@@ -472,8 +477,9 @@ object Quality {
     val blocks = SkewKeys
       .map { case (tbl, key) =>
         s"""SELECT '$tbl' AS rel, '$key' AS key_col,
-           |       CAST($key AS VARCHAR) AS key_val, count(*) AS cnt
-           |FROM $tbl GROUP BY $key""".stripMargin
+           |       COALESCE(CAST($key AS VARCHAR), '<null>') AS key_val,
+           |       count(*) AS cnt
+           |FROM $tbl GROUP BY 3""".stripMargin
       }
       .mkString("\nUNION ALL\n")
     s"""WITH counted AS (

@@ -9,9 +9,21 @@ import org.scalatest.funsuite.AnyFunSuite
   * the reason the runner exists — a failing handler must not leak its
   * graft-stream-* temp tree (checkpoint + output).
   */
-class StreamRunnerSpec extends AnyFunSuite {
+class StreamRunnerSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  // fixture source trees, removed in afterAll — a leak-assertion suite
+  // must not itself leak its fixtures
+  private val fixtureDirs = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+  override def afterAll(): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    fixtureDirs.foreach(rm)
+    super.afterAll()
+  }
 
   private def tmpTrees(prefix: String): Set[String] = {
     val root = new java.io.File(System.getProperty("java.io.tmpdir"))
@@ -23,6 +35,7 @@ class StreamRunnerSpec extends AnyFunSuite {
 
   private def publishSource(rows: Seq[(Long, Long)]): String = {
     val dir = java.nio.file.Files.createTempDirectory("graft-runner-src")
+    fixtureDirs += dir.toFile
     rows.toDF("k", "v").repartition(2, col("k"))
       .write.mode("overwrite").parquet(s"$dir/files")
     s"$dir/files"
@@ -72,6 +85,7 @@ class StreamRunnerSpec extends AnyFunSuite {
 
   test("empty source: fallback frame returned, temp tree removed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-runner-empty-src")
+    fixtureDirs += dir.toFile
     // publish schema-only source dir with zero parquet files
     val srcDir = s"$dir/files"
     new java.io.File(srcDir).mkdirs()
