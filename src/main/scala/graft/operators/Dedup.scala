@@ -803,7 +803,48 @@ object Dedup {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Duplicate-cluster size histogram over the BOUNDED minhash-LSH
+    * cluster path (the 100 TB form): per cluster size, how many
+    * clusters, how many docs they hold, and how many docs dedup would
+    * remove (size−1 each) — the savings distribution that tells you
+    * whether duplication is a long tail of pairs or a few mega-clusters
+    * (which need the keep-best pass to pick canonicals carefully).
+    * Histogram grain is cluster-size-bounded; everything after the CC
+    * labels is two tiny aggregates.
+    */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    dedupClustersMinhash(spark, dir)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(
+        col("cluster_size"),
+        col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private val dedupClusterSizesSql =
+    s"""WITH assign AS (
+       |  SELECT * FROM (
+       |${dedupClustersMinhashSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |), sizes AS (
+       |  SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id
+       |), hist AS (
+       |  SELECT cluster_size, count(*) AS n_clusters FROM sizes GROUP BY cluster_size
+       |)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |       CAST(n_clusters AS BIGINT) AS n_clusters,
+       |       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs,
+       |       CAST((cluster_size - 1) * n_clusters AS BIGINT) AS n_removable
+       |FROM hist
+       |ORDER BY cluster_size""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_keep_best" -> QueryDef(dedupKeepBest, Some(dedupKeepBestSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),

@@ -205,4 +205,24 @@ class SimilarityDedupSpec extends AnyFunSuite {
     val again = Similarity.annPqStored(spark, TestSpark.Sf)
     assert(again.collect().toSeq === inPlan)
   }
+
+  test("dedup_cluster_sizes histogram is consistent with the cluster assignment") {
+    val assign = graft.operators.Dedup
+      .dedupClustersMinhash(spark, TestSpark.Sf).collect()
+    val hist = graft.operators.Dedup
+      .dedupClusterSizes(spark, TestSpark.Sf).collect()
+    assert(hist.nonEmpty)
+    // clusters come from the pair graph, so no singleton rows
+    hist.foreach { r =>
+      assert(r.getLong(0) >= 2L, s"pair-graph cluster of size < 2: $r")
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1), s"n_docs algebra: $r")
+      assert(r.getLong(3) === r.getLong(2) - r.getLong(1), s"n_removable algebra: $r")
+    }
+    assert(hist.map(_.getLong(2)).sum === assign.length,
+      "histogram must partition the clustered docs")
+    val bySize = assign.groupBy(_.getLong(1)).values.map(_.length.toLong)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(hist.map(r => r.getLong(0) -> r.getLong(1)).toMap === bySize,
+      "histogram diverges from a direct recount of the assignment")
+  }
 }
