@@ -154,6 +154,71 @@ object Tables {
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 }
 
+/** Lineage truncation for iterative queries (PageRank, connected
+  * components, Lloyd assignment reuse, multi-consumer pair frames).
+  *
+  * `localCheckpoint()` pins blocks to executors: fast, but on a real
+  * cluster an executor loss kills the job instead of recomputing — the
+  * wrong default for a 1000-executor deployment where losing one
+  * machine over a multi-hour run is routine. `checkpoint()` writes to a
+  * reliable store (HDFS/S3) and survives any executor loss, at the cost
+  * of a write per cut.
+  *
+  * This helper picks per SESSION, conf-gated so the default stays
+  * unchanged locally:
+  *  - a checkpoint dir is available — `spark.graft.checkpoint.dir` is
+  *    set, or the SparkContext already has one (via Spark's own
+  *    `spark.checkpoint.dir` or an explicit `setCheckpointDir`) — →
+  *    reliable `checkpoint()`;
+  *  - otherwise → `localCheckpoint()` (single-JVM local mode, specs,
+  *    the sandbox bench).
+  * `spark.graft.reliableCheckpoint.enabled=false` forces local even
+  * when a dir is set (a cluster that wants speed over fault recovery).
+  * Checkpoint files follow Spark's standard lifecycle: cleaned by the
+  * ContextCleaner when `spark.cleaner.referenceTracking.cleanCheckpoints`
+  * is on, else left for the job owner's dir hygiene.
+  */
+object Ckpt {
+  /** The last `spark.graft.checkpoint.dir` value this helper applied to
+    * the SparkContext. setCheckpointDir appends a UUID subdir, so the
+    * context's dir can't be compared back to the conf value directly —
+    * tracking what we applied lets a conf CHANGE re-point the context
+    * and a conf UNSET fall back to local (while a dir the USER set via
+    * setCheckpointDir / spark.checkpoint.dir, never through our conf,
+    * keeps being honored).
+    */
+  private val applied =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
+  def cut(df: DataFrame, eager: Boolean = true): DataFrame = {
+    val spark = df.sparkSession
+    val sc    = spark.sparkContext
+    val enabled =
+      confOpt(spark, "spark.graft.reliableCheckpoint.enabled")
+        .forall(_.toLowerCase != "false")
+    if (!enabled) return df.localCheckpoint(eager)
+    confOpt(spark, "spark.graft.checkpoint.dir") match {
+      case Some(d) =>
+        if (applied.getAndSet(d) != d || sc.getCheckpointDir.isEmpty)
+          sc.setCheckpointDir(d)
+        df.checkpoint(eager)
+      case None =>
+        if (sc.getCheckpointDir.isDefined && applied.get == null)
+          df.checkpoint(eager)
+        else df.localCheckpoint(eager)
+    }
+  }
+
+  private def confOpt(spark: SparkSession, key: String): Option[String] =
+    try spark.conf.getOption(key)
+    catch { case _: Throwable => None }
+
+  /** Chain-style sugar: `df.cutLineage()` ≡ `Ckpt.cut(df)`. */
+  implicit final class CutOps(private val df: DataFrame) extends AnyVal {
+    def cutLineage(eager: Boolean = true): DataFrame = cut(df, eager)
+  }
+}
+
 /** Harness-side per-query state release. `spark.catalog.clearCache()`
   * drops persist()ed DataFrames but NOT localCheckpoint blocks — those
   * wait for the driver-side ContextCleaner, i.e. for a GC, so on a big

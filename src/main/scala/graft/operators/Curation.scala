@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -488,7 +489,7 @@ object Curation {
           .as("s"))
       .select(col("source"), Det.md5h60Col(col("s")).as("h"))
       .distinct()
-      .localCheckpoint()
+      .cutLineage()
     val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
     sh.select(col("source").as("src_a"), col("h"))
       .join(sh.select(col("source").as("src_b"), col("h")), "h")

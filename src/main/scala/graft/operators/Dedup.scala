@@ -416,7 +416,7 @@ object Dedup {
     * near-dup pair graph via iterative min-label propagation (the
     * standard distributed CC — converges in O(graph diameter)
     * iterations, each one join + one aggregate; lineage truncated per
-    * round with localCheckpoint). cluster_id = smallest doc_id in the
+    * round with Ckpt.cut). cluster_id = smallest doc_id in the
     * component, i.e. the canonical document to keep. Oracle: a
     * recursive-CTE transitive closure over the same exact-Jaccard pairs
     * (min reachable id ≡ the min-label fixpoint).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,9 +11,10 @@ import org.apache.spark.sql.functions._
   * connected-components pass in Dedup.dedupClusters with the other
   * classic label-propagation workload.
   *
-  * Scale notes: the edge list is built once and localCheckpoint'd
-  * (truncates the growing lineage — the standard guard for iterative
-  * DataFrame jobs); each PageRank iteration is one join + one
+  * Scale notes: the edge list is built once and lineage-cut via
+  * [[graft.Ckpt]] (localCheckpoint in local mode; reliable checkpoint()
+  * when a checkpoint dir is configured, so a 1000-executor run survives
+  * executor loss); each PageRank iteration is one join + one
   * aggregation, both hash-partitioned on the node key so AQE reuses the
   * partitioning across iterations. Rank sums use exact DECIMAL
   * arithmetic, making the fixed-iteration result deterministic under
@@ -22,8 +24,9 @@ object Graph {
 
   /** 3-iteration PageRank (d = 0.85) over parts connected by appearing
     * in the same order (pair support ≥ 2 to prune noise edges). Output:
-    * top-50 parts by rank. Rows-only check (fixed-iteration PageRank has
-    * no tractable SQL twin); invariants in GraphSpec — rank mass
+    * top-50 parts by rank. Hash-checked against `pagerankPartsSql` — the
+    * 3 iterations unrolled as chained DuckDB CTEs with the same exact
+    * DECIMAL contribution sums; GraphSpec additionally asserts rank mass
     * conservation and cross-run determinism.
     *
     * Cold-run design: the edge list is symmetric, so every node has
@@ -46,7 +49,7 @@ object Graph {
       // pairs feeds rawEdges twice and outWeight through it — checkpoint
       // so the distinct+self-join+groupBy pair generation (the expensive
       // part) runs once regardless of how Catalyst dedupes the subtrees
-      .localCheckpoint()
+      .cutLineage()
     // undirected → both directions; weight = pair support
     val rawEdges = pairs
       .select(col("part_x").as("src"), col("part_y").as("dst"), col("pair_count").as("w"))
@@ -61,19 +64,19 @@ object Graph {
       .join(outWeight, "src")
       .select(col("src"), col("dst"), (col("w") / col("w_out")).as("frac"))
       .repartition(col("src"))
-      .localCheckpoint()
+      .cutLineage()
     // iteration 1: rank₀ = 1.0 for every node, so contrib ≡ frac
     var ranks = edges
       .groupBy(col("dst").as("node"))
       .agg((lit(0.15) + lit(0.85) * Det.fineSum(col("frac"))).as("rank"))
-      .localCheckpoint()
+      .cutLineage()
     for (_ <- 2 to iters) {
       ranks = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") * col("frac")).as("contrib"))
         .groupBy(col("node"))
         .agg((lit(0.15) + lit(0.85) * Det.fineSum(col("contrib"))).as("rank"))
-        .localCheckpoint()
+        .cutLineage()
     }
     ranks
       .select(col("node").as("l_partkey"), Det.detRound(col("rank"), 8).as("rank"))
@@ -131,8 +134,8 @@ object Graph {
 
   /** Connected components by iterative min-label propagation over an
     * undirected edge list `(src, dst)` — converges in O(diameter)
-    * rounds, each one join + one aggregate, with localCheckpoint
-    * truncating the lineage per round. Extracted from (and used by)
+    * rounds, each one join + one aggregate, with a Ckpt lineage cut per
+    * round (reliable checkpoint() on a cluster with a checkpoint dir). Extracted from (and used by)
     * Dedup.dedupClusters; near-dup graphs have tiny diameters, so the
     * 15-round cap is never the binding constraint in practice.
     */
@@ -147,12 +150,12 @@ object Graph {
       .union(fwd.select(col("dst"), col("src")))
       .toDF("src", "dst")
       .repartition(col("src"))
-      .localCheckpoint()
+      .cutLineage()
     var labels = edges
       .select(col("src").as("node"))
       .distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .cutLineage()
     var converged = false
     var iter      = 0
     while (!converged && iter < maxIters) {
@@ -170,7 +173,7 @@ object Graph {
           col("node"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
           col("label").as("prev_label"))
-        .localCheckpoint()
+        .cutLineage()
       converged = next.filter(col("label") =!= col("prev_label")).isEmpty
       labels = next.select(col("node"), col("label"))
       iter += 1
@@ -238,11 +241,11 @@ object Graph {
         Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
       .filter(col("pair_count") >= 2)
       .select(col("part_x").as("a"), col("part_y").as("b")) // canonical a < b
-      .localCheckpoint()
+      .cutLineage()
     val deg = pairs.select(col("a").as("n"))
       .unionAll(pairs.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-      .localCheckpoint() // node-count sized; 3 consumers below
+      .cutLineage() // node-count sized; 3 consumers below
     val oriented = pairs
       .join(deg.select(col("n").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("d").as("db")), "b")
@@ -252,7 +255,7 @@ object Graph {
           struct(col("a").as("s"), col("b").as("t")))
           .otherwise(struct(col("b").as("s"), col("a").as("t"))).as("e"))
       .select(col("e.s").as("s"), col("e.t").as("t"))
-      .localCheckpoint() // self-joined below; broadcast joins leave no exchange to reuse
+      .cutLineage() // self-joined below; broadcast joins leave no exchange to reuse
     val wedges = oriented.as("w1")
       .join(oriented.as("w2"), col("w1.s") === col("w2.s"))
       .filter(col("w1.t") < col("w2.t"))
@@ -321,7 +324,7 @@ object Graph {
       .filter(col("pair_count") >= 2)
       // pairs feeds both unionAll legs — checkpoint so the expensive
       // pair generation runs once (pagerankParts' measured lesson)
-      .localCheckpoint()
+      .cutLineage()
     val deg = pairs
       .select(col("part_x").as("node"), col("pair_count").as("w"))
       .unionAll(pairs.select(col("part_y").as("node"), col("pair_count").as("w")))

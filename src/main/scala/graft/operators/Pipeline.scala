@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -547,7 +548,7 @@ object Pipeline {
     val perUser = tagged
       .groupBy(col("split"), col("user_id"))
       .agg(count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .cutLineage(eager = false)
     val perSplit = perUser
       .groupBy(col("split"))
       .agg(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -444,7 +445,7 @@ object Quality {
     }
     // counted feeds the stats aggregate AND the top-3 heaps — pin the
     // key-sized frame to one computation
-    val counted = perRel.reduce(_ unionAll _).localCheckpoint(eager = false)
+    val counted = perRel.reduce(_ unionAll _).cutLineage(eager = false)
     // per-(rel, key_col) totals as a |SkewKeys|-row aggregate joined
     // back broadcast — NOT a window over the full counts frame, which
     // would funnel every key of a table into one partition at 100 TB

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -377,7 +378,7 @@ object Retention {
       // materialize: one double per user (input-bounded, far smaller
       // than events) feeds two passes — est + rank; without this the
       // whole funnel shuffle runs twice
-      .localCheckpoint()
+      .cutLineage()
       .filter(col("hours").isNotNull) // cheap: runs on materialized rows
     val kll = graft.functions.KllQuantiles.udf(FlKllK, Seq(0.5))
     val est = hours.agg(
@@ -389,7 +390,7 @@ object Retention {
       // final join; without it each consumer re-runs the KLL aggregate,
       // whose merge tree follows shuffle arrival order — two executions
       // could disagree and the self-join on est_val would silently miss
-      .localCheckpoint()
+      .cutLineage()
     // exact rank of the single estimate: one more pass over the tiny
     // completed-funnel frame, broadcast-joined (1-row build side)
     val ranks = hours

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Ckpt.CutOps
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -950,7 +951,7 @@ object Similarity {
     // denominators) — checkpoint so the brute-force anchor runs once
     val exact = annCosineTopK(spark, dir)
       .select(col("q_id"), col("neighbor_id"))
-      .localCheckpoint()
+      .cutLineage()
     val exactN = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
     def recallOf(method: String, approx: DataFrame): DataFrame = {
       val hits = approx

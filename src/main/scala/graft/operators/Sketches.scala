@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Ckpt.CutOps
 import graft.functions.KmvDistinct
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -223,7 +224,7 @@ object Sketches {
     // fact scan + distinct shuffle run ONCE (the frame is audience-
     // sized, bounded by |users|·|types|, not fact-sized); same pattern
     // as source_overlap's pinned shingle frame
-    val tu = ev.distinct().localCheckpoint()
+    val tu = ev.distinct().cutLineage()
     val per = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n_exact"))
     val overlap = tu
       .join(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -211,7 +212,7 @@ object Temporal {
     // hours×types frame, not events — ONE data-sized scan total. Lazy:
     // plan-only callers (explain, spec plan asserts) must not trigger
     // the scan at DataFrame construction
-    val counts = counts0.localCheckpoint(eager = false)
+    val counts = counts0.cutLineage(eager = false)
     val span = counts.agg(min(col("hour")).as("h_lo"), max(col("hour")).as("h_hi"))
     val grid = span
       .select(explode(expr("sequence(h_lo, h_hi)")).as("hour"))

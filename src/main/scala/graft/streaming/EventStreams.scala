@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.{Det, QueryDef, Tables}
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -437,7 +438,7 @@ object EventStreams {
               col("n_events").cast("long").as("n_events"),
               col("total_value").cast("decimal(28,2)").as("total_value"),
               col("bkt"))
-            .localCheckpoint() // materialize BEFORE touching the dir being read
+            .cutLineage() // materialize BEFORE touching the dir being read
             .write
             .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -564,7 +565,7 @@ object EventStreams {
         // collect + the merged write) — without materializing it the
         // batch aggregation recomputes per action, and on a source that
         // is not perfectly replayable the two passes could even disagree
-        .localCheckpoint()
+        .cutLineage()
       // bounded driver collect: at most `buckets` ints
       val touched = partial.select(col("bkt")).distinct()
         .collect().map(_.getInt(0)).toSeq.sorted

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Ckpt.CutOps
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.StructType
@@ -53,7 +54,7 @@ object StreamRunner {
       }
       if (produced)
         // materialize BEFORE the finally deletes the tree being read
-        finish(spark.read.parquet(outDir)).localCheckpoint()
+        finish(spark.read.parquet(outDir)).cutLineage()
       else empty
     } finally rm(tmp.toFile)
   }
