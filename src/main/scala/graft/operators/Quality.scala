@@ -30,16 +30,38 @@ object Quality {
   // ----------------------------------------------------------- table profile
 
   /** Generic single-pass column profiler. Emits one row per column:
-    * null count, exact distinct count, and type-split min/max (numerics
+    * null count, distinct count, and type-split min/max (numerics
     * as rounded doubles, dates/strings as strings) so the output schema
     * is stable across column types.
+    *
+    * `exactDistinct=false` swaps every exact count-distinct for the
+    * mergeable KMV estimate over a canonical per-type serialization —
+    * the same single-pass shape with NO Expand and k·|columns| longs of
+    * aggregate state regardless of table size (nulls/min/max stay
+    * exact; the NDV estimate counts NULL as one value, within sketch
+    * error). This is the plan the row-cap routing below selects at
+    * 100 TB.
     */
-  def tableProfile(df: DataFrame): DataFrame = {
+  def tableProfile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
     val fields = df.schema.fields.toSeq
+    val kmv    = graft.functions.KmvDistinct.udf(ProfileKmvK)
+    def serOf(f: StructField): Column = f.dataType match {
+      case DateType      => date_format(col(f.name), "yyyy-MM-dd")
+      case TimestampType => date_format(col(f.name), "yyyy-MM-dd HH:mm:ss")
+      case _             => col(f.name).cast("string")
+    }
     def nullsOf(f: StructField): Column =
       sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"${f.name}__nulls")
     def distinctOf(f: StructField): Column =
-      countDistinct(col(f.name)).as(s"${f.name}__nd")
+      if (exactDistinct) countDistinct(col(f.name)).as(s"${f.name}__nd")
+      else
+        // coalesce pins non-nullability so the routed schema is
+        // field-for-field identical to the exact profile's
+        coalesce(
+          round(kmv(
+            Det.md5h60Col(coalesce(serOf(f), lit("<null>"))).cast("long")))
+            .cast("long"),
+          lit(0L)).as(s"${f.name}__nd")
     def minMax(f: StructField): Seq[Column] = f.dataType match {
       case _: NumericType =>
         Seq(
@@ -88,8 +110,26 @@ object Quality {
       .orderBy(col("col_name"))
   }
 
+  /** Row cap for the EXACT profile: per-column exact count-distincts
+    * share one Expand pass whose shuffle grows with rows × columns —
+    * the one plan in the quality tier that spilled at the 100× probe.
+    * Above the cap the profiler auto-routes to the KMV-NDV plan
+    * (sketch state only, no Expand), mirroring Dedup.ExactDocCap's
+    * exact-anchor→sketch discipline; a logged Downgrade records the
+    * switch. Spec-asserted (QuadraticGuardSpec).
+    */
+  private[graft] val ProfileExactCap = 1000000L
+
   def ordersProfile(spark: SparkSession, dir: String): DataFrame =
-    tableProfile(Tables.orders(spark, dir))
+    ordersProfileGuarded(spark, dir, ProfileExactCap)
+
+  private[graft] def ordersProfileGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    val n = Tables.cachedCount(spark, dir, "orders")
+    if (n > cap)
+      graft.Downgrades.record("orders_profile", "kmv-ndv profile", n, cap)
+    tableProfile(Tables.orders(spark, dir), exactDistinct = n <= cap)
+  }
 
   private val ordersProfileSql = {
     def one(c: String, kind: String) = {

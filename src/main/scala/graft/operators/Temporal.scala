@@ -138,7 +138,11 @@ object Temporal {
       .agg(
         count(lit(1)).as("n_windows"),
         sum(col("ov")).cast("long").as("total_overlap_us"))
-      .orderBy(col("user_id"), col("s_start"))
+      // NULLS LAST pins the ordered compare to DuckDB's ASC default: a
+      // NULL-user session would otherwise sort first here and last in
+      // the oracle (latent today — fixtures carry no NULL user_id, but
+      // temporal_split guards the same hazard explicitly)
+      .orderBy(asc_nulls_last("user_id"), col("s_start"))
   }
 
   private val intervalJoinSql =

@@ -32,9 +32,30 @@ import org.apache.spark.sql.types._
   * `+k` constant shift the exploded range is widened by `max(k, 0)` so
   * the containment survives). The ORIGINAL condition is kept as a
   * residual filter above the join, so semantics are multiset-exact:
-  * every qualifying pair appears exactly once, duplicates of input rows
-  * stay distinct, and a null endpoint produces an empty bin sequence —
-  * dropped, exactly as the inner join dropped it before.
+  * every qualifying pair appears exactly once and duplicates of input
+  * rows stay distinct. Rows with a NULL endpoint are pruned by explicit
+  * IsNotNull guards under the Generates — the inner join's comparisons
+  * could never accept them, so dropping them early is free (without the
+  * guards, Least/Greatest SKIP nulls and a one-null-endpoint row would
+  * still explode into bins only to die in the residual filter).
+  *
+  * OUTLIER ROWS — intervals spanning more than
+  * `spark.graft.intervalJoinRewrite.maxBinsPerRow` bins (default 4096;
+  * this includes the saturating widen for endpoints near
+  * Long.MaxValue) — are split out BEFORE the explosion and joined by
+  * the original nested-loop path instead: a 10^6-bin outlier must not
+  * materialize a 10^6-element Sequence (array-size failure / memory
+  * blowup), and for rows that wide the nested loop IS the cheaper
+  * plan. The result is the union small×small binned ∪ big×all nested
+  * ∪ small×big nested — still multiset-exact, each qualifying pair
+  * emitted by exactly one branch. The fallback joins wrap their
+  * condition in the opaque [[GraftNoRewrite]] marker so neither join
+  * rewrite re-fires on them under fixed-point optimization. The price
+  * of the safety net is that each input subtree is evaluated once more
+  * for its (usually empty) outlier branch; a caller who KNOWS interval
+  * lengths are bounded sets `maxBinsPerRow=0` to drop the fallback
+  * branches entirely and restore the single-branch plan (outliers then
+  * fail the query, the pre-cap behavior).
   *
   * Unlike the band rule this one needs a BIN WIDTH — a physical tuning
   * choice that depends on typical interval length, which no static
@@ -57,6 +78,31 @@ import org.apache.spark.sql.types._
   *    long input — the same guarantee the band rule gets from its
   *    decimal bucket bases.
   */
+/** Opaque pass-through marker: wraps the fallback joins' condition so
+  * no conjunct inside is visible to either join-rewrite rule (an opaque
+  * single conjunct yields no bands) and no built-in rule can fold it
+  * away under fixed-point optimization (non-foldable by fiat — a
+  * foldable always-true tag conjunct was constant-folded out, the rule
+  * re-fired on its own fallback joins every optimizer iteration, and
+  * the plan grew without bound). Evaluation and codegen delegate to the
+  * child unchanged.
+  */
+case class GraftNoRewrite(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = child.dataType
+  override def foldable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): GraftNoRewrite =
+    copy(child = newChild)
+}
+
 object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
 
   import JoinRewriteMath._
@@ -106,6 +152,32 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       Some(SQLConf.get.sessionLocalTimeZone))
   }
 
+  /** True iff the interval's bin span (same b1/b2 as [[binSeq]],
+    * including the saturating widen) fits within `cap` bins.
+    * Overflow-proof: `bMax - cap` is only evaluated when it cannot
+    * underflow; when it would, the span is necessarily below the cap.
+    */
+  private def fitsCap(
+      lo: Expression, hi: Expression, k: Long, w: Long, cap: Long): Expression = {
+    val b1 = floorDiv(lo, w)
+    val bHi = floorDiv(hi, w)
+    val b2 =
+      if (k <= 0) bHi
+      else {
+        val c = k / w + 1
+        If(
+          GreaterThan(bHi, Literal(Long.MaxValue - c)),
+          Literal(Long.MaxValue),
+          Add(bHi, Literal(c)))
+      }
+    val bMin = Least(Seq(b1, b2))
+    val bMax = Greatest(Seq(b1, b2))
+    If(
+      GreaterThanOrEqual(bMax, Literal(Long.MinValue + cap)),
+      LessThanOrEqual(Subtract(bMax, Literal(cap)), bMin),
+      Literal(true))
+  }
+
   private def tryRewrite(
       l: LogicalPlan,
       r: LogicalPlan,
@@ -115,6 +187,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     // never re-fire on a join either rewrite rule already built
     if (conjuncts.exists(_.references.exists(a =>
         a.name == BinAttrName || a.name == "__graft_band"))) return None
+    if (cond.exists(_.isInstanceOf[GraftNoRewrite])) return None
     if (hasCrossEquiKey(conjuncts, l, r)) return None
     val width = SQLConf.get
       .getConfString("spark.graft.intervalJoinRewrite.binWidth", "")
@@ -135,6 +208,20 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     pairs.headOption.map { case (u, d) =>
       val (aLo, bHi, k1) = (u.la, u.rb, u.bound)
       val (aHi, bLo, k2) = (d.la, d.rb, -d.bound)
+      val cap = SQLConf.get
+        .getConfString("spark.graft.intervalJoinRewrite.maxBinsPerRow", "4096")
+        .toLong max 0L
+      val split = cap > 0
+
+      // null-endpoint rows can never satisfy the inner join's
+      // comparisons — prune them before any explosion
+      val lNn = Filter(And(IsNotNull(aLo), IsNotNull(aHi)), l)
+      val rNn = Filter(And(IsNotNull(bLo), IsNotNull(bHi)), r)
+      // split outlier intervals (bin span > cap) out of the binned path
+      val lFits = fitsCap(aLo, aHi, k2, w, cap)
+      val rFits = fitsCap(bLo, bHi, k1, w, cap)
+      val lSmall = if (split) Filter(lFits, lNn) else lNn
+      val rSmall = if (split) Filter(rFits, rNn) else rNn
 
       // left side: bins of [aLo, aHi + max(k2, 0)]
       val lBinAttr = AttributeReference(BinAttrName, LongType)()
@@ -144,7 +231,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         outer = false,
         qualifier = None,
         generatorOutput = Seq(lBinAttr),
-        child = l)
+        child = lSmall)
       // right side: bins of [bLo, bHi + max(k1, 0)]
       val rBinAttr = AttributeReference(BinAttrName, LongType)()
       val rGen = Generate(
@@ -153,7 +240,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
         outer = false,
         qualifier = None,
         generatorOutput = Seq(rBinAttr),
-        child = r)
+        child = rSmall)
 
       // exactly-once: keep the pair only in the bin that contains
       // greatest(aLo, bLo) — present in both sides' sequences whenever
@@ -166,8 +253,26 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       val joinCond = And(
         EqualTo(lBinAttr, rBinAttr),
         EqualTo(lBinAttr, onceBin))
-      val binned = Join(lGen, rGen, Inner, Some(joinCond), hint)
-      Project(l.output ++ r.output, Filter(cond, binned))
+      val binned = Project(
+        l.output ++ r.output,
+        Filter(cond, Join(lGen, rGen, Inner, Some(joinCond), hint)))
+
+      // outlier fallback: big-left × all-right plus small-left ×
+      // big-right through the ORIGINAL nested-loop join — exact, and
+      // the three branches partition the qualifying pairs (each pair's
+      // membership is decided by its two rows' fits flags). The
+      // condition is wrapped in the opaque GraftNoRewrite marker so the
+      // fixed-point optimizer can't re-fire either join rewrite on it.
+      def fallback(left: LogicalPlan, right: LogicalPlan): LogicalPlan =
+        Project(
+          l.output ++ r.output,
+          Join(left, right, Inner, Some(GraftNoRewrite(cond)), hint))
+      if (!split) binned
+      else {
+        val bigL = fallback(Filter(Not(lFits), lNn), rNn)
+        val bigR = fallback(lSmall, Filter(Not(rFits), rNn))
+        Union(Seq(binned, bigL, bigR))
+      }
     }
   }
 

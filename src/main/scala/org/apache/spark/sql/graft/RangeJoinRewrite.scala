@@ -69,7 +69,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val conjuncts = splitConjunctivePredicates(cond)
     // never re-fire on a join this rule already built (its bucket-id
     // conjunct would otherwise read as a fresh equi key in band-equi mode)
-    if (conjuncts.exists(_.references.exists(_.name == "__graft_band"))) return None
+    if (conjuncts.exists(_.references.exists(a =>
+        a.name == "__graft_band" || a.name == "__graft_bin"))) return None
     // With an equi key present Spark already hash-partitions; appending
     // the band bucket to the join key additionally bounds the per-key
     // candidate volume (a hot key's rows only meet neighbors within 2

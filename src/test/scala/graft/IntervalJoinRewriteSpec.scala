@@ -35,6 +35,15 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     finally spark.conf.set(Flag, "true")
   }
 
+  /** maxBinsPerRow=0 drops the outlier-fallback branches — the lean
+    * single-branch plan the no-nested-loop assertions check.
+    */
+  private def withNoFallback[T](body: => T): T = {
+    spark.conf.set("spark.graft.intervalJoinRewrite.maxBinsPerRow", "0")
+    try body
+    finally spark.conf.unset("spark.graft.intervalJoinRewrite.maxBinsPerRow")
+  }
+
   private def multiset(df: DataFrame): Map[Row, Int] =
     df.collect().toSeq.groupBy(identity).view.mapValues(_.size).toMap
 
@@ -60,11 +69,18 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
 
   test("overlap join is rewritten: binned equi join, no nested loop") {
     withWidth(16L) {
-      val q = la.join(rb, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
-      val p = physical(q)
-      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
-        s"interval join still nested-loop:\n$p")
-      assert(p.contains("__graft_bin"), s"bin key missing from plan:\n$p")
+      // default plan: binned main branch + (empty) outlier fallback
+      val dflt = physical(
+        la.join(rb, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi")))
+      assert(dflt.contains("__graft_bin"), s"bin key missing from plan:\n$dflt")
+      // with the fallback disabled the plan must be purely binned
+      withNoFallback {
+        val q = la.join(rb, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+        val p = physical(q)
+        assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+          s"interval join still nested-loop:\n$p")
+        assert(p.contains("__graft_bin"), s"bin key missing from plan:\n$p")
+      }
       val naive = withRuleOff(physical(
         la.join(rb, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))))
       assert(naive.contains("BroadcastNestedLoopJoin"),
@@ -142,6 +158,42 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("outlier intervals exceeding maxBinsPerRow fall back per-row, results exact") {
+    withWidth(4L) {
+      spark.conf.set("spark.graft.intervalJoinRewrite.maxBinsPerRow", "3")
+      try {
+        // (90,140) spans 13 bins > cap — must route through the nested
+        // fallback branch; small intervals stay binned. Results must
+        // stay multiset-exact across the 3-branch union.
+        val wide = la.union(Seq((7L, -1000L, 1000L)).toDF("a_id", "a_lo", "a_hi"))
+        sameResults(
+          wide.join(rb, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi")))
+        // saturating-widen hazard: an endpoint near Long.MaxValue used
+        // to widen the bin range to Long.MaxValue and materialize an
+        // astronomically long Sequence — now it must fall back, not die
+        val sat = Seq((8L, Long.MaxValue - 5, Long.MaxValue))
+          .toDF("a_id", "a_lo", "a_hi")
+        sameResults(
+          sat.join(rb, col("a_lo") <= col("b_hi") + 3 && col("b_lo") <= col("a_hi")))
+      } finally spark.conf.unset("spark.graft.intervalJoinRewrite.maxBinsPerRow")
+    }
+  }
+
+  test("null endpoints are pruned early and results agree with the naive plan") {
+    withWidth(8L) {
+      val nl = Seq(
+        (1L, Option(0L), Option(10L)),
+        (2L, Option.empty[Long], Option(5L)),
+        (3L, Option(2L), Option.empty[Long]),
+        (4L, Option.empty[Long], Option.empty[Long])
+      ).toDF("a_id", "a_lo", "a_hi")
+      val q = nl.join(rb, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi"))
+      assert(physical(q).contains("__graft_bin"))
+      sameResults(
+        nl.join(rb, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi")))
+    }
+  }
+
   test("no width conf -> rule inert") {
     val p = physical(
       la.join(rb, col("a_lo") <= col("b_hi") && col("b_lo") <= col("a_hi")))
@@ -165,7 +217,7 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
   }
 
   test("rewritten sessions×windows matches Temporal's hand-binned operator") {
-    withWidth(3600000000L) {
+    withWidth(3600000000L) { withNoFallback {
       val sess = graft.operators.Temporal.sessionIntervals(spark, TestSpark.Sf)
       val hot  = graft.operators.Temporal.incidentWindows(spark, TestSpark.Sf)
       val auto = sess
@@ -187,6 +239,6 @@ class IntervalJoinRewriteSpec extends AnyFunSuite {
           r.getLong(r.fieldIndex("n_windows"))))
         .toSeq
       assert(agg == manual, "auto-rewritten join disagrees with the operator")
-    }
+    } }
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Dedup, Quality, Similarity}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The intentionally-quadratic exact anchors must never build their
@@ -47,10 +47,38 @@ class QuadraticGuardSpec extends AnyFunSuite {
     assert(Downgrades.last.nonEmpty)
   }
 
+  test("orders_profile above the cap routes to the KMV-NDV plan, schema preserved") {
+    Downgrades.last = None
+    val exact  = Quality.ordersProfileGuarded(spark, TestSpark.Sf, cap = Long.MaxValue)
+    assert(Downgrades.last.isEmpty)
+    val routed = Quality.ordersProfileGuarded(spark, TestSpark.Sf, cap = 10)
+    assert(Downgrades.last.exists(m =>
+      m.contains("orders_profile") && m.contains("kmv-ndv")))
+    // identical schema: downstream consumers never see the switch
+    assert(routed.schema == exact.schema)
+    // nulls/min/max stay exact; only n_distinct becomes an estimate
+    val e = exact.collect().map(r => r.getString(0) -> r).toMap
+    routed.collect().foreach { r =>
+      val ex = e(r.getString(0))
+      assert(r.get(2) == ex.get(2), s"${r.getString(0)} n_nulls must stay exact")
+      assert(r.get(4) == ex.get(4) && r.get(5) == ex.get(5) &&
+        r.get(6) == ex.get(6) && r.get(7) == ex.get(7),
+        s"${r.getString(0)} min/max must stay exact")
+      val nd  = r.getLong(3).toDouble
+      val ndE = ex.getLong(3).toDouble
+      assert(nd > ndE * 0.7 && nd < ndE * 1.3,
+        s"${r.getString(0)} KMV ndv $nd vs exact $ndE out of tolerance")
+    }
+    // no Expand in the routed plan — the scale property the routing buys
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "routed profile must not plan an Expand")
+  }
+
   test("at the shipped caps the anchors still run exact at test scale") {
     Downgrades.last = None
     assert(Dedup.dedupJaccard(spark, TestSpark.Sf).columns.nonEmpty)
     assert(Similarity.embeddingNeardup(spark, TestSpark.Sf).columns.nonEmpty)
+    assert(Quality.ordersProfile(spark, TestSpark.Sf).columns.nonEmpty)
     assert(Downgrades.last.isEmpty) // no downgrade at test scale
   }
 }
