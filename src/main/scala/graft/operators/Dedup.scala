@@ -421,10 +421,39 @@ object Dedup {
     * recursive-CTE transitive closure over the same exact-Jaccard pairs
     * (min reachable id ≡ the min-label fixpoint).
     */
+  /** Build-once stored cluster-label table: the connected-components
+    * fixpoint over `pairs`, materialized to a DerivedCache parquet dir
+    * keyed by corpus fingerprint. CC is the expensive shared stage of
+    * the cluster family — dedup_clusters, dedup_keep_best and (via the
+    * minhash flavor) dedup_cluster_sizes all consume the SAME label
+    * assignment, and a production pipeline materializes that assignment
+    * once per corpus version rather than re-running label propagation
+    * per downstream query (the same stored-stage shape as the
+    * incremental dedup base index above and the IVF/PQ index tables).
+    * The fingerprint carries the row count and every cap the pair
+    * derivation depends on; DerivedCache adds the source-file stamp, so
+    * regenerated data rebuilds instead of serving stale labels.
+    */
+  private def ccLabels(
+      spark: SparkSession, dir: String, flavor: String, fingerprint: String)(
+      pairs: => DataFrame): DataFrame = {
+    val d = graft.sources.DerivedCache.dir(dir, s"dedup-cc-$flavor", fingerprint) {
+      out =>
+        Graph
+          .connectedComponents(pairs)
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$out/labels")
+        ()
+    }
+    spark.read.parquet(s"$d/labels")
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = dedupJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-    Graph
-      .connectedComponents(pairs)
+    val rows = Tables.cachedCount(spark, dir, "documents")
+    ccLabels(
+      spark, dir, "exact",
+      s"rows=$rows;cap=$ExactDocCap;hot=$HotShingleCap;tau=0.6")(
+      dedupJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -500,34 +529,40 @@ object Dedup {
     * agreement with the exact clusters is spec-asserted on the fixture.
     */
   def dedupClustersMinhash(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val k = MinhashK
-    val (sigs, bands) = minhashBands(spark, dir, k)
-    // Star edges, not all pairs: clustering needs CONNECTIVITY, so each
-    // bucket contributes (m-1) hub↔member edges — every member reaches
-    // every other through the bucket minimum — instead of C(m,2) pairs.
-    // Candidate work is linear in bucket size (the cap rises 100→1000),
-    // which removes the copies² blowup on duplicated corpora: 34 s → see
-    // BASELINE 30×-docs probe. Each edge is still signature-verified;
-    // the trade-off is that two docs similar to each other but not to
-    // their bucket hub can lose the link — ≥80% pair agreement with the
-    // exact clusters is spec-asserted.
-    val starEdges = bands
-      .groupBy(col("band"), col("bh"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
-      .filter(size(col("docs")).between(2, 1000))
-      .select(
-        element_at(col("docs"), 1).as("doc_a"),
-        explode(expr("slice(docs, 2, size(docs))")).as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val verified = starEdges
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .filter(
-        expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)") >= 0.5)
-      .select(col("doc_a"), col("doc_b"))
-    Graph
-      .connectedComponents(verified)
+    // the edge derivation is by-name so a label-cache hit skips the
+    // whole sketch construction (including its persist marks)
+    def verified: DataFrame = {
+      GraftFunctions.register(spark)
+      val k = MinhashK
+      val (sigs, bands) = minhashBands(spark, dir, k)
+      // Star edges, not all pairs: clustering needs CONNECTIVITY, so
+      // each bucket contributes (m-1) hub↔member edges — every member
+      // reaches every other through the bucket minimum — instead of
+      // C(m,2) pairs. Candidate work is linear in bucket size (the cap
+      // rises 100→1000), which removes the copies² blowup on duplicated
+      // corpora: 34 s → see BASELINE 30×-docs probe. Each edge is still
+      // signature-verified; the trade-off is that two docs similar to
+      // each other but not to their bucket hub can lose the link — ≥80%
+      // pair agreement with the exact clusters is spec-asserted.
+      val starEdges = bands
+        .groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .filter(size(col("docs")).between(2, 1000))
+        .select(
+          element_at(col("docs"), 1).as("doc_a"),
+          explode(expr("slice(docs, 2, size(docs))")).as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+      starEdges
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .filter(
+          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($MinhashK AS DOUBLE)") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+    }
+    val rows = Tables.cachedCount(spark, dir, "documents")
+    ccLabels(
+      spark, dir, "minhash",
+      s"rows=$rows;k=$MinhashK;bucketCap=1000;tau=0.5")(verified)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
