@@ -751,10 +751,13 @@ object Dedup {
     // only the DELTA is signed at probe time — the base comes from the
     // stored index, so this pass costs ∝ today's batch, not the corpus
     val (deltaSigs, deltaBands) = minhashBandsOf(delta, k, persistSigs = !deltaIsSmall)
+    // NOT deduped: a (delta, base) pair sharing several bands appears
+    // once per shared band — the duplicate rows cost a few extra in-row
+    // signature compares but save a whole dedup shuffle; the aggregate
+    // below counts DISTINCT base_ids, so verdicts are unaffected
     val cand = hinted(deltaBands)
       .join(baseIdx, Seq("band", "bh"))
       .select(col("doc_id").as("delta_id"), explode(col("base_docs")).as("base_id"))
-      .dropDuplicates("delta_id", "base_id")
     val est = hinted(cand
       .join(hinted(deltaSigs.select(col("doc_id").as("delta_id"), col("sig").as("sig_a"))), "delta_id"))
       .join(baseSigs.select(col("doc_id").as("base_id"), col("sig").as("sig_b")), "base_id")
@@ -765,17 +768,21 @@ object Dedup {
           expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
           6).as("est"))
       .filter(col("est") >= 0.5)
-    // best match + match count per delta doc (the matched frame is
-    // delta-bounded and sparse — a per-key window here is fine)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("delta_id"))
-      .orderBy(desc("est"), asc("base_id"))
+    // best match + match count per delta doc in ONE aggregation (the
+    // old per-key window pair cost two extra shuffles per micro-batch):
+    // min of struct(-est, base_id) IS "highest est, ties to the
+    // smallest base_id", and countDistinct collapses the band-duplicate
+    // candidate rows
     val best = est
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_dups", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("delta_id"))))
-      .filter(col("rn") === 1)
-      .select(col("delta_id"), col("base_id"), col("est"), col("n_dups"))
+      .groupBy(col("delta_id"))
+      .agg(
+        countDistinct(col("base_id")).as("n_dups"),
+        min(struct((-col("est")).as("neg_est"), col("base_id").as("base_id"))).as("m"))
+      .select(
+        col("delta_id"),
+        col("m.base_id").as("base_id"),
+        (-col("m.neg_est")).as("est"),
+        col("n_dups"))
     val verdicts = delta
       .select(col("doc_id"))
       .join(best.withColumnRenamed("delta_id", "doc_id"), Seq("doc_id"), "left")
