@@ -141,6 +141,74 @@ object Reports {
         .csv(s"$outDir/$n")
     }
 
+  // ---------------------------------------------------------------------
+  // Rendered figures: the reference's figure family as deterministic SVG
+  // (the report ships images, not just chart CSVs — PDF figures 2–8;
+  // plots_from_spark_outputs.py:81-125, integratedplots_query.py:19-44).
+  // Every figure renders from a BOUNDED chart frame (top-k / segments /
+  // the buyers scatter), so the collect is report-sink-sized by
+  // construction at any corpus scale.
+  // ---------------------------------------------------------------------
+
+  /** The seven figures: name → (title, builder). Bar data is (label,
+    * value) in the frame's already-sorted order; the scatter is the
+    * integrated engagement-vs-spend cloud.
+    */
+  def renderFigures(spark: SparkSession, dir: String, outDir: String): Seq[String] = {
+    Files.createDirectories(Paths.get(outDir))
+    // one collect per ordered chart frame; top-5 variants are take(5)
+    // of the already-ordered rows (a second limit() on a limited frame
+    // would not be order-stable — the chartAlsoBoughtPairs lesson)
+    def barData(df: DataFrame): Seq[(String, Double)] =
+      df.collect().toSeq.map { r =>
+        (Option(r.get(0)).map(_.toString).getOrElse("<null>"), r.getDouble(1))
+      }
+    val cat = barData(chartRevenueByCategory(spark, dir))
+    val sp = barData(
+      chartTopSpenders(spark, dir)
+        .select(col("user_id").cast("string"), col("total_spent")))
+    val figs: Seq[(String, String)] = Seq(
+      "01_revenue_by_category_top10" ->
+        SvgCharts.barChart(
+          "Top 10 Categories by Revenue", "category_id", "revenue", cat, 20),
+      "02_top_spenders_top10" ->
+        SvgCharts.barChart(
+          "Top 10 Users by Total Spent", "user_id", "total_spent", sp, 18),
+      "03_also_bought_pairs_top10" ->
+        SvgCharts.barChart(
+          "Top 10 Products Bought Together (Pairs)", "pair", "co_purchase_count",
+          barData(chartAlsoBoughtPairs(spark, dir)
+            .select(col("pair"), col("co_purchase_count").cast("double"))),
+          22),
+      "04_engagement_vs_spend" ->
+        SvgCharts.scatter(
+          "User Engagement vs Spending",
+          "Number of Sessions (Engagement)",
+          "Total Spent",
+          chartEngagementScatter(spark, dir).collect().toSeq
+            .map(r => (r.getLong(1).toDouble, r.getDouble(2)))),
+      // the PDF's top-5 terminal figures (Figure 2/3) as charts
+      "05_top5_categories" ->
+        SvgCharts.barChart(
+          "Top 5 Categories by Revenue", "category_id", "revenue", cat.take(5), 20),
+      "06_top5_spenders" ->
+        SvgCharts.barChart(
+          "Top 5 Customers by Total Spending", "user_id", "total_spent",
+          sp.take(5), 18),
+      // the integrated summary's segment distribution (PDF §10.3)
+      "07_segment_counts" ->
+        SvgCharts.barChart(
+          "User Segments (75th-percentile split)", "segment", "n_users",
+          barData(Engagement.segmentCounts(spark, dir)
+            .select(col("segment"), col("n_users").cast("double"))),
+          24))
+    figs.map { case (name, svg) =>
+      val p = Paths.get(outDir, s"$name.svg")
+      Files.writeString(p, svg)
+      p.toString
+    }
+  }
+
   /** One-shot chart-report run artifact: every chart CSV plus a run
     * manifest (`_chart_report.json` — per-chart row counts and the
     * relative CSV path) under a single directory, so a consumer gets an

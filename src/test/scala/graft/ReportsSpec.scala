@@ -62,6 +62,55 @@ class ReportsSpec extends AnyFunSuite {
       }
   }
 
+  test("renderFigures emits the reference's 7-figure family as deterministic SVG") {
+    val out = Files.createTempDirectory("graft-figs").toFile
+    out.deleteOnExit()
+    val paths = Reports.renderFigures(spark, TestSpark.Sf, out.getAbsolutePath)
+    assert(paths.size === 7)
+    val byName = paths.map(p => new java.io.File(p).getName -> Files.readString(
+      java.nio.file.Paths.get(p))).toMap
+    // structure + labels per figure (the reference's titles and axes)
+    val barFigs = Map(
+      "01_revenue_by_category_top10.svg" ->
+        ("Top 10 Categories by Revenue", "category_id", "revenue", 10),
+      "02_top_spenders_top10.svg" ->
+        ("Top 10 Users by Total Spent", "user_id", "total_spent", 10),
+      "03_also_bought_pairs_top10.svg" ->
+        ("Top 10 Products Bought Together (Pairs)", "pair", "co_purchase_count", 10),
+      "05_top5_categories.svg" ->
+        ("Top 5 Categories by Revenue", "category_id", "revenue", 5),
+      "06_top5_spenders.svg" ->
+        ("Top 5 Customers by Total Spending", "user_id", "total_spent", 5),
+      "07_segment_counts.svg" ->
+        ("User Segments (75th-percentile split)", "segment", "n_users", 4))
+    barFigs.foreach { case (f, (title, x, y, nBars)) =>
+      val svg = byName(f)
+      assert(svg.startsWith("<svg "), s"$f must be an SVG document")
+      assert(svg.contains(title) && svg.contains(s">$x<") && svg.contains(s">$y<"),
+        s"$f missing title or axis labels")
+      assert("class=\"bar\"".r.findAllIn(svg).size === nBars,
+        s"$f must draw exactly $nBars bars")
+      // every bar carries a value label: at least nBars formatted texts
+      assert("<text".r.findAllIn(svg).size >= nBars + 2,
+        s"$f missing value/tick labels")
+    }
+    val scatterSvg = byName("04_engagement_vs_spend.svg")
+    val nPts = operators.Reports.defs("chart_engagement_scatter")
+      .build(spark, TestSpark.Sf).count().toInt
+    assert(scatterSvg.contains("User Engagement vs Spending"))
+    assert(scatterSvg.contains("Number of Sessions (Engagement)"))
+    assert("class=\"pt\"".r.findAllIn(scatterSvg).size === nPts,
+      "scatter must draw one point per buyer row")
+    // byte-determinism: a second render is identical
+    val out2 = Files.createTempDirectory("graft-figs2").toFile
+    out2.deleteOnExit()
+    Reports.renderFigures(spark, TestSpark.Sf, out2.getAbsolutePath).foreach { p =>
+      val name = new java.io.File(p).getName
+      assert(Files.readString(java.nio.file.Paths.get(p)) === byName(name),
+        s"$name render is not deterministic")
+    }
+  }
+
   test("sanitize strips control characters and trims (P15)") {
     import spark.implicits._
     // the reference's rowkey sanitizer: strip \n/\r, trim
