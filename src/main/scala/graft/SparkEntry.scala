@@ -19,7 +19,8 @@ object SparkEntry {
       graft.streaming.EventStreams.defs ++ graft.streaming.DocStreams.defs ++
       graft.streaming.AnomalyStreams.defs ++
       graft.multimodal.Multimodal.defs ++
-      graft.sources.Bucketing.defs ++ graft.sources.StatsManifest.defs
+      graft.sources.Bucketing.defs ++ graft.sources.StatsManifest.defs ++
+      graft.sources.Ingest.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The integrated engagement-vs-spend analysis — the reference's most

@@ -19,8 +19,12 @@ object ScaleProbe {
   // tier's sole input) and copy every other table at 1× — a 100×
   // events probe shouldn't pay for building 100× lineitem/orders
   private val EventsMode = sys.env.get("SCALE_EVENTS").contains("1")
+  // SCALE_ORDERS=1: replicate ONLY orders (the profile tier's sole
+  // input) — a 100× orders_profile probe shouldn't build 100× lineitem
+  private val OrdersMode = sys.env.get("SCALE_ORDERS").contains("1")
   private val Dest =
-    if (EventsMode)
+    if (OrdersMode) s"/tmp/graft-scale-orders-x$Copies"
+    else if (EventsMode)
       s"/tmp/graft-scale-events${if (SkewMode) "-skew" else ""}-x$Copies"
     else if (SkewMode) s"/tmp/graft-scale-skew-x$Copies"
     else if (sys.env.get("SCALE_DOCS").contains("1")) s"/tmp/graft-scale-docs-x$Copies"
@@ -48,7 +52,9 @@ object ScaleProbe {
       // distinct via partkey shift / event_id shift), so ~1% of keys
       // carry Copies× the rows of the rest: the hot-key distribution a
       // Zipf-tailed 100 TB workload has. Uniform mode shifts every key.
-      val commerceCopies = if (EventsMode) 1 else Copies
+      val commerceCopies = if (EventsMode || OrdersMode) 1 else Copies
+      val ordersCopies   = if (EventsMode) 1 else Copies
+      val eventsCopies   = if (OrdersMode) 1 else Copies
       val liReplicas = (0 until commerceCopies).map { i =>
         val li = Tables.lineitem(spark, Src)
         if (SkewMode && i > 0)
@@ -66,9 +72,9 @@ object ScaleProbe {
       liReplicas.reduce(_ union _)
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/lineitem.parquet")
       replicate(spark, Tables.orders(spark, Src),
-        Map("o_orderkey" -> K, "o_custkey" -> K), commerceCopies)
+        Map("o_orderkey" -> K, "o_custkey" -> K), ordersCopies)
         .write.mode(SaveMode.Overwrite).parquet(s"$Dest/orders.parquet")
-      val evReplicas = (0 until Copies).map { i =>
+      val evReplicas = (0 until eventsCopies).map { i =>
         val ev = Tables.events(spark, Src)
         if (SkewMode && i > 0)
           ev.withColumn("user_id",

@@ -40,6 +40,36 @@ class IngestSpec extends AnyFunSuite {
     assert(pruned.rdd.getNumPartitions <= spark.read.parquet(path).rdd.getNumPartitions)
   }
 
+  test("session-doc round trip preserves every nested entity exactly (S13)") {
+    // the stored round-trip parquet (chunked JSON-array files → schema'd
+    // read → parquet) must equal the source-derived docs row for row —
+    // nested page_views array, viewed_products, and the cart MAP included
+    val store = Ingest.roundtripStore(spark, TestSpark.Sf)
+    val back  = spark.read.parquet(store)
+    assert(back.schema === Ingest.SessionDocSchema)
+    val src = Ingest.sessionDocs(spark, TestSpark.Sf)
+    assert(back.count() === src.count())
+    // maps don't order deterministically — compare with the map exploded
+    // to sorted entries
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("cart_entries",
+        sort_array(expr(
+          "transform(map_keys(cart_contents), k -> struct(k AS k, cart_contents[k] AS v))")))
+      .drop("cart_contents")
+      .orderBy("user_id")
+      .collect().toSeq
+    assert(canon(back) === canon(src))
+    // the published files really are multiline JSON ARRAYS (the
+    // generator's chunk format), one array per chunk file
+    val jsonDir = new java.io.File(store.stripSuffix("/store") + "/json")
+    val chunks = jsonDir.listFiles().filter(_.getName.endsWith(".txt"))
+    assert(chunks.nonEmpty)
+    chunks.foreach { f =>
+      val txt = Files.readString(f.toPath).trim
+      assert(txt.startsWith("[") && txt.endsWith("]"), s"${f.getName} not a JSON array")
+    }
+  }
+
   test("malformed JSON rows are skipped, not fatal (defensive-skip parity)") {
     // reference's loader counts `skipped` rows and continues
     // (load_hbase_sessions_stream.py:85–95); Spark analog: PERMISSIVE
