@@ -122,6 +122,16 @@ object ScaleProbe {
       println("### scale data built")
     }
 
+    // SCALE_CKPT_DIR=<dir>: probe the conf-gated reliable-checkpoint mode
+    // (Ckpt.cut routes every lineage cut through checkpoint() to this
+    // dir) so the fault-tolerant cluster configuration has a measured
+    // overhead number, not just a spec — compare against the same probe
+    // without the env for the localCheckpoint baseline.
+    sys.env.get("SCALE_CKPT_DIR").foreach { d =>
+      spark.conf.set("spark.graft.checkpoint.dir", d)
+      println(s"### reliable checkpoint mode: $d")
+    }
+
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq(
