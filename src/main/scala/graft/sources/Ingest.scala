@@ -140,22 +140,46 @@ object Ingest {
         lit("direct").as("referrer"))
   }
 
-  /** Build-once round-trip store: session docs → 4 chunked multiline
+  /** Rows a single JSON chunk file targets. A multiline JSON ARRAY file
+    * is necessarily read by ONE task (the array spans the file), so the
+    * re-read's parallelism equals the chunk count — it must grow with
+    * the corpus, not stay a constant.
+    */
+  private val ChunkRows = 250000L
+
+  /** Build-once round-trip store: session docs → chunked multiline
     * JSON ARRAY files (each file is one `[ {...}, ... ]` array — the
     * generator's chunk format, assembled per partition so the publish
     * stays distributed) → [[readJson]] with the explicit schema →
-    * parquet. Returns the parquet dir.
+    * parquet. Returns the parquet dir. Chunk count scales with input
+    * size (≈[[ChunkRows]] source rows per chunk, floor 4), and each
+    * chunk streams row-by-row through the text writer — no partition
+    * ever concatenates into a single in-memory string.
     */
   private[graft] def roundtripStore(spark: SparkSession, dir: String): String = {
-    val rows = Tables.cachedCount(spark, dir, "events")
-    DerivedCache.dir(dir, "ingest-roundtrip", s"events=$rows;chunks=4;v=1") { out =>
+    val rows   = Tables.cachedCount(spark, dir, "events")
+    val chunks = math.max(4L, (rows + ChunkRows - 1) / ChunkRows).toInt
+    DerivedCache.dir(dir, "ingest-roundtrip", s"events=$rows;chunks=$chunks;v=2") { out =>
       import spark.implicits._
       sessionDocs(spark, dir)
-        .repartition(4, col("user_id"))
+        .repartition(chunks, col("user_id"))
         .toJSON
-        .mapPartitions(it =>
+        .mapPartitions { it =>
           if (it.isEmpty) Iterator.empty
-          else Iterator(it.mkString("[\n", ",\n", "\n]")))
+          else {
+            // lazy one-row-lookahead: emits "row," for all but the last
+            // row so the file is a valid JSON array, in O(1) memory
+            val body = new Iterator[String] {
+              private var pending = it.next()
+              private var done    = false
+              def hasNext: Boolean = !done
+              def next(): String =
+                if (it.hasNext) { val cur = pending; pending = it.next(); cur + "," }
+                else { done = true; pending }
+            }
+            Iterator("[") ++ body ++ Iterator("]")
+          }
+        }
         .write.mode(SaveMode.Overwrite).text(s"$out/json")
       readJson(spark, s"$out/json", SessionDocSchema)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/store")
