@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
+import graft.Ckpt.CutOps
 import graft.functions.GraftFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -885,7 +886,84 @@ object Dedup {
        |FROM hist
        |ORDER BY cluster_size""".stripMargin
 
+  /** Sketch-vs-exact pair grading: recall and agreement of the minhash
+    * and simhash near-dup pair sets against the exact-Jaccard anchor —
+    * the dedup twin of ann_recall (that query prices ANN settings; this
+    * one prices LSH band/threshold settings before a 100 TB run trusts
+    * them). recall = |sketch ∩ exact| / |exact|; agreement = |sketch ∩
+    * exact| / |sketch| (not precision in the strict sense — the sketch
+    * thresholds are deliberately looser than the exact τ=0.6, so
+    * sketch-only pairs may still be true near-dups under their own
+    * definition). The exact anchor is the GUARDED dedupJaccard: above
+    * ExactDocCap it auto-routes to the minhash twin (Downgrade logged),
+    * where the minhash row degenerates to recall 1.0 by construction —
+    * the measurement is meaningful at audit scale, which is where it is
+    * run; at corpus scale only the bounded sketch paths execute at all.
+    */
+  def dedupPairQuality(spark: SparkSession, dir: String): DataFrame = {
+    // the exact anchor feeds three consumers (denominator + two
+    // semi-joins) — cut so the inverted-index pass runs once
+    val exact = dedupJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+      .cutLineage()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    def grade(method: String, pairsIn: DataFrame): DataFrame = {
+      val p = pairsIn.select(col("doc_a"), col("doc_b")).cutLineage(eager = false)
+      val nP   = p.agg(count(lit(1)).as("n_pairs"))
+      val nHit = p
+        .join(exact, Seq("doc_a", "doc_b"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nP.crossJoin(nHit)
+        .crossJoin(nExact)
+        .select(
+          lit(method).as("method"),
+          col("n_pairs"),
+          col("n_exact"),
+          col("n_hit"),
+          when(col("n_exact") === 0, lit(0.0))
+            .otherwise(
+              Det.detRound(col("n_hit").cast("double") / col("n_exact"), 6))
+            .as("recall"),
+          when(col("n_pairs") === 0, lit(0.0))
+            .otherwise(
+              Det.detRound(col("n_hit").cast("double") / col("n_pairs"), 6))
+            .as("agreement"))
+    }
+    grade("minhash", dedupMinhash(spark, dir))
+      .unionAll(grade("simhash", dedupSimhash(spark, dir)))
+      .orderBy(col("method"))
+  }
+
+  /** DuckDB twin of dedupPairQuality: the three pair queries nested as
+    * CTE subqueries (each already oracle-exact on its own), intersected
+    * and counted.
+    */
+  private val dedupPairQualitySql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    def grade(m: String, t: String) =
+      s"""SELECT '$m' AS method,
+         |       (SELECT count(*) FROM $t) AS n_pairs,
+         |       (SELECT count(*) FROM x) AS n_exact,
+         |       (SELECT count(*) FROM $t t JOIN x ON t.doc_a = x.doc_a AND t.doc_b = x.doc_b) AS n_hit""".stripMargin
+    s"""WITH x AS (SELECT doc_a, doc_b FROM ($dedupJaccardSql) jx),
+       |mh AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql) mx),
+       |sh2 AS (SELECT doc_a, doc_b FROM ($dedupSimhashSql) sx),
+       |g AS (
+       |${grade("minhash", "mh")}
+       |UNION ALL
+       |${grade("simhash", "sh2")}
+       |)
+       |SELECT method, n_pairs, n_exact, n_hit,
+       |       CASE WHEN n_exact = 0 THEN CAST(0 AS DOUBLE)
+       |            ELSE ${r6("CAST(n_hit AS DOUBLE) / n_exact")} END AS recall,
+       |       CASE WHEN n_pairs = 0 THEN CAST(0 AS DOUBLE)
+       |            ELSE ${r6("CAST(n_hit AS DOUBLE) / n_pairs")} END AS agreement
+       |FROM g
+       |ORDER BY method""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_pair_quality" -> QueryDef(dedupPairQuality, Some(dedupPairQualitySql)),
     "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_keep_best" -> QueryDef(dedupKeepBest, Some(dedupKeepBestSql)),

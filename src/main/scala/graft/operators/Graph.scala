@@ -371,8 +371,99 @@ object Graph {
       |FROM hist
       |ORDER BY degree""".stripMargin
 
+  /** k-core peel parameters: K = the degree floor, Rounds = the FIXED
+    * number of peel sweeps. Peeling is run for exactly `Rounds` rounds
+    * on both engines (not to convergence) so the oracle can unroll the
+    * same computation as chained CTEs — the pagerankParts recipe. On
+    * near-dup/co-purchase graphs peeling converges in a handful of
+    * sweeps, so the fixed-round core is the true core in practice
+    * (KCoreSpec asserts one more sweep removes nothing on the fixture).
+    */
+  private val KCoreK      = 3
+  private val KCoreRounds = 4
+
+  /** Fixed-round k-core of the co-purchase graph: repeatedly drop nodes
+    * with degree < K, keeping only edges between survivors. Each round
+    * is one node-sized aggregate plus two semi-joins on the edge list —
+    * no row ever carries more than (src, dst) — with a Ckpt lineage cut
+    * per round (the iterative-query discipline shared with PageRank and
+    * connected components). The k-core is the standard "dense enough to
+    * matter" subgraph extraction: recommendation engines prune the
+    * co-purchase graph to its core before running heavier analytics on
+    * it, because peeling removes the long tail of noise nodes at linear
+    * cost. Output: every surviving part with its in-core degree.
+    */
+  def kCore(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Commerce
+      .pairCounts(
+        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+      .filter(col("pair_count") >= 2)
+      .select(col("part_x").as("a"), col("part_y").as("b"))
+      .cutLineage()
+    var edges = pairs
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pairs.select(col("b").as("src"), col("a").as("dst")))
+    for (_ <- 1 to KCoreRounds) {
+      // survivors of this sweep; the frame is node-sized and feeds both
+      // endpoint filters, so cut it once (lazy — each semi-join build
+      // side materializes it)
+      val keep = edges
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KCoreK)
+        .select(col("src"))
+        .cutLineage(eager = false)
+      // the edge list is symmetric, so filtering BOTH endpoints keeps
+      // it symmetric — next round's per-src degree stays the true
+      // undirected degree
+      edges = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .cutLineage()
+    }
+    edges
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("l_partkey"), col("core_degree"))
+      .orderBy(desc("core_degree"), asc("l_partkey"))
+  }
+
+  /** DuckDB twin of kCore: the peel rounds unrolled as chained CTEs —
+    * same edge list, same degree floor, same round count.
+    */
+  private val kCoreSql = {
+    def round(i: Int): String =
+      s"""k$i AS (
+         |  SELECT src FROM e${i - 1} GROUP BY src HAVING count(*) >= $KCoreK
+         |), e$i AS (
+         |  SELECT e.src, e.dst FROM e${i - 1} e
+         |  WHERE e.src IN (SELECT src FROM k$i) AND e.dst IN (SELECT src FROM k$i)
+         |)""".stripMargin
+    val chain = (1 to KCoreRounds).map(round).mkString(",\n")
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+       |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+       |), pc AS (
+       |  SELECT a.l_partkey AS part_x, b.l_partkey AS part_y
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= 2
+       |), e0 AS (
+       |  SELECT part_x AS src, part_y AS dst FROM pc
+       |  UNION ALL
+       |  SELECT part_y, part_x FROM pc
+       |),
+       |$chain
+       |SELECT src AS l_partkey, count(*) AS core_degree
+       |FROM e$KCoreRounds
+       |GROUP BY src
+       |ORDER BY core_degree DESC, l_partkey""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "graph_degree_stats" -> QueryDef(graphDegreeStats, Some(graphDegreeStatsSql)),
+    "k_core"             -> QueryDef(kCore, Some(kCoreSql)),
     "pagerank_parts"     -> QueryDef(pagerankParts, Some(pagerankPartsSql)),
     "embedding_clusters" -> QueryDef(embeddingClusters, Some(embeddingClustersSql)),
     "triangle_counts"    -> QueryDef(triangleCounts, Some(triangleCountsSql)))

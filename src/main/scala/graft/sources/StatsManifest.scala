@@ -422,6 +422,72 @@ object StatsManifest {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  // ----------------------------------------------- compaction planning
+
+  /** Target rows per compacted file. Files at or above the target are
+    * left alone; smaller ones are packed.
+    */
+  private val CompactTargetRows = 25000L
+
+  /** Small-file compaction plan over the day-grain layout (one file per
+    * event day — the layout a streaming date-partitioned sink produces;
+    * the same carrier manifestRangeScan prunes). The maintenance job
+    * every file-statistics tier feeds at 100 TB: a streaming sink lands
+    * one small file per day per table, and an uncompacted table bleeds
+    * planning time (file listing, footer reads, task startup) on every
+    * query. The plan is Iceberg/Delta binpack-by-sort-order:
+    *   - files already >= [[CompactTargetRows]] rows: `keep` (rewriting
+    *     them buys nothing, bin −1);
+    *   - smaller files: `compact`, packed into consecutive-day groups by
+    *     next-fit over the running row sum — bin = prefix-sum div
+    *     target, the same bounded-parallel kernel as doc_pack_bins
+    *     (Rank.withPrefixSum: range-bucketed, no single-partition
+    *     window), so the plan computation itself scales past any
+    *     calendar length.
+    * Consecutive-day grouping is deliberate: compaction must preserve
+    * the day-range clustering the manifest prunes on, so only adjacent
+    * days may merge. Output: one row per file with its action and
+    * target bin.
+    */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    val files = graft.Tables
+      .events(spark, dir)
+      .select(expr("ts div 86400000000").as("day"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_rows"))
+    val keeps = files
+      .filter(col("n_rows") >= CompactTargetRows)
+      .select(
+        col("day"), col("n_rows"),
+        lit("keep").as("action"), lit(-1L).as("bin"))
+    val packed = graft.operators.Rank
+      .withPrefixSum(
+        files.filter(col("n_rows") < CompactTargetRows), "day", "n_rows")
+      .select(
+        col("day"), col("n_rows"),
+        lit("compact").as("action"),
+        floor((col("cum") - col("n_rows")) / CompactTargetRows)
+          .cast("long").as("bin"))
+    keeps.unionAll(packed).orderBy(col("day"))
+  }
+
+  private val compactionPlanSql =
+    s"""WITH f AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_rows
+       |  FROM events GROUP BY 1
+       |), s AS (
+       |  SELECT day, n_rows,
+       |         SUM(n_rows) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM f WHERE n_rows < $CompactTargetRows
+       |)
+       |SELECT day, n_rows, 'keep' AS action, CAST(-1 AS BIGINT) AS bin
+       |FROM f WHERE n_rows >= $CompactTargetRows
+       |UNION ALL
+       |SELECT day, n_rows, 'compact', CAST((cum - n_rows) // $CompactTargetRows AS BIGINT)
+       |FROM s
+       |ORDER BY day""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "compaction_plan"     -> QueryDef(compactionPlan, Some(compactionPlanSql)),
     "manifest_range_scan" -> QueryDef(manifestRangeScan, Some(manifestRangeScanSql)))
 }

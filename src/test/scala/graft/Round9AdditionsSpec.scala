@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Commerce, Dedup, Graph}
+import graft.sources.StatsManifest
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-9 additions: the fixed-round k-core peel, the sketch-vs-exact
+  * dedup pair grading, and the small-file compaction plan. Oracle hashes
+  * are covered by the driver gate; these specs prove the semantics the
+  * hash can't see — the peel fixpoint, grading bounds, and the packing
+  * invariants of the plan.
+  */
+class Round9AdditionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("k_core: every survivor's in-core degree meets the floor (peel converged)") {
+    val rows = Graph.kCore(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty, "fixture co-purchase graph has a 3-core")
+    // final degrees are computed AFTER the last filter, so a node under
+    // the floor here would mean the fixed round count did NOT reach the
+    // peel fixpoint on the fixture — the scaladoc's convergence claim
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 3L, s"part ${r.getLong(0)} in core with degree ${r.getLong(1)}")
+    }
+  }
+
+  test("k_core: survivors are a subset of nodes with full-graph degree >= floor") {
+    val core = Graph.kCore(spark, TestSpark.Sf)
+    val pairs = Commerce
+      .pairCounts(
+        Tables.lineitem(spark, TestSpark.Sf).select(col("l_orderkey"), col("l_partkey")))
+      .filter(col("pair_count") >= 2)
+    val fullDeg = pairs.select(col("part_x").as("n"))
+      .unionAll(pairs.select(col("part_y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val joined = core.join(fullDeg, core("l_partkey") === fullDeg("n"), "left")
+    assert(joined.filter(col("d").isNull || col("d") < 3).isEmpty,
+      "a core node must have had degree >= floor in the full graph")
+    // peeling only removes: the core's degree never exceeds the full degree
+    assert(joined.filter(col("core_degree") > col("d")).isEmpty)
+  }
+
+  test("dedup_pair_quality: counting identities and grading bounds hold") {
+    val rows = Dedup.dedupPairQuality(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("minhash", "simhash"))
+    rows.foreach { r =>
+      val (nP, nX, nH) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nH <= math.min(nP, nX), s"${r.getString(0)}: hits exceed a side")
+      val (rec, agr) = (r.getDouble(4), r.getDouble(5))
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $rec")
+      assert(agr >= 0.0 && agr <= 1.0, s"agreement out of range: $agr")
+    }
+    // the minhash estimator at tau 0.5 must recover most exact tau-0.6
+    // pairs on the fixture (64 hashes, 16x4 bands — its design point);
+    // unigram simhash is cruder by design, so no floor is asserted there
+    val mh = rows.find(_.getString(0) == "minhash").get
+    assert(mh.getLong(2) === 0L || mh.getDouble(4) >= 0.8,
+      s"minhash recall ${mh.getDouble(4)} below design floor")
+  }
+
+  test("compaction_plan: actions split on the target and bins pack next-fit") {
+    val rows = StatsManifest.compactionPlan(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val target = 25000L
+    rows.foreach { case (day, n, action, bin) =>
+      if (action == "keep") assert(n >= target && bin == -1L, s"day $day keep contract")
+      else assert(action == "compact" && n < target && bin >= 0L, s"day $day compact contract")
+    }
+    // coverage: every event-day appears exactly once, and the plan's row
+    // total is the table's row total
+    assert(rows.map(_._1).distinct.length === rows.length)
+    val evRows = Tables.events(spark, TestSpark.Sf).count()
+    assert(rows.map(_._2).sum === evRows)
+    // next-fit: compact bins are contiguous day runs with nondecreasing
+    // ids, and a bin only closes once it has reached the target (drop
+    // the bin's last file and the remainder is under target)
+    val compacts = rows.filter(_._3 == "compact").sortBy(_._1)
+    assert(compacts.map(_._4).toSeq === compacts.map(_._4).sorted.toSeq)
+    compacts.groupBy(_._4).foreach { case (bin, fs) =>
+      val total = fs.map(_._2).sum
+      assert(total - fs.maxBy(_._1)._2 < target,
+        s"bin $bin closed before reaching the target")
+    }
+  }
+}
