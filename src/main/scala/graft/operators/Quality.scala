@@ -120,6 +120,80 @@ object Quality {
     */
   private[graft] val ProfileExactCap = 1000000L
 
+  // ------------------------------------------------- join-strategy advisory
+
+  /** The broadcast threshold the advisory prices against — Spark's
+    * `spark.sql.autoBroadcastJoinThreshold` default (10 MiB), as a
+    * constant so the oracle computes the identical verdict.
+    */
+  private val BroadcastThresholdBytes = 10485760L
+
+  /** Modeled relational join-graph tables: name → (fixed-width column
+    * count, string columns). Fixed-width columns are priced at a uniform
+    * 8 bytes; string columns at their ACTUAL total character length —
+    * the estimate is a size MODEL over the spec-pinned read surface
+    * (TablesSchemaSpec's contract), not parquet bytes on disk, which
+    * compression makes meaningless for in-memory build-side sizing.
+    */
+  private val JoinTableSpec: Seq[(String, Int, Seq[String])] = Seq(
+    ("region", 1, Seq("r_name")),
+    ("nation", 2, Seq("n_name")),
+    ("supplier", 3, Seq("s_name")),
+    ("customer", 3, Seq("c_name", "c_mktsegment")),
+    ("part", 2, Seq("p_name", "p_brand", "p_type")),
+    ("orders", 3, Seq("o_orderstatus", "o_orderpriority")),
+    ("lineitem", 9, Seq("l_returnflag", "l_linestatus")))
+
+  /** Join-strategy advisory: for every join-graph table, its row count,
+    * modeled build-side bytes, and the broadcast-vs-shuffle verdict at
+    * Spark's default threshold — the optimizer's J1 decision surfaced
+    * as DATA. A 100 TB deployment runs exactly this before pinning
+    * `broadcast()` hints or raising the threshold: dimension tables that
+    * fit broadcast make every fact join shuffle-free on the dim side,
+    * and a table drifting past the threshold is a planning regression
+    * you want in a report, not discovered in a 3-hour stage. One
+    * column-pruned scan per table; integer arithmetic end-to-end, so the
+    * verdict is bit-identical across engines.
+    */
+  def joinStrategyReport(spark: SparkSession, dir: String): DataFrame =
+    JoinTableSpec.map { case (t, nFixed, strCols) =>
+      val sumLens: Column = strCols
+        .map(c => coalesce(sum(length(col(c))), lit(0L)))
+        .reduce(_ + _)
+      Tables
+        .table(spark, dir, t)
+        .agg(count(lit(1)).as("n_rows"), sumLens.as("str_bytes"))
+        .select(
+          lit(t).as("tbl"),
+          col("n_rows"),
+          (col("n_rows") * (8L * nFixed) + col("str_bytes")).as("est_bytes"))
+    }.reduce(_ unionAll _)
+      .select(
+        col("tbl"), col("n_rows"), col("est_bytes"),
+        when(col("est_bytes") <= BroadcastThresholdBytes, "broadcast")
+          .otherwise("shuffle").as("strategy"))
+      .orderBy(col("est_bytes"), col("tbl"))
+
+  /** DuckDB twin of joinStrategyReport, generated from the SAME table
+    * spec so the modeled column set can never drift between engines.
+    */
+  private val joinStrategyReportSql = {
+    val arms = JoinTableSpec.map { case (t, nFixed, strCols) =>
+      val lens = strCols.map(c => s"COALESCE(SUM(length($c)), 0)").mkString(" + ")
+      s"""  SELECT '$t' AS tbl, count(*) AS n_rows,
+         |         CAST(count(*) * ${8L * nFixed} + $lens AS BIGINT) AS est_bytes
+         |  FROM $t""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH s AS (
+       |$arms
+       |)
+       |SELECT tbl, n_rows, est_bytes,
+       |       CASE WHEN est_bytes <= $BroadcastThresholdBytes
+       |            THEN 'broadcast' ELSE 'shuffle' END AS strategy
+       |FROM s
+       |ORDER BY est_bytes, tbl""".stripMargin
+  }
+
   def ordersProfile(spark: SparkSession, dir: String): DataFrame =
     ordersProfileGuarded(spark, dir, ProfileExactCap)
 
@@ -545,6 +619,7 @@ object Quality {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "join_strategy_report" -> QueryDef(joinStrategyReport, Some(joinStrategyReportSql)),
     "key_skew_report" -> QueryDef(keySkewReport, Some(keySkewReportSql)),
     "orders_profile" -> QueryDef(ordersProfile, Some(ordersProfileSql)),
     "orders_profile_sketch" -> QueryDef(ordersProfileSketch, Some(ordersProfileSketchSql)),

@@ -517,7 +517,53 @@ object Retention {
        |FROM pairs
        |ORDER BY prev, cur""".stripMargin
 
+  /** Top 20 three-step event-type paths (second-order sequence mining —
+    * the step up from eventTransitions' first-order matrix): each user's
+    * totally-ordered timeline (ts, event_id tie-break) yields its
+    * consecutive type triples via two leads over ONE per-user window
+    * pass; the count aggregate runs on a types³-sized frame and the
+    * top-k lowers to TakeOrderedAndProject. Per-user partitions bound
+    * the window state at any corpus scale (the sessionize discipline).
+    */
+  def eventSequenceTopk(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables
+      .events(spark, dir)
+      .select(
+        col("user_id"),
+        col("ts").as("us"),
+        col("event_id"),
+        col("event_type").as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(byUser))
+      .withColumn("s3", lead(col("s1"), 2).over(byUser))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("s1"), asc("s2"), asc("s3"))
+      .limit(20)
+  }
+
+  private val eventSequenceTopkSql =
+    s"""WITH seq AS (
+       |  SELECT user_id, event_type AS s1,
+       |         lead(event_type, 1) OVER (
+       |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS s2,
+       |         lead(event_type, 2) OVER (
+       |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS s3
+       |  FROM events
+       |)
+       |SELECT s1, s2, s3, count(*) AS n
+       |FROM seq
+       |WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+       |GROUP BY s1, s2, s3
+       |ORDER BY n DESC, s1, s2, s3
+       |LIMIT 20""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "event_sequence_topk"  -> QueryDef(eventSequenceTopk, Some(eventSequenceTopkSql)),
     "event_transitions"    -> QueryDef(eventTransitions, Some(eventTransitionsSql)),
     "window_funnel"        -> QueryDef(windowFunnel, Some(windowFunnelSql)),
     "funnel_latency"       -> QueryDef(funnelLatency, Some(funnelLatencySql)),

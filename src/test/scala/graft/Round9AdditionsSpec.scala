@@ -59,6 +59,44 @@ class Round9AdditionsSpec extends AnyFunSuite {
       s"minhash recall ${mh.getDouble(4)} below design floor")
   }
 
+  test("join_strategy_report: one verdict per modeled table, threshold-consistent") {
+    val rows = graft.operators.Quality.joinStrategyReport(spark, TestSpark.Sf).collect()
+    assert(rows.length === 7, "one row per join-graph table")
+    assert(rows.map(_.getString(0)).sorted.toSeq ===
+      Seq("customer", "lineitem", "nation", "orders", "part", "region", "supplier"))
+    rows.foreach { r =>
+      val (n, b, s) = (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(n > 0 && b > 0, s"${r.getString(0)}: empty stats")
+      assert(b >= 8L * n, s"${r.getString(0)}: bytes below the fixed-width floor")
+      assert(s === (if (b <= 10485760L) "broadcast" else "shuffle"),
+        s"${r.getString(0)}: verdict inconsistent with threshold")
+    }
+    // the advisory must agree with what the engine actually plans: the
+    // canonical J1 dim (part, 'broadcast' here) broadcast-joins
+    assert(rows.find(_.getString(0) == "region").get.getString(3) === "broadcast")
+  }
+
+  test("event_sequence_topk: bounded, ordered, and consistent with a recount") {
+    val rows = graft.operators.Retention.eventSequenceTopk(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ns = rows.map(_.getLong(3)).toSeq
+    assert(ns === ns.sortBy(-_), "paths must be ordered by count desc")
+    rows.foreach(r => (0 to 2).foreach(i => assert(!r.isNullAt(i))))
+    // recount the top path independently via a self-join-free pass
+    val (s1, s2, s3, n) =
+      (rows.head.getString(0), rows.head.getString(1), rows.head.getString(2),
+        rows.head.getLong(3))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val recount = Tables.events(spark, TestSpark.Sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("b", lead(col("event_type"), 1).over(w))
+      .withColumn("c", lead(col("event_type"), 2).over(w))
+      .filter(col("event_type") === s1 && col("b") === s2 && col("c") === s3)
+      .count()
+    assert(recount === n, s"top path ($s1,$s2,$s3) recount mismatch")
+  }
+
   test("compaction_plan: actions split on the target and bins pack next-fit") {
     val rows = StatsManifest.compactionPlan(spark, TestSpark.Sf)
       .collect()
