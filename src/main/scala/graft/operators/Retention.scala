@@ -523,7 +523,11 @@ object Retention {
     * consecutive type triples via two leads over ONE per-user window
     * pass; the count aggregate runs on a types³-sized frame and the
     * top-k lowers to TakeOrderedAndProject. Per-user partitions bound
-    * the window state at any corpus scale (the sessionize discipline).
+    * the window state at any corpus scale (the sessionize discipline) —
+    * NULL-user events are excluded on both engines: an anonymous
+    * pseudo-user would interleave unrelated activity into fake paths
+    * AND concentrate into one giant window partition at 100 TB (the
+    * skew hazard temporal_split guards explicitly).
     */
   def eventSequenceTopk(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -532,6 +536,7 @@ object Retention {
       .orderBy(col("us"), col("event_id"))
     Tables
       .events(spark, dir)
+      .filter(col("user_id").isNotNull)
       .select(
         col("user_id"),
         col("ts").as("us"),
@@ -554,6 +559,7 @@ object Retention {
        |         lead(event_type, 2) OVER (
        |           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS s3
        |  FROM events
+       |  WHERE user_id IS NOT NULL
        |)
        |SELECT s1, s2, s3, count(*) AS n
        |FROM seq
