@@ -269,7 +269,7 @@ object Multimodal {
         graft.Det.detRound(col("total_bytes").cast("double") / col("n_blobs"), 4)
           .as("avg_bytes"),
         col("total_frames_64b"))
-      .orderBy(col("origin"))
+      .orderBy(asc_nulls_last("origin"))
   }
 
   private val mediaManifestSql =

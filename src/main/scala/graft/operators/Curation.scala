@@ -116,7 +116,7 @@ object Curation {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("lang"), col("rk"), col("doc_id"), col("source"))
-      .orderBy(col("lang"), col("rk"))
+      .orderBy(asc_nulls_last("lang"), col("rk"))
   }
 
   private val samplePerLangSql =
@@ -168,7 +168,7 @@ object Curation {
         sum(col("n_digit_runs")).as("digit_runs"),
         sum(length(col("text")) - length(col("scrubbed"))).cast("long")
           .as("chars_removed"))
-      .orderBy(col("source"))
+      .orderBy(asc_nulls_last("source"))
 
   private val piiScrubSql =
     s"""WITH s AS (
@@ -282,7 +282,7 @@ object Curation {
         Det.detRound(
           col("sq") / col("sq_sum") * col("n_tokens").cast("double"), 2)
           .as("weighted_tokens"))
-      .orderBy(col("source"))
+      .orderBy(asc_nulls_last("source"))
   }
 
   private val sourceMixWeightsSql =
@@ -584,7 +584,7 @@ object Curation {
           greatest(lit(0.0),
             col("target") - col("epochs") * col("avail_tokens").cast("double")), 2)
           .as("shortfall"))
-      .orderBy(col("source"))
+      .orderBy(asc_nulls_last("source"))
   }
 
   private val tokenMixPlanSql =
@@ -851,7 +851,7 @@ object Curation {
         "share",
         Det.detRound(
           col("n_docs").cast("double") / sum(col("n_docs")).over(perSource), 4))
-      .orderBy(col("source"), col("topic"))
+      .orderBy(asc_nulls_last("source"), col("topic"))
   }
 
   private val topicTaggingSql = {

@@ -32,6 +32,10 @@ object Engagement {
     */
   def userEngagement(spark: SparkSession, dir: String): DataFrame = {
     eventsUs(spark, dir)
+      // user-grain analytics: anonymous (NULL-user) events are excluded
+      // on both engines — they would otherwise merge into one fake
+      // mega-user AND diverge in NULL sort order (null_sweep hazard)
+      .filter(col("user_id").isNotNull)
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("sessions_count"),
@@ -57,6 +61,7 @@ object Engagement {
        |       epoch_us(max(ts)) AS last_seen,
        |       count(DISTINCT event_type) AS distinct_event_types
        |FROM events
+       |WHERE user_id IS NOT NULL
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
@@ -67,6 +72,7 @@ object Engagement {
   def userSessionsTopK(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     eventsUs(spark, dir)
+      .filter(col("user_id").isNotNull) // anonymous events: see userEngagement
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 5)
@@ -79,6 +85,7 @@ object Engagement {
       |  SELECT user_id, ts, event_id, event_type,
       |         row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn
       |  FROM events
+      |  WHERE user_id IS NOT NULL
       |) WHERE rn <= 5
       |ORDER BY user_id, rn""".stripMargin
 
@@ -90,6 +97,7 @@ object Engagement {
     */
   def userSessionsTopKCustom(spark: SparkSession, dir: String): DataFrame = {
     val base = eventsUs(spark, dir)
+      .filter(col("user_id").isNotNull) // anonymous events: see userEngagement
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     org.apache.spark.sql.graft.TopK
       .perKey(
@@ -418,6 +426,7 @@ object Engagement {
     val w   = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     eventsUs(spark, dir)
+      .filter(col("user_id").isNotNull) // anonymous events: see userEngagement
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
       .withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn(
@@ -468,6 +477,7 @@ object Engagement {
   def sessionWindowNative(spark: SparkSession, dir: String): DataFrame =
     sessionWindowAgg(
       eventsUs(spark, dir)
+        .filter(col("user_id").isNotNull) // anonymous events: see userEngagement
         .select(
           col("user_id"),
           timestamp_micros(col("ts")).as("t"),
@@ -479,6 +489,7 @@ object Engagement {
        |  SELECT user_id, epoch_us(ts) AS ts, value,
        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS prev_ts
        |  FROM events
+       |  WHERE user_id IS NOT NULL
        |), marked AS (
        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts >= ${GapUs}
        |                 THEN 1 ELSE 0 END AS new_sess
@@ -502,6 +513,7 @@ object Engagement {
        |  SELECT user_id, epoch_us(ts) AS ts, event_id, value,
        |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
        |  FROM events
+       |  WHERE user_id IS NOT NULL
        |), marked AS (
        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts - prev_ts > ${GapUs}
        |                 THEN 1 ELSE 0 END AS new_sess
@@ -618,6 +630,9 @@ object Engagement {
     */
   def userValueEwma(spark: SparkSession, dir: String): DataFrame = {
     eventsUs(spark, dir)
+      // anonymous events excluded (see userEngagement); value-less
+      // events carry nothing to smooth and a NULL would poison the fold
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
       .groupBy(
         col("user_id"),
         date_format(timestamp_micros(col("ts")), "yyyy-MM-dd").as("day"))
@@ -640,6 +655,7 @@ object Engagement {
        |  SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
        |  FROM events
+       |  WHERE user_id IS NOT NULL AND value IS NOT NULL
        |  GROUP BY user_id, day
        |), packed AS (
        |  SELECT user_id, count(*) AS n_days, list(v ORDER BY day) AS vs

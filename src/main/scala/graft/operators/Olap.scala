@@ -32,6 +32,13 @@ object Olap {
   def revenueCube(spark: SparkSession, dir: String): DataFrame = {
     Tables
       .orders(spark, dir)
+      // genuine NULL attribute values are bucketed as '<null>' BEFORE
+      // the cube, so the 'ALL' coalesce below can only ever mean
+      // "subtotal" — otherwise a NULL data group and a subtotal row
+      // collide on the same key and their relative order is
+      // engine-dependent (null_sweep-found hazard)
+      .withColumn("o_orderstatus", coalesce(col("o_orderstatus"), lit("<null>")))
+      .withColumn("o_orderpriority", coalesce(col("o_orderpriority"), lit("<null>")))
       .cube(col("o_orderstatus"), col("o_orderpriority"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -49,7 +56,10 @@ object Olap {
        |       COALESCE(o_orderpriority, 'ALL') AS priority,
        |       count(*) AS n_orders,
        |       ${Det.roundSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS revenue
-       |FROM orders
+       |FROM (SELECT COALESCE(o_orderstatus, '<null>') AS o_orderstatus,
+       |             COALESCE(o_orderpriority, '<null>') AS o_orderpriority,
+       |             o_totalprice
+       |      FROM orders)
        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
        |ORDER BY status, priority""".stripMargin
 
@@ -62,7 +72,12 @@ object Olap {
     * chain.
     */
   def revenueGroupingSets(spark: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(spark, dir)
+    val o = Tables
+      .orders(spark, dir)
+      // same '<null>' input bucketing as revenueCube: 'ALL' must only
+      // ever mean "subtotal"
+      .withColumn("o_orderstatus", coalesce(col("o_orderstatus"), lit("<null>")))
+      .withColumn("o_orderpriority", coalesce(col("o_orderpriority"), lit("<null>")))
     o.groupingSets(
         Seq(
           Seq(col("o_orderstatus"), col("o_orderpriority")),
@@ -85,7 +100,10 @@ object Olap {
        |       COALESCE(o_orderpriority, 'ALL') AS priority,
        |       count(*) AS n_orders,
        |       ${Det.roundSql("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)", 2)} AS revenue
-       |FROM orders
+       |FROM (SELECT COALESCE(o_orderstatus, '<null>') AS o_orderstatus,
+       |             COALESCE(o_orderpriority, '<null>') AS o_orderpriority,
+       |             o_totalprice
+       |      FROM orders)
        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
        |ORDER BY status, priority""".stripMargin
 

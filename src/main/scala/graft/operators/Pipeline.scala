@@ -234,7 +234,7 @@ object Pipeline {
         Det.detRound(
           Det.fineSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
-      .orderBy(col("o_orderpriority"), col("l_returnflag"))
+      .orderBy(asc_nulls_last("o_orderpriority"), asc_nulls_last("l_returnflag"))
   }
 
   private val bloomJoinPruneSql =
@@ -267,7 +267,8 @@ object Pipeline {
     */
   def incrementalAggMerge(spark: SparkSession, dir: String): DataFrame = {
     def partial(f: DataFrame): DataFrame =
-      f.groupBy(col("user_id"))
+      f.filter(col("user_id").isNotNull) // user-grain: anonymous events excluded
+        .groupBy(col("user_id"))
         .agg(
           count(lit(1)).as("n_events"),
           sum(col("value").cast(Det.Money)).as("v"))
@@ -298,6 +299,7 @@ object Pipeline {
        |       CAST(count(*) FILTER (WHERE epoch_us(ts) < $MergeCutUs) AS BIGINT) AS n_events_old,
        |       CAST(count(*) FILTER (WHERE epoch_us(ts) >= $MergeCutUs) AS BIGINT) AS n_events_new
        |FROM events
+       |WHERE user_id IS NOT NULL
        |GROUP BY user_id
        |ORDER BY user_id""".stripMargin
 
@@ -377,7 +379,7 @@ object Pipeline {
           col("n_docs").cast("double") /
             sum(col("n_docs")).over(Window.partitionBy(col("lang"))),
           6))
-      .orderBy(col("lang"), col("split"))
+      .orderBy(asc_nulls_last("lang"), col("split"))
   }
 
   private val datasetSplitSql =
@@ -484,7 +486,7 @@ object Pipeline {
       .agg(
         count(lit(1)).as("n_orders"),
         Det.detRound(Det.moneySum(col("o_totalprice")), 2).as("revenue"))
-      .orderBy(col("attr"))
+      .orderBy(asc_nulls_last("attr"))
   }
 
   private val scd2PitJoinSql =

@@ -264,6 +264,7 @@ object Retention {
   def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables
       .events(spark, dir)
+      .filter(col("user_id").isNotNull) // funnel is user-grain (null_sweep)
       .select(
         col("user_id"),
         col("ts").as("us"),
@@ -280,7 +281,7 @@ object Retention {
     */
   private val windowFunnelSql =
     s"""WITH u AS (
-       |  SELECT DISTINCT user_id FROM events
+       |  SELECT DISTINCT user_id FROM events WHERE user_id IS NOT NULL
        |), s1 AS (
        |  SELECT user_id, min(epoch_us(ts)) AS t1
        |  FROM events WHERE event_type = 'view' GROUP BY user_id

@@ -26,7 +26,10 @@ object Sketches {
   private val KmvK = 256
 
   def distinctUsersSketch(spark: SparkSession, dir: String): DataFrame = {
-    val ev  = Tables.events(spark, dir)
+    // "distinct users" excludes anonymous events on both engines: the
+    // two-stage groupBy would count the NULL group as a user while
+    // DuckDB's COUNT(DISTINCT) skips it (null_sweep-found divergence)
+    val ev  = Tables.events(spark, dir).filter(col("user_id").isNotNull)
     val kmv = KmvDistinct.udf(KmvK)
     val exact = ev
       .groupBy(col("event_type"), col("user_id"))
@@ -59,7 +62,7 @@ object Sketches {
     s"""WITH h AS (
        |  SELECT DISTINCT event_type,
        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-       |  FROM events
+       |  FROM events WHERE user_id IS NOT NULL
        |), ranked AS (
        |  SELECT event_type, h,
        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -71,7 +74,7 @@ object Sketches {
        |  FROM ranked GROUP BY event_type
        |), exact AS (
        |  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
-       |  FROM events GROUP BY event_type
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY event_type
        |), est AS (
        |  SELECT e.event_type, e.exact_distinct,
        |         CASE WHEN s.n_hashes < $KmvK THEN CAST(s.n_hashes AS DOUBLE)
@@ -215,7 +218,9 @@ object Sketches {
     def estOf(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       when(size(arr) < KmvK, size(arr).cast("double"))
         .otherwise(lit(estConst) / element_at(arr, KmvK).cast("double"))
-    val ev = Tables.events(spark, dir).select(col("event_type"), col("user_id"))
+    val ev = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull) // see distinctUsersSketch
+      .select(col("event_type"), col("user_id"))
     val sk = ev
       .groupBy(col("event_type"))
       .agg(graft.functions.KmvSketch.udf(KmvK)(col("user_id")).as("sk"))
@@ -272,6 +277,7 @@ object Sketches {
       s"CASE WHEN $nh < $KmvK THEN CAST($nh AS DOUBLE) ELSE $estConst / CAST($hk AS DOUBLE) END"
     s"""WITH tu AS (
        |  SELECT DISTINCT event_type, user_id FROM events
+       |  WHERE user_id IS NOT NULL
        |), per AS (
        |  SELECT event_type, count(*) AS n_exact FROM tu GROUP BY event_type
        |), pairs AS (
@@ -286,7 +292,7 @@ object Sketches {
        |), h AS (
        |  SELECT DISTINCT event_type,
        |         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
-       |  FROM events
+       |  FROM events WHERE user_id IS NOT NULL
        |), tr AS (
        |  SELECT event_type, h,
        |         row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn

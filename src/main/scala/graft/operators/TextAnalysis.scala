@@ -53,7 +53,9 @@ object TextAnalysis {
         col("source"), col("n_docs"), col("ws_tokens"), col("regex_tokens"),
         Det.detRound(col("ws_tokens").cast("double") / col("n_docs"), 4)
           .as("avg_doc_tokens"))
-      .orderBy(col("source"))
+      // NULLS LAST pins the ordered compare to DuckDB's ASC default for
+      // a NULL source bucket (null_sweep-found hazard class)
+      .orderBy(asc_nulls_last("source"))
   }
 
   private val tokenCountSql =
@@ -250,7 +252,7 @@ object TextAnalysis {
         "share",
         Det.detRound(
           col("n_docs").cast("double") / sum(col("n_docs")).over(perLabel), 4))
-      .orderBy(col("lang"), col("predicted_lang"))
+      .orderBy(asc_nulls_last("lang"), col("predicted_lang"))
   }
 
   private val langConfusionSql =
@@ -305,7 +307,7 @@ object TextAnalysis {
       .filter(pmod(col("doc_id") * 2654435761L, lit(100)) < 30)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("first_doc"))
-      .orderBy(col("lang"))
+      .orderBy(asc_nulls_last("lang"))
   }
 
   private val sampleStratifiedSql =
@@ -492,7 +494,7 @@ object TextAnalysis {
         col("n_flagged"),
         Det.detRound(col("s_top").cast("double") / col("s_g"), 6).as("top2_rate"),
         Det.detRound(col("s_dup").cast("double") / col("s_g"), 6).as("dup2_rate"))
-      .orderBy(col("source"))
+      .orderBy(asc_nulls_last("source"))
   }
 
   private val repetitionProfileSql =

@@ -393,7 +393,7 @@ object TextNgrams {
       .select(
         col("lang"), col("n_docs"), col("n_pass"),
         Det.detRound(col("n_pass").cast("double") / col("n_docs"), 6).as("pass_rate"))
-      .orderBy(col("lang"))
+      .orderBy(asc_nulls_last("lang"))
   }
 
   private val qualityFilterSql =
@@ -431,7 +431,7 @@ object TextNgrams {
         expr("percentile(n_chars, 0.5)").as("p50"),
         expr("percentile(n_chars, 0.75)").as("p75"),
         expr("percentile(n_chars, 0.95)").as("p95"))
-      .orderBy(col("lang"))
+      .orderBy(asc_nulls_last("lang"))
   }
 
   private val docLenPercentilesSql =
@@ -743,7 +743,7 @@ object TextNgrams {
           .as("tokens_per_word"),
         Det.detRound(col("n_chars").cast("double") / col("n_tokens"), 6)
           .as("chars_per_token"))
-      .orderBy(col("lang"))
+      .orderBy(asc_nulls_last("lang"))
   }
 
   private val tokenizerFertilitySql = {

@@ -252,6 +252,9 @@ object Warehouse {
   def rollingDistinctKmv(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables
       .events(spark, dir)
+      // "distinct users" excludes anonymous events (see
+      // Sketches.distinctUsersSketch — the same null_sweep divergence)
+      .filter(col("user_id").isNotNull)
       .select(
         to_date(timestamp_micros(col("ts"))).as("day"),
         col("user_id"))
@@ -296,6 +299,7 @@ object Warehouse {
       s"CAST(${RollK - 1} AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE) / CAST(hk AS DOUBLE)"
     s"""WITH du AS (
        |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+       |  WHERE user_id IS NOT NULL
        |), days AS (
        |  SELECT DISTINCT day FROM du
        |), win AS (

@@ -80,6 +80,10 @@ object Bucketing {
     import org.apache.spark.sql.functions._
     graft.functions.GraftFunctions.register(spark)
     graft.Tables.events(spark, dir)
+      // a Z-code needs both coordinates: NULL-user rows have no place
+      // on the curve (a real writer reserves them a side partition) and
+      // would diverge in NULL sort order (null_sweep hazard)
+      .filter(col("user_id").isNotNull)
       .select(
         col("user_id"),
         expr("ts div 86400000000").as("day"))
@@ -100,6 +104,7 @@ object Bucketing {
   private[sources] val zorderTileStatsSql =
     """WITH pairs AS (
       |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |  WHERE user_id IS NOT NULL
       |), z AS (
       |  SELECT user_id, day,
       |         (SELECT SUM(((user_id >> i.i) & 1) << (2 * i.i))
