@@ -16,7 +16,8 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Cosine similarity over two float vectors, accumulated in double in
   * element order — matching DuckDB's list_cosine_similarity on DOUBLE[]
   * bit-for-bit (verified empirically on the embeddings fixture), so ANN
-  * queries are oracle-checkable. Zero-norm inputs yield 0.0.
+  * queries are oracle-checkable. Zero-norm inputs yield -1.0 (DuckDB's
+  * list_cosine_similarity convention: no direction = least similar).
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -42,7 +43,11 @@ object CosineSim {
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm convention: -1.0 ("least similar"), matching DuckDB's
+    // list_cosine_similarity so zero vectors (failed-encoder rows in a
+    // real corpus — edge_sweep-found divergence) rank LAST in every
+    // top-k instead of mid-pack at 0, identically on both engines
+    if (na == 0.0 || nb == 0.0) -1.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 }
 

@@ -26,8 +26,11 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(d + 1.0) < 1e-12)
   }
 
-  test("cosine: zero vector → 0.0 (guarded)") {
-    assert(CosineSim.compute(arr(0f, 0f), arr(1f, 2f)) === 0.0)
+  test("cosine: zero vector → -1.0 (DuckDB list_cosine_similarity convention)") {
+    // a zero vector has no direction: "least similar" makes it rank
+    // LAST in every top-k, identically on both engines (edge_sweep)
+    assert(CosineSim.compute(arr(0f, 0f), arr(1f, 2f)) === -1.0)
+    assert(CosineSim.compute(arr(0f, 0f), arr(0f, 0f)) === -1.0)
   }
 
   test("simhash: deterministic, order-insensitive for same multiset") {
