@@ -489,9 +489,19 @@ object Dedup {
     * runs only on the shingle-filtered pair list — the standard
     * "cheap filter, exact verify" cascade; both stages are
     * oracle-checked.
+    *
+    * UNIT CONVENTION: distance and the similarity denominator are in
+    * UTF-8 BYTES, not characters — DuckDB's `levenshtein` is
+    * byte-based while Spark's is codepoint-based (unicode_sweep-found
+    * divergence: 21 vs 45 on CJK text). Byte-level is also what
+    * large-scale dedup systems actually run (encoding-stable, no
+    * decode in the O(len²) kernel); Spark is lowered to byte level by
+    * the encode→ISO-8859-1-decode trick (one char per byte), which
+    * Spark's levenshtein then counts exactly like DuckDB's.
     */
   def dedupEditdist(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def b(c: org.apache.spark.sql.Column) = decode(encode(c, "UTF-8"), "ISO-8859-1")
     dedupJaccard(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
@@ -500,10 +510,10 @@ object Dedup {
         col("doc_a"),
         col("doc_b"),
         col("jaccard"),
-        levenshtein(col("text_a"), col("text_b")).cast("long").as("edit_dist"),
+        levenshtein(b(col("text_a")), b(col("text_b"))).cast("long").as("edit_dist"),
         Det.detRound(
-          lit(1.0) - levenshtein(col("text_a"), col("text_b")) /
-            greatest(length(col("text_a")), length(col("text_b"))).cast("double"),
+          lit(1.0) - levenshtein(b(col("text_a")), b(col("text_b"))) /
+            greatest(octet_length(col("text_a")), octet_length(col("text_b"))).cast("double"),
           6).as("edit_sim"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -515,7 +525,7 @@ object Dedup {
        |SELECT p.doc_a, p.doc_b, p.jaccard,
        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
        |       ${Det.roundSql(
-        "1.0 - levenshtein(a.text, b.text) / CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)",
+        "1.0 - levenshtein(a.text, b.text) / CAST(greatest(strlen(a.text), strlen(b.text)) AS DOUBLE)",
         6)} AS edit_sim
        |FROM pairs p
        |JOIN documents a ON p.doc_a = a.doc_id
