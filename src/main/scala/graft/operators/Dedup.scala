@@ -896,6 +896,99 @@ object Dedup {
        |FROM hist
        |ORDER BY cluster_size""".stripMargin
 
+  /** Band configurations the sweep prices: (bands, rows-per-band) splits
+    * of the same k=64 signature. Fewer rows per band = higher collision
+    * probability = more candidates (the LSH S-curve steers left).
+    */
+  private val BandConfigs = Seq((8, 8), (16, 4), (32, 2))
+
+  /** LSH band-configuration tuning curve — the banding axis next to
+    * neardup_threshold_curve's threshold axis: for each (bands, rows)
+    * split of the SAME k=64 minhash signatures, how many buckets blow
+    * past the 100-doc cap (dropped hot buckets), how many candidate
+    * pairs the buckets emit, and how many survive signature
+    * verification at est ≥ 0.5. This is the measurement that prices a
+    * banding choice before a 100 TB run commits to it: candidates scale
+    * the shuffle, hot buckets measure cap loss, verified yield is what
+    * you keep. Signatures are computed ONCE (the shared persisted
+    * frame); each config is an in-row re-split plus a bucket aggregate.
+    */
+  def lshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val k = MinhashK
+    val (sigs, _) = minhashBands(spark, dir, k)
+    BandConfigs.map { case (nb, r) =>
+      val bands = sigs.select(
+        col("doc_id"),
+        explode(expr(
+          s"""transform(sequence(0, ${nb - 1}), b -> struct(b AS band,
+             |  array_join(transform(slice(sig, b * $r + 1, $r), x -> CAST(x AS STRING)), ',') AS bh))""".stripMargin))
+          .as("lsh"))
+        .select(col("doc_id"), col("lsh.band"), col("lsh.bh"))
+      val buckets = bands
+        .groupBy(col("band"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+        .cutLineage(eager = false) // hot count + candidate expansion share it
+      val hot = buckets
+        .filter(size(col("docs")) > 100)
+        .agg(count(lit(1)).as("n_hot_buckets"))
+      val cand = buckets
+        .filter(size(col("docs")).between(2, 100))
+        .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
+        .select(col("doc_a"), explode(expr("slice(docs, i + 2, size(docs))")).as("doc_b"))
+        .dropDuplicates("doc_a", "doc_b")
+        .cutLineage(eager = false) // candidate count + verify share it
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nVer = cand
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+        .filter(
+          Det.detRound(
+            expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
+            6) >= 0.5)
+        .agg(count(lit(1)).as("n_verified"))
+      hot.crossJoin(nCand).crossJoin(nVer)
+        .select(
+          lit(nb.toLong).as("n_bands"),
+          lit(r.toLong).as("rows_per_band"),
+          col("n_hot_buckets"), col("n_candidates"), col("n_verified"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("n_bands"))
+  }
+
+  /** DuckDB twin of lshBandSweep: one sigs chain, three band re-splits
+    * as chained CTEs, counted with the same cap and verify threshold.
+    */
+  private val lshBandSweepSql = {
+    val est = estJaccardSql(MinhashK)
+    def arm(nb: Int, r: Int) =
+      s"""  SELECT CAST($nb AS BIGINT) AS n_bands, CAST($r AS BIGINT) AS rows_per_band,
+         |    (SELECT count(*) FROM bu_$nb WHERE len(docs) > 100) AS n_hot_buckets,
+         |    (SELECT count(*) FROM cd_$nb) AS n_candidates,
+         |    (SELECT count(*) FROM cd_$nb c
+         |     JOIN sigs sa ON c.doc_a = sa.doc_id
+         |     JOIN sigs sb ON c.doc_b = sb.doc_id
+         |     WHERE ${Det.roundSql(est, 6)} >= 0.5) AS n_verified""".stripMargin
+    def chain(nb: Int, r: Int) =
+      s"""b_$nb AS (
+         |  SELECT doc_id, band,
+         |         array_to_string(list_slice(sig, band * $r + 1, band * $r + $r), ',') AS bh
+         |  FROM sigs, (SELECT unnest(generate_series(0, ${nb - 1})) AS band)
+         |), bu_$nb AS (
+         |  SELECT band, bh, list_sort(list(doc_id)) AS docs
+         |  FROM b_$nb GROUP BY band, bh
+         |), cd_$nb AS (
+         |  SELECT DISTINCT a.x AS doc_a, b.x AS doc_b
+         |  FROM bu_$nb, unnest(docs) AS a(x), unnest(docs) AS b(x)
+         |  WHERE len(docs) BETWEEN 2 AND 100 AND a.x < b.x
+         |)""".stripMargin
+    val prefix = minhashSqlPrefix(MinhashK)
+    s"""WITH $prefix,
+       |${BandConfigs.map { case (nb, r) => chain(nb, r) }.mkString(",\n")}
+       |${BandConfigs.map { case (nb, r) => arm(nb, r) }.mkString("\nUNION ALL\n")}
+       |ORDER BY n_bands""".stripMargin
+  }
+
   /** Sketch-vs-exact pair grading: recall and agreement of the minhash
     * and simhash near-dup pair sets against the exact-Jaccard anchor —
     * the dedup twin of ann_recall (that query prices ANN settings; this
@@ -973,6 +1066,7 @@ object Dedup {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "lsh_band_sweep" -> QueryDef(lshBandSweep, Some(lshBandSweepSql)),
     "dedup_pair_quality" -> QueryDef(dedupPairQuality, Some(dedupPairQualitySql)),
     "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),

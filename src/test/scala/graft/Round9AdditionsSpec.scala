@@ -123,4 +123,31 @@ class Round9AdditionsSpec extends AnyFunSuite {
         s"bin $bin closed before reaching the target")
     }
   }
+
+  test("lsh_band_sweep: S-curve monotonicity and verify bounds hold") {
+    val rows = Dedup.lshBandSweep(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // one row per priced configuration, ordered by band count, and every
+    // split reassembles the same k=64 signature
+    assert(rows.map(_._1).toSeq === Seq(8L, 16L, 32L))
+    rows.foreach { case (nb, r, _, _, _) => assert(nb * r === 64L, "splits must cover k") }
+    // verified pairs are candidates that passed the estimate filter
+    rows.foreach { case (nb, _, _, cand, ver) =>
+      assert(ver <= cand, s"config $nb: verified ($ver) exceeds candidates ($cand)")
+    }
+    // the S-curve steers left as rows-per-band shrinks: any band match
+    // under the coarse split is a band match under every finer split of
+    // the same signature (an 8-row band equality implies both its 4-row
+    // halves match), so with no hot-bucket loss candidate sets are
+    // supersets down the sweep and the counts are monotone
+    if (rows.forall(_._3 == 0L)) {
+      assert(rows.map(_._4).toSeq === rows.map(_._4).sorted.toSeq,
+        "candidates must be nondecreasing in band count")
+      assert(rows.map(_._5).toSeq === rows.map(_._5).sorted.toSeq,
+        "verified pairs must be nondecreasing in band count")
+    }
+    // the fixture's seeded near-dup pairs survive even the coarsest split
+    assert(rows.head._5 >= 1L, "8x8 must verify at least one fixture near-dup pair")
+  }
 }
