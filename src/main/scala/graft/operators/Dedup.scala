@@ -913,10 +913,36 @@ object Dedup {
     * you keep. Signatures are computed ONCE (the shared persisted
     * frame); each config is an in-row re-split plus a bucket aggregate.
     */
-  def lshBandSweep(spark: SparkSession, dir: String): DataFrame = {
+  def lshBandSweep(spark: SparkSession, dir: String): DataFrame =
+    lshBandSweepGuarded(spark, dir, SweepDocCap)
+
+  /** Corpus cap for the band sweep: the finest split (2 rows per band)
+    * is near-quadratic on a heavily duplicated corpus — measured 172 s
+    * with 124 GiB of spill at 100× docs (500k rows, 100 near-identical
+    * copies each: every copy-group fills a bucket to exactly the
+    * 100-doc cap, so each bucket emits C(100,2) pairs in MOST of its
+    * bands before the distinct). Pricing does not need the full corpus:
+    * above the cap the sweep runs on a deterministic 1/m doc_id-hash
+    * sample (m chosen so the expected sample ≈ cap). Every config is
+    * sampled identically and pair survival scales by the same 1/m² for
+    * all three arms, so the RELATIVE comparison — the thing a tuning
+    * curve is for — is preserved while candidate volume stays bounded.
+    * Below the cap the plan is byte-identical to the unguarded form
+    * (all test SFs; sf0.1 carries 5k docs).
+    */
+  private[graft] val SweepDocCap = 100000L
+
+  private[graft] def lshBandSweepGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
     GraftFunctions.register(spark)
     val k = MinhashK
-    val (sigs, _) = minhashBands(spark, dir, k)
+    val (sigsAll, _) = minhashBands(spark, dir, k)
+    val nDocs = Tables.cachedCount(spark, dir, "documents")
+    val sigs = if (nDocs > cap) {
+      val m = (nDocs + cap - 1) / cap
+      graft.Downgrades.record("lsh_band_sweep", s"1/$m doc-hash sample", nDocs, cap)
+      sigsAll.filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
+    } else sigsAll
     BandConfigs.map { case (nb, r) =>
       val bands = sigs.select(
         col("doc_id"),

@@ -74,6 +74,23 @@ class QuadraticGuardSpec extends AnyFunSuite {
     assert(!plan.contains("Expand"), "routed profile must not plan an Expand")
   }
 
+  test("lsh_band_sweep above the cap prices a deterministic doc sample") {
+    Downgrades.last = None
+    val routed = Dedup.lshBandSweepGuarded(spark, TestSpark.Sf, cap = 100)
+    assert(Downgrades.last.exists(m =>
+      m.contains("lsh_band_sweep") && m.contains("doc-hash sample")))
+    val rows = routed.collect()
+    // still one priced row per config, same schema, and the sampled
+    // candidate volume is bounded by the full corpus's
+    assert(rows.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L))
+    val full = Dedup.lshBandSweepGuarded(spark, TestSpark.Sf, cap = Long.MaxValue)
+      .collect()
+    rows.zip(full).foreach { case (s, f) =>
+      assert(s.getLong(3) <= f.getLong(3), "sampled candidates exceed full corpus")
+      assert(s.getLong(4) <= f.getLong(4), "sampled verified exceed full corpus")
+    }
+  }
+
   test("at the shipped caps the anchors still run exact at test scale") {
     Downgrades.last = None
     assert(Dedup.dedupJaccard(spark, TestSpark.Sf).columns.nonEmpty)
