@@ -104,7 +104,16 @@ object Dedup {
     // df-subquery + self-join SQL. Capacity: sz < 2^24 distinct
     // shingles per doc, doc_id < 2^39 — both far above any real
     // corpus row (ExactDocCap bounds this path to 100k docs anyway).
-    val sh = Tables.documents(spark, dir)
+    dedupJaccardOf(Tables.documents(spark, dir))
+  }
+
+  /** The exact-Jaccard kernel over an arbitrary (doc_id, text) frame —
+    * factored so bounded-sample callers (minhash_k_curve's above-cap
+    * route) can grade against the REAL exact anchor instead of the
+    * routed estimate. Callers own the corpus-size guard.
+    */
+  private[operators] def dedupJaccardOf(docsIn: DataFrame): DataFrame = {
+    val sh = docsIn
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(
         col("doc_id"),
@@ -1015,6 +1024,125 @@ object Dedup {
        |ORDER BY n_bands""".stripMargin
   }
 
+  /** Signature sizes the k-curve prices — PREFIXES of the shared k=64
+    * signature (the md5-affine basis is identical for every k, so the
+    * first k entries of a 64-hash signature ARE the k-hash signature).
+    * One sketch build serves all three arms.
+    */
+  private val KCurve = Seq(16, 32, 64)
+
+  /** MinHash signature-size tuning curve — the third axis of the
+    * sketch-pricing family (threshold: neardup_threshold_curve, banding:
+    * lsh_band_sweep, and now k): over the exact-Jaccard anchor's pair
+    * set, the mean absolute error and signed bias of the k-hash Jaccard
+    * estimate, and how many anchor pairs a verify threshold of est ≥ 0.5
+    * would flag, for k = 16/32/64. This is what prices signature width
+    * before a 100 TB run commits to it: k scales every downstream
+    * shuffle byte-for-byte (sketch storage, band rows, verify joins),
+    * and the curve shows what accuracy each halving buys back. est_k has
+    * a power-of-two denominator so the estimate is binary-exact; error
+    * terms are summed as DECIMAL (Det.fineSum) for cross-engine
+    * determinism. Above SweepDocCap the WHOLE measurement — signatures
+    * and the exact anchor — runs on the same deterministic 1/m
+    * doc-hash sample (Downgrade logged): the sample stays within
+    * ExactDocCap so the anchor is the REAL exact Jaccard, not the
+    * routed estimate, and error statistics on a uniform doc sample are
+    * exactly what the curve exists to report. The budget is TIGHTER
+    * than the band sweep's (20k vs 100k docs): the exact anchor's
+    * common-count expansion is Σ_shingles C(df,2) — quadratic in the
+    * per-shingle document frequency, with no bucket cap to lean on —
+    * so on a duplicated corpus the sample must shrink df itself, not
+    * just the corpus (measured at 100× docs: a 100k-doc sample still
+    * ran the anchor 114 s with heavy spill; the 20k sample holds the
+    * whole curve to seconds). One grading pass (anchor
+    * joined to the persisted sigs frame on both endpoints, one
+    * aggregate row) feeds all three arms — the per-k work is in-row
+    * slices of the same match vector.
+    */
+  private[graft] val KCurveDocCap = 20000L
+
+  def minhashKCurve(spark: SparkSession, dir: String): DataFrame =
+    minhashKCurveGuarded(spark, dir, KCurveDocCap)
+
+  private[graft] def minhashKCurveGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    GraftFunctions.register(spark)
+    val nDocs   = Tables.cachedCount(spark, dir, "documents")
+    val docsAll = Tables.documents(spark, dir)
+    val docs = if (nDocs > cap) {
+      val m = (nDocs + cap - 1) / cap
+      graft.Downgrades.record("minhash_k_curve", s"1/$m doc-hash sample", nDocs, cap)
+      docsAll.filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
+    } else docsAll
+    val (sigs, _) = minhashBandsOf(docs, MinhashK)
+    val anchor = dedupJaccardOf(docs)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .cutLineage() // the inverted-index pass runs once
+    val g = anchor
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .select(
+        col("jaccard"),
+        expr("zip_with(sig_a, sig_b, (x, y) -> x = y)").as("m"))
+    def est(kk: Int) =
+      expr(s"size(filter(slice(m, 1, $kk), b -> b))").cast("double") / lit(kk.toDouble)
+    val aggs = count(lit(1)).as("n_pairs") +: KCurve.flatMap { kk =>
+      Seq(
+        Det.fineSum(abs(est(kk) - col("jaccard"))).as(s"sae_$kk"),
+        Det.fineSum(est(kk) - col("jaccard")).as(s"sse_$kk"),
+        sum(when(est(kk) >= 0.5, 1L).otherwise(0L)).as(s"flag_$kk"))
+    }
+    g.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(KCurve.map { kk =>
+        struct(
+          lit(kk.toLong).as("k"),
+          col("n_pairs"),
+          when(col("n_pairs") === 0, lit(0.0))
+            .otherwise(Det.detRound(col(s"sae_$kk") / col("n_pairs"), 6)).as("mae"),
+          when(col("n_pairs") === 0, lit(0.0))
+            .otherwise(Det.detRound(col(s"sse_$kk") / col("n_pairs"), 6)).as("bias"),
+          coalesce(col(s"flag_$kk"), lit(0L)).as("n_flagged"))
+      }: _*)).as("r"))
+      .select(col("r.k"), col("r.n_pairs"), col("r.mae"), col("r.bias"), col("r.n_flagged"))
+      .orderBy(col("k"))
+  }
+
+  /** DuckDB twin of minhashKCurve: the anchor nested as a subquery (its
+    * own WITH chain is scoped), one sigs join, one aggregate row, three
+    * arms unpivoted by UNION ALL.
+    */
+  private val minhashKCurveSql = {
+    def estSql(kk: Int) =
+      s"CAST(len(list_filter(generate_series(1, $kk), j -> sig_a[j] = sig_b[j])) AS DOUBLE) / $kk"
+    val measures = KCurve.map { kk =>
+      s"""    CAST(SUM(CAST(abs(${estSql(kk)} - jaccard) AS DECIMAL(30,10))) AS DOUBLE) AS sae_$kk,
+         |    CAST(SUM(CAST(${estSql(kk)} - jaccard AS DECIMAL(30,10))) AS DOUBLE) AS sse_$kk,
+         |    SUM(CASE WHEN ${estSql(kk)} >= 0.5 THEN 1 ELSE 0 END) AS flag_$kk""".stripMargin
+    }.mkString(",\n")
+    val arms = KCurve.map { kk =>
+      s"""  SELECT CAST($kk AS BIGINT) AS k, n_pairs,
+         |    CASE WHEN n_pairs = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE ${Det.roundSql(s"sae_$kk / n_pairs", 6)} END AS mae,
+         |    CASE WHEN n_pairs = 0 THEN CAST(0 AS DOUBLE)
+         |         ELSE ${Det.roundSql(s"sse_$kk / n_pairs", 6)} END AS bias,
+         |    CAST(COALESCE(flag_$kk, 0) AS BIGINT) AS n_flagged
+         |  FROM a""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${minhashSqlPrefix(MinhashK)},
+       |x AS (SELECT doc_a, doc_b, jaccard FROM ($dedupJaccardSql) jx),
+       |g AS (
+       |  SELECT x.jaccard, sa.sig AS sig_a, sb.sig AS sig_b
+       |  FROM x JOIN sigs sa ON x.doc_a = sa.doc_id
+       |         JOIN sigs sb ON x.doc_b = sb.doc_id
+       |), a AS (
+       |  SELECT count(*) AS n_pairs,
+       |$measures
+       |  FROM g
+       |)
+       |$arms
+       |ORDER BY k""".stripMargin
+  }
+
   /** Sketch-vs-exact pair grading: recall and agreement of the minhash
     * and simhash near-dup pair sets against the exact-Jaccard anchor —
     * the dedup twin of ann_recall (that query prices ANN settings; this
@@ -1093,6 +1221,7 @@ object Dedup {
 
   val defs: Map[String, QueryDef] = Map(
     "lsh_band_sweep" -> QueryDef(lshBandSweep, Some(lshBandSweepSql)),
+    "minhash_k_curve" -> QueryDef(minhashKCurve, Some(minhashKCurveSql)),
     "dedup_pair_quality" -> QueryDef(dedupPairQuality, Some(dedupPairQualitySql)),
     "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),

@@ -91,6 +91,23 @@ class QuadraticGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_k_curve above the cap grades a doc sample with a real exact anchor") {
+    Downgrades.last = None
+    val routed = Dedup.minhashKCurveGuarded(spark, TestSpark.Sf, cap = 100)
+    assert(Downgrades.last.exists(m =>
+      m.contains("minhash_k_curve") && m.contains("doc-hash sample")))
+    val rows = routed.collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(16L, 32L, 64L))
+    // the fixture has no hot shingles, so the sampled corpus's exact
+    // pairs are a subset of the full corpus's — counts can only shrink
+    val full = Dedup.minhashKCurveGuarded(spark, TestSpark.Sf, cap = Long.MaxValue)
+      .collect()
+    rows.zip(full).foreach { case (s, f) =>
+      assert(s.getLong(1) <= f.getLong(1), "sampled anchor exceeds full anchor")
+      assert(s.getLong(4) <= f.getLong(4), "sampled flags exceed full flags")
+    }
+  }
+
   test("at the shipped caps the anchors still run exact at test scale") {
     Downgrades.last = None
     assert(Dedup.dedupJaccard(spark, TestSpark.Sf).columns.nonEmpty)

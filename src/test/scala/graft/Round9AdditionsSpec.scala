@@ -150,4 +150,24 @@ class Round9AdditionsSpec extends AnyFunSuite {
     // the fixture's seeded near-dup pairs survive even the coarsest split
     assert(rows.head._5 >= 1L, "8x8 must verify at least one fixture near-dup pair")
   }
+
+  test("minhash_k_curve: error bounds and flag counts are coherent") {
+    val rows = Dedup.minhashKCurve(spark, TestSpark.Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq === Seq(16L, 32L, 64L))
+    // every arm grades the SAME anchor pair set
+    assert(rows.map(_._2).distinct.length === 1)
+    assert(rows.head._2 >= 1L, "fixture anchor must contain near-dup pairs")
+    rows.foreach { case (k, n, mae, bias, flagged) =>
+      // est and jaccard both live in [0,1], so the error stats must too,
+      // and the mean signed error can never exceed the mean absolute one
+      assert(mae >= 0.0 && mae <= 1.0, s"k=$k mae $mae out of range")
+      assert(math.abs(bias) <= mae + 1e-9, s"k=$k |bias| $bias exceeds mae $mae")
+      assert(flagged >= 0L && flagged <= n, s"k=$k flagged $flagged out of [0,$n]")
+    }
+    // anchor pairs have exact jaccard >= 0.6; an unbiased estimator at
+    // k=64 cannot miss ALL of them at a 0.5 verify threshold
+    assert(rows.last._5 >= 1L, "k=64 must flag at least one anchor pair")
+  }
 }
