@@ -935,23 +935,37 @@ object Dedup {
     * sample (m chosen so the expected sample ≈ cap). Every config is
     * sampled identically and pair survival scales by the same 1/m² for
     * all three arms, so the RELATIVE comparison — the thing a tuning
-    * curve is for — is preserved while candidate volume stays bounded.
-    * Below the cap the plan is byte-identical to the unguarded form
-    * (all test SFs; sf0.1 carries 5k docs).
+    * curve is for — is preserved while candidate volume stays bounded;
+    * bucket-size thresholds are stated in full-corpus units (size·m),
+    * so the hot-bucket cap-loss signal survives the sampling instead
+    * of collapsing to zero. Below the cap m = 1 and the semantics are
+    * exactly the unguarded form (all test SFs; sf0.1 carries 5k docs).
     */
   private[graft] val SweepDocCap = 100000L
+
+  /** Deterministic 1/m doc_id-hash sample for the above-cap sweep
+    * routes (m chosen so the expected sample ≈ cap; m = 1 below it).
+    * Shared by both tuning-curve guards so the sample predicate cannot
+    * drift between them. Returns the frame and m, so callers can state
+    * bucket-size thresholds in FULL-corpus units (a sampled bucket of
+    * size s estimates a full bucket of size s·m).
+    */
+  private def sampleAboveCap(
+      query: String, df: DataFrame, nDocs: Long, cap: Long): (DataFrame, Long) =
+    if (nDocs > cap) {
+      val m = (nDocs + cap - 1) / cap
+      graft.Downgrades.record(query, s"1/$m doc-hash sample", nDocs, cap)
+      (df.filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0), m)
+    } else (df, 1L)
 
   private[graft] def lshBandSweepGuarded(
       spark: SparkSession, dir: String, cap: Long): DataFrame = {
     GraftFunctions.register(spark)
     val k = MinhashK
-    val (sigsAll, _) = minhashBands(spark, dir, k)
     val nDocs = Tables.cachedCount(spark, dir, "documents")
-    val sigs = if (nDocs > cap) {
-      val m = (nDocs + cap - 1) / cap
-      graft.Downgrades.record("lsh_band_sweep", s"1/$m doc-hash sample", nDocs, cap)
-      sigsAll.filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
-    } else sigsAll
+    val (docs, m) =
+      sampleAboveCap("lsh_band_sweep", Tables.documents(spark, dir), nDocs, cap)
+    val (sigs, _) = minhashBandsOf(docs, k)
     BandConfigs.map { case (nb, r) =>
       val bands = sigs.select(
         col("doc_id"),
@@ -964,11 +978,16 @@ object Dedup {
         .groupBy(col("band"), col("bh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
         .cutLineage(eager = false) // hot count + candidate expansion share it
+      // thresholds in FULL-corpus units (size·m, not the sampled size):
+      // a 150-copy group sampled 1/5 lands at ~30 docs, which must still
+      // read as cap loss, not as a healthy bucket — otherwise the
+      // sampled sweep reports zero hot buckets exactly when cap loss is
+      // severe. m = 1 below the cap, where this is the plain 100 cap.
       val hot = buckets
-        .filter(size(col("docs")) > 100)
+        .filter(size(col("docs")) * lit(m) > 100)
         .agg(count(lit(1)).as("n_hot_buckets"))
       val cand = buckets
-        .filter(size(col("docs")).between(2, 100))
+        .filter(size(col("docs")) >= 2 && size(col("docs")) * lit(m) <= 100)
         .select(posexplode(col("docs")).as(Seq("i", "doc_a")), col("docs"))
         .select(col("doc_a"), explode(expr("slice(docs, i + 2, size(docs))")).as("doc_b"))
         .dropDuplicates("doc_a", "doc_b")
@@ -1042,7 +1061,7 @@ object Dedup {
     * and the curve shows what accuracy each halving buys back. est_k has
     * a power-of-two denominator so the estimate is binary-exact; error
     * terms are summed as DECIMAL (Det.fineSum) for cross-engine
-    * determinism. Above SweepDocCap the WHOLE measurement — signatures
+    * determinism. Above KCurveDocCap the WHOLE measurement — signatures
     * and the exact anchor — runs on the same deterministic 1/m
     * doc-hash sample (Downgrade logged): the sample stays within
     * ExactDocCap so the anchor is the REAL exact Jaccard, not the
@@ -1067,13 +1086,9 @@ object Dedup {
   private[graft] def minhashKCurveGuarded(
       spark: SparkSession, dir: String, cap: Long): DataFrame = {
     GraftFunctions.register(spark)
-    val nDocs   = Tables.cachedCount(spark, dir, "documents")
-    val docsAll = Tables.documents(spark, dir)
-    val docs = if (nDocs > cap) {
-      val m = (nDocs + cap - 1) / cap
-      graft.Downgrades.record("minhash_k_curve", s"1/$m doc-hash sample", nDocs, cap)
-      docsAll.filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
-    } else docsAll
+    val nDocs = Tables.cachedCount(spark, dir, "documents")
+    val (docs, _) =
+      sampleAboveCap("minhash_k_curve", Tables.documents(spark, dir), nDocs, cap)
     val (sigs, _) = minhashBandsOf(docs, MinhashK)
     val anchor = dedupJaccardOf(docs)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))

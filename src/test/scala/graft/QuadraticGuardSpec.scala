@@ -81,10 +81,17 @@ class QuadraticGuardSpec extends AnyFunSuite {
       m.contains("lsh_band_sweep") && m.contains("doc-hash sample")))
     val rows = routed.collect()
     // still one priced row per config, same schema, and the sampled
-    // candidate volume is bounded by the full corpus's
+    // candidate volume is bounded by the full corpus's. The ≤ bound
+    // assumes the fixture has NO bucket over the 100-doc cap (true
+    // here — the unsampled run reports zero hot buckets): with every
+    // full bucket inside the window, each sampled pair shares a full
+    // bucket and so exists in the full expansion too. A fixture with
+    // capped buckets would break the comparison for reasons unrelated
+    // to the guard (full drops a bucket its sample keeps).
     assert(rows.map(_.getLong(0)).toSeq == Seq(8L, 16L, 32L))
     val full = Dedup.lshBandSweepGuarded(spark, TestSpark.Sf, cap = Long.MaxValue)
       .collect()
+    assert(full.forall(_.getLong(2) == 0L), "fixture precondition: no hot buckets")
     rows.zip(full).foreach { case (s, f) =>
       assert(s.getLong(3) <= f.getLong(3), "sampled candidates exceed full corpus")
       assert(s.getLong(4) <= f.getLong(4), "sampled verified exceed full corpus")
