@@ -205,9 +205,25 @@ object Dedup {
     * explosion (64 longs each; shipping them through the shuffle
     * dominated runtime) — consumers join them back by doc_id.
     */
+  /** Session-scoped memo of the full-corpus sketch (the trainCentroids
+    * pattern, Similarity.scala): at production scale the signature
+    * frame is the materialized sketch-stage table every dedup consumer
+    * reads; locally each of the ~6 dedup-family queries re-signed the
+    * corpus per run. Keyed by application id (a restarted session must
+    * not serve DataFrames bound to a stopped context), source stamp
+    * (regenerated data rebuilds), dir and k. The memoized sigs frame
+    * is persisted MEMORY_AND_DISK by minhashBandsOf; reuse REDUCES
+    * cache pressure versus the previous one-persist-per-query shape.
+    */
+  private val sigsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String, Int), (DataFrame, DataFrame)]()
+
   private def minhashBands(
       spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) =
-    minhashBandsOf(Tables.documents(spark, dir), k)
+    sigsMemo.computeIfAbsent(
+      (spark.sparkContext.applicationId,
+        graft.sources.DerivedCache.sourceStamp(s"$dir/documents.parquet"), dir, k),
+      _ => minhashBandsOf(Tables.documents(spark, dir), k))
 
   /** Same sketch over an arbitrary (doc_id, text) frame — the
     * incremental path signs base and delta separately.
@@ -965,7 +981,8 @@ object Dedup {
     val nDocs = Tables.cachedCount(spark, dir, "documents")
     val (docs, m) =
       sampleAboveCap("lsh_band_sweep", Tables.documents(spark, dir), nDocs, cap)
-    val (sigs, _) = minhashBandsOf(docs, k)
+    val (sigs, _) = // unsampled → the shared memoized sketch
+      if (m == 1) minhashBands(spark, dir, k) else minhashBandsOf(docs, k)
     BandConfigs.map { case (nb, r) =>
       val bands = sigs.select(
         col("doc_id"),
@@ -1087,9 +1104,11 @@ object Dedup {
       spark: SparkSession, dir: String, cap: Long): DataFrame = {
     GraftFunctions.register(spark)
     val nDocs = Tables.cachedCount(spark, dir, "documents")
-    val (docs, _) =
+    val (docs, m) =
       sampleAboveCap("minhash_k_curve", Tables.documents(spark, dir), nDocs, cap)
-    val (sigs, _) = minhashBandsOf(docs, MinhashK)
+    val (sigs, _) = // unsampled → the shared memoized sketch
+      if (m == 1) minhashBands(spark, dir, MinhashK)
+      else minhashBandsOf(docs, MinhashK)
     val anchor = dedupJaccardOf(docs)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .cutLineage() // the inverted-index pass runs once
