@@ -893,7 +893,71 @@ object Curation {
        |ORDER BY source, topic""".stripMargin
   }
 
+  /** k-anonymity audit of the customer table: the re-identification
+    * risk check a data-governance pass runs before releasing (or
+    * training on) records with quasi-identifiers. Rows are grouped by
+    * the QI tuple (nation, market segment, account-balance band);
+    * every class of size < k is re-identifiable by an attacker who
+    * knows those attributes (Sweeney 2002, public). Output is the
+    * equivalence-class size histogram with the at-risk verdict and
+    * row shares — the view you read to decide how much generalization
+    * (coarser bands, dropped columns) the release needs. Two hash
+    * aggregations, each with map-side partials; nothing but the QI
+    * tuple and counts ever shuffles, and the second aggregate's input
+    * is already class-grained — at any scale this costs one pass over
+    * the table. NULL QI values form their own class in both engines
+    * (GROUP BY groups NULLs), so the null-injected fixture exercises
+    * the same grouping.
+    */
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val k = 5
+    val classes = Tables
+      .customer(spark, dir)
+      .groupBy(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).cast("long").as("bal_band"))
+      .agg(count(lit(1)).as("class_size"))
+    classes
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"))
+      .withColumn("n_rows", col("class_size") * col("n_classes"))
+      .withColumn(
+        "verdict",
+        when(col("class_size") < k, lit("at_risk")).otherwise(lit("anonymous")))
+      .withColumn(
+        "pct_rows",
+        Det.detRound(
+          col("n_rows").cast("double") /
+            sum(col("n_rows")).over(Window.partitionBy()).cast("double"),
+          6))
+      .select(
+        col("class_size"), col("n_classes"), col("n_rows"),
+        col("verdict"), col("pct_rows"))
+      .orderBy(col("class_size"))
+  }
+
+  private val kAnonymitySql =
+    s"""WITH classes AS (
+       |  SELECT c_nationkey, c_mktsegment,
+       |         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+       |         count(*) AS class_size
+       |  FROM customer
+       |  GROUP BY 1, 2, 3
+       |), hist AS (
+       |  SELECT class_size, count(*) AS n_classes,
+       |         CAST(class_size * count(*) AS BIGINT) AS n_rows
+       |  FROM classes GROUP BY class_size
+       |)
+       |SELECT class_size, n_classes, n_rows,
+       |       CASE WHEN class_size < 5 THEN 'at_risk' ELSE 'anonymous' END AS verdict,
+       |       ${Det.roundSql(
+          "CAST(n_rows AS DOUBLE) / CAST(SUM(n_rows) OVER () AS DOUBLE)", 6)} AS pct_rows
+       |FROM hist
+       |ORDER BY class_size""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "k_anonymity"        -> QueryDef(kAnonymity, Some(kAnonymitySql)),
     "topic_tagging"      -> QueryDef(topicTagging, Some(topicTaggingSql)),
     "curation_funnel"    -> QueryDef(curationFunnel, Some(curationFunnelSql)),
     "token_mix_plan"     -> QueryDef(tokenMixPlan, Some(tokenMixPlanSql)),

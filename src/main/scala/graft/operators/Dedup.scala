@@ -196,34 +196,35 @@ object Dedup {
     */
   private[operators] val MinhashK = 64
 
-  /** Shared minhash stage: per-doc md5-basis signatures and their 16×4
-    * LSH band rows (band key = the 4 signature values joined as a
-    * string — engine-portable, unlike Murmur `hash()`). The sketch
-    * feeds multiple consumers (banding + both sides of verify joins),
-    * so it is persisted — at production scale this is the materialized
-    * sketch stage table. Signatures are NOT carried through the band
-    * explosion (64 longs each; shipping them through the shuffle
-    * dominated runtime) — consumers join them back by doc_id.
+  /** Full-corpus sketch as a STORED table (the ccLabels pattern): the
+    * signature frame feeds ~6 dedup-family queries, each of which
+    * previously re-signed the corpus because the harness releases all
+    * cached state between queries (QueryState.release — an in-memory
+    * memo silently degrades to an unpersisted recompute). DerivedCache
+    * builds the parquet once per (documents stamp, k) and every
+    * consumer — across queries AND JVMs — reads it back, which is
+    * exactly the production shape: at 100 TB the sketch stage is a
+    * materialized table the dedup pipeline writes once and joins
+    * against, not something each job re-derives. Reads are cheap
+    * columnar scans, so the frame needs no persist and adds no cache
+    * pressure. `v=1` versions the kernel: bump it if the
+    * graft_minhash_md5 basis or banding layout ever changes, since the
+    * source stamp cannot see code changes.
     */
-  /** Session-scoped memo of the full-corpus sketch (the trainCentroids
-    * pattern, Similarity.scala): at production scale the signature
-    * frame is the materialized sketch-stage table every dedup consumer
-    * reads; locally each of the ~6 dedup-family queries re-signed the
-    * corpus per run. Keyed by application id (a restarted session must
-    * not serve DataFrames bound to a stopped context), source stamp
-    * (regenerated data rebuilds), dir and k. The memoized sigs frame
-    * is persisted MEMORY_AND_DISK by minhashBandsOf; reuse REDUCES
-    * cache pressure versus the previous one-persist-per-query shape.
-    */
-  private val sigsMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String, Int), (DataFrame, DataFrame)]()
-
   private def minhashBands(
-      spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) =
-    sigsMemo.computeIfAbsent(
-      (spark.sparkContext.applicationId,
-        graft.sources.DerivedCache.sourceStamp(s"$dir/documents.parquet"), dir, k),
-      _ => minhashBandsOf(Tables.documents(spark, dir), k))
+      spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
+    val d = graft.sources.DerivedCache.dir(
+      s"$dir/documents.parquet", "minhash-sigs", s"k=$k;v=1") { out =>
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), expr(s"graft_minhash_md5(t, $k)").as("sig"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/sigs")
+    }
+    val sigs = spark.read.parquet(s"$d/sigs")
+    (sigs, bandsOf(sigs))
+  }
 
   /** Same sketch over an arbitrary (doc_id, text) frame — the
     * incremental path signs base and delta separately.
@@ -240,15 +241,23 @@ object Dedup {
     val sigs =
       if (persistSigs) raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else raw
-    val bands = sigs.select(
+    (sigs, bandsOf(sigs))
+  }
+
+  /** 16×4 LSH band rows of a (doc_id, sig) frame — band key = the 4
+    * signature values joined as a string (engine-portable, unlike
+    * Murmur `hash()`). Signatures are NOT carried through the band
+    * explosion (64 longs each; shipping them through the shuffle
+    * dominated runtime) — consumers join them back by doc_id.
+    */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(
       col("doc_id"),
       explode(expr(
         """transform(sequence(0, 15), b -> struct(b AS band,
           |  array_join(transform(slice(sig, b * 4 + 1, 4), x -> CAST(x AS STRING)), ',') AS bh))""".stripMargin))
         .as("lsh"))
       .select(col("doc_id"), col("lsh.band"), col("lsh.bh"))
-    (sigs, bands)
-  }
 
   /** Shared CTE prefix of the minhash oracles: shingle → md5h32 → the
     * k affine-permutation minima (the same (a_j, b_j) literals the

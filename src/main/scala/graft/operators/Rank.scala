@@ -105,8 +105,15 @@ object Rank {
     * parallel, add broadcast per-bucket base offsets. Integer sums, so
     * the distributed result is bit-identical to the global window.
     */
+  /** `tieBreak`: extra columns completing the total order when
+    * `orderCol` alone has duplicates — without them the window's
+    * within-tie order (and so each tied row's cum) is nondeterministic.
+    * Bucketing still uses only `orderCol`, so ties always land in the
+    * same bucket and the tie-break never has to cross buckets.
+    */
   def withPrefixSum(
-      dfIn: DataFrame, orderCol: String, valueCol: String, buckets: Int = 256): DataFrame = {
+      dfIn: DataFrame, orderCol: String, valueCol: String, buckets: Int = 256,
+      tieBreak: Seq[String] = Nil): DataFrame = {
     val df = dfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
     val bnds = df.stat
@@ -134,7 +141,7 @@ object Rank {
     val baseDf = bases.toDF("__bucket", "__base")
     val w = Window
       .partitionBy(col("__bucket"))
-      .orderBy(col(orderCol))
+      .orderBy((col(orderCol) +: tieBreak.map(col)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     bucketed
       .join(broadcast(baseDf), "__bucket")

@@ -493,6 +493,74 @@ object TextNgrams {
        |GROUP BY 1
        |ORDER BY bin""".stripMargin
 
+  /** Packing fragmentation: how many documents a concat-and-slice
+    * packing run (the GPT-style layout — the token stream is cut into
+    * fixed 2048-token windows, so a document can straddle window
+    * boundaries) would split, under the DETERMINISTIC md5-shuffled
+    * corpus order a real pretraining pass uses (corpus_shuffle's hash;
+    * doc_pack_bins is the doc_id-ordered per-bin view — this is the
+    * doc-grain boundary-crossing view you tune the context length
+    * against). Each doc gets one EOS token; its window span follows
+    * from an exact distributed prefix sum over (hash, doc_id) order
+    * (Rank.withPrefixSum — range-bucketed, no single-partition window;
+    * the doc_id tie-break makes each row's cum well-defined even on a
+    * hash collision). Only (doc_id, n_tokens, h) ever shuffles — text
+    * stays at the scan. Output: docs/tokens by windows-spanned, with
+    * the doc fraction per span.
+    */
+  def packFragmentation(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 2048
+    val toks = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"),
+        (size(split(col("text"), " ")) + 1).cast("long").as("n_tokens"),
+        expr("CAST(conv(substr(md5(concat('pack:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    val spanned = Rank
+      .withPrefixSum(toks, "h", "n_tokens", tieBreak = Seq("doc_id"))
+      .select(
+        col("n_tokens"),
+        (expr(s"(cum - 1) div $cap") - expr(s"(cum - n_tokens) div $cap") + 1)
+          .as("bins_spanned"))
+      .groupBy(col("bins_spanned"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    spanned
+      .withColumn(
+        "pct_docs",
+        Det.detRound(
+          col("n_docs").cast("double") /
+            sum(col("n_docs")).over(org.apache.spark.sql.expressions.Window.partitionBy()),
+          6))
+      .orderBy(col("bins_spanned"))
+  }
+
+  private val packFragmentationSql =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS n_tokens,
+       |         ('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |         SUM(n_tokens) OVER (ORDER BY h, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t
+       |), g AS (
+       |  SELECT CAST((cum - 1) // 2048 - (cum - n_tokens) // 2048 + 1 AS BIGINT) AS bins_spanned,
+       |         n_tokens
+       |  FROM c
+       |), a AS (
+       |  SELECT bins_spanned, count(*) AS n_docs,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM g GROUP BY bins_spanned
+       |)
+       |SELECT bins_spanned, n_docs, total_tokens,
+       |       ${Det.roundSql(
+            "CAST(n_docs AS DOUBLE) / CAST(SUM(n_docs) OVER () AS DOUBLE)", 6)} AS pct_docs
+       |FROM a
+       |ORDER BY bins_spanned""".stripMargin
+
   /** Benchmark-contamination check: which corpus documents share word
     * 5-grams with a held-out benchmark set (here: doc_id < 20), and how
     * much. The benchmark's distinct shingle set is broadcast — the
@@ -793,6 +861,7 @@ object TextNgrams {
     "corpus_report"       -> QueryDef(corpusReport, Some(corpusReportSql)),
     "contamination_check" -> QueryDef(contaminationCheck, Some(contaminationCheckSql)),
     "doc_pack_bins"       -> QueryDef(docPackBins, Some(docPackBinsSql)),
+    "pack_fragmentation"  -> QueryDef(packFragmentation, Some(packFragmentationSql)),
     "bigram_topk"         -> QueryDef(bigramTopK, Some(bigramTopKSql)),
     "tfidf_topk"          -> QueryDef(tfidfTopK, Some(tfidfTopKSql)),
     "quality_filter"      -> QueryDef(qualityFilter, Some(qualityFilterSql)),

@@ -170,4 +170,39 @@ class Round9AdditionsSpec extends AnyFunSuite {
     // k=64 cannot miss ALL of them at a 0.5 verify threshold
     assert(rows.last._5 >= 1L, "k=64 must flag at least one anchor pair")
   }
+
+  test("k_anonymity: histogram accounts for every customer row exactly once") {
+    val rows = operators.Curation.kAnonymity(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val nCustomers = Tables.customer(spark, TestSpark.Sf).count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === nCustomers,
+      "class_size * n_classes must partition the table")
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(0) * r.getLong(1), "n_rows identity")
+      val expect = if (r.getLong(0) < 5) "at_risk" else "anonymous"
+      assert(r.getString(3) === expect, s"verdict at class_size ${r.getLong(0)}")
+    }
+    // per-row rounding to 6 places bounds the share-sum drift
+    val pctSum = rows.map(_.getDouble(4)).sum
+    assert(math.abs(pctSum - 1.0) <= rows.length * 1e-6, s"pct_rows sum $pctSum")
+  }
+
+  test("pack_fragmentation: docs and tokens are conserved; spans are feasible") {
+    val rows = operators.TextNgrams.packFragmentation(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, TestSpark.Sf)
+    assert(rows.map(_.getLong(1)).sum === docs.count(),
+      "every document appears in exactly one span group")
+    val totalTokens = docs
+      .agg(sum(size(split(col("text"), " ")) + 1)).collect()(0).getLong(0)
+    assert(rows.map(_.getLong(2)).sum === totalTokens,
+      "token mass (incl. EOS) is conserved through the prefix sum")
+    rows.foreach { r =>
+      val (span, nDocs, toks) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(span >= 1L, "every doc occupies at least one window")
+      // a doc spanning s windows must cover the s-2 interior ones fully
+      assert(toks > nDocs * (span - 2) * 2048,
+        s"span $span infeasible for $nDocs docs with $toks tokens")
+    }
+  }
 }
