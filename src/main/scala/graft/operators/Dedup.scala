@@ -297,9 +297,17 @@ object Dedup {
 
   def dedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val k = MinhashK
-    val (sigs, bands) = minhashBands(spark, dir, k)
+    val (sigs, bands) = minhashBands(spark, dir, MinhashK)
+    dedupMinhashOf(sigs, bands)
+  }
 
+  /** The minhash candidate+verify kernel over an arbitrary (sigs,
+    * bands) pair — factored so bounded-sample callers (the above-cap
+    * pair-quality route) grade the REAL kernel over their sample
+    * instead of the full corpus.
+    */
+  private[operators] def dedupMinhashOf(sigs: DataFrame, bands: DataFrame): DataFrame = {
+    val k = MinhashK
     val candidates = bands
       .groupBy(col("band"), col("bh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
@@ -357,8 +365,14 @@ object Dedup {
     */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val sigs = Tables
-      .documents(spark, dir)
+    dedupSimhashOf(Tables.documents(spark, dir))
+  }
+
+  /** The simhash kernel over an arbitrary (doc_id, text) frame — same
+    * factoring rationale as [[dedupMinhashOf]].
+    */
+  private[operators] def dedupSimhashOf(docsIn: DataFrame): DataFrame = {
+    val sigs = docsIn
       .select(col("doc_id"), expr("graft_simhash_md5(split(text, ' '))").as("s"))
       .select(col("doc_id"), expr("s[0]").as("hi"), expr("s[1]").as("lo"))
     // Size-capped posting-list pair expansion per 16-bit band (the same
@@ -1194,24 +1208,56 @@ object Dedup {
     * exact| / |sketch| (not precision in the strict sense — the sketch
     * thresholds are deliberately looser than the exact τ=0.6, so
     * sketch-only pairs may still be true near-dups under their own
-    * definition). The exact anchor is the GUARDED dedupJaccard: above
-    * ExactDocCap it auto-routes to the minhash twin (Downgrade logged),
-    * where the minhash row degenerates to recall 1.0 by construction —
-    * the measurement is meaningful at audit scale, which is where it is
-    * run; at corpus scale only the bounded sketch paths execute at all.
+    * definition). Above PairQualityDocCap the WHOLE measurement —
+    * exact anchor, minhash, simhash — runs on the shared deterministic
+    * 1/m doc-hash sample (Downgrade logged): the grading stays REAL
+    * (an actual exact anchor, not the routed estimate that would make
+    * minhash recall 1.0 by construction), and pair counts stay bounded
+    * on duplicated corpora where full-corpus pairs blow up ~m² — the
+    * un-routed form thrashed an 8 GiB driver at 100× docs. Below the
+    * cap (all test SFs) the plan is byte-identical to the unguarded
+    * full-corpus form, which is what the oracle checks.
     */
-  def dedupPairQuality(spark: SparkSession, dir: String): DataFrame = {
+  def dedupPairQuality(spark: SparkSession, dir: String): DataFrame =
+    dedupPairQualityGuarded(spark, dir, PairQualityDocCap)
+
+  /** Sampled-route cap: the exact anchor costs what minhash_k_curve's
+    * does (same kernel, same sample helper), and its probe ledger
+    * priced a 20k-doc sample at single-digit seconds with zero spill
+    * at 100× docs — the two caps share the value deliberately.
+    */
+  private[graft] val PairQualityDocCap = 20000L
+
+  private[graft] def dedupPairQualityGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    GraftFunctions.register(spark)
+    val nDocs = Tables.cachedCount(spark, dir, "documents")
+    val (docs, m) =
+      sampleAboveCap("dedup_pair_quality", Tables.documents(spark, dir), nDocs, cap)
+    val (exactPairs, minhashPairs, simhashPairs) =
+      if (m == 1)
+        (dedupJaccard(spark, dir), dedupMinhash(spark, dir), dedupSimhash(spark, dir))
+      else {
+        val (sigs, bands) = minhashBandsOf(docs, MinhashK)
+        (dedupJaccardOf(docs), dedupMinhashOf(sigs, bands), dedupSimhashOf(docs))
+      }
     // the exact anchor feeds three consumers (denominator + two
     // semi-joins) — cut so the inverted-index pass runs once
-    val exact = dedupJaccard(spark, dir)
+    val exact = exactPairs
       .select(col("doc_a"), col("doc_b"))
       .cutLineage()
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     def grade(method: String, pairsIn: DataFrame): DataFrame = {
       val p = pairsIn.select(col("doc_a"), col("doc_b")).cutLineage(eager = false)
       val nP   = p.agg(count(lit(1)).as("n_pairs"))
+      // SHUFFLE_HASH pin: `exact` is a checkpointed frame whose stats
+      // carry over from the PRE-checkpoint estimate, and post-aggregate
+      // estimates undercount a duplicated corpus's pair blow-up — at
+      // 100× docs the planner broadcast ~25M pairs and OOM'd the
+      // driver. Both sides are pair-grained; a shuffled hash join on
+      // (doc_a, doc_b) is the right plan at every scale.
       val nHit = p
-        .join(exact, Seq("doc_a", "doc_b"), "left_semi")
+        .join(exact.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left_semi")
         .agg(count(lit(1)).as("n_hit"))
       nP.crossJoin(nHit)
         .crossJoin(nExact)
@@ -1229,8 +1275,8 @@ object Dedup {
               Det.detRound(col("n_hit").cast("double") / col("n_pairs"), 6))
             .as("agreement"))
     }
-    grade("minhash", dedupMinhash(spark, dir))
-      .unionAll(grade("simhash", dedupSimhash(spark, dir)))
+    grade("minhash", minhashPairs)
+      .unionAll(grade("simhash", simhashPairs))
       .orderBy(col("method"))
   }
 

@@ -5,6 +5,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev profiling entry: time named queries (after a warmup) and print
   * formatted plans. Usage: runMain graft.tools.Profile <sfDir> <name>...
+  * PROFILE_EXPLAIN=1 prints each plan; PROFILE_EXPLAIN_ONLY=1 prints
+  * plans WITHOUT executing — the triage mode for a query that OOMs at
+  * probe scale (the plan shows the join strategy that would run).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -13,6 +16,15 @@ object Profile {
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val explainOnly = sys.env.contains("PROFILE_EXPLAIN_ONLY")
+    if (explainOnly) {
+      names.foreach { n =>
+        println(s"===== PLAN $n")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
+      spark.stop()
+      return
+    }
     // warm the JIT/codegen path once
     SparkEntry.queries(names.head)(spark, sfDir).write.mode("overwrite").format("noop").save()
     names.foreach { n =>

@@ -115,6 +115,29 @@ class QuadraticGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_pair_quality above the cap grades a doc sample with a real exact anchor") {
+    Downgrades.last = None
+    val routed = Dedup.dedupPairQualityGuarded(spark, TestSpark.Sf, cap = 100)
+    assert(Downgrades.last.exists(m =>
+      m.contains("dedup_pair_quality") && m.contains("doc-hash sample")))
+    val rows = routed.collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("minhash", "simhash"))
+    val full = Dedup.dedupPairQualityGuarded(spark, TestSpark.Sf, cap = Long.MaxValue)
+      .collect()
+    rows.zip(full).foreach { case (s, f) =>
+      // no hot shingles on the fixture → the sampled corpus's pairs are
+      // a subset of the full corpus's: counts can only shrink, and the
+      // grading ratios must stay in [0, 1]
+      assert(s.getLong(1) <= f.getLong(1), "sampled n_pairs exceeds full")
+      assert(s.getLong(2) <= f.getLong(2), "sampled n_exact exceeds full")
+      assert(s.getLong(3) <= s.getLong(1) && s.getLong(3) <= s.getLong(2),
+        "n_hit bounded by both pair sets")
+      Seq(4, 5).foreach { i =>
+        assert(s.getDouble(i) >= 0.0 && s.getDouble(i) <= 1.0, s"ratio col $i in range")
+      }
+    }
+  }
+
   test("at the shipped caps the anchors still run exact at test scale") {
     Downgrades.last = None
     assert(Dedup.dedupJaccard(spark, TestSpark.Sf).columns.nonEmpty)
