@@ -1308,7 +1308,55 @@ object Dedup {
        |ORDER BY method""".stripMargin
   }
 
+  /** Cross-source duplication matrix: verified minhash near-dup pair
+    * counts by (source, source) — the dedup-observability view that
+    * tells you WHICH sources copy from each other (mirror sites, feed
+    * re-crawls) versus which only self-duplicate, i.e. the evidence
+    * you set per-source dedup policy from before a 100 TB run. Pairs
+    * come from the bounded dedup_minhash path (capped LSH buckets —
+    * never all-pairs); only (doc_id, doc_id) longs and short source
+    * labels ever shuffle through the two label joins, and the output
+    * is |sources|² at most. Source pairs are canonicalized by string
+    * order via CASE (portable NULL semantics: a NULL source sorts to
+    * source_b in both engines, and GROUP BY groups NULLs on both).
+    * scope = 'within' when a source duplicates itself, 'cross'
+    * otherwise.
+    */
+  def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
+    val src   = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(
+        when(col("sa") <= col("sb"), col("sa")).otherwise(col("sb")).as("source_a"),
+        when(col("sa") <= col("sb"), col("sb")).otherwise(col("sa")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn(
+        "scope",
+        when(col("source_a") === col("source_b"), lit("within"))
+          .otherwise(lit("cross")))
+      .orderBy(asc_nulls_last("source_a"), asc_nulls_last("source_b"))
+  }
+
+  private val dedupSourceMatrixSql =
+    s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql) mx),
+       |lab AS (
+       |  SELECT CASE WHEN da.source <= db.source THEN da.source ELSE db.source END AS source_a,
+       |         CASE WHEN da.source <= db.source THEN db.source ELSE da.source END AS source_b
+       |  FROM pairs p
+       |  JOIN documents da ON p.doc_a = da.doc_id
+       |  JOIN documents db ON p.doc_b = db.doc_id
+       |)
+       |SELECT source_a, source_b, count(*) AS n_pairs,
+       |       CASE WHEN source_a = source_b THEN 'within' ELSE 'cross' END AS scope
+       |FROM lab
+       |GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_source_matrix" -> QueryDef(dedupSourceMatrix, Some(dedupSourceMatrixSql)),
     "lsh_band_sweep" -> QueryDef(lshBandSweep, Some(lshBandSweepSql)),
     "minhash_k_curve" -> QueryDef(minhashKCurve, Some(minhashKCurveSql)),
     "dedup_pair_quality" -> QueryDef(dedupPairQuality, Some(dedupPairQualitySql)),

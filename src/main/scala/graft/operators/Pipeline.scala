@@ -599,7 +599,115 @@ object Pipeline {
       |FROM per_split, overlap
       |ORDER BY split""".stripMargin
 
+  /** Split drift report: PSI (population stability index — the
+    * standard model-monitoring drift measure, public) of the
+    * token-length distribution between the train and val splits under
+    * the SAME salted-hash assignment dataset_split ships. A healthy
+    * hash split should show near-zero PSI; a biased one (e.g. split by
+    * ingestion order when length drifts over time) shows up as
+    * psi_total > 0.2 — this is the check you run BEFORE trusting a
+    * split for held-out evaluation. Fixed doubling length bins keep
+    * the histogram deterministic at any scale; Laplace-smoothed shares
+    * (+0.5 per bin) keep ln() defined on empty bins, mirrored exactly
+    * in the oracle. One scan, one tiny two-level aggregate — only
+    * (bin, split) counts ever shuffle; the total-PSI window runs over
+    * a ≤6-row frame.
+    */
+  def splitDriftPsi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nBins = 6
+    val assigned = Tables
+      .documents(spark, dir)
+      .withColumn(
+        "hd",
+        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1))
+      .filter(col("hd") <= "d") // train ∪ val only
+      .withColumn("split", when(col("hd") <= "b", "train").otherwise("val"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn(
+        "bin_lo",
+        when(col("n_tokens") < 50, 0L)
+          .when(col("n_tokens") < 100, 50L)
+          .when(col("n_tokens") < 200, 100L)
+          .when(col("n_tokens") < 400, 200L)
+          .when(col("n_tokens") < 800, 400L)
+          .otherwise(800L))
+    val binned = assigned
+      .groupBy(col("bin_lo"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    val w  = Window.partitionBy()
+    val pT = (col("n_train") + lit(0.5)) / (col("tot_train") + lit(0.5 * nBins))
+    val pV = (col("n_val") + lit(0.5)) / (col("tot_val") + lit(0.5 * nBins))
+    binned
+      .withColumn("tot_train", sum(col("n_train")).over(w))
+      .withColumn("tot_val", sum(col("n_val")).over(w))
+      .withColumn("pct_train", Det.detRound(pT, 6))
+      .withColumn("pct_val", Det.detRound(pV, 6))
+      // per-bin PSI rounded FIRST, then summed as exact DECIMAL — the
+      // total is independent of the window's row visit order on both
+      // engines (a raw double window-sum would not be)
+      .withColumn("psi_bin", Det.detRound((pT - pV) * log(pT / pV), 6))
+      .withColumn(
+        "psi_total",
+        sum(col("psi_bin").cast("decimal(18,6)")).over(w).cast("double"))
+      .withColumn(
+        "verdict",
+        when(col("psi_total") > 0.2, lit("drift"))
+          .when(col("psi_total") > 0.1, lit("warn"))
+          .otherwise(lit("stable")))
+      .select(
+        col("bin_lo"), col("n_train"), col("n_val"),
+        col("pct_train"), col("pct_val"), col("psi_bin"),
+        col("psi_total"), col("verdict"))
+      .orderBy(col("bin_lo"))
+  }
+
+  private val splitDriftPsiSql = {
+    // fully parenthesized: these interpolate into `$pT / $pV`, where an
+    // unwrapped a / b form would re-associate the division
+    val pT = "((n_train + 0.5) / (tot_train + 3.0))"
+    val pV = "((n_val + 0.5) / (tot_val + 3.0))"
+    s"""WITH a AS (
+       |  SELECT CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+       |              THEN 'train' ELSE 'val' END AS split,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  WHERE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+       |), b AS (
+       |  SELECT CASE WHEN n_tokens < 50 THEN 0 WHEN n_tokens < 100 THEN 50
+       |              WHEN n_tokens < 200 THEN 100 WHEN n_tokens < 400 THEN 200
+       |              WHEN n_tokens < 800 THEN 400 ELSE 800 END AS bin_lo,
+       |         split
+       |  FROM a
+       |), g AS (
+       |  SELECT CAST(bin_lo AS BIGINT) AS bin_lo,
+       |         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+       |         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+       |  FROM b GROUP BY 1
+       |), t AS (
+       |  SELECT *, SUM(n_train) OVER () AS tot_train, SUM(n_val) OVER () AS tot_val
+       |  FROM g
+       |), p AS (
+       |  SELECT bin_lo, n_train, n_val,
+       |         ${Det.roundSql(pT, 6)} AS pct_train,
+       |         ${Det.roundSql(pV, 6)} AS pct_val,
+       |         ${Det.roundSql(s"($pT - $pV) * ln($pT / $pV)", 6)} AS psi_bin
+       |  FROM t
+       |), q AS (
+       |  SELECT *, CAST(SUM(CAST(psi_bin AS DECIMAL(18,6))) OVER () AS DOUBLE) AS psi_total
+       |  FROM p
+       |)
+       |SELECT bin_lo, n_train, n_val, pct_train, pct_val, psi_bin, psi_total,
+       |       CASE WHEN psi_total > 0.2 THEN 'drift'
+       |            WHEN psi_total > 0.1 THEN 'warn' ELSE 'stable' END AS verdict
+       |FROM q
+       |ORDER BY bin_lo""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "split_drift_psi"       -> QueryDef(splitDriftPsi, Some(splitDriftPsiSql)),
     "temporal_split"        -> QueryDef(temporalSplit, Some(temporalSplitSql)),
     "scd2_history"          -> QueryDef(scd2History, Some(scd2HistorySql)),
     "scd2_pit_join"         -> QueryDef(scd2PitJoin, Some(scd2PitJoinSql)),

@@ -187,6 +187,37 @@ class Round9AdditionsSpec extends AnyFunSuite {
     assert(math.abs(pctSum - 1.0) <= rows.length * 1e-6, s"pct_rows sum $pctSum")
   }
 
+  test("split_drift_psi: shares sum to 1, total is the bin sum, verdict matches") {
+    val rows = operators.Pipeline.splitDriftPsi(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    // Laplace-smoothed shares over the SAME 6-bin support sum to
+    // (n_bins_present + …)/… — with all bins present they sum to 1
+    val psiTotal = rows.head.getDouble(6)
+    assert(rows.forall(r => r.getDouble(6) === psiTotal), "psi_total constant")
+    val binSum = rows.map(r => BigDecimal(r.getDouble(5))).sum.toDouble
+    assert(math.abs(binSum - psiTotal) < 1e-9, s"total $psiTotal != bin sum $binSum")
+    val expect = if (psiTotal > 0.2) "drift" else if (psiTotal > 0.1) "warn" else "stable"
+    assert(rows.forall(_.getString(7) === expect))
+    // a salted-hash split cannot drift: the fixture must read stable
+    assert(expect === "stable", s"hash split drifted? psi=$psiTotal")
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(4) > 0.0, "smoothed shares positive")
+    }
+  }
+
+  test("dedup_source_matrix: pair mass conserved, canonical order, scope correct") {
+    val pairs  = operators.Dedup.dedupMinhash(spark, TestSpark.Sf).count()
+    val rows   = operators.Dedup.dedupSourceMatrix(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getLong(2)).sum === pairs,
+      "every verified pair lands in exactly one source cell")
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      if (a != null && b != null) assert(a <= b, s"canonical order violated: $a > $b")
+      val expect = if (a != null && a == b) "within" else "cross"
+      assert(r.getString(3) === expect, s"scope at ($a, $b)")
+    }
+  }
+
   test("pack_fragmentation: docs and tokens are conserved; spans are feasible") {
     val rows = operators.TextNgrams.packFragmentation(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
