@@ -1355,7 +1355,97 @@ object Dedup {
        |GROUP BY source_a, source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  /** Duplication-vs-quality interaction: the quality_filter pass flag
+    * (SAME thresholds — the two reports stay comparable) grouped by
+    * how duplicated each document is (its bounded minhash CC cluster
+    * size; singletons count 1). This is the measurement behind the
+    * filter-ORDER decision every curation pipeline makes: if heavily
+    * duplicated docs pass quality at the same rate as unique ones,
+    * dedup first and save the quality pass's compute on doomed copies;
+    * if dup-heavy docs skew low-quality, quality-filter first and
+    * shrink the dedup input instead. Cluster labels come from the
+    * STORED CC table (built once per corpus), so this costs two
+    * cluster-keyed aggregates plus one doc-keyed left join over
+    * scan-side flags — every stage linear, bucket labels crafted to
+    * sort lexicographically so the output order is portable.
+    */
+  def qualityVsDup(spark: SparkSession, dir: String): DataFrame = {
+    val assign = dedupClustersMinhash(spark, dir).select(col("doc_id"), col("cluster_id"))
+    val perDoc = assign
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+      .join(assign, "cluster_id")
+      .select(col("doc_id"), col("csize"))
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        size(col("t")).cast("long").as("n_tokens"),
+        expr("CAST(aggregate(t, 0, (a, w) -> a + length(w)) AS BIGINT)").as("token_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("dup_count", coalesce(col("csize"), lit(1L)))
+      .withColumn(
+        "dup_bucket",
+        when(col("dup_count") === 1, "1_unique")
+          .when(col("dup_count") === 2, "2")
+          .when(col("dup_count") <= 4, "3-4")
+          .when(col("dup_count") <= 8, "5-8")
+          .otherwise("9+"))
+      .withColumn(
+        "passes",
+        col("n_chars") >= 150 && col("n_tokens") >= 30 &&
+          col("token_chars").cast("double") / col("n_tokens") >= 3.8 &&
+          col("token_chars").cast("double") / col("n_tokens") <= 5.5)
+      .groupBy(col("dup_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("passes"), 1L).otherwise(0L)).as("n_pass"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(
+        col("dup_bucket"), col("n_docs"), col("n_pass"),
+        Det.detRound(col("n_pass").cast("double") / col("n_docs"), 6).as("pass_rate"),
+        Det.detRound(col("sum_chars").cast("double") / col("n_docs"), 6).as("avg_chars"))
+      .orderBy(col("dup_bucket"))
+  }
+
+  private val qualityVsDupSql =
+    s"""WITH assign AS (
+       |  SELECT doc_id, cluster_id FROM (
+       |${dedupClustersMinhashSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |), sizes AS (
+       |  SELECT cluster_id, count(*) AS csize FROM assign GROUP BY cluster_id
+       |), perdoc AS (
+       |  SELECT a.doc_id, s.csize FROM assign a JOIN sizes s USING (cluster_id)
+       |), m AS (
+       |  SELECT d.doc_id, d.n_chars,
+       |         len(string_split(d.text, ' ')) AS n_tokens,
+       |         list_reduce(list_prepend(0, list_transform(string_split(d.text, ' '), w -> length(w))), (a, b) -> a + b) AS token_chars,
+       |         COALESCE(p.csize, 1) AS dup_count
+       |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |), f AS (
+       |  SELECT CASE WHEN dup_count = 1 THEN '1_unique' WHEN dup_count = 2 THEN '2'
+       |              WHEN dup_count <= 4 THEN '3-4' WHEN dup_count <= 8 THEN '5-8'
+       |              ELSE '9+' END AS dup_bucket,
+       |         n_chars,
+       |         (n_chars >= 150 AND n_tokens >= 30
+       |          AND CAST(token_chars AS DOUBLE) / n_tokens >= 3.8
+       |          AND CAST(token_chars AS DOUBLE) / n_tokens <= 5.5) AS passes
+       |  FROM m
+       |)
+       |SELECT dup_bucket, count(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |       ${Det.roundSql(
+          "CAST(SUM(CASE WHEN passes THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 6)} AS pass_rate,
+       |       ${Det.roundSql("CAST(SUM(n_chars) AS DOUBLE) / count(*)", 6)} AS avg_chars
+       |FROM f
+       |GROUP BY dup_bucket
+       |ORDER BY dup_bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "quality_vs_dup" -> QueryDef(qualityVsDup, Some(qualityVsDupSql)),
     "dedup_source_matrix" -> QueryDef(dedupSourceMatrix, Some(dedupSourceMatrixSql)),
     "lsh_band_sweep" -> QueryDef(lshBandSweep, Some(lshBandSweepSql)),
     "minhash_k_curve" -> QueryDef(minhashKCurve, Some(minhashKCurveSql)),

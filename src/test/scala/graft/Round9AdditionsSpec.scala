@@ -218,6 +218,24 @@ class Round9AdditionsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality_vs_dup: doc mass conserved; pass counts match quality_filter") {
+    val rows = operators.Dedup.qualityVsDup(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, TestSpark.Sf).count()
+    assert(rows.map(_.getLong(1)).sum === docs,
+      "every document lands in exactly one duplication bucket")
+    // the SAME pass flag as quality_filter: global pass mass must agree
+    val passTotal = operators.TextNgrams.qualityFilter(spark, TestSpark.Sf)
+      .collect().map(_.getLong(2)).sum
+    assert(rows.map(_.getLong(2)).sum === passTotal,
+      "bucketed pass count diverged from quality_filter's")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_pass bounded by n_docs")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0.0, "avg_chars positive")
+    }
+  }
+
   test("pack_fragmentation: docs and tokens are conserved; spans are feasible") {
     val rows = operators.TextNgrams.packFragmentation(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
