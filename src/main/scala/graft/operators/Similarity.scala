@@ -1329,7 +1329,166 @@ object Similarity {
         col("sub").as("bsub"), col("cent_id"), col("cvec").as("cent_vec")))
   }
 
+  /** IVF nprobe tuning curve — the ANN-side sibling of lsh_band_sweep
+    * and minhash_k_curve: for nprobe ∈ {1,2,4} probed cells (same
+    * fixed 16-cell quantizer and tie-break conventions as ann_ivf, so
+    * the oracle stays tractable), the candidate volume each setting
+    * pays and the recall it buys against the brute-force anchor. This
+    * is the serving-cost-vs-recall trade every IVF deployment tunes
+    * FIRST: candidates scale read+compute per query linearly in probed
+    * cell mass; recall is what the probes miss. Cell assignment and
+    * the probe ranking are computed ONCE and shared by all three arms
+    * (lineage cuts); per-arm work is one candidate join + top-k + one
+    * count — queries and centroids broadcast, candidates never leave
+    * their cell partition, every count is a 1-row aggregate.
+    */
+  def annNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents = corpus(spark, dir)
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+
+    val assigned = corpus(spark, dir)
+      .crossJoin(broadcast(cents))
+      .select(
+        col("vec_id"), col("embedding"), col("cent_id"),
+        Det.detRound(expr("graft_cosine(embedding, cent_vec)"), 6).as("ccos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("ccos"), col("cent_id"))).as("m"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("m.cent_id").as("cell"), col("embedding"))
+      .cutLineage()
+
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("ccos"), asc("cell"))
+    val probeRk = queries(spark, dir)
+      .crossJoin(broadcast(cents))
+      .select(
+        col("q_id"), col("q_vec"), col("cent_id").as("cell"),
+        Det.detRound(expr("graft_cosine(q_vec, cent_vec)"), 6).as("ccos"))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 4) // the widest arm
+      .cutLineage()
+
+    val exact = annCosineTopK(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+      .cutLineage()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nQ     = queries(spark, dir).agg(count(lit(1)).as("n_queries"))
+
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    val arms = Seq(1, 2, 4).map { np =>
+      val probed = probeRk
+        .filter(col("rk") <= np)
+        .select(col("q_id"), col("q_vec"), col("cell"))
+      // a vector lives in exactly ONE cell, so the probed-cells join
+      // cannot duplicate a (query, neighbor) candidate
+      val cand = assigned
+        .join(broadcast(probed), Seq("cell"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(
+          col("q_id"),
+          col("vec_id").as("neighbor_id"),
+          Det.detRound(expr("graft_cosine(q_vec, embedding)"), 6).as("cos"))
+        .cutLineage(eager = false) // candidate count + top-k share it
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nHit = cand
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nCand
+        .crossJoin(nHit)
+        .crossJoin(nExact)
+        .crossJoin(nQ)
+        .select(
+          lit(np.toLong).as("nprobe"),
+          col("n_queries"),
+          col("n_candidates"),
+          when(col("n_queries") === 0, lit(0.0))
+            .otherwise(Det.detRound(
+              col("n_candidates").cast("double") / col("n_queries"), 6))
+            .as("avg_candidates"),
+          col("n_hit"),
+          col("n_exact"),
+          when(col("n_exact") === 0, lit(0.0))
+            .otherwise(Det.detRound(
+              col("n_hit").cast("double") / col("n_exact"), 6))
+            .as("recall"))
+    }
+    arms.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
+  private val annNprobeCurveSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    def arm(np: Int) =
+      s"""  SELECT CAST($np AS BIGINT) AS nprobe,
+         |         (SELECT count(*) FROM qs) AS n_queries,
+         |         (SELECT count(*) FROM cand_$np) AS n_candidates,
+         |         CASE WHEN (SELECT count(*) FROM qs) = 0 THEN CAST(0 AS DOUBLE)
+         |              ELSE ${r6(
+            s"CAST((SELECT count(*) FROM cand_$np) AS DOUBLE) / (SELECT count(*) FROM qs)")} END AS avg_candidates,
+         |         (SELECT count(*) FROM topk_$np t JOIN exact x
+         |            ON t.q_id = x.q_id AND t.neighbor_id = x.neighbor_id) AS n_hit,
+         |         (SELECT count(*) FROM exact) AS n_exact,
+         |         CASE WHEN (SELECT count(*) FROM exact) = 0 THEN CAST(0 AS DOUBLE)
+         |              ELSE ${r6(
+            s"""CAST((SELECT count(*) FROM topk_$np t JOIN exact x
+               |            ON t.q_id = x.q_id AND t.neighbor_id = x.neighbor_id) AS DOUBLE)
+               |            / (SELECT count(*) FROM exact)""".stripMargin)} END AS recall""".stripMargin
+    def candCtes(np: Int) =
+      s"""cand_$np AS (
+         |  SELECT p.q_id, a.vec_id AS neighbor_id,
+         |         ${r6("list_cosine_similarity(p.qv, a.v)")} AS cos
+         |  FROM assigned a JOIN probed p ON a.cell = p.cell AND p.rk <= $np
+         |  WHERE a.vec_id != p.q_id
+         |), topk_$np AS (
+         |  SELECT q_id, neighbor_id FROM (
+         |    SELECT q_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+         |    FROM cand_$np
+         |  ) WHERE rn <= $TopK
+         |)""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), qs AS (
+       |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries
+       |), cents AS (
+       |  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 16
+       |), assigned AS (
+       |  SELECT vec_id, v, cent_id AS cell FROM (
+       |    SELECT e.vec_id, e.v, c.cent_id,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${r6("list_cosine_similarity(e.v, c.cvec)")} DESC, c.cent_id DESC) AS rk
+       |    FROM e CROSS JOIN cents c
+       |  ) WHERE rk = 1
+       |), probed AS (
+       |  SELECT q_id, qv, cell, rk FROM (
+       |    SELECT q.q_id, q.qv, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY q.q_id
+       |             ORDER BY ${r6("list_cosine_similarity(q.qv, c.cvec)")} DESC, c.cent_id ASC) AS rk
+       |    FROM qs q CROSS JOIN cents c
+       |  ) WHERE rk <= 4
+       |), x_rank AS (
+       |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT q.q_id, c.vec_id AS neighbor_id,
+       |           ${r6("list_cosine_similarity(q.qv, c.v)")} AS cos
+       |    FROM e c JOIN qs q ON c.vec_id != q.q_id
+       |  )
+       |), exact AS (
+       |  SELECT q_id, neighbor_id FROM x_rank WHERE rn <= $TopK
+       |), ${candCtes(1)}, ${candCtes(2)}, ${candCtes(4)}
+       |${arm(1)}
+       |UNION ALL
+       |${arm(2)}
+       |UNION ALL
+       |${arm(4)}
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "ann_nprobe_curve"  -> QueryDef(annNprobeCurve, Some(annNprobeCurveSql)),
     "semantic_dedup"    -> QueryDef(semanticDedup, Some(semanticDedupSql)),
     "ann_recall"        -> QueryDef(annRecall, Some(annRecallSql)),
     "ann_pq"            -> QueryDef(annPq, Some(annPqSql)),

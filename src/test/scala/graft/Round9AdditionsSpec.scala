@@ -236,6 +236,23 @@ class Round9AdditionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_nprobe_curve: candidates and recall are monotone in nprobe") {
+    val rows = operators.Similarity.annNprobeCurve(spark, TestSpark.Sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo.getLong(2) <= hi.getLong(2), "candidate volume grows with nprobe")
+      assert(lo.getLong(4) <= hi.getLong(4), "hits cannot shrink as probes widen")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(5), "hits bounded by the exact anchor")
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0, "recall in range")
+      assert(r.getLong(2) <= r.getLong(1) * (TestSparkEmbeddingRows - 1),
+        "candidates bounded by queries x corpus")
+    }
+  }
+  private lazy val TestSparkEmbeddingRows =
+    Tables.embeddings(spark, TestSpark.Sf).count()
+
   test("pack_fragmentation: docs and tokens are conserved; spans are feasible") {
     val rows = operators.TextNgrams.packFragmentation(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
