@@ -193,6 +193,12 @@ object Ckpt {
   def cut(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val sc    = spark.sparkContext
+    // plan-triage escape hatch (Profile's explain-only mode): skip the
+    // cut entirely so query CONSTRUCTION stays lazy — an eager
+    // checkpoint would execute the heaviest stage of exactly the query
+    // being triaged, and explain() shows the full uncut tree anyway
+    if (confOpt(spark, "spark.graft.lineageCut.disabled").exists(_.toLowerCase == "true"))
+      return df
     val enabled =
       confOpt(spark, "spark.graft.reliableCheckpoint.enabled")
         .forall(_.toLowerCase != "false")

@@ -215,10 +215,12 @@ object Dedup {
       spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) = {
     val d = graft.sources.DerivedCache.dir(
       s"$dir/documents.parquet", "minhash-sigs", s"k=$k;v=1") { out =>
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("t"))
-        .filter(size(col("t")) >= 3)
-        .select(col("doc_id"), expr(s"graft_minhash_md5(t, $k)").as("sig"))
+      // the ONE signature kernel (minhashBandsOf) writes the store — a
+      // second inline copy here would let the stored full-corpus sketch
+      // drift from the sampled/incremental paths on a kernel change the
+      // manual v= bump missed
+      minhashBandsOf(Tables.documents(spark, dir), k, persistSigs = false)
+        ._1
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .parquet(s"$out/sigs")
     }
@@ -1317,10 +1319,14 @@ object Dedup {
     * never all-pairs); only (doc_id, doc_id) longs and short source
     * labels ever shuffle through the two label joins, and the output
     * is |sources|² at most. Source pairs are canonicalized by string
-    * order via CASE (portable NULL semantics: a NULL source sorts to
-    * source_b in both engines, and GROUP BY groups NULLs on both).
-    * scope = 'within' when a source duplicates itself, 'cross'
-    * otherwise.
+    * order with EXPLICIT NULL handling (a bare `sa <= sb` CASE is NULL
+    * when either side is, which would split one unordered pair across
+    * two cells depending on which doc landed in doc_a): the non-NULL
+    * label always takes source_a, NULL always lands in source_b, and
+    * GROUP BY groups NULLs identically on both engines. scope =
+    * 'within' when a source provably duplicates itself; pairs with an
+    * unknown (NULL) side — including NULL-NULL — report 'cross', since
+    * sameness cannot be asserted.
     */
   def dedupSourceMatrix(spark: SparkSession, dir: String): DataFrame = {
     val pairs = dedupMinhash(spark, dir).select(col("doc_a"), col("doc_b"))
@@ -1328,9 +1334,19 @@ object Dedup {
     pairs
       .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
       .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      // NULL-safe canonicalization: `sa <= sb` is NULL when either side
+      // is NULL, so a bare CASE would place {NULL, s} differently
+      // depending on which doc happened to be doc_a — splitting one
+      // unordered source pair across two matrix cells. Handle NULL
+      // explicitly: the non-NULL label always lands in source_a.
       .select(
-        when(col("sa") <= col("sb"), col("sa")).otherwise(col("sb")).as("source_a"),
-        when(col("sa") <= col("sb"), col("sb")).otherwise(col("sa")).as("source_b"))
+        when(col("sa").isNull, col("sb"))
+          .when(col("sb").isNull, col("sa"))
+          .when(col("sa") <= col("sb"), col("sa"))
+          .otherwise(col("sb")).as("source_a"),
+        when(col("sa").isNull || col("sb").isNull, lit(null).cast("string"))
+          .when(col("sa") <= col("sb"), col("sb"))
+          .otherwise(col("sa")).as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn(
@@ -1343,8 +1359,13 @@ object Dedup {
   private val dedupSourceMatrixSql =
     s"""WITH pairs AS (SELECT doc_a, doc_b FROM ($dedupMinhashSql) mx),
        |lab AS (
-       |  SELECT CASE WHEN da.source <= db.source THEN da.source ELSE db.source END AS source_a,
-       |         CASE WHEN da.source <= db.source THEN db.source ELSE da.source END AS source_b
+       |  SELECT CASE WHEN da.source IS NULL THEN db.source
+       |              WHEN db.source IS NULL THEN da.source
+       |              WHEN da.source <= db.source THEN da.source
+       |              ELSE db.source END AS source_a,
+       |         CASE WHEN da.source IS NULL OR db.source IS NULL THEN NULL
+       |              WHEN da.source <= db.source THEN db.source
+       |              ELSE da.source END AS source_b
        |  FROM pairs p
        |  JOIN documents da ON p.doc_a = da.doc_id
        |  JOIN documents db ON p.doc_b = db.doc_id
@@ -1393,11 +1414,7 @@ object Dedup {
           .when(col("dup_count") <= 4, "3-4")
           .when(col("dup_count") <= 8, "5-8")
           .otherwise("9+"))
-      .withColumn(
-        "passes",
-        col("n_chars") >= 150 && col("n_tokens") >= 30 &&
-          col("token_chars").cast("double") / col("n_tokens") >= 3.8 &&
-          col("token_chars").cast("double") / col("n_tokens") <= 5.5)
+      .withColumn("passes", TextNgrams.qualityPassFlag)
       .groupBy(col("dup_bucket"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -1422,7 +1439,7 @@ object Dedup {
        |), m AS (
        |  SELECT d.doc_id, d.n_chars,
        |         len(string_split(d.text, ' ')) AS n_tokens,
-       |         list_reduce(list_prepend(0, list_transform(string_split(d.text, ' '), w -> length(w))), (a, b) -> a + b) AS token_chars,
+       |         ${TextNgrams.tokenCharsSql} AS token_chars,
        |         COALESCE(p.csize, 1) AS dup_count
        |  FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
        |), f AS (
@@ -1430,9 +1447,7 @@ object Dedup {
        |              WHEN dup_count <= 4 THEN '3-4' WHEN dup_count <= 8 THEN '5-8'
        |              ELSE '9+' END AS dup_bucket,
        |         n_chars,
-       |         (n_chars >= 150 AND n_tokens >= 30
-       |          AND CAST(token_chars AS DOUBLE) / n_tokens >= 3.8
-       |          AND CAST(token_chars AS DOUBLE) / n_tokens <= 5.5) AS passes
+       |         ${TextNgrams.qualityPassSql} AS passes
        |  FROM m
        |)
        |SELECT dup_bucket, count(*) AS n_docs,

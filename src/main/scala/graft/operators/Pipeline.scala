@@ -358,13 +358,23 @@ object Pipeline {
     * coordination — pure per-row arithmetic, zero shuffle before the
     * tiny per-(lang, split) rollup.
     */
+  /** First hex digit of the salted split hash — THE split-assignment
+    * expression. dataset_split ships it and split_drift_psi grades it;
+    * both MUST read the same digit, so it lives in exactly one place
+    * (plus its SQL twin below). Boundaries: ≤'b' train (12/16), ≤'d'
+    * val (2/16), else test.
+    */
+  private def splitDigit: Column =
+    substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1)
+
+  private val splitDigitSql =
+    "substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)"
+
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val assigned = Tables
       .documents(spark, dir)
-      .withColumn(
-        "hd",
-        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1))
+      .withColumn("hd", splitDigit)
       .withColumn(
         "split",
         when(col("hd") <= "b", "train")
@@ -385,8 +395,8 @@ object Pipeline {
   private val datasetSplitSql =
     s"""WITH a AS (
        |  SELECT lang, n_chars,
-       |         CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
-       |              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+       |         CASE WHEN ${splitDigitSql} <= 'b' THEN 'train'
+       |              WHEN ${splitDigitSql} <= 'd' THEN 'val'
        |              ELSE 'test' END AS split
        |  FROM documents
        |), g AS (
@@ -613,14 +623,19 @@ object Pipeline {
     * (bin, split) counts ever shuffle; the total-PSI window runs over
     * a ≤6-row frame.
     */
+  /** The fixed PSI histogram support. The smoothing denominator and the
+    * output row set are pinned to ALL of these bins — a bin empty in
+    * both splits still contributes its smoothed (nonzero) PSI term, and
+    * the reported shares always sum to 1.
+    */
+  private val PsiBins = Seq(0L, 50L, 100L, 200L, 400L, 800L)
+
   def splitDriftPsi(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val nBins = 6
+    val nBins = PsiBins.size
     val assigned = Tables
       .documents(spark, dir)
-      .withColumn(
-        "hd",
-        substring(md5(concat(lit("split:"), col("doc_id").cast("string"))), 1, 1))
+      .withColumn("hd", splitDigit)
       .filter(col("hd") <= "d") // train ∪ val only
       .withColumn("split", when(col("hd") <= "b", "train").otherwise("val"))
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
@@ -632,11 +647,18 @@ object Pipeline {
           .when(col("n_tokens") < 400, 200L)
           .when(col("n_tokens") < 800, 400L)
           .otherwise(800L))
-    val binned = assigned
-      .groupBy(col("bin_lo"))
-      .agg(
-        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
-        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    import spark.implicits._
+    val binned = PsiBins
+      .toDF("bin_lo")
+      .join(
+        assigned
+          .groupBy(col("bin_lo"))
+          .agg(
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val")),
+        Seq("bin_lo"),
+        "left")
+      .na.fill(0L, Seq("n_train", "n_val"))
     val w  = Window.partitionBy()
     val pT = (col("n_train") + lit(0.5)) / (col("tot_train") + lit(0.5 * nBins))
     val pV = (col("n_val") + lit(0.5)) / (col("tot_val") + lit(0.5 * nBins))
@@ -667,25 +689,32 @@ object Pipeline {
   private val splitDriftPsiSql = {
     // fully parenthesized: these interpolate into `$pT / $pV`, where an
     // unwrapped a / b form would re-associate the division
-    val pT = "((n_train + 0.5) / (tot_train + 3.0))"
-    val pV = "((n_val + 0.5) / (tot_val + 3.0))"
+    val half = PsiBins.size * 0.5
+    val pT   = s"((n_train + 0.5) / (tot_train + $half))"
+    val pV   = s"((n_val + 0.5) / (tot_val + $half))"
     s"""WITH a AS (
-       |  SELECT CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+       |  SELECT CASE WHEN ${splitDigitSql} <= 'b'
        |              THEN 'train' ELSE 'val' END AS split,
        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents
-       |  WHERE substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+       |  WHERE ${splitDigitSql} <= 'd'
        |), b AS (
        |  SELECT CASE WHEN n_tokens < 50 THEN 0 WHEN n_tokens < 100 THEN 50
        |              WHEN n_tokens < 200 THEN 100 WHEN n_tokens < 400 THEN 200
        |              WHEN n_tokens < 800 THEN 400 ELSE 800 END AS bin_lo,
        |         split
        |  FROM a
-       |), g AS (
+       |), g0 AS (
        |  SELECT CAST(bin_lo AS BIGINT) AS bin_lo,
        |         CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
        |         CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
        |  FROM b GROUP BY 1
+       |), g AS (
+       |  SELECT CAST(s.bin_lo AS BIGINT) AS bin_lo,
+       |         CAST(COALESCE(g0.n_train, 0) AS BIGINT) AS n_train,
+       |         CAST(COALESCE(g0.n_val, 0) AS BIGINT) AS n_val
+       |  FROM (VALUES ${PsiBins.map(b => s"($b)").mkString(", ")}) s(bin_lo)
+       |  LEFT JOIN g0 ON CAST(s.bin_lo AS BIGINT) = g0.bin_lo
        |), t AS (
        |  SELECT *, SUM(n_train) OVER () AS tot_train, SUM(n_val) OVER () AS tot_val
        |  FROM g

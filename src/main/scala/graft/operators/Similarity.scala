@@ -168,16 +168,24 @@ object Similarity {
     * probe their 2 nearest cells. The other standard ANN shape next to
     * ann_lsh; recall vs brute force asserted in SimilarityDedupSpec.
     */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
-    GraftFunctions.register(spark)
-    val cents = corpus(spark, dir)
+  /** The fixed 16-vector coarse quantizer and its assignment/probe
+    * kernels — shared by ann_ivf (the served index) and
+    * ann_nprobe_curve (the tuning curve that prices it), so a
+    * convention change (rounding, tie-break) cannot make the curve
+    * measure a different index than the one served.
+    */
+  private def ivfCents(spark: SparkSession, dir: String): DataFrame =
+    corpus(spark, dir)
       .filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
 
-    // ccos is rounded to 6 dp BEFORE the argmax so cell assignment is
-    // engine-portable (the raw last-ulp of a double cosine is not a
-    // contract); ties then break on cent_id deterministically.
-    val assigned = corpus(spark, dir)
+  /** Per-vector cell assignment. ccos is rounded to 6 dp BEFORE the
+    * argmax so cell assignment is engine-portable (the raw last-ulp of
+    * a double cosine is not a contract); ties then break on cent_id
+    * deterministically (max-of-struct → larger cent_id).
+    */
+  private def ivfAssigned(spark: SparkSession, dir: String, cents: DataFrame): DataFrame =
+    corpus(spark, dir)
       .crossJoin(broadcast(cents))
       .select(
         col("vec_id"), col("embedding"), col("cent_id"),
@@ -188,13 +196,24 @@ object Similarity {
         first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("m.cent_id").as("cell"), col("embedding"))
 
+  /** Per-query cell ranking (rk = 1 is the nearest cell; ties → smaller
+    * cell id). Callers pick their probe width by filtering rk.
+    */
+  private def ivfProbeRanks(spark: SparkSession, dir: String, cents: DataFrame): DataFrame = {
     val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("ccos"), asc("cell"))
-    val probed = queries(spark, dir)
+    queries(spark, dir)
       .crossJoin(broadcast(cents))
       .select(
         col("q_id"), col("q_vec"), col("cent_id").as("cell"),
         Det.detRound(expr("graft_cosine(q_vec, cent_vec)"), 6).as("ccos"))
       .withColumn("rk", row_number().over(wProbe))
+  }
+
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val cents    = ivfCents(spark, dir)
+    val assigned = ivfAssigned(spark, dir, cents)
+    val probed = ivfProbeRanks(spark, dir, cents)
       .filter(col("rk") <= 2)
       .select(col("q_id"), col("q_vec"), col("cell"))
 
@@ -211,16 +230,18 @@ object Similarity {
       .orderBy(col("q_id"), col("rn"))
   }
 
-  /** DuckDB twin of annIvf: same fixed quantizer, 6-dp-rounded cell
-    * argmax (ties → larger cent_id, mirroring Spark's max-of-struct),
-    * 2-cell probe (ties → smaller cell, mirroring the window), then the
-    * same rounded top-k over probed candidates.
+  /** DuckDB twins of the shared IVF kernels (the SQL side of
+    * ivfCents/ivfAssigned/ivfProbeRanks): cents + 6-dp-rounded cell
+    * argmax (ties → larger cent_id, mirroring Spark's max-of-struct) +
+    * per-query cell ranking (ties → smaller cell). Interpolated by the
+    * ann_ivf, ann_recall and ann_nprobe_curve oracles so the three
+    * cannot drift; callers pick the probe width via `probeRkMax`.
+    * Expects an `e(vec_id, v)` CTE in scope; `probed` keeps its rk
+    * column for callers that band by it.
     */
-  private val annIvfSql = {
+  private def ivfSqlCtes(probeRkMax: Int): String = {
     def r6(e: String) = Det.roundSql(e, 6)
-    s"""WITH e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-       |), cents AS (
+    s"""cents AS (
        |  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 16
        |), assigned AS (
        |  SELECT vec_id, v, cent_id AS cell FROM (
@@ -230,13 +251,23 @@ object Similarity {
        |    FROM e CROSS JOIN cents c
        |  ) WHERE rk = 1
        |), probed AS (
-       |  SELECT q_id, qv, cell FROM (
+       |  SELECT q_id, qv, cell, rk FROM (
        |    SELECT q.vec_id AS q_id, q.v AS qv, c.cent_id AS cell,
        |           row_number() OVER (PARTITION BY q.vec_id
        |             ORDER BY ${r6("list_cosine_similarity(q.v, c.cvec)")} DESC, c.cent_id ASC) AS rk
        |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $NumQueries
-       |  ) WHERE rk <= 2
-       |), scored AS (
+       |  ) WHERE rk <= $probeRkMax
+       |)""".stripMargin
+  }
+
+  /** DuckDB twin of annIvf: the shared kernel CTEs at a 2-cell probe,
+    * then the same rounded top-k over probed candidates.
+    */
+  private val annIvfSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), ${ivfSqlCtes(2)}, scored AS (
        |  SELECT p.q_id, a.vec_id AS neighbor_id,
        |         ${r6("list_cosine_similarity(p.qv, a.v)")} AS cos
        |  FROM assigned a JOIN probed p ON a.cell = p.cell
@@ -1010,23 +1041,7 @@ object Similarity {
        |  )
        |), lsh AS (
        |  SELECT q_id, neighbor_id FROM l_rank WHERE rn <= $TopK
-       |), cents AS (
-       |  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 16
-       |), assigned AS (
-       |  SELECT vec_id, v, cent_id AS cell FROM (
-       |    SELECT e.vec_id, e.v, c.cent_id,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${r6("list_cosine_similarity(e.v, c.cvec)")} DESC, c.cent_id DESC) AS rk
-       |    FROM e CROSS JOIN cents c
-       |  ) WHERE rk = 1
-       |), probed AS (
-       |  SELECT q_id, qv, cell FROM (
-       |    SELECT q.vec_id AS q_id, q.v AS qv, c.cent_id AS cell,
-       |           row_number() OVER (PARTITION BY q.vec_id
-       |             ORDER BY ${r6("list_cosine_similarity(q.v, c.cvec)")} DESC, c.cent_id ASC) AS rk
-       |    FROM e q CROSS JOIN cents c WHERE q.vec_id < $NumQueries
-       |  ) WHERE rk <= 2
-       |), i_rank AS (
+       |), ${ivfSqlCtes(2)}, i_rank AS (
        |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
        |  FROM (
        |    SELECT p.q_id, a.vec_id AS neighbor_id,
@@ -1344,29 +1359,9 @@ object Similarity {
     */
   def annNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val cents = corpus(spark, dir)
-      .filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-
-    val assigned = corpus(spark, dir)
-      .crossJoin(broadcast(cents))
-      .select(
-        col("vec_id"), col("embedding"), col("cent_id"),
-        Det.detRound(expr("graft_cosine(embedding, cent_vec)"), 6).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(
-        max(struct(col("ccos"), col("cent_id"))).as("m"),
-        first(col("embedding")).as("embedding"))
-      .select(col("vec_id"), col("m.cent_id").as("cell"), col("embedding"))
-      .cutLineage()
-
-    val wProbe = Window.partitionBy(col("q_id")).orderBy(desc("ccos"), asc("cell"))
-    val probeRk = queries(spark, dir)
-      .crossJoin(broadcast(cents))
-      .select(
-        col("q_id"), col("q_vec"), col("cent_id").as("cell"),
-        Det.detRound(expr("graft_cosine(q_vec, cent_vec)"), 6).as("ccos"))
-      .withColumn("rk", row_number().over(wProbe))
+    val cents    = ivfCents(spark, dir)
+    val assigned = ivfAssigned(spark, dir, cents).cutLineage()
+    val probeRk = ivfProbeRanks(spark, dir, cents)
       .filter(col("rk") <= 4) // the widest arm
       .cutLineage()
 
@@ -1453,23 +1448,7 @@ object Similarity {
        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |), qs AS (
        |  SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NumQueries
-       |), cents AS (
-       |  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < 16
-       |), assigned AS (
-       |  SELECT vec_id, v, cent_id AS cell FROM (
-       |    SELECT e.vec_id, e.v, c.cent_id,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${r6("list_cosine_similarity(e.v, c.cvec)")} DESC, c.cent_id DESC) AS rk
-       |    FROM e CROSS JOIN cents c
-       |  ) WHERE rk = 1
-       |), probed AS (
-       |  SELECT q_id, qv, cell, rk FROM (
-       |    SELECT q.q_id, q.qv, c.cent_id AS cell,
-       |           row_number() OVER (PARTITION BY q.q_id
-       |             ORDER BY ${r6("list_cosine_similarity(q.qv, c.cvec)")} DESC, c.cent_id ASC) AS rk
-       |    FROM qs q CROSS JOIN cents c
-       |  ) WHERE rk <= 4
-       |), x_rank AS (
+       |), ${ivfSqlCtes(4)}, x_rank AS (
        |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
        |  FROM (
        |    SELECT q.q_id, c.vec_id AS neighbor_id,

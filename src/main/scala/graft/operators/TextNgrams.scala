@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{Det, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** N-gram and corpus-statistics operators over `documents` (round 2 of
@@ -369,6 +369,28 @@ object TextNgrams {
     * length band). Pure per-row arithmetic inside codegen; one tiny
     * aggregate.
     */
+  /** The quality gate predicate over (n_chars, n_tokens, token_chars) —
+    * THE thresholds. quality_filter reports them and quality_vs_dup
+    * (Dedup.scala) cross-tabs them against duplication, so the
+    * predicate lives in exactly one place (plus the SQL twins below);
+    * a threshold change cannot desynchronize the two reports.
+    */
+  private[operators] def qualityPassFlag: Column =
+    col("n_chars") >= 150 && col("n_tokens") >= 30 &&
+      col("token_chars").cast("double") / col("n_tokens") >= 3.8 &&
+      col("token_chars").cast("double") / col("n_tokens") <= 5.5
+
+  private[operators] val qualityPassSql =
+    """(n_chars >= 150 AND n_tokens >= 30
+      |          AND CAST(token_chars AS DOUBLE) / n_tokens >= 3.8
+      |          AND CAST(token_chars AS DOUBLE) / n_tokens <= 5.5)""".stripMargin
+
+  /** DuckDB twin of the (n_tokens, token_chars) derivation feeding the
+    * gate — shared for the same no-drift reason.
+    */
+  private[operators] val tokenCharsSql =
+    "list_reduce(list_prepend(0, list_transform(string_split(text, ' '), w -> length(w))), (a, b) -> a + b)"
+
   def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
     Tables
       .documents(spark, dir)
@@ -381,11 +403,7 @@ object TextNgrams {
         col("n_chars"),
         size(col("t")).cast("long").as("n_tokens"),
         expr("CAST(aggregate(t, 0, (a, w) -> a + length(w)) AS BIGINT)").as("token_chars"))
-      .withColumn(
-        "passes",
-        col("n_chars") >= 150 && col("n_tokens") >= 30 &&
-          col("token_chars").cast("double") / col("n_tokens") >= 3.8 &&
-          col("token_chars").cast("double") / col("n_tokens") <= 5.5)
+      .withColumn("passes", qualityPassFlag)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -400,13 +418,11 @@ object TextNgrams {
     s"""WITH m AS (
        |  SELECT lang, n_chars,
        |         len(string_split(text, ' ')) AS n_tokens,
-       |         list_reduce(list_prepend(0, list_transform(string_split(text, ' '), w -> length(w))), (a, b) -> a + b) AS token_chars
+       |         $tokenCharsSql AS token_chars
        |  FROM documents
        |), flags AS (
        |  SELECT lang,
-       |         (n_chars >= 150 AND n_tokens >= 30
-       |          AND CAST(token_chars AS DOUBLE) / n_tokens >= 3.8
-       |          AND CAST(token_chars AS DOUBLE) / n_tokens <= 5.5) AS passes
+       |         $qualityPassSql AS passes
        |  FROM m
        |)
        |SELECT lang,

@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   * PROFILE_EXPLAIN=1 prints each plan; PROFILE_EXPLAIN_ONLY=1 prints
   * plans WITHOUT executing — the triage mode for a query that OOMs at
   * probe scale (the plan shows the join strategy that would run).
+  * Explain-only also disables lineage cuts (spark.graft.lineageCut
+  * .disabled) so eager checkpoints inside query CONSTRUCTION don't
+  * execute the very stage being triaged; stored-artifact builds
+  * (DerivedCache) still run on first construction — point the probe at
+  * a dir whose caches exist, or accept the one-time build.
   */
 object Profile {
   def main(args: Array[String]): Unit = {
@@ -18,6 +23,7 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     val explainOnly = sys.env.contains("PROFILE_EXPLAIN_ONLY")
     if (explainOnly) {
+      spark.conf.set("spark.graft.lineageCut.disabled", "true")
       names.foreach { n =>
         println(s"===== PLAN $n")
         SparkEntry.queries(n)(spark, sfDir).explain("formatted")

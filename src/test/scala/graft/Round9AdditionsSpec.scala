@@ -189,7 +189,14 @@ class Round9AdditionsSpec extends AnyFunSuite {
 
   test("split_drift_psi: shares sum to 1, total is the bin sum, verdict matches") {
     val rows = operators.Pipeline.splitDriftPsi(spark, TestSpark.Sf).collect()
-    assert(rows.nonEmpty)
+    // the fixed histogram support: all 6 bins present even when empty,
+    // so the smoothed shares sum to 1 and no PSI term is dropped
+    assert(rows.length === 6, s"expected the fixed 6-bin support, got ${rows.length}")
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 50L, 100L, 200L, 400L, 800L))
+    val pctT = rows.map(r => BigDecimal(r.getDouble(3))).sum.toDouble
+    val pctV = rows.map(r => BigDecimal(r.getDouble(4))).sum.toDouble
+    assert(math.abs(pctT - 1.0) <= 6e-6 && math.abs(pctV - 1.0) <= 6e-6,
+      s"smoothed shares must sum to 1: train=$pctT val=$pctV")
     // Laplace-smoothed shares over the SAME 6-bin support sum to
     // (n_bins_present + …)/… — with all bins present they sum to 1
     val psiTotal = rows.head.getDouble(6)
@@ -213,6 +220,9 @@ class Round9AdditionsSpec extends AnyFunSuite {
     rows.foreach { r =>
       val (a, b) = (r.getString(0), r.getString(1))
       if (a != null && b != null) assert(a <= b, s"canonical order violated: $a > $b")
+      // NULL is canonicalized to source_b: source_a is NULL only when
+      // BOTH sides were unknown
+      if (a == null) assert(b == null, s"NULL in source_a beside non-NULL $b")
       val expect = if (a != null && a == b) "within" else "cross"
       assert(r.getString(3) === expect, s"scope at ($a, $b)")
     }
