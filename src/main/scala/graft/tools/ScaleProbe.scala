@@ -22,8 +22,13 @@ object ScaleProbe {
   // SCALE_ORDERS=1: replicate ONLY orders (the profile tier's sole
   // input) — a 100× orders_profile probe shouldn't build 100× lineitem
   private val OrdersMode = sys.env.get("SCALE_ORDERS").contains("1")
+  // SCALE_DOCS_ONLY=1: replicate ONLY documents/embeddings (the dedup/
+  // ANN tiers' sole inputs) at 1× everything else — a 300×-docs probe
+  // shouldn't pay for building 300× lineitem/orders/events
+  private val DocsOnlyMode = sys.env.get("SCALE_DOCS_ONLY").contains("1")
   private val Dest =
-    if (OrdersMode) s"/tmp/graft-scale-orders-x$Copies"
+    if (DocsOnlyMode) s"/tmp/graft-scale-docsonly-x$Copies"
+    else if (OrdersMode) s"/tmp/graft-scale-orders-x$Copies"
     else if (EventsMode)
       s"/tmp/graft-scale-events${if (SkewMode) "-skew" else ""}-x$Copies"
     else if (SkewMode) s"/tmp/graft-scale-skew-x$Copies"
@@ -52,9 +57,9 @@ object ScaleProbe {
       // distinct via partkey shift / event_id shift), so ~1% of keys
       // carry Copies× the rows of the rest: the hot-key distribution a
       // Zipf-tailed 100 TB workload has. Uniform mode shifts every key.
-      val commerceCopies = if (EventsMode || OrdersMode) 1 else Copies
-      val ordersCopies   = if (EventsMode) 1 else Copies
-      val eventsCopies   = if (OrdersMode) 1 else Copies
+      val commerceCopies = if (EventsMode || OrdersMode || DocsOnlyMode) 1 else Copies
+      val ordersCopies   = if (EventsMode || DocsOnlyMode) 1 else Copies
+      val eventsCopies   = if (OrdersMode || DocsOnlyMode) 1 else Copies
       val liReplicas = (0 until commerceCopies).map { i =>
         val li = Tables.lineitem(spark, Src)
         if (SkewMode && i > 0)
@@ -98,7 +103,7 @@ object ScaleProbe {
       // rows are near-dups of each other, which is exactly the shape a
       // duplicated 100 TB corpus has (and what makes exact all-pairs
       // methods blow up while the capped LSH paths stay bounded).
-      if (sys.env.get("SCALE_DOCS").contains("1")) {
+      if (sys.env.get("SCALE_DOCS").contains("1") || DocsOnlyMode) {
         val docReplicas = (0 until Copies).map { i =>
           Tables.documents(spark, Src)
             .withColumn("doc_id", col("doc_id") + lit(i * K))

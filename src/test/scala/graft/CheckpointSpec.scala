@@ -59,6 +59,19 @@ class CheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("lineageCut.disabled skips the cut entirely (construction stays lazy)") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.lineageCut.disabled", "true")
+    try {
+      val df  = (1 to 5).toDF("x").withColumn("y", col("x") + 1)
+      val cut = Ckpt.cut(df)
+      // the SAME frame comes back: no checkpoint/localCheckpoint node
+      // was introduced, so the logical plan is untouched
+      assert(cut.queryExecution.logical eq df.queryExecution.logical,
+        "disabled cut must return the input frame unchanged")
+    } finally spark.conf.unset("spark.graft.lineageCut.disabled")
+  }
+
   test("connected components + pagerank produce identical results under reliable checkpointing") {
     val ccLocal = operators.Dedup.dedupClusters(spark, sf).collect().toSeq
     val prLocal = operators.Graph.pagerankParts(spark, sf).collect().toSeq
