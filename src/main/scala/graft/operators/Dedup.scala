@@ -1459,7 +1459,109 @@ object Dedup {
        |GROUP BY dup_bucket
        |ORDER BY dup_bucket""".stripMargin
 
+  /** Cluster-cohesion audit: the trust-but-verify check on the star-edge
+    * CC clustering. Star edges buy linear candidate work (see
+    * dedupClustersMinhash) at a documented price — two docs can share a
+    * cluster through a hub without ever being verified against each
+    * other. This query prices that risk per cluster-size bucket from
+    * the verified PAIR set (dedup_minhash): how many clusters carry at
+    * least one verified pair edge, the mean of each cluster's WEAKEST
+    * edge (a low min similarity = chained cluster, a split candidate),
+    * and the mean pair density (verified edges / possible member
+    * pairs). Labels come from the STORED CC table; pair estimates are
+    * already 6-dp-rounded, and per-cluster means aggregate as exact
+    * DECIMAL sums — engine-portable end to end. Everything is
+    * cluster-keyed aggregation over pair-bounded frames; no new
+    * quadratic surface (the pair set itself is bucket-capped).
+    */
+  def clusterCohesion(spark: SparkSession, dir: String): DataFrame = {
+    val labels = dedupClustersMinhash(spark, dir) // (doc_id, cluster_id), stored
+    val sizes = labels
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    val edges = dedupMinhash(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id").as("ca")), "doc_a")
+      .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), "doc_b")
+      .filter(col("ca") === col("cb"))
+      .select(col("ca").as("cluster_id"), col("est_jaccard"))
+    val perCluster = edges
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_edges"), min(col("est_jaccard")).as("min_sim"))
+    val bucketed = sizes
+      .join(perCluster, Seq("cluster_id"), "left")
+      .select(
+        when(col("csize") === 2, "2")
+          .when(col("csize") <= 4, "3-4")
+          .when(col("csize") <= 8, "5-8")
+          .otherwise("9+").as("size_bucket"),
+        col("csize"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        col("min_sim"),
+        (coalesce(col("n_edges"), lit(0L)).cast("double") /
+          (col("csize") * (col("csize") - 1) / lit(2.0))).as("density"))
+    bucketed
+      .groupBy(col("size_bucket"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("n_edges") > 0, 1L).otherwise(0L)).as("n_cohesive"),
+        sum(col("n_edges")).as("n_edges"),
+        Det.fineSum(coalesce(col("min_sim"), lit(0.0))).as("sum_min_sim"),
+        Det.fineSum(col("density")).as("sum_density"))
+      .select(
+        col("size_bucket"), col("n_clusters"), col("n_cohesive"), col("n_edges"),
+        when(col("n_cohesive") === 0, lit(0.0))
+          .otherwise(Det.detRound(col("sum_min_sim") / col("n_cohesive"), 6))
+          .as("avg_min_sim"),
+        Det.detRound(col("sum_density") / col("n_clusters"), 6).as("avg_density"))
+      .orderBy(col("size_bucket"))
+  }
+
+  private val clusterCohesionSql =
+    s"""WITH assign AS (
+       |  SELECT doc_id, cluster_id FROM (
+       |${dedupClustersMinhashSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |), pairs AS (
+       |  SELECT doc_a, doc_b, est_jaccard FROM (
+       |${dedupMinhashSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |), sizes AS (
+       |  SELECT cluster_id, count(*) AS csize FROM assign GROUP BY cluster_id
+       |), edges AS (
+       |  SELECT la.cluster_id, p.est_jaccard
+       |  FROM pairs p
+       |  JOIN assign la ON p.doc_a = la.doc_id
+       |  JOIN assign lb ON p.doc_b = lb.doc_id
+       |  WHERE la.cluster_id = lb.cluster_id
+       |), per_cluster AS (
+       |  SELECT cluster_id, count(*) AS n_edges, min(est_jaccard) AS min_sim
+       |  FROM edges GROUP BY cluster_id
+       |), bucketed AS (
+       |  SELECT CASE WHEN s.csize = 2 THEN '2' WHEN s.csize <= 4 THEN '3-4'
+       |              WHEN s.csize <= 8 THEN '5-8' ELSE '9+' END AS size_bucket,
+       |         s.csize,
+       |         COALESCE(p.n_edges, 0) AS n_edges,
+       |         p.min_sim,
+       |         CAST(COALESCE(p.n_edges, 0) AS DOUBLE) / (s.csize * (s.csize - 1) / 2.0) AS density
+       |  FROM sizes s LEFT JOIN per_cluster p ON s.cluster_id = p.cluster_id
+       |)
+       |SELECT size_bucket,
+       |       count(*) AS n_clusters,
+       |       CAST(SUM(CASE WHEN n_edges > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cohesive,
+       |       CAST(SUM(n_edges) AS BIGINT) AS n_edges,
+       |       CASE WHEN SUM(CASE WHEN n_edges > 0 THEN 1 ELSE 0 END) = 0 THEN CAST(0 AS DOUBLE)
+       |            ELSE ${Det.roundSql(
+          "CAST(SUM(CAST(COALESCE(min_sim, 0.0) AS DECIMAL(30,10))) AS DOUBLE) / SUM(CASE WHEN n_edges > 0 THEN 1 ELSE 0 END)",
+          6)} END AS avg_min_sim,
+       |       ${Det.roundSql(
+          "CAST(SUM(CAST(density AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 6)} AS avg_density
+       |FROM bucketed
+       |GROUP BY size_bucket
+       |ORDER BY size_bucket""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "cluster_cohesion" -> QueryDef(clusterCohesion, Some(clusterCohesionSql)),
     "quality_vs_dup" -> QueryDef(qualityVsDup, Some(qualityVsDupSql)),
     "dedup_source_matrix" -> QueryDef(dedupSourceMatrix, Some(dedupSourceMatrixSql)),
     "lsh_band_sweep" -> QueryDef(lshBandSweep, Some(lshBandSweepSql)),

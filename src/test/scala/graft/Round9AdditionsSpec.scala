@@ -263,6 +263,26 @@ class Round9AdditionsSpec extends AnyFunSuite {
   private lazy val TestSparkEmbeddingRows =
     Tables.embeddings(spark, TestSpark.Sf).count()
 
+  test("cluster_cohesion: cluster mass conserved; ratios and densities bounded") {
+    val rows = operators.Dedup.clusterCohesion(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val nClusters = operators.Dedup.dedupClustersMinhash(spark, TestSpark.Sf)
+      .select("cluster_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum === nClusters,
+      "every cluster lands in exactly one size bucket")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "cohesive clusters bounded by total")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0, "avg_min_sim in [0,1]")
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0, "avg_density in [0,1]")
+      // verified pair estimates sit at or above the 0.5 verify threshold,
+      // so a cohesive bucket's mean weakest edge cannot be below
+      // 0.5 * (n_cohesive / n_clusters-proportional floor) — check the
+      // direct bound instead: min_sim >= 0.5 for every edge
+      if (r.getLong(2) === r.getLong(1) && r.getLong(2) > 0)
+        assert(r.getDouble(4) >= 0.5, "all-cohesive bucket mean weakest edge >= threshold")
+    }
+  }
+
   test("pack_fragmentation: docs and tokens are conserved; spans are feasible") {
     val rows = operators.TextNgrams.packFragmentation(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
