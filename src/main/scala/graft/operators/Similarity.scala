@@ -684,9 +684,20 @@ object Similarity {
     */
   private def trainCentroidsImpl(
       spark: SparkSession, dir: String,
+      k: Int, iters: Int): Seq[(Int, Seq[Double])] =
+    trainCentroidsOf(
+      spark,
+      corpus(spark, dir)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")),
+      k, iters)
+
+  /** The Lloyd loop over an arbitrary (vec_id, v: double[]) frame —
+    * factored so the incremental index trains on the BASE partition
+    * only (the stored quantizer must predate the delta it serves).
+    */
+  private def trainCentroidsOf(
+      spark: SparkSession, e: DataFrame,
       k: Int, iters: Int): Seq[(Int, Seq[Double])] = {
-    val e = corpus(spark, dir)
-      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     var cents: Seq[(Int, Seq[Double])] = e
       .filter(col("vec_id") < k)
       .orderBy(col("vec_id"))
@@ -736,21 +747,25 @@ object Similarity {
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
       s"list_transform(generate_series(1, len($v)), i -> ($v[i] - $c[i]) * ($v[i] - $c[i]))), (a, b) -> a + b)"
 
-  private def kmeansAssignCte(name: String, centsCte: String) =
+  private def kmeansAssignCte(name: String, centsCte: String, src: String = "e") =
     s"""$name AS (
        |  SELECT vec_id, v, cell, d2 FROM (
-       |    SELECT e.vec_id, e.v, c.cent_id AS cell, ${kmeansD2Sql("e.v", "c.cvec")} AS d2,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |             ORDER BY ${kmeansD2Sql("e.v", "c.cvec")} ASC, c.cent_id ASC) AS rk
-       |    FROM e CROSS JOIN $centsCte c
+       |    SELECT $src.vec_id, $src.v, c.cent_id AS cell, ${kmeansD2Sql(s"$src.v", "c.cvec")} AS d2,
+       |           row_number() OVER (PARTITION BY $src.vec_id
+       |             ORDER BY ${kmeansD2Sql(s"$src.v", "c.cvec")} ASC, c.cent_id ASC) AS rk
+       |    FROM $src CROSS JOIN $centsCte c
        |  ) WHERE rk = 1
        |)""".stripMargin
 
   /** Shared CTE chain of the kmeans/trained-IVF oracles: e (double
     * vectors), c0 (first-k seed), a1/c1 … a{iters}/c{iters} Lloyd
-    * steps. Terminal centroids live in CTE c{iters}.
+    * steps. Terminal centroids live in CTE c{iters}. `src` picks the
+    * training population (default the whole corpus; the incremental
+    * index trains on its base partition — seeds stay the first k of
+    * `src`).
     */
-  private def kmeansChainSql(k: Int, iters: Int): String = {
+  private def kmeansChainSql(
+      k: Int, iters: Int, src: String = "e", srcFilter: String = ""): String = {
     def centsCte(name: String, assignCteName: String) =
       s"""$name AS (
          |  SELECT cell AS cent_id, list(mean ORDER BY dim) AS cvec FROM (
@@ -761,12 +776,17 @@ object Similarity {
          |  ) GROUP BY cell
          |)""".stripMargin
     val chain = (1 to iters)
-      .flatMap(i => Seq(kmeansAssignCte(s"a$i", s"c${i - 1}"), centsCte(s"c$i", s"a$i")))
+      .flatMap(i => Seq(kmeansAssignCte(s"a$i", s"c${i - 1}", src), centsCte(s"c$i", s"a$i")))
       .mkString(",\n")
+    val srcDef =
+      if (src == "e") ""
+      else s"""
+              |), $src AS (
+              |  SELECT vec_id, v FROM e WHERE $srcFilter""".stripMargin
     s"""e AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings$srcDef
        |), c0 AS (
-       |  SELECT vec_id AS cent_id, v AS cvec FROM e WHERE vec_id < $k
+       |  SELECT vec_id AS cent_id, v AS cvec FROM $src WHERE vec_id < $k
        |),
        |$chain""".stripMargin
   }
@@ -1344,6 +1364,102 @@ object Similarity {
         col("sub").as("bsub"), col("cent_id"), col("cvec").as("cent_vec")))
   }
 
+  /** Incremental IVF index maintenance — the ANN sibling of
+    * dedup_incremental: the quantizer is trained ONCE on the BASE
+    * partition (vec_id % 10 < 8, the corpus that existed when the
+    * index was built) and persisted with the base cell assignments via
+    * DerivedCache; the delta (% 10 >= 8 — a later ingest batch) is
+    * assigned to the STORED centroids in one broadcast pass — NO
+    * retrain, no base rescan — and the serve probes cells over
+    * base ∪ delta. This is how a production vector store actually
+    * grows: per-batch cost ∝ delta, retrain deferred until drift
+    * warrants it (which ann_nprobe_curve / ann_recall price). Oracle:
+    * the base-restricted Lloyd chain + both assignments unrolled in
+    * SQL.
+    */
+  def annIvfIncremental(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val k = 8; val iters = 3
+    val rows = Tables.cachedCount(spark, dir, "embeddings")
+    val idx = graft.sources.DerivedCache.dir(
+      dir, "ann-ivf-base", s"rows=$rows;k=$k;iters=$iters") { out =>
+      import spark.implicits._
+      val baseE = corpus(spark, dir)
+        .filter(col("vec_id") % 10 < 8)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val cents = trainCentroidsOf(spark, baseE, k, iters)
+      writeStored(cents.toDF("cent_id", "cent_vec"), out, "cents", Nil)
+      writeStored(
+        kmeansAssign(spark, baseE, cents)
+          .join(corpus(spark, dir), "vec_id")
+          .select(col("vec_id"), col("embedding"), col("cell")),
+        out, "cells", Seq("cell"))
+      ()
+    }
+    import org.apache.spark.sql.types._
+    val centsDf = broadcast(spark.read
+      .schema(readStoredSchema(idx, "cents", StructType(Seq(
+        StructField("cent_id", IntegerType),
+        StructField("cent_vec", ArrayType(DoubleType))))))
+      .parquet(s"$idx/cents"))
+    val baseAssigned = spark.read
+      .schema(readStoredSchema(idx, "cells", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("cell", IntegerType)))))
+      .parquet(s"$idx/cells")
+    // the incremental step: delta vectors against the STORED quantizer
+    // (k·dim doubles — a bounded collect, the model-registry read)
+    val cents = centsDf
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .toSeq
+      .sortBy(_._1)
+    val deltaAssigned = kmeansAssign(
+      spark,
+      corpus(spark, dir)
+        .filter(col("vec_id") % 10 >= 8)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")),
+      cents)
+      .join(corpus(spark, dir), "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    ivfProbeRank(spark, dir, baseAssigned.unionByName(deltaAssigned), centsDf)
+  }
+
+  private val annIvfIncrementalSql = {
+    val iters = 3
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH ${kmeansChainSql(8, iters, src = "eb", srcFilter = "vec_id % 10 < 8")},
+       |ed AS (
+       |  SELECT vec_id, v FROM e WHERE vec_id % 10 >= 8
+       |),
+       |${kmeansAssignCte("assigned_base", s"c$iters", "eb")},
+       |${kmeansAssignCte("assigned_delta", s"c$iters", "ed")},
+       |assigned AS (
+       |  SELECT vec_id, v, cell FROM assigned_base
+       |  UNION ALL
+       |  SELECT vec_id, v, cell FROM assigned_delta
+       |),
+       |probed AS (
+       |  SELECT q_id, qv, cell FROM (
+       |    SELECT q.vec_id AS q_id, q.v AS qv, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${kmeansD2Sql("q.v", "c.cvec")} ASC, c.cent_id ASC) AS rk
+       |    FROM e q CROSS JOIN c$iters c WHERE q.vec_id < $NumQueries
+       |  ) WHERE rk <= 2
+       |), scored AS (
+       |  SELECT p.q_id, a.vec_id AS neighbor_id,
+       |         ${r6("list_cosine_similarity(p.qv, a.v)")} AS cos
+       |  FROM assigned a JOIN probed p ON a.cell = p.cell
+       |  WHERE a.vec_id != p.q_id
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM scored
+       |)
+       |SELECT q_id, neighbor_id, cos, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   /** IVF nprobe tuning curve — the ANN-side sibling of lsh_band_sweep
     * and minhash_k_curve: for nprobe ∈ {1,2,4} probed cells (same
     * fixed 16-cell quantizer and tie-break conventions as ann_ivf, so
@@ -1467,6 +1583,7 @@ object Similarity {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "ann_ivf_incremental" -> QueryDef(annIvfIncremental, Some(annIvfIncrementalSql)),
     "ann_nprobe_curve"  -> QueryDef(annNprobeCurve, Some(annNprobeCurveSql)),
     "semantic_dedup"    -> QueryDef(semanticDedup, Some(semanticDedupSql)),
     "ann_recall"        -> QueryDef(annRecall, Some(annRecallSql)),

@@ -283,6 +283,23 @@ class Round9AdditionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_ivf_incremental: stable serve over the stored base index plus delta") {
+    val r1 = operators.Similarity.annIvfIncremental(spark, TestSpark.Sf).collect()
+    assert(r1.nonEmpty)
+    r1.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq,
+        s"query $q ranks must be 1..k")
+      rows.foreach(r => assert(r.getLong(1) != q, "self-match excluded"))
+      val byRank = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"query $q cosine not non-increasing down the ranks")
+    }
+    // second run serves from the SAME stored index — bit-identical
+    val r2 = operators.Similarity.annIvfIncremental(spark, TestSpark.Sf).collect()
+    assert(r1.map(_.toString).toSeq == r2.map(_.toString).toSeq,
+      "stored-index serve must be deterministic across runs")
+  }
+
   test("pack_fragmentation: docs and tokens are conserved; spans are feasible") {
     val rows = operators.TextNgrams.packFragmentation(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
