@@ -1582,7 +1582,87 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  /** kNN label-propagation evaluation — the semi-supervised bootstrap
+    * a quality/topic classifier starts from (label a seed set, predict
+    * the rest from embedding neighbors), graded on a deterministic
+    * hold-out: vectors with vec_id % 10 = 0 have their labels hidden,
+    * each is predicted by majority vote of its ≤3 nearest LABELED
+    * neighbors (labeled = the other 90%, NULL labels excluded) among
+    * the LSH-bucketed candidates, and per-true-label accuracy is
+    * reported. Every stage is bounded: candidates come from the capped
+    * LSH buckets (never all-pairs), per-eval neighbors cap at 3, votes
+    * at 3 rows per eval vector. Ties break deterministically — by
+    * (cos, nid) for neighbors, (count, label) for votes — mirrored in
+    * the oracle. Evaluation vectors with zero labeled candidates drop
+    * out (uncovered — the LSH recall story belongs to ann_recall).
+    */
+  def embeddingKnnEval(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshScoredPairs(spark, dir)
+    val lbl   = corpus(spark, dir).select(col("vec_id"), col("label"))
+    val sym = pairs
+      .select(col("vec_a").as("eid"), col("vec_b").as("nid"), col("cos"))
+      .unionAll(pairs.select(col("vec_b").as("eid"), col("vec_a").as("nid"), col("cos")))
+    val cand = sym
+      .filter(col("eid") % 10 === 0 && col("nid") % 10 =!= 0)
+      .join(lbl.select(col("vec_id").as("nid"), col("label").as("nlbl")), "nid")
+      .filter(col("nlbl").isNotNull)
+    val wK = Window.partitionBy(col("eid")).orderBy(desc("cos"), asc("nid"))
+    val votes = cand
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= 3)
+      .groupBy(col("eid"), col("nlbl"))
+      .agg(count(lit(1)).as("cnt"))
+    val wV = Window.partitionBy(col("eid")).orderBy(desc("cnt"), asc("nlbl"))
+    val pred = votes
+      .withColumn("rv", row_number().over(wV))
+      .filter(col("rv") === 1)
+      .select(col("eid"), col("nlbl").as("pred"))
+    pred
+      .join(lbl.select(col("vec_id").as("eid"), col("label").as("true_label")), "eid")
+      .groupBy(col("true_label"))
+      .agg(
+        count(lit(1)).as("n_eval"),
+        sum(when(col("pred") === col("true_label"), 1L).otherwise(0L)).as("n_correct"))
+      .select(
+        col("true_label"), col("n_eval"), col("n_correct"),
+        Det.detRound(col("n_correct").cast("double") / col("n_eval"), 6).as("accuracy"))
+      .orderBy(asc_nulls_last("true_label"))
+  }
+
+  private val embeddingKnnEvalSql =
+    s"""WITH $lshPairsSqlChain,
+       |sym AS (
+       |  SELECT vec_a AS eid, vec_b AS nid, cos FROM lscored
+       |  UNION ALL
+       |  SELECT vec_b AS eid, vec_a AS nid, cos FROM lscored
+       |), cand AS (
+       |  SELECT s.eid, s.nid, s.cos, en.label AS nlbl
+       |  FROM sym s JOIN embeddings en ON s.nid = en.vec_id
+       |  WHERE s.eid % 10 = 0 AND s.nid % 10 != 0 AND en.label IS NOT NULL
+       |), votes AS (
+       |  SELECT eid, nlbl, count(*) AS cnt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY eid ORDER BY cos DESC, nid) AS rk
+       |    FROM cand
+       |  ) WHERE rk <= 3
+       |  GROUP BY eid, nlbl
+       |), pred AS (
+       |  SELECT eid, nlbl AS pred FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY eid ORDER BY cnt DESC, nlbl) AS rv
+       |    FROM votes
+       |  ) WHERE rv = 1
+       |)
+       |SELECT ev.label AS true_label,
+       |       count(*) AS n_eval,
+       |       CAST(SUM(CASE WHEN p.pred = ev.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       ${Det.roundSql(
+          "CAST(SUM(CASE WHEN p.pred = ev.label THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+          6)} AS accuracy
+       |FROM pred p JOIN embeddings ev ON p.eid = ev.vec_id
+       |GROUP BY ev.label
+       |ORDER BY true_label""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "embedding_knn_eval" -> QueryDef(embeddingKnnEval, Some(embeddingKnnEvalSql)),
     "ann_ivf_incremental" -> QueryDef(annIvfIncremental, Some(annIvfIncrementalSql)),
     "ann_nprobe_curve"  -> QueryDef(annNprobeCurve, Some(annNprobeCurveSql)),
     "semantic_dedup"    -> QueryDef(semanticDedup, Some(semanticDedupSql)),

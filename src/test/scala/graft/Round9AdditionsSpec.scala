@@ -300,6 +300,21 @@ class Round9AdditionsSpec extends AnyFunSuite {
       "stored-index serve must be deterministic across runs")
   }
 
+  test("embedding_knn_eval: counts and accuracies bounded; eval set respected") {
+    val rows = operators.Similarity.embeddingKnnEval(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_correct bounded by n_eval")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "accuracy in range")
+    }
+    // evaluated vectors are exactly a subset of the held-out tenth
+    val nEval = rows.map(_.getLong(1)).sum
+    val heldOut = Tables.embeddings(spark, TestSpark.Sf)
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(nEval <= heldOut, "cannot evaluate more vectors than were held out")
+    assert(nEval > 0, "LSH candidates must cover at least one held-out vector")
+  }
+
   test("pack_fragmentation: docs and tokens are conserved; spans are feasible") {
     val rows = operators.TextNgrams.packFragmentation(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
