@@ -1661,7 +1661,83 @@ object Similarity {
        |GROUP BY ev.label
        |ORDER BY true_label""".stripMargin
 
+  /** Label-noise report — the confident-learning-style audit over the
+    * labeled set itself (embedding_knn_eval grades a classifier; this
+    * flags the TRAINING LABELS): a labeled vector whose ≤3-nearest
+    * labeled neighbors (self excluded) majority-vote a DIFFERENT label
+    * is a mislabel candidate — the rows a curation pass re-annotates
+    * or drops before training a quality/topic classifier. Same bounded
+    * LSH candidate machinery and tie-breaks as the eval twin; vectors
+    * with no labeled candidates drop out (uncovered). Output:
+    * per-label flag rates, the view that says WHICH classes are
+    * noisy.
+    */
+  def labelNoiseReport(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshScoredPairs(spark, dir)
+    val lbl   = corpus(spark, dir).select(col("vec_id"), col("label"))
+    val sym = pairs
+      .select(col("vec_a").as("eid"), col("vec_b").as("nid"), col("cos"))
+      .unionAll(pairs.select(col("vec_b").as("eid"), col("vec_a").as("nid"), col("cos")))
+    val cand = sym
+      .join(lbl.select(col("vec_id").as("eid"), col("label").as("self_lbl")), "eid")
+      .join(lbl.select(col("vec_id").as("nid"), col("label").as("nlbl")), "nid")
+      .filter(col("self_lbl").isNotNull && col("nlbl").isNotNull)
+    val wK = Window.partitionBy(col("eid")).orderBy(desc("cos"), asc("nid"))
+    val votes = cand
+      .withColumn("rk", row_number().over(wK))
+      .filter(col("rk") <= 3)
+      .groupBy(col("eid"), col("self_lbl"), col("nlbl"))
+      .agg(count(lit(1)).as("cnt"))
+    val wV = Window.partitionBy(col("eid")).orderBy(desc("cnt"), asc("nlbl"))
+    votes
+      .withColumn("rv", row_number().over(wV))
+      .filter(col("rv") === 1)
+      .groupBy(col("self_lbl").as("label"))
+      .agg(
+        count(lit(1)).as("n_checked"),
+        sum(when(col("nlbl") =!= col("self_lbl"), 1L).otherwise(0L)).as("n_flagged"))
+      .select(
+        col("label"), col("n_checked"), col("n_flagged"),
+        Det.detRound(col("n_flagged").cast("double") / col("n_checked"), 6).as("flag_rate"))
+      .orderBy(asc_nulls_last("label"))
+  }
+
+  private val labelNoiseReportSql =
+    s"""WITH $lshPairsSqlChain,
+       |sym AS (
+       |  SELECT vec_a AS eid, vec_b AS nid, cos FROM lscored
+       |  UNION ALL
+       |  SELECT vec_b AS eid, vec_a AS nid, cos FROM lscored
+       |), cand AS (
+       |  SELECT s.eid, s.nid, s.cos, es.label AS self_lbl, en.label AS nlbl
+       |  FROM sym s
+       |  JOIN embeddings es ON s.eid = es.vec_id
+       |  JOIN embeddings en ON s.nid = en.vec_id
+       |  WHERE es.label IS NOT NULL AND en.label IS NOT NULL
+       |), votes AS (
+       |  SELECT eid, self_lbl, nlbl, count(*) AS cnt FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY eid ORDER BY cos DESC, nid) AS rk
+       |    FROM cand
+       |  ) WHERE rk <= 3
+       |  GROUP BY eid, self_lbl, nlbl
+       |), verdicts AS (
+       |  SELECT eid, self_lbl, nlbl FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY eid ORDER BY cnt DESC, nlbl) AS rv
+       |    FROM votes
+       |  ) WHERE rv = 1
+       |)
+       |SELECT self_lbl AS label,
+       |       count(*) AS n_checked,
+       |       CAST(SUM(CASE WHEN nlbl != self_lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |       ${Det.roundSql(
+          "CAST(SUM(CASE WHEN nlbl != self_lbl THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+          6)} AS flag_rate
+       |FROM verdicts
+       |GROUP BY self_lbl
+       |ORDER BY label""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "label_noise_report" -> QueryDef(labelNoiseReport, Some(labelNoiseReportSql)),
     "embedding_knn_eval" -> QueryDef(embeddingKnnEval, Some(embeddingKnnEvalSql)),
     "ann_ivf_incremental" -> QueryDef(annIvfIncremental, Some(annIvfIncrementalSql)),
     "ann_nprobe_curve"  -> QueryDef(annNprobeCurve, Some(annNprobeCurveSql)),

@@ -315,6 +315,19 @@ class Round9AdditionsSpec extends AnyFunSuite {
     assert(nEval > 0, "LSH candidates must cover at least one held-out vector")
   }
 
+  test("label_noise_report: rates bounded; self never votes for itself") {
+    val rows = operators.Similarity.labelNoiseReport(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val labeled = Tables.embeddings(spark, TestSpark.Sf)
+      .filter(col("label").isNotNull).count()
+    assert(rows.map(_.getLong(1)).sum <= labeled,
+      "cannot check more vectors than carry labels")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "flags bounded by checked")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, "flag_rate in range")
+    }
+  }
+
   test("pack_fragmentation: docs and tokens are conserved; spans are feasible") {
     val rows = operators.TextNgrams.packFragmentation(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
