@@ -417,7 +417,122 @@ object Multimodal {
        |FROM tiles
        |ORDER BY doc_id, tile_y, tile_x""".stripMargin
 
+  final case class PHashRow(doc_id: Long, hi: Long, lo: Long)
+
+  /** Perceptual image dedup (aHash + banded Hamming join) — the
+    * multimodal leg of the dedup family: every BMP payload is REALLY
+    * decoded and resized to the 8×8 thumbnail, the average hash sets
+    * bit j when thumb_j ≥ mean (compared as v·64 ≥ Σv — integer
+    * arithmetic, no float-rounding seam), and near-duplicate candidate
+    * pairs come from a simhash-style 4×16-bit band join over the
+    * 64-bit hash (size-capped posting lists — never all-pairs). Output
+    * is the Hamming-distance histogram of the candidate pairs: the
+    * '0' bin counts perceptual exact-dups, low bins near-dups — the
+    * view that sizes an image-dedup pass before it runs. Oracle:
+    * DuckDB recomputes pixels from the synthesis formula through the
+    * SAME resize index arithmetic, hash bits, bands and XOR popcounts
+    * — encoder, decoder, hash and blocking all have to agree.
+    */
+  def imageDedupPhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val side = 8
+    val hashes = mediaBinaryTable(spark, dir, kind = Some("bmp"))
+      .mapPartitions(_.map { row =>
+        val (w, h, px) = MediaCodec.decodeBmpPixels(row.content)
+        val thumb      = MediaCodec.resizeNearest(w, h, px, side, side)
+        var sum = 0L
+        var j   = 0
+        while (j < thumb.length) { sum += thumb(j); j += 1 }
+        var hi = 0L; var lo = 0L
+        j = 0
+        while (j < thumb.length) {
+          if (thumb(j).toLong * thumb.length >= sum) {
+            if (j < 32) lo |= (1L << j) else hi |= (1L << (j - 32))
+          }
+          j += 1
+        }
+        PHashRow(row.doc_id, hi, lo)
+      })
+      .toDF()
+    val bands = hashes.select(
+      col("doc_id"), col("hi"), col("lo"),
+      explode(expr(
+        """transform(sequence(0, 3), b -> struct(b AS band,
+          |  CASE WHEN b = 0 THEN lo & 65535
+          |       WHEN b = 1 THEN shiftright(lo, 16) & 65535
+          |       WHEN b = 2 THEN hi & 65535
+          |       ELSE shiftright(hi, 16) & 65535 END AS bh))""".stripMargin)).as("l"))
+      .select(col("doc_id"), col("l.band"), col("l.bh"))
+    val candidates = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 200).as("ids"))
+      .select(posexplode(col("ids")).as(Seq("i", "doc_a")), col("ids"))
+      .select(col("doc_a"), explode(expr("slice(ids, i + 2, size(ids))")).as("doc_b"))
+      .distinct()
+    val ha = hashes.select(col("doc_id").as("doc_a"), col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val hb = hashes.select(col("doc_id").as("doc_b"), col("hi").as("hi_b"), col("lo").as("lo_b"))
+    candidates
+      .join(ha, "doc_a")
+      .join(hb, "doc_b")
+      .select(
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("long").as("hamming"))
+      .select(
+        when(col("hamming") === 0, "0_exact")
+          .when(col("hamming") <= 8, "1-8_near")
+          .when(col("hamming") <= 16, "9-16_weak")
+          .otherwise("17+_far").as("hamming_bin"))
+      .groupBy(col("hamming_bin"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("hamming_bin"))
+  }
+
+  private val imageDedupPhashSql =
+    s"""WITH bmp AS (
+       |  SELECT doc_id, doc_id % 21 + 2 AS w, doc_id % 13 + 2 AS h
+       |  FROM documents WHERE doc_id % 2 = 0
+       |), px AS (
+       |  SELECT b.doc_id, t.j,
+       |         (b.doc_id * 31
+       |          + ((((t.j // 8) * b.h) // 8) * b.w + (((t.j % 8) * b.w) // 8)) * 7) % 256 AS v
+       |  FROM bmp b, unnest(generate_series(0, 63)) AS t(j)
+       |), tot AS (
+       |  SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id
+       |), hashes AS (
+       |  SELECT p.doc_id,
+       |         CAST(SUM(CASE WHEN p.j >= 32 AND p.v * 64 >= t.s THEN 1::BIGINT << (p.j - 32) ELSE 0 END) AS BIGINT) AS hi,
+       |         CAST(SUM(CASE WHEN p.j < 32 AND p.v * 64 >= t.s THEN 1::BIGINT << p.j ELSE 0 END) AS BIGINT) AS lo
+       |  FROM px p JOIN tot t USING (doc_id)
+       |  GROUP BY p.doc_id
+       |), bands AS (
+       |  SELECT doc_id, b.band,
+       |         CASE WHEN b.band = 0 THEN lo & 65535
+       |              WHEN b.band = 1 THEN (lo >> 16) & 65535
+       |              WHEN b.band = 2 THEN hi & 65535
+       |              ELSE (hi >> 16) & 65535 END AS bh
+       |  FROM hashes, (SELECT unnest(generate_series(0, 3)) AS band) b
+       |), buck AS (
+       |  SELECT band, bh, list_slice(list_sort(list(doc_id)), 1, 200) AS ids
+       |  FROM bands GROUP BY band, bh
+       |), cand AS (
+       |  SELECT DISTINCT a.x AS doc_a, b.x AS doc_b
+       |  FROM buck, unnest(ids) AS a(x), unnest(ids) AS b(x)
+       |  WHERE a.x < b.x
+       |), ham AS (
+       |  SELECT bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo)) AS hamming
+       |  FROM cand c
+       |  JOIN hashes ha ON c.doc_a = ha.doc_id
+       |  JOIN hashes hb ON c.doc_b = hb.doc_id
+       |)
+       |SELECT CASE WHEN hamming = 0 THEN '0_exact' WHEN hamming <= 8 THEN '1-8_near'
+       |            WHEN hamming <= 16 THEN '9-16_weak' ELSE '17+_far' END AS hamming_bin,
+       |       count(*) AS n_pairs
+       |FROM ham
+       |GROUP BY 1
+       |ORDER BY hamming_bin""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "image_dedup_phash"    -> QueryDef(imageDedupPhash, Some(imageDedupPhashSql)),
     "image_tile_stats"     -> QueryDef(imageTileStats, Some(imageTileStatsSql)),
     "audio_energy_windows" -> QueryDef(audioEnergyWindows, Some(audioEnergyWindowsSql)),
     "multimodal_features" -> QueryDef(multimodalFeatures, Some(multimodalFeaturesSql)),

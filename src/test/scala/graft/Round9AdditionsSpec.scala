@@ -328,6 +328,16 @@ class Round9AdditionsSpec extends AnyFunSuite {
     }
   }
 
+  test("image_dedup_phash: candidate pairs binned; identical thumbs land in 0_exact") {
+    val rows = graft.multimodal.Multimodal.imageDedupPhash(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) > 0, "emitted bins carry pairs"))
+    // every candidate pair shares a 16-bit band, so hamming <= 48 always:
+    // the 17+ bin may exist but a band-collision pair can't flip all bits
+    val bins = rows.map(_.getString(0)).toSet
+    assert(bins.subsetOf(Set("0_exact", "1-8_near", "9-16_weak", "17+_far")))
+  }
+
   test("pack_fragmentation: docs and tokens are conserved; spans are feasible") {
     val rows = operators.TextNgrams.packFragmentation(spark, TestSpark.Sf).collect()
     assert(rows.nonEmpty)
