@@ -38,9 +38,21 @@ object Bench {
       sfDir: String,
       fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): String =
     try {
-      val plan = fn(spark, sfDir)
-        .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
-        .queryExecution.executedPlan.toString
+      // lineage cuts OFF while building: Ckpt.cut is EAGER, so a naive
+      // plan-only build would re-execute the heavy stages of every
+      // iterative/dedup query once per repeat just to hash its plan.
+      // The uncut tree is also the more informative fingerprint (the
+      // full operator structure, not a checkpoint scan stub).
+      val prev = spark.conf.getOption("spark.graft.lineageCut.disabled")
+      spark.conf.set("spark.graft.lineageCut.disabled", "true")
+      val plan =
+        try fn(spark, sfDir)
+          .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+          .queryExecution.executedPlan.toString
+        finally prev match {
+          case Some(v) => spark.conf.set("spark.graft.lineageCut.disabled", v)
+          case None    => spark.conf.unset("spark.graft.lineageCut.disabled")
+        }
       val norm = plan
         .replaceAll("#\\d+", "#x")
         .replaceAll("plan_id=\\d+", "plan_id=x")

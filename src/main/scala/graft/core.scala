@@ -179,16 +179,19 @@ object Tables {
   * is on, else left for the job owner's dir hygiene.
   */
 object Ckpt {
-  /** The last `spark.graft.checkpoint.dir` value this helper applied to
-    * the SparkContext. setCheckpointDir appends a UUID subdir, so the
-    * context's dir can't be compared back to the conf value directly —
-    * tracking what we applied lets a conf CHANGE re-point the context
-    * and a conf UNSET fall back to local (while a dir the USER set via
-    * setCheckpointDir / spark.checkpoint.dir, never through our conf,
-    * keeps being honored).
+  /** What this helper last applied, PER SparkContext (conf value is
+    * session-scoped while setCheckpointDir is context-global, so a
+    * JVM-global scalar mis-attributes across sessions/contexts). Value =
+    * (conf dir we applied, the context dir that resulted) —
+    * setCheckpointDir appends a UUID subdir, so recording the RESULT is
+    * what lets a later call tell OUR stale dir from one the user set
+    * themselves: after a conf set→unset cycle the context still points
+    * at our UUID dir (→ fall back to local), but any user
+    * `setCheckpointDir` mints a new UUID dir (→ honored, reliable).
+    * Weak keys so a stopped context doesn't pin the entry.
     */
-  private val applied =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val applied = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, (String, String)])
 
   def cut(df: DataFrame, eager: Boolean = true): DataFrame = {
     val spark = df.sparkSession
@@ -205,13 +208,21 @@ object Ckpt {
     if (!enabled) return df.localCheckpoint(eager)
     confOpt(spark, "spark.graft.checkpoint.dir") match {
       case Some(d) =>
-        if (applied.getAndSet(d) != d || sc.getCheckpointDir.isEmpty)
+        val prev = applied.get(sc)
+        if (prev == null || prev._1 != d || sc.getCheckpointDir.isEmpty) {
           sc.setCheckpointDir(d)
+          applied.put(sc, (d, sc.getCheckpointDir.orNull))
+        }
         df.checkpoint(eager)
       case None =>
-        if (sc.getCheckpointDir.isDefined && applied.get == null)
-          df.checkpoint(eager)
-        else df.localCheckpoint(eager)
+        val prev = applied.get(sc)
+        sc.getCheckpointDir match {
+          case Some(cur) if prev == null || prev._2 != cur =>
+            // a dir the user set (never through our conf, or re-pointed
+            // after our conf was unset) — honor it
+            df.checkpoint(eager)
+          case _ => df.localCheckpoint(eager)
+        }
     }
   }
 

@@ -40,6 +40,7 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
     * "hash too large, ignore" case instead of the naive sort-per-row.
     */
   override def reduce(buf: Array[Long], x: Long): Array[Long] = {
+    if (x == KmvDistinct.NullSentinel) return buf
     val h = hash(x)
     if (buf.length == k && h >= buf(buf.length - 1)) return buf
     val pos = java.util.Arrays.binarySearch(buf, h)
@@ -68,6 +69,15 @@ class KmvDistinct(k: Int) extends Aggregator[Long, Array[Long], Double] {
 object KmvDistinct {
   /** 2^60 as an exact double — md5h60 draws uniformly from [0, 2^60). */
   val HashRange: Double = 1152921504606846976L.toDouble
+
+  /** Reduce-side skip marker: callers that must NOT count SQL NULL as a
+    * distinct value coalesce the (nullable) input to this sentinel, which
+    * `reduce` ignores — matching `countDistinct`'s NULL-exclusion so the
+    * routed sketch profile and the exact profile agree on nullable
+    * columns. Safe because every caller feeds either md5-h60 hashes
+    * (∈ [0, 2^60)) or synthetic ids, none of which is Long.MinValue.
+    */
+  val NullSentinel: Long = Long.MinValue
 
   /** Untyped DataFrame form: `df.agg(KmvDistinct.udf(64)(col("x")))`. */
   def udf(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =

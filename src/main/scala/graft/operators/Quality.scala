@@ -38,9 +38,9 @@ object Quality {
     * mergeable KMV estimate over a canonical per-type serialization —
     * the same single-pass shape with NO Expand and k·|columns| longs of
     * aggregate state regardless of table size (nulls/min/max stay
-    * exact; the NDV estimate counts NULL as one value, within sketch
-    * error). This is the plan the row-cap routing below selects at
-    * 100 TB.
+    * exact; NULLs are excluded from the NDV estimate exactly as
+    * countDistinct excludes them on the exact path). This is the plan
+    * the row-cap routing below selects at 100 TB.
     */
   def tableProfile(df: DataFrame, exactDistinct: Boolean = true): DataFrame = {
     val fields = df.schema.fields.toSeq
@@ -55,11 +55,15 @@ object Quality {
     def distinctOf(f: StructField): Column =
       if (exactDistinct) countDistinct(col(f.name)).as(s"${f.name}__nd")
       else
+        // NULL values route to the sketch's skip sentinel so the routed
+        // NDV matches the exact path's countDistinct NULL-exclusion (an
+        // all-NULL column profiles as 0 on both paths); the outer
         // coalesce pins non-nullability so the routed schema is
         // field-for-field identical to the exact profile's
         coalesce(
-          round(kmv(
-            Det.md5h60Col(coalesce(serOf(f), lit("<null>"))).cast("long")))
+          round(kmv(coalesce(
+            Det.md5h60Col(serOf(f)).cast("long"),
+            lit(graft.functions.KmvDistinct.NullSentinel))))
             .cast("long"),
           lit(0L)).as(s"${f.name}__nd")
     def minMax(f: StructField): Seq[Column] = f.dataType match {

@@ -152,10 +152,12 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
       Some(SQLConf.get.sessionLocalTimeZone))
   }
 
-  /** True iff the interval's bin span (same b1/b2 as [[binSeq]],
-    * including the saturating widen) fits within `cap` bins.
+  /** True iff the interval's bin SEQUENCE (same b1/b2 as [[binSeq]],
+    * including the saturating widen) has at most `cap` elements —
+    * `bMax - bMin + 1 <= cap`, i.e. `bMax - cap < bMin` — so
+    * `maxBinsPerRow=N` really bounds the materialized array length at N.
     * Overflow-proof: `bMax - cap` is only evaluated when it cannot
-    * underflow; when it would, the span is necessarily below the cap.
+    * underflow; when it would, `bMax - bMin < cap` holds necessarily.
     */
   private def fitsCap(
       lo: Expression, hi: Expression, k: Long, w: Long, cap: Long): Expression = {
@@ -174,7 +176,7 @@ object IntervalJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     val bMax = Greatest(Seq(b1, b2))
     If(
       GreaterThanOrEqual(bMax, Literal(Long.MinValue + cap)),
-      LessThanOrEqual(Subtract(bMax, Literal(cap)), bMin),
+      LessThan(Subtract(bMax, Literal(cap)), bMin),
       Literal(true))
   }
 
