@@ -187,6 +187,103 @@ object MediaCodec {
     out
   }
 
+  /** Average hash (aHash) of an image: 8×8 nearest-neighbor thumbnail,
+    * bit j set when thumb_j ≥ mean — compared as v·64 ≥ Σv, pure integer
+    * arithmetic, so there is no float-rounding seam to diverge from a
+    * SQL oracle. Cheap but FRAGILE under clamped brightness/contrast
+    * shifts (saturation moves the mean relative to mid pixels);
+    * [[phash64]] is the robust production hash — aHash is kept as the
+    * comparison baseline MultimodalSpec grades pHash against.
+    */
+  def ahash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val t = resizeNearest(w, h, px, 8, 8)
+    var sum = 0L
+    var j   = 0
+    while (j < t.length) { sum += t(j); j += 1 }
+    var bits = 0L
+    j = 0
+    while (j < t.length) {
+      if (t(j).toLong * 64 >= sum) bits |= (1L << j)
+      j += 1
+    }
+    bits
+  }
+
+  /** DCT bin width for [[phash64]]: cos(π(2x+1)u/32)·2^14 rounded to the
+    * nearest long, u ∈ [0,8) (the low-frequency block), x ∈ [0,16) (the
+    * thumbnail axis). The FIXED-POINT table — not a runtime cos() — is
+    * what makes the hash bit-exact across engines: the DuckDB oracle
+    * receives these exact integers as a VALUES literal, so both sides
+    * run the identical all-integer DCT with zero float seams.
+    */
+  val PhashCos: Array[Array[Long]] =
+    Array.tabulate(8, 16)((u, x) =>
+      math.round(math.cos(math.Pi * (2 * x + 1) * u / 32.0) * 16384.0))
+
+  /** Perceptual DCT hash (pHash): 16×16 thumbnail → exact integer 2-D
+    * DCT-II (two separable passes over [[PhashCos]]) → the 8×8
+    * low-frequency block minus the DC term (63 coefficients) → bit
+    * j=u·8+v set when the coefficient exceeds the block median (the
+    * 32nd-smallest of the 63, so bit 0 is always clear). Sign-vs-median
+    * of low-frequency structure survives the clamped brightness shifts
+    * that flip aHash's mean comparisons, which is why image dedup ships
+    * on this hash. Overflow-safe by construction: |pass1| ≤
+    * 255·2^14·16 < 2^27, |pass2| ≤ 2^27·2^14·16 < 2^55.
+    */
+  def phash64(w: Int, h: Int, px: Array[Int]): Long = {
+    val t = resizeNearest(w, h, px, 16, 16)
+    // pass 1: per row y, frequency u over x
+    val f1 = Array.ofDim[Long](16, 8)
+    var y = 0
+    while (y < 16) {
+      var u = 0
+      while (u < 8) {
+        var s = 0L
+        var x = 0
+        while (x < 16) { s += t(y * 16 + x) * PhashCos(u)(x); x += 1 }
+        f1(y)(u) = s
+        u += 1
+      }
+      y += 1
+    }
+    // pass 2: per (u, v), frequency v over y; skip DC (0,0)
+    val coeffs = new Array[Long](63)
+    var u = 0
+    var i = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var s  = 0L
+          var yy = 0
+          while (yy < 16) { s += f1(yy)(u) * PhashCos(v)(yy); yy += 1 }
+          coeffs(i) = s
+          i += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coeffs.clone()
+    java.util.Arrays.sort(sorted)
+    val med  = sorted(31) // 32nd smallest of 63 — the discrete median
+    var bits = 0L
+    u = 0
+    i = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          if (coeffs(i) > med) bits |= (1L << (u * 8 + v))
+          i += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    bits
+  }
+
   /** Chunk walk shared by the WAV stat and sample decoders: validates
     * the fmt chunk (PCM, mono, 16-bit) and returns the data chunk's
     * (offset, byte length).

@@ -419,39 +419,34 @@ object Multimodal {
 
   final case class PHashRow(doc_id: Long, hi: Long, lo: Long)
 
-  /** Perceptual image dedup (aHash + banded Hamming join) — the
+  /** Perceptual image dedup (DCT pHash + banded Hamming join) — the
     * multimodal leg of the dedup family: every BMP payload is REALLY
-    * decoded and resized to the 8×8 thumbnail, the average hash sets
-    * bit j when thumb_j ≥ mean (compared as v·64 ≥ Σv — integer
-    * arithmetic, no float-rounding seam), and near-duplicate candidate
-    * pairs come from a simhash-style 4×16-bit band join over the
-    * 64-bit hash (size-capped posting lists — never all-pairs). Output
-    * is the Hamming-distance histogram of the candidate pairs: the
-    * '0' bin counts perceptual exact-dups, low bins near-dups — the
-    * view that sizes an image-dedup pass before it runs. Oracle:
-    * DuckDB recomputes pixels from the synthesis formula through the
-    * SAME resize index arithmetic, hash bits, bands and XOR popcounts
-    * — encoder, decoder, hash and blocking all have to agree.
+    * decoded, thumbnailed to 16×16, put through an exact integer 2-D
+    * DCT ([[MediaCodec.phash64]]: fixed-point cosine table, two
+    * separable passes, no float seam), and hashed as
+    * coefficient-vs-median of the 63 low-frequency terms — the hash
+    * that survives the clamped brightness/contrast shifts that flip
+    * aHash's mean comparisons (MultimodalSpec proves the separation on
+    * a crafted shifted duplicate). Near-duplicate candidate pairs come
+    * from a simhash-style 4×16-bit band join over the 64-bit hash
+    * (size-capped posting lists — never all-pairs). Output is the
+    * Hamming-distance histogram of the candidate pairs (zero-padded
+    * bin labels so the report reads in distance order): the '00' bin
+    * counts perceptual exact-dups, low bins near-dups — the view that
+    * sizes an image-dedup pass before it runs. Oracle: DuckDB
+    * recomputes pixels from the synthesis formula through the SAME
+    * resize index arithmetic, the SAME integer cosine table (shipped
+    * into the SQL as a VALUES literal), median, hash bits, bands and
+    * XOR popcounts — encoder, decoder, DCT, hash and blocking all have
+    * to agree.
     */
   def imageDedupPhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val side = 8
     val hashes = mediaBinaryTable(spark, dir, kind = Some("bmp"))
       .mapPartitions(_.map { row =>
         val (w, h, px) = MediaCodec.decodeBmpPixels(row.content)
-        val thumb      = MediaCodec.resizeNearest(w, h, px, side, side)
-        var sum = 0L
-        var j   = 0
-        while (j < thumb.length) { sum += thumb(j); j += 1 }
-        var hi = 0L; var lo = 0L
-        j = 0
-        while (j < thumb.length) {
-          if (thumb(j).toLong * thumb.length >= sum) {
-            if (j < 32) lo |= (1L << j) else hi |= (1L << (j - 32))
-          }
-          j += 1
-        }
-        PHashRow(row.doc_id, hi, lo)
+        val bits       = MediaCodec.phash64(w, h, px)
+        PHashRow(row.doc_id, bits >>> 32, bits & 0xffffffffL)
       })
       .toDF()
     val bands = hashes.select(
@@ -478,32 +473,55 @@ object Multimodal {
         (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
           .cast("long").as("hamming"))
       .select(
-        when(col("hamming") === 0, "0_exact")
-          .when(col("hamming") <= 8, "1-8_near")
-          .when(col("hamming") <= 16, "9-16_weak")
+        // zero-padded labels: lexicographic == numeric distance order,
+        // so the histogram reads exact→near→weak→far
+        when(col("hamming") === 0, "00_exact")
+          .when(col("hamming") <= 8, "01-08_near")
+          .when(col("hamming") <= 16, "09-16_weak")
           .otherwise("17+_far").as("hamming_bin"))
       .groupBy(col("hamming_bin"))
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy(col("hamming_bin"))
   }
 
-  private val imageDedupPhashSql =
+  private val imageDedupPhashSql = {
+    // the EXACT fixed-point cosine table the Scala kernel uses, shipped
+    // into the oracle as a literal — both engines run the identical
+    // all-integer DCT, so the hash compare has zero float seams
+    val ct = (for { u <- 0 until 8; x <- 0 until 16 }
+      yield s"($u,$x,${MediaCodec.PhashCos(u)(x)})").mkString(",")
     s"""WITH bmp AS (
        |  SELECT doc_id, doc_id % 21 + 2 AS w, doc_id % 13 + 2 AS h
        |  FROM documents WHERE doc_id % 2 = 0
-       |), px AS (
-       |  SELECT b.doc_id, t.j,
+       |), ct(u, x, c) AS (
+       |  SELECT * FROM (VALUES $ct)
+       |), px16 AS (
+       |  SELECT b.doc_id, t.j // 16 AS ty, t.j % 16 AS tx,
        |         (b.doc_id * 31
-       |          + ((((t.j // 8) * b.h) // 8) * b.w + (((t.j % 8) * b.w) // 8)) * 7) % 256 AS v
-       |  FROM bmp b, unnest(generate_series(0, 63)) AS t(j)
-       |), tot AS (
-       |  SELECT doc_id, SUM(v) AS s FROM px GROUP BY doc_id
+       |          + ((((t.j // 16) * b.h) // 16) * b.w + (((t.j % 16) * b.w) // 16)) * 7) % 256 AS v
+       |  FROM bmp b, unnest(generate_series(0, 255)) AS t(j)
+       |), pass1 AS (
+       |  SELECT p.doc_id, p.ty, ct.u, CAST(SUM(p.v * ct.c) AS BIGINT) AS f1
+       |  FROM px16 p JOIN ct ON ct.x = p.tx
+       |  GROUP BY p.doc_id, p.ty, ct.u
+       |), dct AS (
+       |  SELECT p.doc_id, p.u * 8 + ct.u AS j,
+       |         CAST(SUM(p.f1 * ct.c) AS BIGINT) AS coeff
+       |  FROM pass1 p JOIN ct ON ct.x = p.ty
+       |  WHERE NOT (p.u = 0 AND ct.u = 0)
+       |  GROUP BY p.doc_id, p.u, ct.u
+       |), med AS (
+       |  SELECT doc_id, MAX(CASE WHEN rn = 32 THEN coeff END) AS med
+       |  FROM (SELECT doc_id, coeff,
+       |               row_number() OVER (PARTITION BY doc_id ORDER BY coeff) AS rn
+       |        FROM dct)
+       |  GROUP BY doc_id
        |), hashes AS (
-       |  SELECT p.doc_id,
-       |         CAST(SUM(CASE WHEN p.j >= 32 AND p.v * 64 >= t.s THEN 1::BIGINT << (p.j - 32) ELSE 0 END) AS BIGINT) AS hi,
-       |         CAST(SUM(CASE WHEN p.j < 32 AND p.v * 64 >= t.s THEN 1::BIGINT << p.j ELSE 0 END) AS BIGINT) AS lo
-       |  FROM px p JOIN tot t USING (doc_id)
-       |  GROUP BY p.doc_id
+       |  SELECT d.doc_id,
+       |         CAST(SUM(CASE WHEN d.coeff > m.med AND d.j >= 32 THEN 1::BIGINT << (d.j - 32) ELSE 0 END) AS BIGINT) AS hi,
+       |         CAST(SUM(CASE WHEN d.coeff > m.med AND d.j < 32 THEN 1::BIGINT << d.j ELSE 0 END) AS BIGINT) AS lo
+       |  FROM dct d JOIN med m USING (doc_id)
+       |  GROUP BY d.doc_id
        |), bands AS (
        |  SELECT doc_id, b.band,
        |         CASE WHEN b.band = 0 THEN lo & 65535
@@ -524,12 +542,13 @@ object Multimodal {
        |  JOIN hashes ha ON c.doc_a = ha.doc_id
        |  JOIN hashes hb ON c.doc_b = hb.doc_id
        |)
-       |SELECT CASE WHEN hamming = 0 THEN '0_exact' WHEN hamming <= 8 THEN '1-8_near'
-       |            WHEN hamming <= 16 THEN '9-16_weak' ELSE '17+_far' END AS hamming_bin,
+       |SELECT CASE WHEN hamming = 0 THEN '00_exact' WHEN hamming <= 8 THEN '01-08_near'
+       |            WHEN hamming <= 16 THEN '09-16_weak' ELSE '17+_far' END AS hamming_bin,
        |       count(*) AS n_pairs
        |FROM ham
        |GROUP BY 1
        |ORDER BY hamming_bin""".stripMargin
+  }
 
   val defs: Map[String, QueryDef] = Map(
     "image_dedup_phash"    -> QueryDef(imageDedupPhash, Some(imageDedupPhashSql)),

@@ -154,6 +154,44 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("pHash survives a clamped brightness shift that breaks aHash") {
+    // 4x4 blocks of 8x8 px — strong low-frequency structure (pHash's
+    // signal) with many mid values near the mean (aHash's weakness).
+    // The duplicate is the same image brightness-shifted +80 with
+    // clamping at 255: saturation moves the thumbnail mean relative to
+    // mid pixels and flips a third of aHash's bits, while the DCT
+    // coefficient-vs-median signs barely move.
+    val blocks = Array(
+      Array(120, 120, 110, 245),
+      Array(245, 110, 40, 110),
+      Array(130, 120, 120, 40),
+      Array(130, 245, 40, 40))
+    val (w, h) = (32, 32)
+    val base = Array.tabulate(w * h)(i => blocks((i / w) / 8)((i % w) / 8))
+    val shifted = base.map(v => math.min(255, v + 80))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val aDist = ham(MediaCodec.ahash64(w, h, base), MediaCodec.ahash64(w, h, shifted))
+    val pDist = ham(MediaCodec.phash64(w, h, base), MediaCodec.phash64(w, h, shifted))
+    assert(pDist <= 8, s"pHash must keep the shifted duplicate near (got $pDist)")
+    assert(aDist > 16, s"aHash must lose the shifted duplicate (got $aDist) — " +
+      "if this starts passing for aHash the fixture no longer demonstrates the upgrade")
+    // and identical payloads are distance 0 on both
+    assert(ham(MediaCodec.phash64(w, h, base), MediaCodec.phash64(w, h, base.clone())) === 0)
+  }
+
+  test("pHash DC bit is clear and exactly the above-median coefficients are set") {
+    // flat image: all 63 AC coefficients are 0 → median 0, no strict
+    // exceeders → hash must be exactly 0 (bit 0 = DC always clear)
+    val flat = Array.fill(16 * 16)(77)
+    assert(MediaCodec.phash64(16, 16, flat) === 0L)
+    // a structured image sets at most 31 bits (strictly above the
+    // 32nd-smallest of 63) and never bit 0
+    val blocks = Array.tabulate(16 * 16)(i => ((i % 16) / 4 * 60 + (i / 64) * 30) % 256)
+    val bits   = MediaCodec.phash64(16, 16, blocks)
+    assert((bits & 1L) === 0L, "DC bit must stay clear")
+    assert(java.lang.Long.bitCount(bits) <= 31)
+  }
+
   test("image tiles cover every pixel exactly once, with full inner tiles") {
     val rows = graft.multimodal.Multimodal
       .imageTileStats(spark, TestSpark.Sf)

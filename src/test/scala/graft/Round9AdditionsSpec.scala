@@ -335,7 +335,7 @@ class Round9AdditionsSpec extends AnyFunSuite {
     // every candidate pair shares a 16-bit band, so hamming <= 48 always:
     // the 17+ bin may exist but a band-collision pair can't flip all bits
     val bins = rows.map(_.getString(0)).toSet
-    assert(bins.subsetOf(Set("0_exact", "1-8_near", "9-16_weak", "17+_far")))
+    assert(bins.subsetOf(Set("00_exact", "01-08_near", "09-16_weak", "17+_far")))
   }
 
   test("pack_fragmentation: docs and tokens are conserved; spans are feasible") {
