@@ -1535,8 +1535,24 @@ object Similarity {
     */
   def annNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
     GraftFunctions.register(spark)
-    val cents    = ivfCents(spark, dir)
-    val assigned = ivfAssigned(spark, dir, cents).cutLineage()
+    val cents = ivfCents(spark, dir)
+    // the fixed-quantizer cell table as a STORED index (the ann-ivf
+    // pattern): the curve prices probe widths against a BUILT index,
+    // so the corpus assignment pass is a build-once artifact, not
+    // per-run work
+    val assigned = {
+      val out = graft.sources.DerivedCache.dir(
+        dir, "ann-ivf-fixed", "cells=16") { o =>
+        writeStored(ivfAssigned(spark, dir, ivfCents(spark, dir)), o, "cells", Nil)
+      }
+      import org.apache.spark.sql.types._
+      spark.read
+        .schema(readStoredSchema(out, "cells", StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("cell", LongType), // cell = winning cent_id = a vec_id
+          StructField("embedding", ArrayType(FloatType))))))
+        .parquet(s"$out/cells")
+    }
     val probeRk = ivfProbeRanks(spark, dir, cents)
       .filter(col("rk") <= 4) // the widest arm
       .cutLineage()

@@ -137,8 +137,11 @@ object ScaleProbe {
       println(s"### reliable checkpoint mode: $d")
     }
 
+    // "ALL" = the full registry (the BASELINE.md per-query scale
+    // ledger) — every registered query, alphabetical, one probe run
     val names =
-      if (args.nonEmpty) args.toSeq
+      if (args.toSeq == Seq("ALL")) SparkEntry.queries.keys.toSeq.sorted
+      else if (args.nonEmpty) args.toSeq
       else Seq(
         "also_bought_pairs", "revenue_by_category", "product_popularity",
         "top_spenders", "user_engagement", "engagement_vs_spend",
@@ -173,23 +176,47 @@ object ScaleProbe {
     def gcMillis(): Long = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans.asScala
       .map(b => math.max(b.getCollectionTime, 0L)).sum
+    val ledger = scala.collection.mutable.LinkedHashMap[String, (Double, Long)]()
     names.foreach { n =>
-      val times = (1 to repeat).map { rep =>
+      val stats = (1 to repeat).map { rep =>
         val mem0 = memSpill.get(); val disk0 = diskSpill.get()
         val gc0 = gcMillis()
         val t0 = System.nanoTime()
-        SparkEntry.queries(n)(spark, Dest).write.mode("overwrite").format("noop").save()
+        val err =
+          try {
+            SparkEntry.queries(n)(spark, Dest).write.mode("overwrite").format("noop").save()
+            None
+          } catch { case e: Throwable => Some(e) }
         val secs = (System.nanoTime() - t0) / 1e9
         graft.QueryState.release(spark) // caches AND checkpoint blocks
         val gcS = (gcMillis() - gc0) / 1e3
         val spillMem  = (memSpill.get() - mem0) / (1 << 20)
         val spillDisk = (diskSpill.get() - disk0) / (1 << 20)
-        println(f"### SCALE${Copies}x $n%-28s rep$rep $secs%.2f s  gc $gcS%.1f s  spill mem ${spillMem}%d MiB disk ${spillDisk}%d MiB")
-        secs
+        err match {
+          case Some(e) =>
+            // fail-honest (the Bench contract): a broken query must
+            // never land in the ledger as a fake near-zero timing
+            println(s"### SCALE${Copies}x $n FAILED: ${e.getMessage}")
+            (Double.NaN, 0L)
+          case None =>
+            println(f"### SCALE${Copies}x $n%-28s rep$rep $secs%.2f s  gc $gcS%.1f s  spill mem ${spillMem}%d MiB disk ${spillDisk}%d MiB")
+            (secs, spillMem + spillDisk)
+        }
       }
-      if (repeat > 1)
-        println(f"### SCALE${Copies}x $n%-28s min ${times.min}%.2f s")
+      val ok = stats.filterNot(_._1.isNaN)
+      if (ok.nonEmpty) ledger(n) = (ok.map(_._1).min, ok.map(_._2).max)
+      if (repeat > 1 && ok.nonEmpty)
+        println(f"### SCALE${Copies}x $n%-28s min ${ok.map(_._1).min}%.2f s")
     }
+    // machine-readable ledger for tools/scale_ledger.py (BASELINE.md)
+    val ledgerPath = s"/tmp/graft-scale-ledger-x$Copies${if (sys.env.get("SCALE_DOCS").contains("1")) "-docs" else ""}.json"
+    val json = ledger.map { case (n, (s, sp)) =>
+      val sec = String.format(java.util.Locale.ROOT, "%.3f", Double.box(s))
+      s""""$n":{"sec":$sec,"spill_mib":$sp}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(ledgerPath), json.getBytes("UTF-8"))
+    println(s"### ledger written: $ledgerPath (${ledger.size} queries)")
     spark.stop()
   }
 }
