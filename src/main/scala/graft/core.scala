@@ -109,8 +109,21 @@ object Tables {
           else us * 1000
         col("ts") >= lit(ns(loUs)) && col("ts") < lit(ns(hiUs))
       case t @ (TimestampType | TimestampNTZType) =>
-        col("ts") >= timestamp_micros(lit(loUs)).cast(t) &&
-          col("ts") < timestamp_micros(lit(hiUs)).cast(t)
+        // open sides (Long.MinValue/MaxValue, or anything a timestamp
+        // literal cannot represent) are DROPPED, not clamped: a
+        // timestamp_micros literal near ±Long.MaxValue µs overflows in
+        // the Julian-rebase conversion (millis·1000 multiplyExact) the
+        // moment the literal is materialized — found by the round-10
+        // full-registry scale ledger on the timestamp-typed events
+        // encoding (incremental_agg_merge's open-ended delta bound)
+        val safeUs = Long.MaxValue / 1000
+        val lo =
+          if (loUs <= -safeUs) None
+          else Some(col("ts") >= timestamp_micros(lit(loUs)).cast(t))
+        val hi =
+          if (hiUs >= safeUs) None
+          else Some(col("ts") < timestamp_micros(lit(hiUs)).cast(t))
+        (lo ++ hi).reduceOption(_ && _).getOrElse(lit(true))
       case other =>
         throw new IllegalArgumentException(
           s"events.ts: unsupported physical type $other")

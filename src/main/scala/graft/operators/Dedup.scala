@@ -112,7 +112,24 @@ object Dedup {
     * route) can grade against the REAL exact anchor instead of the
     * routed estimate. Callers own the corpus-size guard.
     */
-  private[operators] def dedupJaccardOf(docsIn: DataFrame): DataFrame = {
+  private[operators] def dedupJaccardOf(docsIn: DataFrame): DataFrame =
+    pairCommonOf(docsIn)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("common"),
+        Det.detRound(
+          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The packed inverted-index pair kernel shared by the exact-Jaccard
+    * and containment views: (doc_a, sz_a, doc_b, sz_b, common) for every
+    * pair sharing at least one cold shingle — sizes carried bit-packed
+    * through the posting lists so no sizes join is ever needed.
+    */
+  private def pairCommonOf(docsIn: DataFrame): DataFrame = {
     val sh = docsIn
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(
@@ -148,15 +165,6 @@ object Dedup {
         shiftright(col("b"), 24).as("doc_b"),
         col("b").bitwiseAND(lit((1L << 24) - 1)).as("sz_b"),
         col("common"))
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        col("common"),
-        Det.detRound(
-          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= 0.6)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   private val dedupJaccardSql =
@@ -184,6 +192,87 @@ object Dedup {
        |FROM common JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
        |WHERE ${Det.roundSql("CAST(common AS DOUBLE) / (x.sz + y.sz - common)", 6)} >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Containment-asymmetry report — the dedup axis symmetric Jaccard is
+    * blind to: a short document fully embedded in a longer one (quoted
+    * article, digest inclusion, boilerplate-wrapped copy) has
+    * containment C(A→B) = |A∩B|/|A| ≈ 1 while its Jaccard stays below
+    * any dedup threshold because the union is dominated by the longer
+    * side. Over the same packed inverted-index pair kernel as
+    * dedup_jaccard (one corpus pass, sizes bit-packed through the
+    * posting lists, hot-shingle capped), every co-shingled pair is
+    * binned by its MAX-side containment decile, with the count of
+    * "subset duplicates the Jaccard pass misses" (cont ≥ 0.8, jaccard
+    * < 0.6) and the mean Jaccard per decile — the measurement that
+    * tells a 100 TB dedup pass whether it needs a containment stage at
+    * all, and how big the missed mass is. Above ExactDocCap the whole
+    * report runs on the deterministic 1/m doc-hash sample (Downgrade
+    * logged), the tuning-curve discipline.
+    */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupContainmentGuarded(spark, dir, ExactDocCap)
+
+  private[graft] def dedupContainmentGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    val nDocs = Tables.cachedCount(spark, dir, "documents")
+    val (docs, _) =
+      sampleAboveCap("dedup_containment", Tables.documents(spark, dir), nDocs, cap)
+    val measured = pairCommonOf(docs).select(
+      greatest(
+        Det.detRound(col("common").cast("double") / col("sz_a"), 6),
+        Det.detRound(col("common").cast("double") / col("sz_b"), 6)).as("cmax"),
+      Det.detRound(
+        col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
+        .as("jaccard"))
+    measured
+      .select(
+        least(floor(col("cmax") * 10), lit(9.0)).cast("long").as("cont_decile"),
+        col("cmax"), col("jaccard"))
+      .groupBy(col("cont_decile"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("cmax") >= 0.8 && col("jaccard") < 0.6, 1L).otherwise(0L))
+          .as("n_subset_missed"),
+        Det.detRound(Det.fineSum(col("jaccard")) / count(lit(1)), 6)
+          .as("mean_jaccard"))
+      .orderBy(col("cont_decile"))
+  }
+
+  private val dedupContainmentSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    val ca = r6("CAST(common AS DOUBLE) / x.sz")
+    val cb = r6("CAST(common AS DOUBLE) / y.sz")
+    val j  = r6("CAST(common AS DOUBLE) / (x.sz + y.sz - common)")
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(t) >= 3
+       |         THEN list_transform(generate_series(1, len(t) - 2),
+       |                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE [] END) AS s
+       |  FROM toks
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+       |), cold AS (
+       |  SELECT * FROM sh WHERE s IN (
+       |    SELECT s FROM sh GROUP BY s HAVING count(*) <= $HotShingleCap)
+       |), common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), measured AS (
+       |  SELECT greatest($ca, $cb) AS cmax, $j AS jaccard
+       |  FROM common JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |)
+       |SELECT CAST(least(floor(cmax * 10), 9) AS BIGINT) AS cont_decile,
+       |       count(*) AS n_pairs,
+       |       CAST(SUM(CASE WHEN cmax >= 0.8 AND jaccard < 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS n_subset_missed,
+       |       ${r6("CAST(SUM(CAST(jaccard AS DECIMAL(30,10))) AS DOUBLE) / count(*)")} AS mean_jaccard
+       |FROM measured
+       |GROUP BY 1
+       |ORDER BY cont_decile""".stripMargin
+  }
 
   /** MinHash(64) + LSH(16 bands × 4 rows) near-dup candidates, verified
     * by signature agreement (estimated Jaccard ≥ 0.5). Signatures use
@@ -1632,6 +1721,7 @@ object Dedup {
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, Some(dedupClustersMinhashSql)),
+    "dedup_containment" -> QueryDef(dedupContainment, Some(dedupContainmentSql)),
     "dedup_exact"   -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_jaccard" -> QueryDef(dedupJaccard, Some(dedupJaccardSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql)),

@@ -862,6 +862,75 @@ object Similarity {
        |ORDER BY cell""".stripMargin
   }
 
+  /** Embedding-space outlier audit — the vector-side data-quality gate
+    * a training pipeline runs before embeddings feed retrieval or
+    * curation: every vector is assigned to its trained k-means cell
+    * (the STORED quantizer — train once, audit many) and flagged when
+    * its squared distance to the centroid exceeds the cell's mean by
+    * more than two population standard deviations (compared as
+    * (d2−μ)² > 4σ², both sides detRound-pinned, so no sqrt and no
+    * cross-engine float seam). Output is the per-cell outlier ledger:
+    * point count, outlier count, mean and max d2 — concentrated
+    * outliers in one cell = a contaminated source or a broken encoder
+    * batch; scattered singletons = ordinary tail mass. Linear: one
+    * assignment pass + one broadcast-joined stats pass; the per-cell
+    * stats frame is k rows. Oracle: the full Lloyd chain + assignment
+    * + the same exact-DECIMAL moment arithmetic unrolled in SQL.
+    */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val k     = 8
+    val iters = 3
+    val cents = trainCentroids(spark, dir, k, iters)
+    val e = corpus(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val assigned = kmeansAssign(spark, e, cents).select(col("cell"), col("d2"))
+    val wc = Window.partitionBy(col("cell"))
+    val scored = assigned
+      .withColumn("n", count(lit(1)).over(wc))
+      .withColumn(
+        "mean",
+        sum(col("d2").cast(Det.Fine)).over(wc).cast("double") / col("n"))
+      .withColumn(
+        "msq",
+        sum((col("d2") * col("d2")).cast(Det.Fine)).over(wc).cast("double") / col("n"))
+      .withColumn(
+        "is_out",
+        col("d2") > col("mean") &&
+          Det.detRound((col("d2") - col("mean")) * (col("d2") - col("mean")), 6) >
+          Det.detRound(lit(4.0) * (col("msq") - col("mean") * col("mean")), 6))
+    scored
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
+        Det.detRound(first(col("mean")), 6).as("mean_d2"),
+        Det.detRound(max(col("d2")), 6).as("max_d2"))
+      .orderBy(col("cell"))
+  }
+
+  private val embeddingOutliersSql = {
+    val iters = 3
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH ${kmeansChainSql(8, iters)},
+       |${kmeansAssignCte("afinal", s"c$iters")},
+       |stats AS (
+       |  SELECT cell, count(*) AS n,
+       |         CAST(SUM(CAST(d2 AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean,
+       |         CAST(SUM(CAST(d2 * d2 AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS msq
+       |  FROM afinal GROUP BY cell
+       |)
+       |SELECT a.cell, count(*) AS n_points,
+       |       CAST(SUM(CASE WHEN a.d2 > s.mean
+       |                      AND ${r6("(a.d2 - s.mean) * (a.d2 - s.mean)")} >
+       |                          ${r6("4 * (s.msq - s.mean * s.mean)")}
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       |       ${r6("s.mean")} AS mean_d2,
+       |       ${r6("MAX(a.d2)")} AS max_d2
+       |FROM afinal a JOIN stats s USING (cell)
+       |GROUP BY a.cell, s.mean
+       |ORDER BY cell""".stripMargin
+  }
+
   /** Int8 scalar quantization per vector (the vector-store compression
     * step): symmetric scale = max|x|/127, q_i = ⌊x_i/scale + 0.5⌋, with
     * the reconstruction MSE and an order-pinning Σ(i+1)·q_i checksum.
@@ -1829,6 +1898,7 @@ object Similarity {
     "ann_lsh"           -> QueryDef(annLsh, Some(annLshSql)),
     "ann_ivf"           -> QueryDef(annIvf, Some(annIvfSql)),
     "embedding_kmeans"  -> QueryDef(embeddingKmeans, Some(embeddingKmeansSql)),
+    "embedding_outliers" -> QueryDef(embeddingOutliers, Some(embeddingOutliersSql)),
     "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, Some(embeddingNeardupLshSql)),
     "neardup_threshold_curve" -> QueryDef(neardupThresholdCurve, Some(neardupThresholdCurveSql)),
     "embedding_quantize"    -> QueryDef(embeddingQuantize, Some(embeddingQuantizeSql)),
