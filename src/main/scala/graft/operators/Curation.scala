@@ -301,6 +301,104 @@ object Curation {
        |FROM sq, denom
        |ORDER BY source""".stripMargin
 
+  /** Source-concentration audit of the corpus token mass — the
+    * "does one crawl dominate the mix" check run before committing a
+    * data mix: Gini coefficient, Herfindahl–Hirschman index, and
+    * top-1/top-3 shares over per-source token totals. A Gini near 0
+    * is an even mix; near 1 means a single source owns the corpus
+    * (and the mix weights / dedup priorities need rebalancing).
+    *
+    * Scale: one map-side-partial hash agg collapses the corpus to a
+    * source-cardinality frame (sources are low-cardinality by
+    * construction); the rank window and the final single-row fold run
+    * on that tiny frame — nothing downstream of the first agg scales
+    * with the corpus. Exactness: token totals are integers, Σi·x and
+    * Σx² accumulate in DECIMAL (order-independent), so gini/hhi are
+    * exact rationals pinned by detRound; rank ties break on source
+    * name with NULL-source pinned last on both engines.
+    */
+  def corpusConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables
+      .documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+    // ascending-rank Gini form: G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
+    val w = Window.orderBy(asc("n_tokens"), asc_nulls_last("source"))
+    val ranked = per
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.orderBy(lit(1)).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    ranked
+      .agg(
+        count(lit(1)).as("n_sources"),
+        sum(col("n_tokens")).as("total_tokens"),
+        Det.fineSum(col("i") * col("n_tokens")).as("ix"),
+        Det.fineSum(col("n_tokens") * col("n_tokens")).as("xsq"),
+        max(col("n_tokens")).as("max_tokens"),
+        Det.fineSum(
+          when(col("i") > col("n") - 3, col("n_tokens"))
+            .otherwise(lit(0L))).as("top3"))
+      .select(
+        col("n_sources"),
+        col("total_tokens"),
+        when(col("total_tokens") === 0L || col("n_sources") === 1L,
+          lit(null).cast("double"))
+          .otherwise(Det.detRound(
+            (lit(2.0) * col("ix") -
+              (col("n_sources") + 1).cast("double") * col("total_tokens")) /
+              (col("n_sources").cast("double") * col("total_tokens")), 6))
+          .as("gini"),
+        when(col("total_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(Det.detRound(
+            col("xsq") / (col("total_tokens").cast("double") *
+              col("total_tokens").cast("double")), 6)).as("hhi"),
+        when(col("total_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(Det.detRound(
+            col("max_tokens").cast("double") / col("total_tokens"), 6))
+          .as("top1_share"),
+        when(col("total_tokens") === 0L, lit(null).cast("double"))
+          .otherwise(Det.detRound(col("top3") / col("total_tokens"), 6))
+          .as("top3_share"))
+  }
+
+  private val corpusConcentrationSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH per AS (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), ranked AS (
+       |  SELECT n_tokens,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source NULLS LAST) AS BIGINT) AS i,
+       |         count(*) OVER () AS n
+       |  FROM per
+       |), agg AS (
+       |  SELECT count(*) AS n_sources,
+       |         CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |         CAST(SUM(CAST(i * n_tokens AS DECIMAL(30,10))) AS DOUBLE) AS ix,
+       |         CAST(SUM(CAST(n_tokens * n_tokens AS DECIMAL(30,10))) AS DOUBLE) AS xsq,
+       |         max(n_tokens) AS max_tokens,
+       |         CAST(SUM(CAST(CASE WHEN i > n - 3 THEN n_tokens ELSE 0 END
+       |                       AS DECIMAL(30,10))) AS DOUBLE) AS top3
+       |  FROM ranked
+       |)
+       |SELECT n_sources, total_tokens,
+       |       CASE WHEN total_tokens = 0 OR n_sources = 1 THEN NULL ELSE
+       |         ${r6("""(2.0 * ix - CAST(n_sources + 1 AS DOUBLE) * total_tokens)
+       |                 / (CAST(n_sources AS DOUBLE) * total_tokens)""")}
+       |       END AS gini,
+       |       CASE WHEN total_tokens = 0 THEN NULL ELSE
+       |         ${r6("xsq / (CAST(total_tokens AS DOUBLE) * CAST(total_tokens AS DOUBLE))")}
+       |       END AS hhi,
+       |       CASE WHEN total_tokens = 0 THEN NULL ELSE
+       |         ${r6("CAST(max_tokens AS DOUBLE) / total_tokens")}
+       |       END AS top1_share,
+       |       CASE WHEN total_tokens = 0 THEN NULL ELSE
+       |         ${r6("top3 / total_tokens")}
+       |       END AS top3_share
+       |FROM agg""".stripMargin
+  }
+
   /** Diversity-aware sampling — the scalable cousin of greedy MMR
     * selection: each document lands in a 16-bit semantic bucket (low
     * band of its portable SimHash — near-duplicates collide there by
@@ -968,5 +1066,6 @@ object Curation {
     "sample_per_lang"    -> QueryDef(samplePerLang, Some(samplePerLangSql)),
     "pii_scrub"          -> QueryDef(piiScrub, Some(piiScrubSql)),
     "vocab_oov"          -> QueryDef(vocabOov, Some(vocabOovSql)),
-    "source_mix_weights" -> QueryDef(sourceMixWeights, Some(sourceMixWeightsSql)))
+    "source_mix_weights" -> QueryDef(sourceMixWeights, Some(sourceMixWeightsSql)),
+    "corpus_concentration" -> QueryDef(corpusConcentration, Some(corpusConcentrationSql)))
 }

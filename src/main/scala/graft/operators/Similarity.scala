@@ -931,6 +931,150 @@ object Similarity {
        |ORDER BY cell""".stripMargin
   }
 
+  /** Per-dimension variance spectrum of the embedding space — the
+    * embedding-collapse / effective-dimensionality audit a training
+    * pipeline runs on a fresh encoder batch: a healthy encoder spreads
+    * variance across dimensions, a collapsed one concentrates it in a
+    * few (cum_share hits 0.9 after a handful of dims) and dead
+    * dimensions show variance ≈ 0. Output is the spectrum ordered by
+    * variance descending: per-dim mean/variance, the dim's share of
+    * total variance, and the running cumulative share.
+    *
+    * Scale: posexplode fans n vectors × d dims, but the hash agg on d
+    * keys has map-side partial aggregation — every partition collapses
+    * to ≤d rows before the (tiny) shuffle, so the pass is one linear
+    * scan at any corpus size. The ordering window runs on the d-row
+    * aggregated frame (d = 64), not the corpus. All sums are exact
+    * DECIMAL (order-independent), shares detRound-pinned; the running
+    * cumulative sum is also DECIMAL so its value is independent of
+    * engine-side addition order.
+    */
+  def embeddingPcaVariance(spark: SparkSession, dir: String): DataFrame = {
+    val el = corpus(spark, dir)
+      .select(posexplode(col("embedding")))
+      .select((col("pos") + 1).cast("long").as("dim"), col("col").cast("double").as("x"))
+    val stats = el
+      .groupBy(col("dim"))
+      .agg(
+        count(lit(1)).as("n"),
+        (Det.fineSum(col("x")) / count(lit(1))).as("mean"),
+        (Det.fineSum(col("x") * col("x")) / count(lit(1))).as("msq"))
+      .withColumn("variance", Det.detRound(col("msq") - col("mean") * col("mean"), 9))
+    val tot = stats.agg(Det.fineSum(col("variance")).as("tv"))
+    val w = Window.orderBy(desc("variance"), asc("dim"))
+    stats
+      .crossJoin(broadcast(tot))
+      .withColumn("vrank", row_number().over(w).cast("long"))
+      .withColumn("cumvar", sum(col("variance").cast(Det.Fine)).over(w).cast("double"))
+      .select(
+        col("vrank"),
+        col("dim"),
+        col("n"),
+        Det.detRound(col("mean"), 6).as("mean_x"),
+        col("variance"),
+        when(col("tv") === 0.0, lit(null).cast("double"))
+          .otherwise(Det.detRound(col("variance") / col("tv"), 6)).as("var_share"),
+        when(col("tv") === 0.0, lit(null).cast("double"))
+          .otherwise(Det.detRound(col("cumvar") / col("tv"), 6)).as("cum_share"))
+      .orderBy(col("vrank"))
+  }
+
+  private val embeddingPcaVarianceSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH el AS (
+       |  SELECT t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+       |  FROM embeddings,
+       |       unnest(generate_series(1, CAST(len(embedding) AS INT))) AS t(i)
+       |), stats AS (
+       |  SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       |         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean,
+       |         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS msq
+       |  FROM el GROUP BY dim
+       |), v AS (
+       |  SELECT dim, n, mean,
+       |         ${Det.roundSql("msq - mean * mean", 9)} AS variance
+       |  FROM stats
+       |), tot AS (
+       |  SELECT CAST(SUM(CAST(variance AS DECIMAL(30,10))) AS DOUBLE) AS tv FROM v
+       |)
+       |SELECT CAST(ROW_NUMBER() OVER (ORDER BY variance DESC, dim) AS BIGINT) AS vrank,
+       |       dim, n, ${r6("mean")} AS mean_x, variance,
+       |       CASE WHEN tv = 0 THEN NULL ELSE ${r6("variance / tv")} END AS var_share,
+       |       CASE WHEN tv = 0 THEN NULL ELSE
+       |         ${r6("""CAST(SUM(CAST(variance AS DECIMAL(30,10)))
+       |                 OVER (ORDER BY variance DESC, dim) AS DOUBLE) / tv""")}
+       |       END AS cum_share
+       |FROM v, tot
+       |ORDER BY vrank""".stripMargin
+  }
+
+  /** Per-label L2-norm profile of the embedding space — the encoder-drift
+    * audit a training pipeline runs when a corpus mixes embedding batches:
+    * a re-trained or mis-scaled encoder shifts the norm distribution of
+    * its slice, and all-zero vectors (failed encodes) show up in n_zero.
+    * Output per label: count, mean/variance/min/max of the vector norm,
+    * and the zero-vector count.
+    *
+    * Scale: the norm is a per-row fold over the embedding array (zero
+    * shuffle, linear scan); the groupBy on `label` is a map-side-partial
+    * hash agg to a label-cardinality frame. Cross-engine exactness: the
+    * sum-of-squares folds left-to-right in ELEMENT ORDER on both engines
+    * (the lshSqlPrefix convention), sqrt is IEEE-correctly-rounded in
+    * both, the norm is detRound-pinned per vector BEFORE aggregation,
+    * and mean/variance accumulate the rounded norms in DECIMAL.
+    */
+  def embeddingNormProfile(spark: SparkSession, dir: String): DataFrame = {
+    val e = corpus(spark, dir)
+      .select(
+        col("label"),
+        Det.detRound(
+          sqrt(expr(
+            """aggregate(embedding, CAST(0 AS DOUBLE),
+              |  (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))""".stripMargin)),
+          6).as("norm"))
+    e.groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        (Det.fineSum(col("norm")) / count(lit(1))).as("mean_raw"),
+        (Det.fineSum(col("norm") * col("norm")) / count(lit(1))).as("msq"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"))
+      .select(
+        col("label"),
+        col("n_vecs"),
+        Det.detRound(col("mean_raw"), 6).as("mean_norm"),
+        Det.detRound(col("msq") - col("mean_raw") * col("mean_raw"), 6)
+          .as("var_norm"),
+        col("min_norm"),
+        col("max_norm"),
+        col("n_zero"))
+      .orderBy(asc_nulls_last("label"))
+  }
+
+  private val embeddingNormProfileSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH e AS (
+       |  SELECT label,
+       |         ${r6("""sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |           list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+       |           (a, b) -> a + b))""")} AS norm
+       |  FROM embeddings
+       |), agg AS (
+       |  SELECT label, count(*) AS n_vecs,
+       |         CAST(SUM(CAST(norm AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean_raw,
+       |         CAST(SUM(CAST(norm * norm AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS msq,
+       |         min(norm) AS min_norm, max(norm) AS max_norm,
+       |         CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+       |  FROM e GROUP BY label
+       |)
+       |SELECT label, n_vecs, ${r6("mean_raw")} AS mean_norm,
+       |       ${r6("msq - mean_raw * mean_raw")} AS var_norm,
+       |       min_norm, max_norm, n_zero
+       |FROM agg
+       |ORDER BY label NULLS LAST""".stripMargin
+  }
+
   /** Int8 scalar quantization per vector (the vector-store compression
     * step): symmetric scale = max|x|/127, q_i = ⌊x_i/scale + 0.5⌋, with
     * the reconstruction MSE and an order-pinning Σ(i+1)·q_i checksum.
@@ -1902,6 +2046,8 @@ object Similarity {
     "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, Some(embeddingNeardupLshSql)),
     "neardup_threshold_curve" -> QueryDef(neardupThresholdCurve, Some(neardupThresholdCurveSql)),
     "embedding_quantize"    -> QueryDef(embeddingQuantize, Some(embeddingQuantizeSql)),
+    "embedding_pca_variance" -> QueryDef(embeddingPcaVariance, Some(embeddingPcaVarianceSql)),
+    "embedding_norm_profile" -> QueryDef(embeddingNormProfile, Some(embeddingNormProfileSql)),
     "ann_ivf_trained"       -> QueryDef(annIvfTrained, Some(annIvfTrainedSql)),
     // identical results by construction — the stored index must serve
     // exactly what the in-plan build computes, so it shares the oracle
