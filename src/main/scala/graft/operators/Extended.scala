@@ -55,14 +55,23 @@ object Extended {
     * (the "conversion funnel" extension the reference's session
     * conversion_status implies, PDF §12.2).
     */
-  def conversionFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val perUser = Tables
-      .events(spark, dir)
-      .groupBy(col("user_id"))
+  def conversionFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelOf(perUserStages(Tables.events(spark, dir)))
+
+  /** Per-user stage counts — a MERGEABLE partial (plain sums), so the
+    * streaming twin (`stream_funnel`) can fold micro-batches into these
+    * rows and re-merge by user at finish with an identical result for
+    * any partitioning of the stream.
+    */
+  private[graft] def perUserStages(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
       .agg(
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"))
+
+  /** Global funnel row over a per-user stage-count frame. */
+  private[graft] def funnelOf(perUser: DataFrame): DataFrame =
     perUser
       .agg(
         count(lit(1)).as("n_users"),
@@ -74,9 +83,8 @@ object Extended {
         col("n_users"), col("n_viewers"), col("n_clickers"), col("n_converters"),
         Det.detRound(col("n_converters").cast("double") / col("n_viewers"), 6)
           .as("view_to_purchase_rate"))
-  }
 
-  private val conversionFunnelSql =
+  private[graft] val conversionFunnelSql =
     s"""WITH per_user AS (
        |  SELECT user_id,
        |         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views,

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Det, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** N-gram and corpus-statistics operators over `documents` (round 2 of
@@ -868,7 +869,119 @@ object TextNgrams {
        |ORDER BY lang""".stripMargin
   }
 
+  /** Zipf-law fit of the token frequency spectrum — the corpus-health
+    * audit that flags synthetic, truncated, or template-generated text:
+    * natural language runs a log-log slope near −1 with a tight linear
+    * fit, while boilerplate-heavy or machine-generated corpora bend the
+    * curve (|slope| drifts, r² drops). Least-squares on (ln rank,
+    * ln freq) over the top-100 tokens; one summary row with the fitted
+    * slope, intercept, and r².
+    *
+    * Scale: the unigram count is the corpus's only full-width pass — a
+    * map-side-partial hash agg collapsing to vocabulary size before the
+    * shuffle (the bigram_topk pattern). The rank window and regression
+    * fold run on the 100-row top slice. Exactness: each ln() term is
+    * quantized to DECIMAL(30,10) before summation (the lm_score
+    * convention — engine last-ulp log differences vanish in the cast,
+    * and DECIMAL addition is order-independent), the final statistics
+    * detRound-pinned.
+    */
+  def zipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val TopN = 100
+    val freq = Tables
+      .documents(spark, dir)
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(desc("c"), asc("w"))
+    val top = freq
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= TopN)
+      .select(
+        col("r"), col("c"),
+        log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    top
+      .agg(
+        count(lit(1)).as("n_terms"),
+        max(col("c")).as("top1_freq"),
+        Det.fineSum(col("x")).as("sx"),
+        Det.fineSum(col("y")).as("sy"),
+        Det.fineSum(col("x") * col("y")).as("sxy"),
+        Det.fineSum(col("x") * col("x")).as("sxx"),
+        Det.fineSum(col("y") * col("y")).as("syy"))
+      .select(
+        col("n_terms"),
+        col("top1_freq"),
+        when(
+          col("n_terms") * col("sxx") - col("sx") * col("sx") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(Det.detRound(
+            (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_terms") * col("sxx") - col("sx") * col("sx")), 6))
+          .as("zipf_slope"),
+        when(
+          col("n_terms") * col("sxx") - col("sx") * col("sx") === 0.0,
+          lit(null).cast("double"))
+          .otherwise(Det.detRound(
+            (col("sy") - (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+              (col("n_terms") * col("sxx") - col("sx") * col("sx")) * col("sx")) /
+              col("n_terms"), 6))
+          .as("intercept"),
+        when(
+          (col("n_terms") * col("sxx") - col("sx") * col("sx")) *
+            (col("n_terms") * col("syy") - col("sy") * col("sy")) === 0.0,
+          lit(null).cast("double"))
+          .otherwise(Det.detRound(
+            (col("n_terms") * col("sxy") - col("sx") * col("sy")) *
+              (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+              ((col("n_terms") * col("sxx") - col("sx") * col("sx")) *
+                (col("n_terms") * col("syy") - col("sy") * col("sy"))), 6))
+          .as("r2"))
+  }
+
+  private val zipfFitSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    val slope = "(n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)"
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                x -> x <> '')) AS w
+       |  FROM documents
+       |), freq AS (
+       |  SELECT w, count(*) AS c FROM toks GROUP BY w
+       |), top AS (
+       |  SELECT c,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS r
+       |  FROM freq QUALIFY r <= 100
+       |), xy AS (
+       |  SELECT r, c, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM top
+       |), agg AS (
+       |  SELECT count(*) AS n_terms, max(c) AS top1_freq,
+       |         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) AS sx,
+       |         CAST(SUM(CAST(y AS DECIMAL(30,10))) AS DOUBLE) AS sy,
+       |         CAST(SUM(CAST(x * y AS DECIMAL(30,10))) AS DOUBLE) AS sxy,
+       |         CAST(SUM(CAST(x * x AS DECIMAL(30,10))) AS DOUBLE) AS sxx,
+       |         CAST(SUM(CAST(y * y AS DECIMAL(30,10))) AS DOUBLE) AS syy
+       |  FROM xy
+       |)
+       |SELECT n_terms, top1_freq,
+       |       CASE WHEN n_terms * sxx - sx * sx = 0 THEN NULL ELSE
+       |         ${r6(slope)}
+       |       END AS zipf_slope,
+       |       CASE WHEN n_terms * sxx - sx * sx = 0 THEN NULL ELSE
+       |         ${r6(s"(sy - ($slope) * sx) / n_terms")}
+       |       END AS intercept,
+       |       CASE WHEN (n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy) = 0
+       |            THEN NULL ELSE
+       |         ${r6("""(n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+       |                 / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy))""")}
+       |       END AS r2
+       |FROM agg""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "zipf_fit"            -> QueryDef(zipfFit, Some(zipfFitSql)),
     "pmi_bigrams"         -> QueryDef(pmiBigrams, Some(pmiBigramsSql)),
     "tokenizer_fertility" -> QueryDef(tokenizerFertility, Some(tokenizerFertilitySql)),
     "bpe_pair_counts"     -> QueryDef(bpePairCounts, Some(bpePairCountsSql)),

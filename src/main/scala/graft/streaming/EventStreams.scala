@@ -617,8 +617,66 @@ object EventStreams {
         mergeManifestBatch(batch.toDF(), viewDir, buckets, batchId)
       }
 
+  /** Streaming twin of `conversion_funnel` (the stream_ts_anomaly
+    * pattern): events arrive as a bounded file stream, each micro-batch
+    * folds to per-user stage-count partials (plain sums — mergeable for
+    * ANY stream partitioning), the checkpointed foreachBatch appends
+    * them exactly-once, and the finish pass re-merges by user and runs
+    * the same global funnel fold as the batch query — so the result
+    * equals conversion_funnel and shares its DuckDB oracle verbatim.
+    *
+    * 100 TB shape: per-batch cost ∝ batch size, appended state is
+    * ≤ distinct-users-per-batch rows (not raw events), and the funnel
+    * scoring reads the merged state, never the event history.
+    */
+  def streamFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Extended
+    val ev = Tables.events(spark, dir).select(col("user_id"), col("event_type"))
+    val rows = Tables.cachedCount(spark, dir, "events")
+    val srcDir = graft.sources.DerivedCache.dir(
+      dir, "stream-funnel-src", s"rows=$rows;files=4") { out =>
+      ev.repartition(4, col("user_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/files")
+      ()
+    } + "/files"
+    def emptyPerUser = {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("user_id", LongType),
+          StructField("views", LongType),
+          StructField("clicks", LongType),
+          StructField("purchases", LongType))))
+    }
+    StreamRunner.runAvailableNow(
+      spark,
+      schema = ev.schema,
+      srcDir = srcDir,
+      maxFilesPerTrigger = 2,
+      tmpPrefix = "graft-stream-funnel",
+      mkHandler = outDir =>
+        (batch, _) => {
+          Extended.perUserStages(batch.toDF())
+            .write.mode("append").parquet(outDir)
+          ()
+        },
+      finish = partials =>
+        Extended.funnelOf(
+          partials
+            .groupBy(col("user_id"))
+            .agg(
+              sum(col("views")).cast("long").as("views"),
+              sum(col("clicks")).cast("long").as("clicks"),
+              sum(col("purchases")).cast("long").as("purchases"))),
+      empty = Extended.funnelOf(emptyPerUser))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "event_time_windows"      -> QueryDef(eventTimeWindows, Some(eventTimeWindowsSql)),
     "event_sliding_windows"   -> QueryDef(eventSlidingWindows, Some(eventSlidingWindowsSql)),
+    "stream_funnel"           -> QueryDef(
+      streamFunnel, Some(graft.operators.Extended.conversionFunnelSql)),
     "view_click_attribution"  -> QueryDef(viewClickAttribution, Some(viewClickAttributionSql)))
 }
