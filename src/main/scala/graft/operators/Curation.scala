@@ -323,7 +323,9 @@ object Curation {
       .groupBy(col("source"))
       .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
     // ascending-rank Gini form: G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)
-    val w = Window.orderBy(asc("n_tokens"), asc_nulls_last("source"))
+    // NULL n_tokens (a source whose docs all have NULL text) is pinned
+    // LAST to match DuckDB's default; Spark's asc() default is FIRST.
+    val w = Window.orderBy(asc_nulls_last("n_tokens"), asc_nulls_last("source"))
     val ranked = per
       .withColumn("i", row_number().over(w).cast("long"))
       .withColumn("n", count(lit(1)).over(
@@ -369,7 +371,7 @@ object Curation {
        |  FROM documents GROUP BY source
        |), ranked AS (
        |  SELECT n_tokens,
-       |         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, source NULLS LAST) AS BIGINT) AS i,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY n_tokens NULLS LAST, source NULLS LAST) AS BIGINT) AS i,
        |         count(*) OVER () AS n
        |  FROM per
        |), agg AS (

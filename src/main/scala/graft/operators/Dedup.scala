@@ -274,6 +274,105 @@ object Dedup {
        |ORDER BY cont_decile""".stripMargin
   }
 
+  /** Scalable (LSH-bucketed) twin of dedup_containment — the 100 TB
+    * form of the containment tier: candidates come from the 16×4
+    * minhash bands (bucket-capped, never all-pairs), and containment is
+    * ESTIMATED from the signature-agreement Jaccard plus exact per-doc
+    * distinct-shingle counts, no intersection recount:
+    * |A∩B| = J·(|A|+|B|)/(1+J), so Ĉmax = |Â∩B| / min(|A|,|B|)
+    * (clamped to 1). The size frame is one shuffle-free in-row pass
+    * (size(array_distinct(shingles)) per doc). Emits every candidate
+    * pair with Ĉmax ≥ 0.8 — including the quoted-article pairs whose
+    * est Jaccard is below the 0.5 near-dup bar, which is the tier's
+    * whole point. Oracle recomputes the full portable sketch, the size
+    * counts, and the same estimate formula.
+    *
+    * Estimator honesty: LSH recall decays with true Jaccard (16×4 bands
+    * at J=0.3 fire with p ≈ 1−(1−0.3⁴)¹⁶ ≈ 12%), so this view
+    * under-reports LOW-overlap subset pairs; at C ≥ 0.8 on real
+    * corpora the shared run typically spans enough of the short doc to
+    * fire a band. The exact small-scale anchor (dedup_containment)
+    * measures the same tier without the recall loss.
+    */
+  def dedupContainmentMinhash(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val (sigs, bands) = minhashBands(spark, dir, MinhashK)
+    containmentMinhashOf(spark, dir, sigs, bands)
+  }
+
+  private[operators] def containmentMinhashOf(
+      spark: SparkSession, dir: String,
+      sigs: DataFrame, bands: DataFrame): DataFrame = {
+    val k = MinhashK
+    val sizes = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(
+        col("doc_id"),
+        size(array_distinct(expr(
+          "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
+          .cast("long").as("sz"))
+    val candidates = bands
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, 100))
+      .select(explode(expr(
+        """flatten(transform(docs, (x, i) ->
+          |  transform(slice(docs, i + 2, size(docs)), y ->
+          |    struct(x AS doc_a, y AS doc_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val est = expr(
+      s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)")
+    candidates
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        Det.detRound(est, 6).as("est_jaccard"),
+        Det.detRound(
+          least(
+            est * (col("sz_a") + col("sz_b")) / (lit(1.0) + est) /
+              least(col("sz_a"), col("sz_b")).cast("double"),
+            lit(1.0)), 6).as("est_cmax"))
+      .filter(col("est_cmax") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // lazy: declared above the MinhashK val — eager init would bake k=0
+  // into the generated SQL (empty sig list, caught by the sf0.01 check)
+  private lazy val dedupContainmentMinhashSql = {
+    val est = estJaccardSql(MinhashK)
+    val cmax = s"least(($est) * (za.sz + zb.sz) / (1 + ($est)) / " +
+      "CAST(least(za.sz, zb.sz) AS DOUBLE), 1.0)"
+    s"""WITH ${minhashSqlPrefix(MinhashK)},
+       |zsizes AS (
+       |  SELECT doc_id, CAST(len(list_distinct(
+       |           list_transform(generate_series(1, len(t) - 2),
+       |                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+       |         AS BIGINT) AS sz
+       |  FROM toks WHERE len(t) >= 3
+       |), cand AS (
+       |  SELECT DISTINCT a.x AS doc_a, b.x AS doc_b
+       |  FROM buck, unnest(docs) AS a(x), unnest(docs) AS b(x)
+       |  WHERE len(docs) BETWEEN 2 AND 100 AND a.x < b.x
+       |)
+       |SELECT c.doc_a, c.doc_b,
+       |       ${Det.roundSql(est, 6)} AS est_jaccard,
+       |       ${Det.roundSql(cmax, 6)} AS est_cmax
+       |FROM cand c
+       |JOIN sigs sa ON c.doc_a = sa.doc_id
+       |JOIN sigs sb ON c.doc_b = sb.doc_id
+       |JOIN zsizes za ON c.doc_a = za.doc_id
+       |JOIN zsizes zb ON c.doc_b = zb.doc_id
+       |WHERE ${Det.roundSql(cmax, 6)} >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** MinHash(64) + LSH(16 bands × 4 rows) near-dup candidates, verified
     * by signature agreement (estimated Jaccard ≥ 0.5). Signatures use
     * PORTABLE md5-based hashing (graft_minhash_md5 /
@@ -671,20 +770,13 @@ object Dedup {
        |JOIN documents b ON p.doc_b = b.doc_id
        |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
-  /** Cluster assignment on the BOUNDED-work candidate graph: connected
-    * components over the minhash-LSH pairs instead of the exact
-    * inverted-index pairs — the 100 TB form of dedup_clusters (the
-    * exact form is output-quadratic on duplicated corpora; see
-    * BASELINE.md's 10×-documents probe). Same canonical min-id labels;
-    * agreement with the exact clusters is spec-asserted on the fixture.
+  /** Star-edge candidate graph from the stored sketch, signature-
+    * verified — factored from dedupClustersMinhash so the above-cap
+    * keep-best routes can reuse the bounded connectivity edges.
     */
-  def dedupClustersMinhash(spark: SparkSession, dir: String): DataFrame = {
-    // the edge derivation is by-name so a label-cache hit skips the
-    // whole sketch construction (including its persist marks)
-    def verified: DataFrame = {
+  private def minhashStarEdges(spark: SparkSession, dir: String): DataFrame = {
       GraftFunctions.register(spark)
-      val k = MinhashK
-      val (sigs, bands) = minhashBands(spark, dir, k)
+      val (sigs, bands) = minhashBands(spark, dir, MinhashK)
       // Star edges, not all pairs: clustering needs CONNECTIVITY, so
       // each bucket contributes (m-1) hub↔member edges — every member
       // reaches every other through the bucket minimum — instead of
@@ -708,11 +800,22 @@ object Dedup {
         .filter(
           expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($MinhashK AS DOUBLE)") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
-    }
+  }
+
+  /** Cluster assignment on the BOUNDED-work candidate graph: connected
+    * components over the minhash-LSH pairs instead of the exact
+    * inverted-index pairs — the 100 TB form of dedup_clusters (the
+    * exact form is output-quadratic on duplicated corpora; see
+    * BASELINE.md's 10×-documents probe). Same canonical min-id labels;
+    * agreement with the exact clusters is spec-asserted on the fixture.
+    */
+  def dedupClustersMinhash(spark: SparkSession, dir: String): DataFrame = {
     val rows = Tables.cachedCount(spark, dir, "documents")
+    // the edge derivation is by-name (lazy) so a label-cache hit skips
+    // the whole sketch construction (including its persist marks)
     ccLabels(
       spark, dir, "minhash",
-      s"rows=$rows;k=$MinhashK;bucketCap=1000;tau=0.5")(verified)
+      s"rows=$rows;k=$MinhashK;bucketCap=1000;tau=0.5")(minhashStarEdges(spark, dir))
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
@@ -758,9 +861,17 @@ object Dedup {
     * components, so the whole chain (pairs → components → canonical pick)
     * is oracle-verified end to end.
     */
-  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
-    val members = dedupClusters(spark, dir)
-      .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id")
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame =
+    keepBestOf(
+      dedupClusters(spark, dir)
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id"))
+
+  /** Shared canonicalization kernel: given (doc_id, cluster_id, n_chars)
+    * membership, keep the longest doc per cluster (ties to smallest
+    * doc_id) via the bounded-heap TopKPerKey (k=1) — no per-cluster
+    * window sort — with the member count riding the same grouped frame.
+    */
+  private[graft] def keepBestOf(members: DataFrame): DataFrame = {
     val sizes = members.groupBy(col("cluster_id")).agg(count(lit(1)).as("n_members"))
     org.apache.spark.sql.graft.TopK
       .perKey(
@@ -800,6 +911,130 @@ object Dedup {
        |FROM r
        |WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
+
+  /** Containment edge tier for the cluster graph: the same packed pair
+    * kernel, but a pair is an edge when EITHER symmetric Jaccard ≥ 0.6
+    * OR max-side containment ≥ 0.8 — so a short document fully embedded
+    * in a longer one (quoted article, digest inclusion) joins the
+    * cluster that symmetric Jaccard alone never links it to (union
+    * dominated by the long side). Both thresholds detRound-pinned to
+    * match the oracle's edge membership exactly.
+    */
+  private[graft] def containmentEdgesOf(docsIn: DataFrame): DataFrame =
+    pairCommonOf(docsIn)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        Det.detRound(
+          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
+          .as("jaccard"),
+        greatest(
+          Det.detRound(col("common").cast("double") / col("sz_a"), 6),
+          Det.detRound(col("common").cast("double") / col("sz_b"), 6)).as("cmax"))
+      .filter(col("jaccard") >= 0.6 || col("cmax") >= 0.8)
+      .select(col("doc_a"), col("doc_b"))
+
+  /** Keep-best with the containment tier dedup_containment measures:
+    * canonicalization over connected components of the UNION edge set
+    * (Jaccard ≥ 0.6 ∪ containment ≥ 0.8), so a strict-subset duplicate
+    * is clustered with — and dropped in favor of — its superset doc
+    * (spec: Round11AdditionsSpec proves a quoted-article pair that
+    * survives dedup_keep_best is collapsed here). Same stored CC labels
+    * pattern and bounded-heap canonical pick as dedup_keep_best; above
+    * ExactDocCap the exact pair kernel is quadratic by design, so the
+    * edge set routes to the BOUNDED union of the minhash star edges and
+    * the LSH-estimated containment edges (dedup_containment_minhash's
+    * kernel) with a logged downgrade — the containment tier itself
+    * survives the scale routing, it doesn't degrade to symmetric-only.
+    */
+  def dedupKeepBestContainment(spark: SparkSession, dir: String): DataFrame =
+    dedupKeepBestContainmentGuarded(spark, dir, ExactDocCap)
+
+  private[graft] def dedupKeepBestContainmentGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    val nDocs = Tables.cachedCount(spark, dir, "documents")
+    val labels = if (nDocs > cap) {
+      graft.Downgrades.record(
+        "dedup_keep_best_containment", "minhash_star+containment_minhash",
+        nDocs, ExactDocCap)
+      def edges: DataFrame = {
+        GraftFunctions.register(spark)
+        val (sigs, bands) = minhashBands(spark, dir, MinhashK)
+        minhashStarEdges(spark, dir).unionByName(
+          containmentMinhashOf(spark, dir, sigs, bands)
+            .select(col("doc_a"), col("doc_b")))
+          .dropDuplicates("doc_a", "doc_b")
+      }
+      ccLabels(
+        spark, dir, "minhashcont",
+        s"rows=$nDocs;k=$MinhashK;bucketCap=1000;tau=0.5;cont=0.8")(edges)
+    } else ccLabels(
+      spark, dir, "exactcont",
+      s"rows=$nDocs;cap=$cap;hot=$HotShingleCap;tau=0.6;cont=0.8")(
+      containmentEdgesOf(Tables.documents(spark, dir)))
+    keepBestOf(
+      labels
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id"))
+  }
+
+  /** DuckDB twin of dedupKeepBestContainment: the union edge set from
+    * the same shingle CTEs, the recursive-CTE closure, then the keep-best
+    * window over each cluster partition.
+    */
+  private val dedupKeepBestContainmentSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    val ca = r6("CAST(common AS DOUBLE) / x.sz")
+    val cb = r6("CAST(common AS DOUBLE) / y.sz")
+    val j  = r6("CAST(common AS DOUBLE) / (x.sz + y.sz - common)")
+    s"""WITH RECURSIVE toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), sh AS (
+       |  SELECT DISTINCT doc_id, unnest(
+       |    CASE WHEN len(t) >= 3
+       |         THEN list_transform(generate_series(1, len(t) - 2),
+       |                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE [] END) AS s
+       |  FROM toks
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+       |), cold AS (
+       |  SELECT * FROM sh WHERE s IN (
+       |    SELECT s FROM sh GROUP BY s HAVING count(*) <= $HotShingleCap)
+       |), common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM common JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |  WHERE $j >= 0.6 OR greatest($ca, $cb) >= 0.8
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(node, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+       |), clusters AS (
+       |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+       |), jm AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars
+       |  FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+       |), rr AS (
+       |  SELECT cluster_id, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM jm
+       |)
+       |SELECT cluster_id, doc_id AS kept_doc,
+       |       CAST(n_chars AS BIGINT) AS kept_chars,
+       |       CAST(n_members AS BIGINT) AS n_members
+       |FROM rr
+       |WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+  }
 
   // ------------------------------------------- incremental (delta-vs-base)
 
@@ -1718,10 +1953,14 @@ object Dedup {
     "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_keep_best" -> QueryDef(dedupKeepBest, Some(dedupKeepBestSql)),
+    "dedup_keep_best_containment" ->
+      QueryDef(dedupKeepBestContainment, Some(dedupKeepBestContainmentSql)),
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, Some(dedupClustersMinhashSql)),
     "dedup_containment" -> QueryDef(dedupContainment, Some(dedupContainmentSql)),
+    "dedup_containment_minhash" ->
+      QueryDef(dedupContainmentMinhash, Some(dedupContainmentMinhashSql)),
     "dedup_exact"   -> QueryDef(dedupExact, Some(dedupExactSql)),
     "dedup_jaccard" -> QueryDef(dedupJaccard, Some(dedupJaccardSql)),
     "dedup_minhash" -> QueryDef(dedupMinhash, Some(dedupMinhashSql)),

@@ -884,27 +884,28 @@ object Similarity {
     val e = corpus(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
     val assigned = kmeansAssign(spark, e, cents).select(col("cell"), col("d2"))
-    val wc = Window.partitionBy(col("cell"))
+    val stats = assigned
+      .groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(col("d2").cast(Det.Fine)).cast("double") / count(lit(1))).as("mean"),
+        (sum((col("d2") * col("d2")).cast(Det.Fine)).cast("double") / count(lit(1)))
+          .as("msq"))
     val scored = assigned
-      .withColumn("n", count(lit(1)).over(wc))
-      .withColumn(
-        "mean",
-        sum(col("d2").cast(Det.Fine)).over(wc).cast("double") / col("n"))
-      .withColumn(
-        "msq",
-        sum((col("d2") * col("d2")).cast(Det.Fine)).over(wc).cast("double") / col("n"))
+      .join(broadcast(stats), Seq("cell"))
       .withColumn(
         "is_out",
         col("d2") > col("mean") &&
           Det.detRound((col("d2") - col("mean")) * (col("d2") - col("mean")), 6) >
           Det.detRound(lit(4.0) * (col("msq") - col("mean") * col("mean")), 6))
     scored
-      .groupBy(col("cell"))
+      .groupBy(col("cell"), col("mean"))
       .agg(
         count(lit(1)).as("n_points"),
         sum(when(col("is_out"), 1L).otherwise(0L)).as("n_outliers"),
-        Det.detRound(first(col("mean")), 6).as("mean_d2"),
+        Det.detRound(col("mean"), 6).as("mean_d2"),
         Det.detRound(max(col("d2")), 6).as("max_d2"))
+      .drop("mean")
       .orderBy(col("cell"))
   }
 

@@ -894,10 +894,15 @@ object TextNgrams {
         "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("c"))
+    // Top-100 via orderBy().limit() (TakeOrderedAndProject — a bounded
+    // per-partition heap + k-row driver merge, never a full sort), then
+    // re-rank the <=100-row slice: the pmiBigrams pattern, with no
+    // dependence on InferWindowGroupLimit rescuing a global row_number.
     val w = Window.orderBy(desc("c"), asc("w"))
     val top = freq
+      .orderBy(desc("c"), asc("w"))
+      .limit(TopN)
       .withColumn("r", row_number().over(w).cast("long"))
-      .filter(col("r") <= TopN)
       .select(
         col("r"), col("c"),
         log(col("r").cast("double")).as("x"),
@@ -980,8 +985,65 @@ object TextNgrams {
        |FROM agg""".stripMargin
   }
 
+  /** Vocabulary-head audit — the top-50 tokens by corpus frequency with
+    * global rank and share of total token mass. The head of the
+    * frequency spectrum is where boilerplate and template residue shows
+    * up first (a navigation token outranking "the" = extraction bug);
+    * read next to zipf_fit, it names the tokens behind the curve.
+    *
+    * Deliberately written in the declarative global-window form
+    * (`row_number() OVER (ORDER BY ...)` then `rn <= 50`): the repo's
+    * WindowTopKRewrite claims the empty-partition idiom and plans it as
+    * per-partition bounded heaps under a k·p-row single-partition final
+    * (plan-asserted in PlanAssertionsSpec), so the full-vocabulary
+    * single-partition sort the built-in window path risks can never
+    * happen. The unigram count itself is the bigram_topk map-side-
+    * partial hash agg; the share denominator is a 1-row broadcast.
+    */
+  def vocabTopk(spark: SparkSession, dir: String): DataFrame = {
+    val TopN = 50
+    val freq = Tables
+      .documents(spark, dir)
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum(col("c")).as("t"))
+    val w = Window.orderBy(desc("c"), asc("w"))
+    freq
+      .withColumn("vr", row_number().over(w))
+      .filter(col("vr") <= TopN)
+      .crossJoin(broadcast(tot))
+      .select(
+        col("vr").cast("long").as("vrank"),
+        col("w"),
+        col("c"),
+        Det.detRound(col("c").cast("double") / col("t"), 6).as("share"))
+      .orderBy(col("vrank"))
+  }
+
+  private val vocabTopkSql =
+    s"""WITH toks AS (
+       |  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |                x -> x <> '')) AS w
+       |  FROM documents
+       |), freq AS (
+       |  SELECT w, count(*) AS c FROM toks GROUP BY w
+       |), tot AS (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS t FROM freq
+       |), top AS (
+       |  SELECT w, c,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) AS BIGINT) AS vrank
+       |  FROM freq QUALIFY vrank <= 50
+       |)
+       |SELECT vrank, w, c,
+       |       ${Det.roundSql("CAST(c AS DOUBLE) / t", 6)} AS share
+       |FROM top, tot
+       |ORDER BY vrank""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "zipf_fit"            -> QueryDef(zipfFit, Some(zipfFitSql)),
+    "vocab_topk"          -> QueryDef(vocabTopk, Some(vocabTopkSql)),
     "pmi_bigrams"         -> QueryDef(pmiBigrams, Some(pmiBigramsSql)),
     "tokenizer_fertility" -> QueryDef(tokenizerFertility, Some(tokenizerFertilitySql)),
     "bpe_pair_counts"     -> QueryDef(bpePairCounts, Some(bpePairCountsSql)),

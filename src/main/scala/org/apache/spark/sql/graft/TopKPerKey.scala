@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.LazilyGeneratedOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.types.LongType
 
@@ -40,6 +40,9 @@ case class TopKPerKey(
     child: LogicalPlan)
   extends UnaryNode {
   require(k > 0, "k must be positive")
+  // keys may be EMPTY: global top-k-with-rank. The strategy then plans a
+  // per-partition partial heap (LocalTopKExec) below the single-partition
+  // final, so the exchange moves ≤ k·numPartitions rows, never the input.
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
@@ -57,9 +60,12 @@ case class TopKPerKeyExec(
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
 
-  /** One hash shuffle by key — EnsureRequirements inserts the exchange. */
+  /** One hash shuffle by key — EnsureRequirements inserts the exchange.
+    * Empty keys = global top-k: a single-partition final whose child the
+    * strategy has already reduced to ≤k rows per partition.
+    */
   override def requiredChildDistribution: Seq[Distribution] =
-    ClusteredDistribution(keys) :: Nil
+    (if (keys.isEmpty) AllTuples else ClusteredDistribution(keys)) :: Nil
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -106,8 +112,46 @@ case class TopKPerKeyExec(
     copy(child = newChild)
 }
 
+/** Per-partition partial top-k: a bounded k-row heap per input partition,
+  * no shuffle, no rank output (ranks are assigned by the single-partition
+  * final TopKPerKeyExec above). This is the map-side combine of global
+  * top-k — the exchange above it carries ≤ k·numPartitions rows instead
+  * of the whole input.
+  */
+case class LocalTopKExec(order: Seq[SortOrder], k: Int, child: SparkPlan)
+  extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val sortOrder   = order
+    val limit       = k
+    child.execute().mapPartitionsInternal { iter =>
+      val ord  = new LazilyGeneratedOrdering(sortOrder, childOutput)
+      val heap = mutable.PriorityQueue.empty[InternalRow](ord)
+      iter.foreach { row =>
+        if (heap.size < limit) {
+          heap.enqueue(row.copy())
+        } else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heap.iterator
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): LocalTopKExec =
+    copy(child = newChild)
+}
+
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(keys, order, k, rankAttr, child) if keys.isEmpty =>
+      // global top-k: partial heap per partition, then the k·p-row final
+      TopKPerKeyExec(
+        keys, order, k, rankAttr, LocalTopKExec(order, k, planLater(child))) :: Nil
     case TopKPerKey(keys, order, k, rankAttr, child) =>
       TopKPerKeyExec(keys, order, k, rankAttr, planLater(child)) :: Nil
     case _ => Nil

@@ -20,11 +20,15 @@ import org.apache.spark.sql.types.IntegerType
   * GraftExtensions.
   *
   * Conservative preconditions: exactly one window expression and it is
-  * row_number with the default running frame, a non-empty partition
-  * spec (global top-k stays on the built-in TakeOrdered path), a
-  * deterministic order, and a filter of the bare shape `rn <= lit` /
+  * row_number with the default running frame, a deterministic order,
+  * and a filter of the bare shape `rn <= lit` /
   * `rn < lit` / `lit >= rn` / `lit > rn` whose only reference is the
-  * row-number attribute. The rewrite reuses the alias's exprId so
+  * row-number attribute. An EMPTY partition spec (global top-k-with-
+  * rank) is also claimed: TopKStrategy plans it as a per-partition
+  * partial heap under a single-partition k·p-row final, so the full-
+  * input single-partition sort the built-in window path would pay (when
+  * InferWindowGroupLimit fails to fire) can never happen. The rewrite
+  * reuses the alias's exprId so
   * downstream references bind unchanged; it runs in the operator-
   * optimization batch, before InferWindowGroupLimit can claim the plan.
   */
@@ -51,7 +55,7 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
           Seq(alias @ Alias(
             WindowExpression(RowNumber(), WindowSpecDefinition(part, order, frame)), _)),
           _, _, child, _)
-        if part.nonEmpty && order.nonEmpty && order.forall(_.deterministic) &&
+        if order.nonEmpty && order.forall(_.deterministic) &&
           isDefaultRowNumberFrame(frame) =>
       limitOf(cond).collect {
         case (attr, k) if k > 0 && attr.exprId == alias.exprId =>

@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class Round11AdditionsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Crafted quoted-article corpus written as a real parquet dir so the
+    * queries run their actual scan path: doc 2 begins with doc 1's full
+    * text (containment(1→2) = 1.0, jaccard = 3/10 < 0.6) — the subset
+    * shape symmetric-Jaccard canonicalization is blind to.
+    */
+  private lazy val quotedDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kbcont").toString
+    import spark.implicits._
+    Seq(
+      (1L, "w1 w2 w3 w4 w5"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (3L, "x1 x2 x3 x4 x5 x6"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_keep_best_containment: a strict-subset doc is clustered and dropped") {
+    val kb = operators.Dedup.dedupKeepBestContainment(spark, quotedDir).collect()
+    val c1 = kb.find(_.getLong(0) == 1L)
+    assert(c1.isDefined, "the quoted-article pair forms cluster 1 via the containment edge")
+    assert(c1.get.getLong(1) === 2L, "the longer (superset) doc is kept")
+    assert(c1.get.getLong(3) === 2L, "the subset doc is a dropped member")
+    // doc 3 shares no shingle with anything — no cluster, survives as-is
+    assert(!kb.exists(_.getLong(1) == 3L))
+  }
+
+  test("dedup_keep_best (symmetric Jaccard) misses the same subset pair") {
+    val kb = operators.Dedup.dedupKeepBest(spark, quotedDir).collect()
+    assert(kb.isEmpty,
+      "jaccard 0.3 < 0.6: no edge, no cluster — the subset dup survives, " +
+        "which is exactly the gap the containment tier closes")
+  }
+
+  test("containment keep_best covers at least the symmetric clusters on the fixture") {
+    val plain = operators.Dedup.dedupKeepBest(spark, TestSpark.Sf).collect()
+    val cont  = operators.Dedup.dedupKeepBestContainment(spark, TestSpark.Sf).collect()
+    // union edge set ⊇ jaccard edge set → every symmetric-clustered doc
+    // stays clustered (components can only merge), so member mass and
+    // per-cluster sizes cannot shrink
+    val plainMass = plain.map(_.getLong(3)).sum
+    val contMass  = cont.map(_.getLong(3)).sum
+    assert(contMass >= plainMass, s"member mass shrank: $plainMass -> $contMass")
+    // canonical pick is still deterministic: kept docs unique
+    assert(cont.map(_.getLong(1)).distinct.length === cont.length)
+  }
+
+  test("dedup_containment_minhash: estimates well-formed, near-dup slice agrees with dedup_minhash") {
+    val rows = operators.Dedup.dedupContainmentMinhash(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty, "fixture corpus carries high-containment candidates")
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs canonical doc_a < doc_b")
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(3) >= 0.8 && r.getDouble(3) <= 1.0, "clamped est_cmax in [0.8, 1]")
+    }
+    // same candidate set, same sketch: the est_jaccard >= 0.5 slice must
+    // be a subset of dedup_minhash's verified pairs
+    val mh = operators.Dedup.dedupMinhash(spark, TestSpark.Sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    rows.filter(_.getDouble(2) >= 0.5)
+      .foreach(r => assert(mh.contains((r.getLong(0), r.getLong(1)))))
+  }
+
+  test("dedup_containment_minhash: exact-prefix duplicate estimated at full containment") {
+    // doc 2 = doc 1 verbatim plus a tail: true containment 1.0, true
+    // jaccard 10/16 — high enough that a 4-row band deterministically
+    // fires, low enough to sit under many near-dup thresholds. The
+    // estimator must recover cmax ≈ 1.0 from signature agreement + sizes.
+    val dir = java.nio.file.Files.createTempDirectory("graft-contmh").toString
+    import spark.implicits._
+    val tail = "t1 t2 t3 t4 t5 t6"
+    Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, s"w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 $tail"),
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8"))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = operators.Dedup.dedupContainmentMinhash(spark, dir).collect()
+    val p12 = got.find(r => r.getLong(0) == 1L && r.getLong(1) == 2L)
+    assert(p12.isDefined, "the prefix-duplicate pair must surface")
+    assert(p12.get.getDouble(3) >= 0.9, s"est_cmax ${p12.get.getDouble(3)} should be ~1.0")
+  }
+
+  test("keep_best_containment above the cap routes to the bounded minhash+containment tier") {
+    Downgrades.last = None
+    val routed =
+      operators.Dedup.dedupKeepBestContainmentGuarded(spark, TestSpark.Sf, cap = 10)
+    assert(routed.columns.toSeq ===
+      Seq("cluster_id", "kept_doc", "kept_chars", "n_members"))
+    val rows = routed.collect()
+    assert(Downgrades.last.exists(m =>
+      m.contains("dedup_keep_best_containment") && m.contains("containment_minhash")))
+    assert(rows.map(_.getLong(1)).distinct.length === rows.length, "kept docs unique")
+    // the routed tier is a superset graph of the plain minhash clusters:
+    // member mass cannot be below the symmetric minhash keep-best mass
+    val mhMass = operators.Dedup.dedupClustersMinhash(spark, TestSpark.Sf).count()
+    assert(rows.map(_.getLong(3)).sum >= mhMass)
+  }
+
+  test("vocab_topk: head ranks dense from 1, shares in (0,1] and non-increasing by count") {
+    val rows = operators.TextNgrams.vocabTopk(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to rows.length).toSeq)
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+  }
+
+  test("embedding_outliers plan: per-cell stats via broadcast join, no corpus window") {
+    val df = operators.Similarity.embeddingOutliers(spark, TestSpark.Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") && !plan.contains("Window "),
+      s"embedding_outliers must not window the corpus:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-cell stats should broadcast-join back:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "outliers bounded by cell population")
+    }
+  }
+}

@@ -40,6 +40,22 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(empty.count() === 0)
   }
 
+  test("empty key set = global top-k: partial heap + single-partition final") {
+    import spark.implicits._
+    val df = spark.range(0, 1000, 1, 8)
+      .select(col("id"), (lit(999L) - col("id")).as("o"))
+    val got = TopK.perKey(df, Nil, Seq("o" -> true), 5)
+      .orderBy(col("rn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // global smallest o = largest id: 999..995 with rank 1..5
+    assert(got.toSeq === (0 until 5).map(i => (999L - i, i.toLong, (i + 1).toLong)))
+    val plan = TopK.perKey(df, Nil, Seq("o" -> true), 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LocalTopK"), s"missing partial stage:\n$plan")
+    assert(!plan.contains("Sort"), s"global top-k must be sort-free:\n$plan")
+  }
+
   test("rank column is dense 1..min(k, group size)") {
     val counts = Engagement.userSessionsTopKCustom(spark, TestSpark.Sf)
       .groupBy("user_id").agg(max("rn").as("mx"), count(lit(1)).as("n"))

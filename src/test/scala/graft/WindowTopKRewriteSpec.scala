@@ -49,7 +49,7 @@ class WindowTopKRewriteSpec extends AnyFunSuite {
     assert(lt.exceptAll(le).isEmpty && le.exceptAll(lt).isEmpty)
   }
 
-  test("ineligible shapes are not rewritten: rank(), rank-only conjunct, global window") {
+  test("ineligible shapes are not rewritten: rank(), rank-only conjunct") {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val rankDf = base.withColumn("rn", rank().over(w)).filter($"rn" <= 4)
     assert(!usesTopK(rankDf))
@@ -59,10 +59,34 @@ class WindowTopKRewriteSpec extends AnyFunSuite {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 4 && $"rn" % 2 === 1)
     assert(!usesTopK(rnConj))
-    val global = base
-      .withColumn("rn", row_number().over(Window.orderBy($"ts", $"event_id")))
-      .filter($"rn" <= 4)
-    assert(!usesTopK(global))
+  }
+
+  test("global (empty-partition) row_number <= k rewrites: partial heap + k·p final") {
+    val gw = Window.orderBy($"ts", $"event_id")
+    val df = base
+      .withColumn("rn", row_number().over(gw))
+      .filter($"rn" <= 7)
+    val plan = executedPlan(df)
+    assert(plan.toString.contains("TopKPerKey"),
+      s"global top-k-with-rank not rewritten:\n$plan")
+    assert(plan.toString.contains("LocalTopK"),
+      s"global rewrite missing the per-partition partial heap:\n$plan")
+    // and no sort anywhere — the whole point of the rewrite
+    assert(!plan.toString.contains("Sort "), s"unexpected sort in:\n$plan")
+    val ref = base
+      .withColumn("rn", rank().over(gw))
+      .filter($"rn" <= 7)
+    assert(df.exceptAll(ref).isEmpty && ref.exceptAll(df).isEmpty)
+    assert(df.count() === 7)
+  }
+
+  test("registered query vocab_topk plans onto TopKPerKey with empty key") {
+    val df = graft.operators.TextNgrams.vocabTopk(spark, TestSpark.Sf)
+    val plan = executedPlan(df)
+    assert(plan.toString.contains("TopKPerKey"),
+      s"vocab_topk should run on the custom operator:\n$plan")
+    assert(plan.toString.contains("LocalTopK"),
+      s"vocab_topk missing the partial-heap stage:\n$plan")
   }
 
   test("pushable conjunct: predicate splits below the window, then the rewrite fires") {
