@@ -912,6 +912,41 @@ object Dedup {
        |WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
 
+  /** Keep-best over the BOUNDED minhash clusters — the production form
+    * of dedup_keep_best: canonicalization runs on the LSH star-edge
+    * components (candidate work linear in bucket size, never all-pairs),
+    * so the corpus-shrinking pass itself survives a duplicated 100 TB
+    * corpus instead of inheriting the exact anchor's output-quadratic
+    * pair kernel. Same bounded-heap TopKPerKey pick (longest doc, ties
+    * to smallest id) and member counts as the exact form; agreement
+    * with the exact clusters is what dedup_clusters_minhash's spec
+    * already asserts.
+    */
+  def dedupKeepBestMinhash(spark: SparkSession, dir: String): DataFrame =
+    keepBestOf(
+      dedupClustersMinhash(spark, dir)
+        .join(Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")), "doc_id"))
+
+  private lazy val dedupKeepBestMinhashSql =
+    s"""WITH j AS (
+       |  SELECT c.cluster_id, c.doc_id, d.n_chars
+       |  FROM (
+       |${dedupClustersMinhashSql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) c
+       |  JOIN documents d ON c.doc_id = d.doc_id
+       |), r AS (
+       |  SELECT cluster_id, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn,
+       |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+       |  FROM j
+       |)
+       |SELECT cluster_id, doc_id AS kept_doc,
+       |       CAST(n_chars AS BIGINT) AS kept_chars,
+       |       CAST(n_members AS BIGINT) AS n_members
+       |FROM r
+       |WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
+
   /** Containment edge tier for the cluster graph: the same packed pair
     * kernel, but a pair is an edge when EITHER symmetric Jaccard ≥ 0.6
     * OR max-side containment ≥ 0.8 — so a short document fully embedded
@@ -1958,6 +1993,8 @@ object Dedup {
     "dedup_editdist" -> QueryDef(dedupEditdist, Some(dedupEditdistSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "dedup_clusters_minhash" -> QueryDef(dedupClustersMinhash, Some(dedupClustersMinhashSql)),
+    "dedup_keep_best_minhash" ->
+      QueryDef(dedupKeepBestMinhash, Some(dedupKeepBestMinhashSql)),
     "dedup_containment" -> QueryDef(dedupContainment, Some(dedupContainmentSql)),
     "dedup_containment_minhash" ->
       QueryDef(dedupContainmentMinhash, Some(dedupContainmentMinhashSql)),

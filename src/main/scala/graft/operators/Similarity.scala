@@ -932,6 +932,111 @@ object Similarity {
        |ORDER BY cell""".stripMargin
   }
 
+  /** Encoder-drift audit between two embedding batches — the check a
+    * training pipeline runs when an encoder is retrained or upgraded:
+    * both batches (old = even vec_id, new = odd, the deterministic
+    * stand-in for "yesterday's vectors vs today's") are assigned to the
+    * SAME stored quantizer, and each cell reports its population shift and
+    * the squared L2 drift of its per-dimension batch means. A healthy
+    * re-encode drifts uniformly and keeps cell shares; a broken one
+    * moves mass between cells (share_shift) or displaces a cell's
+    * centroid (drift2) — caught before the new batch poisons retrieval.
+    *
+    * Scale: one assignment pass; the per-(cell, dim, half) mean grid is
+    * a map-side-partial hash agg collapsing to k·d·2 rows (k=8, d=64)
+    * before the shuffle — nothing after the first agg scales with the
+    * corpus. Means are exact DECIMAL sums over doubles; drift2 and
+    * shares detRound-pinned. A cell missing one batch reports NULL
+    * drift (not 0 — absence of evidence), same on both engines.
+    */
+  def embeddingCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    val k     = 8
+    val iters = 3
+    val cents = trainCentroids(spark, dir, k, iters)
+    val e = corpus(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val assigned = kmeansAssign(spark, e, cents)
+      .withColumn(
+        "half",
+        when(pmod(col("vec_id"), lit(2L)) === 0L, lit(0L)).otherwise(lit(1L)))
+    val counts = assigned
+      .groupBy(col("cell"))
+      .agg(
+        sum(when(col("half") === 0L, 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("half") === 1L, 1L).otherwise(0L)).as("n_new"))
+    val dimMeans = assigned
+      .select(col("cell"), col("half"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"), col("half"))
+      .agg((Det.fineSum(col("x")) / count(lit(1))).as("mean"))
+    val drift = dimMeans
+      .groupBy(col("cell"), col("dim"))
+      .agg(
+        sum(when(col("half") === 0L, col("mean"))).as("m_old"),
+        sum(when(col("half") === 1L, col("mean"))).as("m_new"))
+      .groupBy(col("cell"))
+      .agg(Det.fineSum(
+        (col("m_new") - col("m_old")) * (col("m_new") - col("m_old"))).as("drift2raw"))
+    val tot = counts.agg(
+      sum(col("n_old")).as("t_old"), sum(col("n_new")).as("t_new"))
+    counts
+      .join(drift, Seq("cell"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("cell"),
+        col("n_old"),
+        col("n_new"),
+        when(col("t_old") === 0L || col("t_new") === 0L, lit(null).cast("double"))
+          .otherwise(Det.detRound(
+            col("n_new").cast("double") / col("t_new") -
+              col("n_old").cast("double") / col("t_old"), 6)).as("share_shift"),
+        Det.detRound(col("drift2raw"), 6).as("drift2"))
+      .orderBy(col("cell"))
+  }
+
+  private val embeddingCentroidDriftSql = {
+    val iters = 3
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH ${kmeansChainSql(8, iters)},
+       |${kmeansAssignCte("afinal", s"c$iters")},
+       |h AS (
+       |  SELECT vec_id, v, cell,
+       |         CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS half
+       |  FROM afinal
+       |), counts AS (
+       |  SELECT cell,
+       |         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       |         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+       |  FROM h GROUP BY cell
+       |), dim_means AS (
+       |  SELECT cell, dim, half,
+       |         CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
+       |  FROM (SELECT cell, half, unnest(generate_series(1, len(v))) AS dim,
+       |               unnest(v) AS x FROM h)
+       |  GROUP BY cell, dim, half
+       |), dd AS (
+       |  SELECT cell, dim,
+       |         SUM(CASE WHEN half = 0 THEN mean END) AS m_old,
+       |         SUM(CASE WHEN half = 1 THEN mean END) AS m_new
+       |  FROM dim_means GROUP BY cell, dim
+       |), drift AS (
+       |  SELECT cell, CAST(SUM(CAST((m_new - m_old) * (m_new - m_old)
+       |                        AS DECIMAL(30,10))) AS DOUBLE) AS drift2raw
+       |  FROM dd GROUP BY cell
+       |), tot AS (
+       |  SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+       |         CAST(SUM(n_new) AS BIGINT) AS t_new FROM counts
+       |)
+       |SELECT c.cell, c.n_old, c.n_new,
+       |       CASE WHEN t_old = 0 OR t_new = 0 THEN NULL
+       |            ELSE ${r6("""CAST(c.n_new AS DOUBLE) / t_new
+       |                         - CAST(c.n_old AS DOUBLE) / t_old""")} END AS share_shift,
+       |       ${r6("d.drift2raw")} AS drift2
+       |FROM counts c
+       |LEFT JOIN drift d ON c.cell = d.cell
+       |CROSS JOIN tot
+       |ORDER BY c.cell""".stripMargin
+  }
+
   /** Per-dimension variance spectrum of the embedding space — the
     * embedding-collapse / effective-dimensionality audit a training
     * pipeline runs on a fresh encoder batch: a healthy encoder spreads
@@ -2044,6 +2149,8 @@ object Similarity {
     "ann_ivf"           -> QueryDef(annIvf, Some(annIvfSql)),
     "embedding_kmeans"  -> QueryDef(embeddingKmeans, Some(embeddingKmeansSql)),
     "embedding_outliers" -> QueryDef(embeddingOutliers, Some(embeddingOutliersSql)),
+    "embedding_centroid_drift" ->
+      QueryDef(embeddingCentroidDrift, Some(embeddingCentroidDriftSql)),
     "embedding_neardup_lsh" -> QueryDef(embeddingNeardupLsh, Some(embeddingNeardupLshSql)),
     "neardup_threshold_curve" -> QueryDef(neardupThresholdCurve, Some(neardupThresholdCurveSql)),
     "embedding_quantize"    -> QueryDef(embeddingQuantize, Some(embeddingQuantizeSql)),

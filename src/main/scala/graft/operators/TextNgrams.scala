@@ -1041,9 +1041,140 @@ object TextNgrams {
        |FROM top, tot
        |ORDER BY vrank""".stripMargin
 
+  /** Corpus saturation curve — "is the crawl still finding new
+    * content": docs are split into 10 ingest-order buckets (by doc_id,
+    * the ingest sequence stand-in), and each bucket reports its distinct
+    * 3-shingle count, how many of those shingles appear for the FIRST
+    * time in that bucket, the novelty rate, and the cumulative share of
+    * the corpus vocabulary discovered so far. A healthy growing crawl
+    * holds novelty high; a saturated or self-duplicating one decays
+    * toward zero — the signal that tells a 100 TB ingest to stop paying
+    * for a source.
+    *
+    * Scale: two hash aggs over the shingle stream — per-(bucket,
+    * shingle) dedup, and min-bucket per shingle — both map-side-partial,
+    * both linear; every frame after them is ≤10 rows (the rate window
+    * runs on the bucket frame). Shingles group by their string; a
+    * production run would substitute xxhash64 before the shuffle, which
+    * changes bytes moved, not results. Bucket ids are pinned to
+    * [0, 9] with NULL doc_ids grouped NULLS LAST on both engines.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val B = 10
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val mx = Tables.documents(spark, dir).agg(max(col("doc_id")).as("mx"))
+    def bucketed(df: DataFrame): DataFrame = df
+      .crossJoin(broadcast(mx))
+      .withColumn(
+        "bucket",
+        least(
+          greatest(
+            floor(col("doc_id") * lit(10.0) / (col("mx") + 1)).cast("long"), lit(0L)),
+          lit((B - 1).toLong)))
+    val sh = bucketed(docs)
+      .select(
+        col("bucket"),
+        when(
+          size(col("t")) >= 3,
+          array_distinct(expr(
+            "transform(sequence(0, size(t) - 3), i -> concat_ws(' ', t[i], t[i+1], t[i+2]))")))
+          .otherwise(array().cast("array<string>")).as("shs"))
+      .select(col("bucket"), explode(expr("if(size(shs) >= 0, shs, array())")).as("s"))
+    val perBucket = sh
+      .dropDuplicates("bucket", "s")
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_distinct"))
+    val novel = sh
+      .groupBy(col("s"))
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_novel"))
+    val nDocs = bucketed(docs.select(col("doc_id")))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val w = Window
+      .orderBy(asc_nulls_last("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nDocs
+      .join(perBucket, Seq("bucket"), "left")
+      .join(novel, Seq("bucket"), "left")
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("cum_novel", sum(col("n_novel")).over(w))
+      .crossJoin(broadcast(
+        sh.select(col("s")).distinct().agg(count(lit(1)).as("vocab"))))
+      .select(
+        col("bucket"),
+        col("n_docs"),
+        col("n_distinct"),
+        col("n_novel"),
+        when(col("n_distinct") === 0L, lit(null).cast("double"))
+          .otherwise(Det.detRound(
+            col("n_novel").cast("double") / col("n_distinct"), 6)).as("novelty_rate"),
+        when(col("vocab") === 0L, lit(null).cast("double"))
+          .otherwise(Det.detRound(
+            col("cum_novel").cast("double") / col("vocab"), 6)).as("cum_vocab_share"))
+      .orderBy(asc_nulls_last("bucket"))
+  }
+
+  private val ngramNoveltySql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    s"""WITH docs AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), mx AS (
+       |  SELECT max(doc_id) AS mx FROM documents
+       |), bdocs AS (
+       |  SELECT least(greatest(CAST(floor(doc_id * 10.0 / (mx + 1)) AS BIGINT), 0), 9)
+       |           AS bucket, t
+       |  FROM docs, mx
+       |), sh AS (
+       |  SELECT bucket, unnest(list_distinct(
+       |    CASE WHEN len(t) >= 3
+       |         THEN list_transform(generate_series(1, len(t) - 2),
+       |                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+       |         ELSE [] END)) AS s
+       |  FROM bdocs
+       |), per_bucket AS (
+       |  SELECT bucket, count(*) AS n_distinct
+       |  FROM (SELECT DISTINCT bucket, s FROM sh) GROUP BY bucket
+       |), novel AS (
+       |  SELECT bucket, count(*) AS n_novel
+       |  FROM (SELECT s, min(bucket) AS bucket FROM sh GROUP BY s) GROUP BY bucket
+       |), nd AS (
+       |  SELECT bucket, count(*) AS n_docs FROM bdocs GROUP BY bucket
+       |), vocab AS (
+       |  SELECT count(DISTINCT s) AS vocab FROM sh
+       |), merged AS (
+       |  SELECT nd.bucket, nd.n_docs,
+       |         COALESCE(per_bucket.n_distinct, 0) AS n_distinct,
+       |         COALESCE(novel.n_novel, 0) AS n_novel
+       |  FROM nd
+       |  LEFT JOIN per_bucket ON nd.bucket = per_bucket.bucket
+       |  LEFT JOIN novel ON nd.bucket = novel.bucket
+       |), cum AS (
+       |  SELECT bucket, n_docs, n_distinct, n_novel,
+       |         SUM(n_novel) OVER (ORDER BY bucket NULLS LAST
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_novel
+       |  FROM merged
+       |)
+       |SELECT bucket, n_docs,
+       |       CAST(n_distinct AS BIGINT) AS n_distinct,
+       |       CAST(n_novel AS BIGINT) AS n_novel,
+       |       CASE WHEN n_distinct = 0 THEN NULL
+       |            ELSE ${r6("CAST(n_novel AS DOUBLE) / n_distinct")} END AS novelty_rate,
+       |       CASE WHEN vocab = 0 THEN NULL
+       |            ELSE ${r6("CAST(cum_novel AS DOUBLE) / vocab")} END AS cum_vocab_share
+       |FROM cum, vocab
+       |ORDER BY bucket NULLS LAST""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "zipf_fit"            -> QueryDef(zipfFit, Some(zipfFitSql)),
     "vocab_topk"          -> QueryDef(vocabTopk, Some(vocabTopkSql)),
+    "ngram_novelty"       -> QueryDef(ngramNovelty, Some(ngramNoveltySql)),
     "pmi_bigrams"         -> QueryDef(pmiBigrams, Some(pmiBigramsSql)),
     "tokenizer_fertility" -> QueryDef(tokenizerFertility, Some(tokenizerFertilitySql)),
     "bpe_pair_counts"     -> QueryDef(bpePairCounts, Some(bpePairCountsSql)),

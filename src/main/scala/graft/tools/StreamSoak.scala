@@ -232,6 +232,74 @@ object StreamSoak {
       require(closed > 0, "no sessions closed — watermark never advanced")
     }
 
+    // ---- soak 3: funnel stage partials (the stream_funnel shape) -------
+    // stream_funnel's production form: each micro-batch folds to per-user
+    // stage-count partials appended exactly-once (idempotent per-batch
+    // subdir, so a replayed batch overwrites instead of double-counting),
+    // and the merged partials must converge to the per-stage totals of
+    // every committed batch — checked against our own per-batch counts,
+    // same rationale as soak 1. Also measures the state-compression
+    // ratio (partial rows appended vs raw rows ingested): the reason the
+    // finish pass reads state, never event history.
+    locally {
+      val partialsDir = s"$base/funnel-partials"
+      // a 50×-smaller user base than the raw stream: each micro-batch
+      // folds ~50 events per user into one partial row, so the
+      // compression metric actually measures the state-vs-history gap
+      // (with users >= rows/batch every user is distinct and the fold
+      // is a no-op by construction)
+      val funnelUsers = math.max(users / 50, 1L)
+      val batchCounts =
+        new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long, Long, Long)]()
+      val q = EventStreams.rateToEvents(rateSource(spark, rowsPerS), funnelUsers)
+        .writeStream
+        .outputMode("update")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val b = batch.localCheckpoint()
+            val byType = b.groupBy(col("event_type")).count()
+              .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+            batchCounts.put(batchId, (
+              byType.getOrElse("view", 0L), byType.getOrElse("click", 0L),
+              byType.getOrElse("purchase", 0L), b.count()))
+            graft.operators.Extended.perUserStages(b.toDF())
+              .write.mode("overwrite").parquet(s"$partialsDir/b=$batchId")
+        }
+        .option("checkpointLocation", s"$base/cp-funnel")
+        .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+        .start()
+      val c = new Collector(q.id)
+      spark.streams.addListener(c)
+      awaitBatches(spark, q, c, batches, timeoutMs = 15 * 60 * 1000L)
+      spark.streams.removeListener(c)
+      val recs = c.recs.synchronized(c.recs.toVector).sortBy(_.batchId)
+        .map(r => r.copy(rows = Option(batchCounts.get(r.batchId)).map(_._4).getOrElse(0L)))
+
+      import scala.jdk.CollectionConverters._
+      val committed = batchCounts.keys.asScala.toVector.sorted
+      val expect = committed.map(batchCounts.get)
+        .foldLeft((0L, 0L, 0L)) { case ((v, cl, p), (bv, bc, bp, _)) =>
+          (v + bv, cl + bc, p + bp)
+        }
+      val merged = spark.read.parquet(
+        committed.map(b => s"$partialsDir/b=$b"): _*)
+      val got = merged.agg(
+        sum(col("views")), sum(col("clicks")), sum(col("purchases"))).head
+      val gotT = (got.getLong(0), got.getLong(1), got.getLong(2))
+      val partialRows = merged.count()
+      val rawRows = committed.map(b => batchCounts.get(b)._4).sum
+      val converged = gotT == expect
+      println(s"### SOAK funnel committed=${committed.size} expect=$expect got=$gotT " +
+        s"partialRows=$partialRows rawRows=$rawRows")
+      out += summarize(
+        "funnel_partials", recs,
+        s""""converged":$converged,"partial_rows":$partialRows,""" +
+          s""""raw_rows":$rawRows,"compression":${
+            if (rawRows == 0) 0.0
+            else math.round(partialRows.toDouble / rawRows * 1000) / 1000.0}""")
+      require(converged, "funnel partials failed exactly-once convergence")
+    }
+
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SOAK_OUT", "bench/SOAK_last.json")),

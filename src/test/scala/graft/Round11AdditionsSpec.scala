@@ -117,6 +117,43 @@ class Round11AdditionsSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
   }
 
+  test("ngram_novelty: saturation curve well-formed; first bucket fully novel; shares reach 1") {
+    val rows = operators.TextNgrams.ngramNovelty(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val withShingles = rows.filter(_.getLong(2) > 0)
+    assert(withShingles.nonEmpty, "fixture corpus carries shingles")
+    // the first bucket that has any shingles sees them all for the first time
+    val first = withShingles.head
+    assert(first.getDouble(4) === 1.0, "first non-empty bucket is 100% novel")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "novel bounded by distinct")
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // cumulative vocabulary share is monotone and ends at 1.0
+    val shares = rows.filterNot(_.isNullAt(5)).map(_.getDouble(5))
+    assert(shares.zip(shares.tail).forall { case (a, b) => b >= a })
+    assert(math.abs(shares.last - 1.0) < 1e-9, s"final cum share ${shares.last}")
+  }
+
+  test("dedup_keep_best_minhash: one kept doc per minhash cluster, mass preserved") {
+    val kb = operators.Dedup.dedupKeepBestMinhash(spark, TestSpark.Sf).collect()
+    val clustered = operators.Dedup.dedupClustersMinhash(spark, TestSpark.Sf).count()
+    assert(kb.map(_.getLong(3)).sum === clustered, "member mass equals cluster assignment")
+    assert(kb.map(_.getLong(1)).distinct.length === kb.length, "kept docs unique")
+    kb.foreach(r => assert(r.getLong(3) >= 2L, "singleton components cannot arise from edges"))
+  }
+
+  test("embedding_centroid_drift: population conserved, share shifts cancel, drift2 >= 0") {
+    val rows = operators.Similarity.embeddingCentroidDrift(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    val n = Tables.cachedCount(spark, TestSpark.Sf, "embeddings")
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum === n,
+      "every vector lands in exactly one (cell, half)")
+    val shifts = rows.filterNot(_.isNullAt(3)).map(_.getDouble(3))
+    assert(math.abs(shifts.sum) < 1e-4, s"share shifts should cancel: ${shifts.sum}")
+    rows.filterNot(_.isNullAt(4)).foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
   test("embedding_outliers plan: per-cell stats via broadcast join, no corpus window") {
     val df = operators.Similarity.embeddingOutliers(spark, TestSpark.Sf)
     val plan = df.queryExecution.executedPlan.toString
