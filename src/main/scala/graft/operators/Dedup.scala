@@ -325,11 +325,21 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     val est = expr(
       s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)")
+    // sizes ride the signature frame so the candidate stream is joined
+    // exactly TWICE (the dedup_minhash shape) — a first cut joined sigs
+    // and sizes separately (four joins), which re-shuffled the 64-long
+    // signature payload through both size joins: 116 GiB of spill at the
+    // 100x docs probe vs zero for this form
+    val enriched = sigs.join(sizes, "doc_id")
     candidates
-      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
-      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), "doc_b")
+      .join(
+        enriched.select(
+          col("doc_id").as("doc_a"), col("sig").as("sig_a"), col("sz").as("sz_a")),
+        "doc_a")
+      .join(
+        enriched.select(
+          col("doc_id").as("doc_b"), col("sig").as("sig_b"), col("sz").as("sz_b")),
+        "doc_b")
       .select(
         col("doc_a"),
         col("doc_b"),
