@@ -550,7 +550,108 @@ object Multimodal {
        |ORDER BY hamming_bin""".stripMargin
   }
 
+  final case class VideoKeyRow(
+      doc_id: Long, n_frames: Long, n_sampled: Long, key_frame_idx: Long,
+      key_n_samples: Long, key_sum_sq: Long, key_peak: Long)
+
+  /** Registered query: temporal frame decimation + keyframe selection —
+    * the 1-in-N frame-sampling pass a video curation pipeline runs
+    * before any per-frame encoder (sample every 3rd frame, keep the
+    * highest-energy sampled frame as the clip's representative
+    * thumbnail). The WAV payloads stand in as the frame stream: the
+    * chunk walk yields raw samples ([[MediaCodec.decodeWavSamples]]),
+    * frames of 8 samples are enumerated, and ONLY frames with
+    * `idx % 3 == 0` have their statistics computed — decimation happens
+    * before feature extraction, which is the entire point of frame
+    * sampling (decode headers once, skip 2/3 of the frame compute).
+    * Keyframe = max exact integer energy among sampled frames, ties to
+    * the earliest frame.
+    *
+    * Scale: one media blob is one row, so decode → decimate → select is
+    * per-row scalar work in the iterator→iterator partition shape — no
+    * shuffle, no window, no state; the final sort is the registry-wide
+    * presentation orderBy. The oracle replays the synthesis formula
+    * through the same framing, decimation predicate and
+    * (energy DESC, frame_idx ASC) argmax, so an off-by-one decimation
+    * phase or a tie broken the other way hash-fails.
+    *
+    * Reference analog: the per-session binary-cell scan of
+    * load_hbase_sessions_stream.py:15-18, generalized to the
+    * frame-sample leg of a multimodal ingest.
+    */
+  def videoFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val FrameN = 8; val EveryN = 3
+    mediaBinaryTable(spark, dir, kind = Some("wav"))
+      .mapPartitions(_.map { row =>
+        val s = MediaCodec.decodeWavSamples(row.content)
+        val nFrames = (s.length + FrameN - 1) / FrameN
+        var nSampled = 0L
+        var bestIdx = 0L; var bestN = 0L; var bestSq = -1L; var bestPeak = 0L
+        var f = 0
+        while (f < nFrames) {
+          if (f % EveryN == 0) {
+            nSampled += 1
+            val start = f * FrameN
+            val end   = math.min(start + FrameN, s.length)
+            var sq = 0L; var peak = 0L; var k = start
+            while (k < end) {
+              val v = s(k).toLong
+              sq += v * v
+              val a = math.abs(v); if (a > peak) peak = a
+              k += 1
+            }
+            if (sq > bestSq) {
+              bestIdx = f.toLong; bestN = (end - start).toLong
+              bestSq = sq; bestPeak = peak
+            }
+          }
+          f += 1
+        }
+        VideoKeyRow(row.doc_id, nFrames.toLong, nSampled, bestIdx,
+          bestN, bestSq, bestPeak)
+      })
+      .toDF()
+      .withColumn(
+        "key_rms",
+        graft.Det.detRound(
+          sqrt(col("key_sum_sq").cast("double") / col("key_n_samples")), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private val videoFrameSampleSql =
+    s"""WITH wav AS (
+       |  SELECT doc_id, doc_id % 50 + 10 AS n
+       |  FROM documents WHERE doc_id % 2 = 1
+       |), s AS (
+       |  SELECT w.doc_id, w.n, t.k, (w.doc_id * 13 + t.k * 11) % 4096 - 2048 AS v
+       |  FROM wav w, unnest(generate_series(0, w.n - 1)) AS t(k)
+       |), fr AS (
+       |  SELECT doc_id, n, k // 8 AS frame_idx,
+       |         count(*) AS n_samples, SUM(v * v) AS sum_sq, MAX(abs(v)) AS peak
+       |  FROM s WHERE (k // 8) % 3 = 0
+       |  GROUP BY doc_id, n, k // 8
+       |), ranked AS (
+       |  SELECT *,
+       |         ROW_NUMBER() OVER (PARTITION BY doc_id
+       |                            ORDER BY sum_sq DESC, frame_idx) AS r,
+       |         COUNT(*) OVER (PARTITION BY doc_id) AS n_samp
+       |  FROM fr
+       |)
+       |SELECT doc_id,
+       |       CAST(CEIL(n / 8.0) AS BIGINT) AS n_frames,
+       |       CAST(n_samp AS BIGINT) AS n_sampled,
+       |       CAST(frame_idx AS BIGINT) AS key_frame_idx,
+       |       CAST(n_samples AS BIGINT) AS key_n_samples,
+       |       CAST(sum_sq AS BIGINT) AS key_sum_sq,
+       |       CAST(peak AS BIGINT) AS key_peak,
+       |       ${graft.Det.roundSql("sqrt(CAST(sum_sq AS DOUBLE) / n_samples)", 6)} AS key_rms
+       |FROM ranked
+       |WHERE r = 1
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "video_frame_sample"   -> QueryDef(videoFrameSample, Some(videoFrameSampleSql)),
     "image_dedup_phash"    -> QueryDef(imageDedupPhash, Some(imageDedupPhashSql)),
     "image_tile_stats"     -> QueryDef(imageTileStats, Some(imageTileStatsSql)),
     "audio_energy_windows" -> QueryDef(audioEnergyWindows, Some(audioEnergyWindowsSql)),

@@ -172,6 +172,114 @@ object Pipeline {
        |ORDER BY n_docs DESC, n_occurrences DESC, s
        |LIMIT 20""".stripMargin
 
+  private val StripTopK = 100 // bounded boilerplate set → broadcastable
+
+  /** Boilerplate STRIP accounting — the transform that acts on what
+    * [[boilerplateNgrams]] detects: the top-`StripTopK` boilerplate
+    * 8-grams (same n_docs ≥ [[BoilerMinDocs]] definition, ranked by doc
+    * frequency with full tie-breaks) are broadcast back against every
+    * document's shingle stream, each hit covers its 8 token positions,
+    * and the per-source report says how many documents are touched and
+    * what fraction of the corpus' tokens a strip pass would delete —
+    * the before/after ledger a curation pipeline publishes with every
+    * cleaning rule it ships.
+    *
+    * Overlapping hits must not double-count (two overlapping 8-gram
+    * occurrences covering 12 distinct tokens remove 12, not 16): each
+    * hit explodes to its 8 covered positions and a per-(doc, position)
+    * two-stage hash agg takes the union — both stages map-side partial,
+    * linear in hit volume, no per-doc buffering anywhere.
+    *
+    * Scale: the strip SET is explicitly bounded (top-K by doc
+    * frequency), never "everything above the threshold" — at 100 TB the
+    * ≥3-docs shingle family is itself unbounded, but the top-100 frame
+    * is a TakeOrderedAndProject over the detection agg, broadcast as
+    * ~100 strings to the probe scan. The probe join is a BHJ at the
+    * shingle stream, so nothing quadratic and no shuffle carries text
+    * wider than one shingle.
+    */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+    val occ = docs
+      .filter(size(col("t")) >= BoilerN)
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, size(t) - $BoilerN), i -> concat_ws(' ', slice(t, i + 1, $BoilerN)))"))
+          .as(Seq("pos", "s")))
+    val boiler = occ
+      .groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("s"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("c")).as("n_occ"))
+      .filter(col("n_docs") >= BoilerMinDocs)
+      .orderBy(desc("n_docs"), desc("n_occ"), asc("s"))
+      .limit(StripTopK)
+      .select(col("s"))
+    val covered = occ
+      .join(broadcast(boiler), "s")
+      .select(col("doc_id"), explode(expr(s"sequence(pos, pos + ${BoilerN - 1})")).as("p"))
+      .groupBy(col("doc_id"), col("p"))
+      .agg(lit(1))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("removed"))
+    docs
+      .select(col("doc_id"), col("source"), size(col("t")).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("removed") > 0L, 1L).otherwise(0L)).as("n_docs_hit"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(coalesce(col("removed"), lit(0L))).as("tokens_removed"))
+      .select(
+        col("source"), col("n_docs"), col("n_docs_hit"),
+        col("tokens_total"), col("tokens_removed"),
+        when(coalesce(col("tokens_total"), lit(0L)) === 0L, lit(null).cast("double"))
+          .otherwise(Det.detRound(
+            col("tokens_removed").cast("double") / col("tokens_total"), 6))
+          .as("pct_removed"))
+      .orderBy(asc_nulls_last("source"))
+  }
+
+  private val boilerplateStripSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+       |), occ AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         array_to_string(list_slice(t, i, i + ${BoilerN - 1}), ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - ${BoilerN - 1})) AS i)
+       |  WHERE len(t) >= $BoilerN
+       |), per_doc AS (
+       |  SELECT doc_id, s, count(*) AS c FROM occ GROUP BY doc_id, s
+       |), boiler AS (
+       |  SELECT s FROM (
+       |    SELECT s, count(*) AS n_docs, SUM(c) AS n_occ
+       |    FROM per_doc GROUP BY s HAVING count(*) >= $BoilerMinDocs
+       |  ) ORDER BY n_docs DESC, n_occ DESC, s LIMIT $StripTopK
+       |), cov AS (
+       |  SELECT doc_id, count(*) AS removed FROM (
+       |    SELECT DISTINCT o.doc_id, u.p
+       |    FROM occ o JOIN boiler b USING (s),
+       |         LATERAL (SELECT unnest(generate_series(o.pos, o.pos + ${BoilerN - 1})) AS p) u
+       |  ) GROUP BY doc_id
+       |), d AS (
+       |  SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n_tokens FROM t
+       |)
+       |SELECT source,
+       |       count(*) AS n_docs,
+       |       CAST(SUM(CASE WHEN removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       |       CAST(SUM(COALESCE(removed, 0)) AS BIGINT) AS tokens_removed,
+       |       CASE WHEN COALESCE(SUM(n_tokens), 0) = 0 THEN NULL
+       |            ELSE ${Det.roundSql("CAST(SUM(COALESCE(removed, 0)) AS DOUBLE) / SUM(n_tokens)", 6)}
+       |       END AS pct_removed
+       |FROM d LEFT JOIN cov USING (doc_id)
+       |GROUP BY source
+       |ORDER BY source NULLS LAST""".stripMargin
+
   // ----------------------------------------------------------- bloom join
 
   val BloomNumBits   = 1 << 16 // 8 KiB bitset
@@ -743,6 +851,7 @@ object Pipeline {
     "doc_chunks"            -> QueryDef(docChunks, Some(docChunksSql)),
     "chunk_dedup"           -> QueryDef(chunkDedup, Some(chunkDedupSql)),
     "boilerplate_ngrams"    -> QueryDef(boilerplateNgrams, Some(boilerplateNgramsSql)),
+    "boilerplate_strip"     -> QueryDef(boilerplateStrip, Some(boilerplateStripSql)),
     "bloom_join_prune"      -> QueryDef(bloomJoinPrune, Some(bloomJoinPruneSql)),
     "incremental_agg_merge" -> QueryDef(incrementalAggMerge, Some(incrementalAggMergeSql)),
     "corpus_shuffle"        -> QueryDef(corpusShuffle, Some(corpusShuffleSql)),

@@ -1104,8 +1104,15 @@ object TextNgrams {
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("cum_novel", sum(col("n_novel")).over(w))
-      .crossJoin(broadcast(
-        sh.select(col("s")).distinct().agg(count(lit(1)).as("vocab"))))
+      // vocab = Σ n_novel: every distinct shingle has exactly one min
+      // bucket, so the corpus vocabulary is the novel-count total — a
+      // window over the ≤10-row bucket frame, NOT a third full pass
+      // over the shingle stream (which a distinct().count() here was)
+      .withColumn(
+        "vocab",
+        sum(col("n_novel")).over(
+          Window.orderBy(asc_nulls_last("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .select(
         col("bucket"),
         col("n_docs"),

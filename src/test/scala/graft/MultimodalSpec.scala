@@ -90,6 +90,44 @@ class MultimodalSpec extends AnyFunSuite {
     assert(maxLen <= 64)
   }
 
+  test("video_frame_sample: decimation before compute, keyframe = argmax of sampled") {
+    val out = Multimodal.videoFrameSample(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    // brute-force recompute from the synthesis formulas, honoring the
+    // every-3rd-frame decimation and the (energy DESC, idx ASC) tie rule
+    out.take(40).foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n  = MediaCodec.wavSamples(id)
+      val frames = (0 until (n + 7) / 8).map { f =>
+        val ks = (f * 8) until math.min(f * 8 + 8, n)
+        val sq = ks.map { k => val v = MediaCodec.wavSample(id, k).toLong; v * v }.sum
+        (f.toLong, ks.size.toLong, sq)
+      }
+      val sampledFrames = frames.filter(_._1 % 3 == 0)
+      assert(r.getAs[Long]("n_frames") === frames.size.toLong)
+      assert(r.getAs[Long]("n_sampled") === sampledFrames.size.toLong)
+      val best = sampledFrames.maxBy { case (f, _, sq) => (sq, -f) }
+      assert(r.getAs[Long]("key_frame_idx") === best._1)
+      assert(r.getAs[Long]("key_n_samples") === best._2)
+      assert(r.getAs[Long]("key_sum_sq") === best._3)
+      // keyframe must be a SAMPLED frame even when a skipped frame has
+      // more energy — decimation is the contract, not an optimization
+      assert(best._1 % 3 === 0)
+    }
+    // the fixture must include at least one doc where the global argmax
+    // frame is NOT sampled (so decimation is observably load-bearing)
+    val divergent = out.take(200).exists { r =>
+      val id = r.getAs[Long]("doc_id")
+      val n  = MediaCodec.wavSamples(id)
+      val frames = (0 until (n + 7) / 8).map { f =>
+        val ks = (f * 8) until math.min(f * 8 + 8, n)
+        (f, ks.map { k => val v = MediaCodec.wavSample(id, k).toLong; v * v }.sum)
+      }
+      frames.maxBy { case (f, sq) => (sq, -f) }._1 % 3 != 0
+    }
+    assert(divergent, "fixture never exercises a skipped-frame global max")
+  }
+
   test("corrupt chunk sizes throw instead of hanging the decoder") {
     val wav = MediaCodec.encodeWav(5L)
     // poison the fmt chunk size field with -8: a naive cursor advances

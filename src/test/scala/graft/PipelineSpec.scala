@@ -175,4 +175,52 @@ class PipelineSpec extends AnyFunSuite {
       assert(out.forall(_.getAs[String]("s").split(" ").length == 8))
     }
   }
+
+  test("boilerplate_strip matches a brute-force interval-union recompute") {
+    val out = Pipeline.boilerplateStrip(spark, sf).collect()
+      .map(r => Option(r.getAs[String]("source")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_docs_hit"),
+          r.getAs[Long]("tokens_total"), r.getAs[Long]("tokens_removed")))
+      .toMap
+    assert(out.nonEmpty)
+    // brute force on the collected sf0.001 corpus: same top-100 boiler
+    // set, covered = UNION of [pos, pos+8) spans (overlaps not double-
+    // counted), aggregated per source
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), Option(r.getAs[String]("source")),
+        Option(r.getAs[String]("text"))))
+    val toks = docs.map { case (id, src, txt) =>
+      (id, src, txt.map(_.split(" ", -1).toSeq)) }
+    val occ = toks.flatMap { case (id, _, t) =>
+      t.toSeq.flatMap(ts =>
+        if (ts.size < 8) Nil
+        else (0 to ts.size - 8).map(i => (id, i, ts.slice(i, i + 8).mkString(" "))))
+    }
+    val boiler = occ.groupBy(_._3).view
+      .mapValues(os => (os.map(_._1).distinct.size.toLong, os.size.toLong))
+      .filter(_._2._1 >= 3L).toSeq
+      .sortBy { case (s, (nd, no)) => (-nd, -no, s) }
+      .take(100).map(_._1).toSet
+    val removedByDoc = occ.filter(o => boiler(o._3))
+      .groupBy(_._1).view
+      .mapValues(_.flatMap(o => o._2 until o._2 + 8).distinct.size.toLong).toMap
+    val expected = toks.groupBy(_._2).view.mapValues { ds =>
+      val nDocs    = ds.size.toLong
+      val hit      = ds.count(d => removedByDoc.getOrElse(d._1, 0L) > 0L).toLong
+      val total    = ds.flatMap(_._3.map(_.size.toLong)).sum
+      val removed  = ds.map(d => removedByDoc.getOrElse(d._1, 0L)).sum
+      (nDocs, hit, total, removed)
+    }.toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (src, exp) =>
+      assert(out(src) === exp, s"source $src: got ${out(src)}, expected $exp")
+    }
+    // the fixture must actually exercise overlap (some doc where raw
+    // 8x hit count exceeds the union) or the no-double-count branch is dead
+    val overlapped = occ.filter(o => boiler(o._3)).groupBy(_._1).exists {
+      case (id, os) => os.size * 8L > removedByDoc(id)
+    }
+    assert(overlapped, "fixture never exercises overlapping boilerplate spans")
+  }
 }
