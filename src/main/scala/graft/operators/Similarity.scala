@@ -1476,6 +1476,154 @@ object Similarity {
        |ORDER BY method, q_id""".stripMargin
   }
 
+  /** Rank-aware retrieval quality: MRR and binary-relevance NDCG@k of
+    * each approximate search path against the stored exact anchor —
+    * recall@k ([[annRecall]]) says how many true neighbors surface;
+    * this says WHERE they surface in the approximate ranking, which is
+    * what a RAG serving stack actually pays for (a true neighbor at
+    * rank 10 is nearly worthless at answer time). relevant = exact
+    * top-k set; RR = 1/rank of the first relevant item in the approx
+    * list (0 when none); DCG = Σ 1/log2(rank+1) over relevant hits,
+    * IDCG over the first min(k, |relevant|) positions.
+    *
+    * Exactness: each log term is quantized to DECIMAL(30,10) before
+    * summation (the lm_score convention — last-ulp libm differences
+    * vanish in the cast and DECIMAL addition is order-independent);
+    * MRR's 1/rank is exact IEEE division on both engines; final ratios
+    * detRound-pinned. Scale: every frame here is query-batch sized
+    * (≤ NumQueries·TopK rows) — the eval costs nothing beyond the
+    * searches it grades, and the anchor is the build-once stored
+    * ground-truth table.
+    */
+  def retrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val exact = annExactStored(spark, dir)
+      .select(col("q_id"), col("neighbor_id"))
+    val exactN = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    def dcgTerm(r: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (lit(1.0) / (log(r.cast("double") + lit(1.0)) / log(lit(2.0)))).cast(Det.Fine)
+    val ideal = exactN
+      .select(col("q_id"), explode(expr(s"sequence(1, least(n_exact, $TopK))")).as("i"))
+      .groupBy(col("q_id"))
+      .agg(sum(dcgTerm(col("i"))).as("idcg"))
+    def evalOf(method: String, approx: DataFrame): DataFrame = {
+      val met = approx
+        .select(col("q_id"), col("neighbor_id"), col("rn"))
+        .join(exact, Seq("q_id", "neighbor_id"))
+        .groupBy(col("q_id"))
+        .agg(
+          count(lit(1)).as("n_hit"),
+          min(col("rn")).as("first_rel"),
+          sum(dcgTerm(col("rn"))).as("dcg"))
+      exactN
+        .join(ideal, Seq("q_id"), "left")
+        .join(met, Seq("q_id"), "left")
+        .select(
+          lit(method).as("method"),
+          col("q_id"),
+          col("n_exact"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          Det.detRound(
+            coalesce(lit(1.0) / col("first_rel").cast("double"), lit(0.0)), 6).as("mrr"),
+          when(col("idcg").isNull || col("idcg") === lit(0).cast(Det.Fine),
+            lit(null).cast("double"))
+            .otherwise(Det.detRound(
+              coalesce(col("dcg"), lit(0).cast(Det.Fine)).cast("double") /
+                col("idcg").cast("double"), 6)).as("ndcg"))
+    }
+    evalOf("ann_ivf", annIvf(spark, dir))
+      .unionAll(evalOf("ann_lsh", annLsh(spark, dir)))
+      .unionAll(evalOf("ann_pq", annPq(spark, dir)))
+      .orderBy(col("method"), col("q_id"))
+  }
+
+  /** DuckDB twin of retrievalEval: the annRecall CTE skeleton (same
+    * exact anchor, LSH/IVF/PQ chains) with ranks kept through the
+    * top-k cut and the MRR/DCG folds replayed term-for-term.
+    */
+  private val retrievalEvalSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    def dcgT(r: String) =
+      s"CAST(1.0 / (ln($r + 1.0) / ln(2.0)) AS DECIMAL(30,10))"
+    def metCte(src: String) =
+      s"""SELECT q_id, count(*) AS n_hit, MIN(rn) AS first_rel,
+         |         SUM(${dcgT("rn")}) AS dcg
+         |  FROM (SELECT s.q_id, s.rn FROM $src s JOIN exact x
+         |        ON s.q_id = x.q_id AND s.neighbor_id = x.neighbor_id)
+         |  GROUP BY q_id""".stripMargin
+    def armSql(method: String, met: String) =
+      s"""SELECT '$method' AS method, en.q_id, en.n_exact,
+         |       COALESCE(m.n_hit, 0) AS n_hit, m.first_rel, m.dcg, i.idcg
+         |FROM exact_n en
+         |LEFT JOIN ideal i USING (q_id)
+         |LEFT JOIN $met m USING (q_id)""".stripMargin
+    s"""WITH ${lshSqlPrefix(LshTables, LshPlanes)},
+       |x_rank AS (
+       |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |           ${r6("list_cosine_similarity(q.v, c.v)")} AS cos
+       |    FROM e q JOIN e c ON c.vec_id != q.vec_id
+       |    WHERE q.vec_id < $NumQueries
+       |  )
+       |), exact AS (
+       |  SELECT q_id, neighbor_id FROM x_rank WHERE rn <= $TopK
+       |), exact_n AS (
+       |  SELECT q_id, count(*) AS n_exact FROM exact GROUP BY q_id
+       |), ideal AS (
+       |  SELECT q_id, SUM(${dcgT("i")}) AS idcg
+       |  FROM exact_n, LATERAL (SELECT unnest(generate_series(1, LEAST(n_exact, $TopK))) AS i)
+       |  GROUP BY q_id
+       |), l_rank AS (
+       |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT cand.q_id, cand.neighbor_id,
+       |           ${r6("list_cosine_similarity(qe.v, ce.v)")} AS cos
+       |    FROM (
+       |      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS neighbor_id
+       |      FROM bck c JOIN bck q ON c.tbl = q.tbl AND c.bucket = q.bucket
+       |      WHERE q.vec_id < $NumQueries AND c.vec_id != q.vec_id
+       |    ) cand
+       |    JOIN e qe ON cand.q_id = qe.vec_id
+       |    JOIN e ce ON cand.neighbor_id = ce.vec_id
+       |  )
+       |), lsh AS (
+       |  SELECT q_id, neighbor_id, rn FROM l_rank WHERE rn <= $TopK
+       |), ${ivfSqlCtes(2)}, i_rank AS (
+       |  SELECT q_id, neighbor_id, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+       |  FROM (
+       |    SELECT p.q_id, a.vec_id AS neighbor_id,
+       |           ${r6("list_cosine_similarity(p.qv, a.v)")} AS cos
+       |    FROM assigned a JOIN probed p ON a.cell = p.cell
+       |    WHERE a.vec_id != p.q_id
+       |  )
+       |), ivf AS (
+       |  SELECT q_id, neighbor_id, rn FROM i_rank WHERE rn <= $TopK
+       |),
+       |$pqSqlChain,
+       |pq AS (
+       |  SELECT q_id, neighbor_id, rn FROM pq_rank WHERE rn <= $TopK
+       |), met_l AS (
+       |  ${metCte("lsh")}
+       |), met_i AS (
+       |  ${metCte("ivf")}
+       |), met_p AS (
+       |  ${metCte("pq")}
+       |)
+       |SELECT method, q_id, n_exact, n_hit,
+       |       ${r6("COALESCE(1.0 / first_rel, 0.0)")} AS mrr,
+       |       CASE WHEN idcg IS NULL OR idcg = 0 THEN NULL
+       |            ELSE ${r6("CAST(COALESCE(dcg, 0) AS DOUBLE) / CAST(idcg AS DOUBLE)")}
+       |       END AS ndcg
+       |FROM (
+       |  ${armSql("ann_ivf", "met_i")}
+       |  UNION ALL
+       |  ${armSql("ann_lsh", "met_l")}
+       |  UNION ALL
+       |  ${armSql("ann_pq", "met_p")}
+       |)
+       |ORDER BY method, q_id""".stripMargin
+  }
+
   // ------------------------------------------------- product quantization
 
   /** The corpus split into PqM subvector streams: (sub, vec_id, v) with
@@ -2139,6 +2287,7 @@ object Similarity {
     "ann_nprobe_curve"  -> QueryDef(annNprobeCurve, Some(annNprobeCurveSql)),
     "semantic_dedup"    -> QueryDef(semanticDedup, Some(semanticDedupSql)),
     "ann_recall"        -> QueryDef(annRecall, Some(annRecallSql)),
+    "retrieval_eval"    -> QueryDef(retrievalEval, Some(retrievalEvalSql)),
     "ann_pq"            -> QueryDef(annPq, Some(annPqSql)),
     // identical to ann_pq by construction (the stored index must serve
     // exactly what the in-plan build computes) — shares its oracle

@@ -167,4 +167,34 @@ class Round11AdditionsSpec extends AnyFunSuite {
       assert(r.getLong(2) <= r.getLong(1), "outliers bounded by cell population")
     }
   }
+
+  test("retrieval_eval: metric ranges hold and n_hit agrees with ann_recall") {
+    val ev = operators.Similarity.retrievalEval(spark, TestSpark.Sf).collect()
+    assert(ev.nonEmpty)
+    ev.foreach { r =>
+      val (nExact, nHit) = (r.getAs[Long]("n_exact"), r.getAs[Long]("n_hit"))
+      val (mrr, ndcg)    = (r.getAs[Double]("mrr"), Option(r.getAs[java.lang.Double]("ndcg")))
+      assert(nHit <= nExact, "hits bounded by the relevant set")
+      assert(mrr >= 0.0 && mrr <= 1.0, s"mrr out of range: $mrr")
+      ndcg.foreach(v => assert(v >= 0.0 && v <= 1.0 + 1e-9, s"ndcg out of range: $v"))
+      // rank-awareness invariants: hits exist iff mrr > 0; a full sweep
+      // of the relevant set at the top of the list is the only ndcg=1
+      if (nHit == 0L) assert(mrr === 0.0 && ndcg.forall(_ == 0.0))
+      else assert(mrr > 0.0)
+    }
+    val recall = operators.Similarity.annRecall(spark, TestSpark.Sf).collect()
+      .map(r => (r.getAs[String]("method"), r.getAs[Long]("q_id")) -> r.getAs[Long]("n_hit"))
+      .toMap
+    ev.foreach { r =>
+      val key = (r.getAs[String]("method"), r.getAs[Long]("q_id"))
+      assert(recall(key) === r.getAs[Long]("n_hit"),
+        s"$key: retrieval_eval n_hit diverges from ann_recall")
+    }
+    // rank-awareness must be observable: some arm has recall ties but
+    // different ndcg, or at minimum not every ndcg is 0/1
+    assert(ev.exists { r =>
+      val v = Option(r.getAs[java.lang.Double]("ndcg"))
+      v.exists(x => x > 0.0 && x < 1.0)
+    }, "fixture never produces a partial-rank ndcg — metric not exercised")
+  }
 }
