@@ -1738,6 +1738,161 @@ object Dedup {
        |ORDER BY method""".stripMargin
   }
 
+  /** Per-pair detector agreement cube — dedup_pair_quality grades each
+    * detector's PAIR SET against the exact anchor; this inspects the
+    * same decision at pair granularity: for EVERY co-shingled pair
+    * (the dedup_containment convention — no Jaccard floor, so sketch
+    * false-positives on low-overlap pairs are visible, not filtered
+    * away), would the exact pass (J ≥ 0.6), the deployed minhash rule
+    * (an LSH band collides AND 64-perm estimate ≥ 0.5) and the deployed
+    * simhash rule (Hamming ≤ 3) each flag it? The 8-cell
+    * (v_exact, v_minhash, v_simhash) cube with per-cell means is the
+    * evidence for WHERE the detectors disagree — (true, false, *) is
+    * recall lost to sketching, (false, *, true) is sketch
+    * false-positive mass, and each cell's mean_jaccard says whether
+    * the errors are borderline or real.
+    *
+    * Verdict fidelity: the minhash verdict replays band-collision +
+    * verify (≥ 32/64 matching positions does NOT imply a fully-equal
+    * 4-slot band, so the band test is load-bearing); the simhash ≤ 3
+    * cut needs no separate band test — ≤ 3 differing bits across four
+    * 16-bit bands leaves at least one band identical by pigeonhole, so
+    * the collision is implied. Bucket-size caps are not modeled: they
+    * drop only degenerate hot buckets, and the oracle replays the same
+    * uncapped rule.
+    *
+    * Scale: the pair universe is the same packed inverted-index kernel
+    * as dedup_jaccard (hot-shingle capped), doc-hash sampled above
+    * [[PairQualityDocCap]] like the rest of the grading family; the two
+    * signature families ride ONE enriched per-doc frame joined exactly
+    * twice (the dedup_containment_minhash lesson — separate sig joins
+    * re-shuffled 64-long payloads), and the output is ≤ 8 rows.
+    */
+  def dedupDetectorAgreement(spark: SparkSession, dir: String): DataFrame =
+    dedupDetectorAgreementGuarded(spark, dir, PairQualityDocCap)
+
+  private[graft] def dedupDetectorAgreementGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    GraftFunctions.register(spark)
+    val nDocs = Tables.cachedCount(spark, dir, "documents")
+    val (docs, _) =
+      sampleAboveCap("dedup_detector_agreement", Tables.documents(spark, dir), nDocs, cap)
+    val pairs = pairCommonOf(docs)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        Det.detRound(
+          col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
+          .as("jaccard"))
+    val (msigs, _) = minhashBandsOf(docs, MinhashK, persistSigs = false)
+    val ssigs = docs
+      .select(col("doc_id"), expr("graft_simhash_md5(split(text, ' '))").as("s2"))
+      .select(col("doc_id"), expr("s2[0]").as("hi"), expr("s2[1]").as("lo"))
+    val enriched = msigs.join(ssigs, "doc_id")
+    val k = MinhashK
+    val scored = pairs
+      .join(
+        enriched.select(
+          col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          col("hi").as("hi_a"), col("lo").as("lo_a")),
+        "doc_a")
+      .join(
+        enriched.select(
+          col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          col("hi").as("hi_b"), col("lo").as("lo_b")),
+        "doc_b")
+      .select(
+        col("jaccard"),
+        Det.detRound(
+          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
+          6).as("est_jaccard"),
+        expr(
+          "exists(sequence(0, 15), b -> slice(sig_a, b * 4 + 1, 4) = slice(sig_b, b * 4 + 1, 4))")
+          .as("band_hit"),
+        (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
+          .cast("long").as("hamming"))
+    scored
+      .select(
+        (col("jaccard") >= 0.6).as("v_exact"),
+        (col("band_hit") && col("est_jaccard") >= 0.5).as("v_minhash"),
+        (col("hamming") <= 3L).as("v_simhash"),
+        col("jaccard"), col("est_jaccard"), col("hamming"))
+      .groupBy(col("v_exact"), col("v_minhash"), col("v_simhash"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        Det.detRound(Det.fineSum(col("jaccard")) / count(lit(1)), 6).as("mean_jaccard"),
+        Det.detRound(Det.fineSum(col("est_jaccard")) / count(lit(1)), 6).as("mean_est"),
+        Det.detRound(sum(col("hamming")).cast("double") / count(lit(1)), 6).as("mean_hamming"))
+      .orderBy(desc("v_exact"), desc("v_minhash"), desc("v_simhash"))
+  }
+
+  /** DuckDB twin of dedupDetectorAgreement: the minhash oracle prefix
+    * (shared shingles + signature chain), the exact-Jaccard chain over
+    * a DISTINCT view of the same shingle CTE, the simhash signature
+    * chain, and the per-pair verdict cube replayed rule-for-rule.
+    */
+  private val dedupDetectorAgreementSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    val est = estJaccardSql(MinhashK)
+    s"""WITH ${minhashSqlPrefix(MinhashK)},
+       |jsh AS (
+       |  SELECT DISTINCT doc_id, s FROM sh
+       |), sizes AS (
+       |  SELECT doc_id, count(*) AS sz FROM jsh GROUP BY doc_id
+       |), cold AS (
+       |  SELECT * FROM jsh WHERE s IN (
+       |    SELECT s FROM jsh GROUP BY s HAVING count(*) <= $HotShingleCap)
+       |), common AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+       |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT doc_a, doc_b,
+       |         ${r6("CAST(common AS DOUBLE) / (x.sz + y.sz - common)")} AS jaccard
+       |  FROM common JOIN sizes x ON doc_a = x.doc_id JOIN sizes y ON doc_b = y.doc_id
+       |), sw AS (
+       |  SELECT doc_id, unnest(t) AS w FROM toks
+       |), sth AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(w), 1, 8))::BIGINT AS hi,
+       |         ('0x' || substr(md5(w), 9, 8))::BIGINT AS lo
+       |  FROM sw
+       |), sbits AS (
+       |  SELECT doc_id, j,
+       |         SUM(CASE WHEN (lo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c_lo,
+       |         SUM(CASE WHEN (hi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c_hi
+       |  FROM sth, (SELECT unnest(generate_series(0, 31)) AS j)
+       |  GROUP BY doc_id, j
+       |), ssigs AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN c_hi > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS hi,
+       |         SUM(CASE WHEN c_lo > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo
+       |  FROM sbits GROUP BY doc_id
+       |), scored AS (
+       |  SELECT p.jaccard,
+       |         ${r6(est)} AS est_jaccard,
+       |         len(list_filter(generate_series(0, 15), b ->
+       |           list_slice(sa.sig, b * 4 + 1, b * 4 + 4) =
+       |           list_slice(sb.sig, b * 4 + 1, b * 4 + 4))) > 0 AS band_hit,
+       |         CAST(bit_count(xor(xa.hi, xb.hi)) + bit_count(xor(xa.lo, xb.lo)) AS BIGINT) AS hamming
+       |  FROM pairs p
+       |  JOIN sigs  sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs  sb ON p.doc_b = sb.doc_id
+       |  JOIN ssigs xa ON p.doc_a = xa.doc_id
+       |  JOIN ssigs xb ON p.doc_b = xb.doc_id
+       |)
+       |SELECT jaccard >= 0.6 AS v_exact,
+       |       (band_hit AND est_jaccard >= 0.5) AS v_minhash,
+       |       hamming <= 3 AS v_simhash,
+       |       count(*) AS n_pairs,
+       |       ${r6("CAST(SUM(CAST(jaccard AS DECIMAL(30,10))) AS DOUBLE) / count(*)")} AS mean_jaccard,
+       |       ${r6("CAST(SUM(CAST(est_jaccard AS DECIMAL(30,10))) AS DOUBLE) / count(*)")} AS mean_est,
+       |       ${r6("CAST(SUM(hamming) AS DOUBLE) / count(*)")} AS mean_hamming
+       |FROM scored
+       |GROUP BY 1, 2, 3
+       |ORDER BY v_exact DESC, v_minhash DESC, v_simhash DESC""".stripMargin
+  }
+
   /** Cross-source duplication matrix: verified minhash near-dup pair
     * counts by (source, source) — the dedup-observability view that
     * tells you WHICH sources copy from each other (mirror sites, feed
@@ -1995,6 +2150,8 @@ object Dedup {
     "lsh_band_sweep" -> QueryDef(lshBandSweep, Some(lshBandSweepSql)),
     "minhash_k_curve" -> QueryDef(minhashKCurve, Some(minhashKCurveSql)),
     "dedup_pair_quality" -> QueryDef(dedupPairQuality, Some(dedupPairQualitySql)),
+    "dedup_detector_agreement" ->
+      QueryDef(dedupDetectorAgreement, Some(dedupDetectorAgreementSql)),
     "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
     "dedup_keep_best" -> QueryDef(dedupKeepBest, Some(dedupKeepBestSql)),

@@ -197,4 +197,31 @@ class Round11AdditionsSpec extends AnyFunSuite {
       v.exists(x => x > 0.0 && x < 1.0)
     }, "fixture never produces a partial-rank ndcg — metric not exercised")
   }
+
+  test("dedup_detector_agreement: cube cells consistent with the shipped detectors") {
+    val cube = operators.Dedup.dedupDetectorAgreement(spark, TestSpark.Sf).collect()
+    assert(cube.nonEmpty)
+    cube.foreach { r =>
+      val (vx, vs) = (r.getAs[Boolean]("v_exact"), r.getAs[Boolean]("v_simhash"))
+      val mj = r.getAs[Double]("mean_jaccard")
+      val me = r.getAs[Double]("mean_est")
+      val mh = r.getAs[Double]("mean_hamming")
+      assert(r.getAs[Long]("n_pairs") > 0L, "empty cells must not be emitted")
+      assert(mj >= 0.0 && mj <= 1.0, s"mean_jaccard out of range: $mj")
+      assert(me >= 0.0 && me <= 1.0)
+      assert(mh >= 0.0)
+      // cell means must respect their own verdict cuts
+      if (vx) assert(mj >= 0.6) else assert(mj < 0.6)
+      if (vs) assert(mh <= 3.0) else assert(mh > 3.0)
+    }
+    // the v_exact=true slice of the cube IS dedup_jaccard's pair set
+    val exactInCube = cube.filter(_.getAs[Boolean]("v_exact")).map(_.getAs[Long]("n_pairs")).sum
+    val exactPairs  = operators.Dedup.dedupJaccard(spark, TestSpark.Sf).count()
+    assert(exactInCube === exactPairs,
+      s"cube v_exact mass $exactInCube != dedup_jaccard pair count $exactPairs")
+    // disagreement must be observable on the fixture or the cube is trivial
+    assert(cube.exists(r => r.getAs[Boolean]("v_exact") != r.getAs[Boolean]("v_simhash") ||
+      r.getAs[Boolean]("v_exact") != r.getAs[Boolean]("v_minhash")),
+      "all detectors agree everywhere — fixture exercises nothing")
+  }
 }
