@@ -1775,7 +1775,7 @@ object Dedup {
       spark: SparkSession, dir: String, cap: Long): DataFrame = {
     GraftFunctions.register(spark)
     val nDocs = Tables.cachedCount(spark, dir, "documents")
-    val (docs, _) =
+    val (docs, m) =
       sampleAboveCap("dedup_detector_agreement", Tables.documents(spark, dir), nDocs, cap)
     val pairs = pairCommonOf(docs)
       .select(
@@ -1784,11 +1784,19 @@ object Dedup {
         Det.detRound(
           col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
           .as("jaccard"))
-    val (msigs, _) = minhashBandsOf(docs, MinhashK, persistSigs = false)
+    // full-corpus run serves the STORED minhash sketch (the same
+    // build-once table dedup_minhash reads); only the sampled route
+    // signs its 1/m slice in-flight. The enriched per-doc frame feeds
+    // TWO join branches, so it persists — unpersisted, each branch
+    // re-ran the 64-perm signing pass (measured 27 s vs ~4 s at ×1)
+    val msigs =
+      if (m == 1L) minhashBands(spark, dir, MinhashK)._1
+      else minhashBandsOf(docs, MinhashK, persistSigs = false)._1
     val ssigs = docs
       .select(col("doc_id"), expr("graft_simhash_md5(split(text, ' '))").as("s2"))
       .select(col("doc_id"), expr("s2[0]").as("hi"), expr("s2[1]").as("lo"))
     val enriched = msigs.join(ssigs, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = MinhashK
     val scored = pairs
       .join(
@@ -1801,13 +1809,18 @@ object Dedup {
           col("doc_id").as("doc_b"), col("sig").as("sig_b"),
           col("hi").as("hi_b"), col("lo").as("lo_b")),
         "doc_b")
+      // ONE position-equality pass feeds both minhash measures: est is
+      // the match count, the band test reads 4 bools per band from the
+      // same array — the first cut's per-band slice() compares allocated
+      // 32 throwaway lists per pair (16 bands × 2 sides) and cost ~2× the
+      // whole pair kernel on the ×1 probe's 1.1M-pair stream
+      .withColumn("eqs", expr("zip_with(sig_a, sig_b, (x, y) -> x = y)"))
       .select(
         col("jaccard"),
         Det.detRound(
-          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
-          6).as("est_jaccard"),
+          expr(s"size(filter(eqs, b -> b)) / CAST($k AS DOUBLE)"), 6).as("est_jaccard"),
         expr(
-          "exists(sequence(0, 15), b -> slice(sig_a, b * 4 + 1, 4) = slice(sig_b, b * 4 + 1, 4))")
+          "exists(sequence(0, 15), b -> eqs[4 * b] AND eqs[4 * b + 1] AND eqs[4 * b + 2] AND eqs[4 * b + 3])")
           .as("band_hit"),
         (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
           .cast("long").as("hamming"))
