@@ -571,7 +571,14 @@ object Dedup {
   /** The simhash kernel over an arbitrary (doc_id, text) frame — same
     * factoring rationale as [[dedupMinhashOf]].
     */
-  private[operators] def dedupSimhashOf(docsIn: DataFrame): DataFrame = {
+  private[operators] def dedupSimhashOf(docsIn: DataFrame): DataFrame =
+    simhashHammingOf(docsIn, maxHam = 3).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Banded simhash candidates with Hamming ≤ maxHam — the shared
+    * candidate+confirm stage of dedup_simhash (maxHam = 3, the shipped
+    * cut) and simhash_threshold_curve (maxHam = 8, the tuning window).
+    */
+  private[operators] def simhashHammingOf(docsIn: DataFrame, maxHam: Int): DataFrame = {
     val sigs = docsIn
       .select(col("doc_id"), expr("graft_simhash_md5(split(text, ' '))").as("s"))
       .select(col("doc_id"), expr("s[0]").as("hi"), expr("s[1]").as("lo"))
@@ -610,8 +617,7 @@ object Dedup {
         col("doc_b"),
         (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
           .cast("long").as("hamming"))
-      .filter(col("hamming") <= 3)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .filter(col("hamming") <= maxHam)
   }
 
   /** DuckDB twin of dedupSimhash: token hashes from the same md5 hex
@@ -659,6 +665,139 @@ object Dedup {
        |JOIN sigs sb ON c.doc_b = sb.doc_id
        |WHERE $ham <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val SimCurveMaxHam = 8
+
+  /** SimHash threshold tuning curve — the third member of the tuning
+    * family (minhash_k_curve prices the sketch width, lsh_band_sweep
+    * the band geometry; this prices the Hamming cut): for every
+    * cumulative threshold t ≤ [[SimCurveMaxHam]] present among the
+    * banded candidates, the flagged pair count, how many of those are
+    * true exact dups (the stored J ≥ 0.6 anchor), agreement
+    * (= |flag ∩ exact| / |flag|, the dedup_pair_quality convention) and
+    * recall (= |flag ∩ exact| / |exact|). The shipped cut is 3; the
+    * curve is the evidence for moving it — e.g. recall still climbing
+    * at t = 3 with agreement flat says loosen, agreement collapsing
+    * above t = 4 says don't.
+    *
+    * Scale: candidates come from the same capped 16-bit band buckets as
+    * dedup_simhash (never all-pairs), one left join marks anchor hits,
+    * and everything after the per-hamming aggregate is a ≤ 9-row frame
+    * (the cumulative window runs there). Above [[KCurveDocCap]] the
+    * whole measurement — bands, anchor, curve — runs on the 1/m
+    * doc-hash sample, the tuning-curve discipline.
+    */
+  def simhashThresholdCurve(spark: SparkSession, dir: String): DataFrame =
+    simhashThresholdCurveGuarded(spark, dir, KCurveDocCap)
+
+  private[graft] def simhashThresholdCurveGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    GraftFunctions.register(spark)
+    val nDocs = Tables.cachedCount(spark, dir, "documents")
+    val (docs, m) =
+      sampleAboveCap("simhash_threshold_curve", Tables.documents(spark, dir), nDocs, cap)
+    val anchor = jaccardAnchorStored(spark, dir, docs, m)
+      .select(col("doc_a"), col("doc_b"), lit(1L).as("hit"))
+    val byH = simhashHammingOf(docs, SimCurveMaxHam)
+      .join(anchor, Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("hamming"))
+      .agg(
+        count(lit(1)).as("n_at"),
+        sum(coalesce(col("hit"), lit(0L))).as("hit_at"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("hamming"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    byH
+      .withColumn("n_pairs", sum(col("n_at")).over(w))
+      .withColumn("n_hit", sum(col("hit_at")).over(w))
+      .crossJoin(broadcast(anchor.agg(count(lit(1)).as("n_exact"))))
+      .select(
+        col("hamming").as("max_hamming"),
+        col("n_pairs"),
+        col("n_hit"),
+        col("n_exact"),
+        when(col("n_pairs") === 0, lit(0.0))
+          .otherwise(Det.detRound(col("n_hit").cast("double") / col("n_pairs"), 6))
+          .as("agreement"),
+        when(col("n_exact") === 0, lit(0.0))
+          .otherwise(Det.detRound(col("n_hit").cast("double") / col("n_exact"), 6))
+          .as("recall"))
+      .orderBy(col("max_hamming"))
+  }
+
+  /** DuckDB twin of simhashThresholdCurve: the dedup_simhash CTE chain
+    * widened to Hamming ≤ 8, the exact anchor nested as a subquery,
+    * per-hamming counts and the cumulative window replayed.
+    */
+  private val simhashThresholdCurveSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    val ham = "bit_count(xor(sa.hi, sb.hi)) + bit_count(xor(sa.lo, sb.lo))"
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS s FROM documents
+       |), th AS (
+       |  SELECT doc_id,
+       |         ('0x' || substr(md5(s), 1, 8))::BIGINT AS hi,
+       |         ('0x' || substr(md5(s), 9, 8))::BIGINT AS lo
+       |  FROM toks
+       |), bits AS (
+       |  SELECT doc_id, j,
+       |         SUM(CASE WHEN (lo >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c_lo,
+       |         SUM(CASE WHEN (hi >> j) & 1 = 1 THEN 1 ELSE -1 END) AS c_hi
+       |  FROM th, (SELECT unnest(generate_series(0, 31)) AS j)
+       |  GROUP BY doc_id, j
+       |), sigs AS (
+       |  SELECT doc_id,
+       |         SUM(CASE WHEN c_hi > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS hi,
+       |         SUM(CASE WHEN c_lo > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS lo
+       |  FROM bits GROUP BY doc_id
+       |), sbands AS (
+       |  SELECT doc_id, band,
+       |         CASE WHEN band = 0 THEN lo & 65535
+       |              WHEN band = 1 THEN (lo >> 16) & 65535
+       |              WHEN band = 2 THEN hi & 65535
+       |              ELSE (hi >> 16) & 65535 END AS bh
+       |  FROM sigs, (SELECT unnest(generate_series(0, 3)) AS band)
+       |), sbuck AS (
+       |  SELECT band, bh, list_slice(list_sort(list(doc_id)), 1, 200) AS docs
+       |  FROM sbands GROUP BY band, bh
+       |), scand AS (
+       |  SELECT DISTINCT a.x AS doc_a, b.x AS doc_b
+       |  FROM sbuck, unnest(docs) AS a(x), unnest(docs) AS b(x)
+       |  WHERE a.x < b.x
+       |), ham AS (
+       |  SELECT c.doc_a, c.doc_b, CAST($ham AS BIGINT) AS hamming
+       |  FROM scand c
+       |  JOIN sigs sa ON c.doc_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_b = sb.doc_id
+       |  WHERE $ham <= $SimCurveMaxHam
+       |), x AS (
+       |  SELECT doc_a, doc_b FROM ($dedupJaccardSql) jx
+       |), byh AS (
+       |  SELECT hamming, count(*) AS n_at,
+       |         SUM(CASE WHEN x.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS hit_at
+       |  FROM ham LEFT JOIN x ON ham.doc_a = x.doc_a AND ham.doc_b = x.doc_b
+       |  GROUP BY hamming
+       |), cum AS (
+       |  SELECT hamming AS max_hamming,
+       |         SUM(n_at)  OVER (ORDER BY hamming
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_pairs,
+       |         SUM(hit_at) OVER (ORDER BY hamming
+       |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_hit
+       |  FROM byh
+       |)
+       |SELECT max_hamming,
+       |       CAST(n_pairs AS BIGINT) AS n_pairs,
+       |       CAST(n_hit AS BIGINT) AS n_hit,
+       |       (SELECT count(*) FROM x) AS n_exact,
+       |       CASE WHEN n_pairs = 0 THEN CAST(0 AS DOUBLE)
+       |            ELSE ${r6("CAST(n_hit AS DOUBLE) / n_pairs")} END AS agreement,
+       |       CASE WHEN (SELECT count(*) FROM x) = 0 THEN CAST(0 AS DOUBLE)
+       |            ELSE ${r6("CAST(n_hit AS DOUBLE) / (SELECT count(*) FROM x)")} END AS recall
+       |FROM cum
+       |ORDER BY max_hamming""".stripMargin
   }
 
   /** Duplicate-cluster assignment: connected components over the
@@ -2162,6 +2301,8 @@ object Dedup {
     "dedup_source_matrix" -> QueryDef(dedupSourceMatrix, Some(dedupSourceMatrixSql)),
     "lsh_band_sweep" -> QueryDef(lshBandSweep, Some(lshBandSweepSql)),
     "minhash_k_curve" -> QueryDef(minhashKCurve, Some(minhashKCurveSql)),
+    "simhash_threshold_curve" ->
+      QueryDef(simhashThresholdCurve, Some(simhashThresholdCurveSql)),
     "dedup_pair_quality" -> QueryDef(dedupPairQuality, Some(dedupPairQualitySql)),
     "dedup_detector_agreement" ->
       QueryDef(dedupDetectorAgreement, Some(dedupDetectorAgreementSql)),

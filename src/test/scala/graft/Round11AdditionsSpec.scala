@@ -224,4 +224,34 @@ class Round11AdditionsSpec extends AnyFunSuite {
       r.getAs[Boolean]("v_exact") != r.getAs[Boolean]("v_minhash")),
       "all detectors agree everywhere — fixture exercises nothing")
   }
+
+  test("simhash_threshold_curve: cumulative, consistent with the shipped hamming<=3 cut") {
+    val curve = operators.Dedup.simhashThresholdCurve(spark, TestSpark.Sf).collect()
+    assert(curve.nonEmpty)
+    curve.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("max_hamming") < b.getAs[Long]("max_hamming"))
+        assert(a.getAs[Long]("n_pairs") < b.getAs[Long]("n_pairs"),
+          "cumulative pair count must strictly grow (rows exist only at populated hammings)")
+        assert(a.getAs[Long]("n_hit") <= b.getAs[Long]("n_hit"))
+        assert(a.getAs[Double]("recall") <= b.getAs[Double]("recall"))
+      case _ => ()
+    }
+    curve.foreach { r =>
+      assert(r.getAs[Long]("max_hamming") <= 8L)
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_pairs"))
+      assert(r.getAs[Long]("n_hit") <= r.getAs[Long]("n_exact"))
+    }
+    // the cumulative count at the largest populated hamming <= 3 must
+    // equal the shipped detector's pair count — same kernel, same cut
+    val shipped = operators.Dedup.dedupSimhash(spark, TestSpark.Sf).count()
+    val at3 = curve.filter(_.getAs[Long]("max_hamming") <= 3L)
+    if (at3.nonEmpty)
+      assert(at3.last.getAs[Long]("n_pairs") === shipped,
+        "curve cumulative at hamming<=3 diverges from dedup_simhash")
+    else assert(shipped === 0L)
+    // the tuning window must extend past the shipped cut on the fixture
+    assert(curve.exists(_.getAs[Long]("max_hamming") > 3L),
+      "no candidates beyond hamming 3 — curve window not exercised")
+  }
 }
