@@ -1937,16 +1937,23 @@ object Dedup {
     val enriched = msigs.join(ssigs, "doc_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = MinhashK
+    // BROADCAST both sig sides: the per-doc frame is bounded by the
+    // grading-family doc cap (≤ 20k rows ≈ 12 MB with 64-long sigs) on
+    // every route, while the pair stream is NOT bounded below the cap
+    // (all co-shingled pairs — ~20M at the 100×-docs probe's sampled
+    // slice). Shuffle-joining shipped the pair stream with sig payloads
+    // through two exchanges: 14 GiB of spill at 100×; broadcast keeps
+    // the pair stream streaming map-side with zero exchange
     val scored = pairs
       .join(
-        enriched.select(
+        broadcast(enriched.select(
           col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-          col("hi").as("hi_a"), col("lo").as("lo_a")),
+          col("hi").as("hi_a"), col("lo").as("lo_a"))),
         "doc_a")
       .join(
-        enriched.select(
+        broadcast(enriched.select(
           col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-          col("hi").as("hi_b"), col("lo").as("lo_b")),
+          col("hi").as("hi_b"), col("lo").as("lo_b"))),
         "doc_b")
       // ONE position-equality pass feeds both minhash measures: est is
       // the match count, the band test reads 4 bools per band from the
