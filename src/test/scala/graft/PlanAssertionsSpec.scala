@@ -102,4 +102,23 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(plan("sample_per_lang").contains("TopKPerKey"),
       "sample_per_lang lost the TopKPerKey lowering")
   }
+
+  test("batch-3 queries keep their scale shapes") {
+    // boilerplate_strip: the top-100 strip set must reach the shingle
+    // stream as a broadcast (an exchange there re-shuffles the corpus)
+    assert(plan("boilerplate_strip").contains("BroadcastHashJoin"),
+      "boilerplate_strip lost its broadcast strip-set join")
+    // video_frame_sample: per-blob scalar work — no exchange may appear
+    // before the single presentation sort
+    val vfs = plan("video_frame_sample")
+    assert("Exchange".r.findAllIn(vfs).size <= 1,
+      s"video_frame_sample grew a shuffle before the output sort:\n$vfs")
+    // dedup_detector_agreement: BOTH signature sides broadcast (bounded
+    // by the grading-family doc cap); a shuffle join here ships the
+    // unbounded pair stream with 64-long payloads — 14 GiB of spill at
+    // the 100x probe before this was pinned
+    val ag = plan("dedup_detector_agreement")
+    assert("BroadcastHashJoin".r.findAllIn(ag).size >= 2,
+      s"dedup_detector_agreement lost a broadcast sig join:\n$ag")
+  }
 }
