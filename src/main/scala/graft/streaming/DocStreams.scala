@@ -157,7 +157,131 @@ object DocStreams {
       })
   }
 
+  /** Streaming quality gate — the lambda-architecture twin of
+    * quality_adaptive_gate: per-language z-score drop lines are TRAINED
+    * once on the base corpus slice (doc_id % 10 < 8, the
+    * dedup_incremental split) and stored build-once; the delta stream
+    * then applies them per micro-batch with one broadcast join — the
+    * shape a 100 TB ingest runs, where thresholds come from yesterday's
+    * batch job and the stream only scores + gates. A language the base
+    * never saw has no threshold and is KEPT (absence of evidence is not
+    * a drop line). Verdicts are per-row independent, so the union over
+    * any micro-batch partitioning is byte-identical to the batch
+    * equivalent — the query shares a plain batch oracle (the
+    * stream_dedup_ingest contract). Same micro-batch plumbing: 4-file
+    * published source, Trigger.AvailableNow, maxFilesPerTrigger=2,
+    * checkpointed idempotent appends.
+    */
+  def streamQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs  = Tables.documents(spark, dir)
+    val rows  = Tables.cachedCount(spark, dir, "documents")
+    val score = expr(
+      "size(array_distinct(split(text, ' '))) / CAST(size(split(text, ' ')) AS DOUBLE)")
+    // stored per-lang thresholds: exact DECIMAL power sums, the
+    // quality_adaptive_gate recipe (builtin stddev is partition-order-
+    // dependent and can never hash-match), NULL below n=2
+    val thrDir = graft.sources.DerivedCache.dir(
+      dir, "quality-thresholds", s"rows=$rows;v=1") { out =>
+      val nD = col("n").cast("double")
+      val mean = col("s1") / nD
+      val sd = sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / nD) / (nD - 1.0), lit(0.0)))
+      docs
+        .filter(col("doc_id") % 10 < 8)
+        .select(col("lang"), score.as("score"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          graft.Det.fineSum(col("score")).as("s1"),
+          graft.Det.fineSum(col("score") * col("score")).as("s2"))
+        .select(
+          col("lang"),
+          when(col("n") < 2, lit(null).cast("double"))
+            .otherwise(mean - sd).as("threshold"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$out/thr")
+      ()
+    }
+    val thr = spark.read.parquet(s"$thrDir/thr")
+    val delta = docs
+      .filter((col("doc_id") % 10) >= 8)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val srcDir = graft.sources.DerivedCache.dir(
+      dir, "stream-quality-src", s"rows=$rows;files=4") { out =>
+      delta.repartition(4, col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/files")
+      ()
+    } + "/files"
+    StreamRunner.runAvailableNow(
+      spark,
+      schema = delta.schema,
+      srcDir = srcDir,
+      maxFilesPerTrigger = 2,
+      tmpPrefix = "graft-stream-quality",
+      mkHandler = outDir =>
+        (batch, _) => {
+          batch.toDF()
+            .select(col("doc_id"), col("lang"), score.as("score"))
+            .join(broadcast(thr), Seq("lang"), "left")
+            .select(
+              col("doc_id"),
+              col("lang"),
+              graft.Det.detRound(col("score"), 6).as("score"),
+              graft.Det.detRound(col("threshold"), 6).as("threshold"),
+              when(col("score") < col("threshold"), lit(false))
+                .otherwise(lit(true)).as("keep"))
+            .write.mode("append").parquet(outDir)
+          ()
+        },
+      finish = _.orderBy(col("doc_id")),
+      empty = {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("lang", StringType),
+            StructField("score", DoubleType),
+            StructField("threshold", DoubleType),
+            StructField("keep", BooleanType, nullable = false))))
+      })
+  }
+
+  /** Batch oracle of streamQualityGate: thresholds from the base slice,
+    * verdicts over the delta slice, replayed with the same NULL-keep
+    * and n≥2 rules.
+    */
+  private val streamQualityGateSql = {
+    def r6(e: String) = graft.Det.roundSql(e, 6)
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |         len(list_distinct(string_split(text, ' ')))
+       |           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+       |  FROM documents
+       |), st AS (
+       |  SELECT lang, count(*) AS n,
+       |         CAST(SUM(CAST(score AS DECIMAL(30,10))) AS DOUBLE) AS s1,
+       |         CAST(SUM(CAST(score * score AS DECIMAL(30,10))) AS DOUBLE) AS s2
+       |  FROM scored WHERE doc_id % 10 < 8 GROUP BY lang
+       |), thr AS (
+       |  SELECT lang,
+       |         CASE WHEN n < 2 THEN NULL
+       |              ELSE s1 / n - sqrt(greatest(
+       |                     (s2 - s1 * s1 / n) / (n - 1), 0.0)) END AS threshold
+       |  FROM st
+       |)
+       |SELECT d.doc_id, d.lang,
+       |       ${r6("d.score")} AS score,
+       |       ${r6("t.threshold")} AS threshold,
+       |       CASE WHEN d.score < t.threshold THEN FALSE ELSE TRUE END AS keep
+       |FROM scored d LEFT JOIN thr t USING (lang)
+       |WHERE d.doc_id % 10 >= 8
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "stream_dedup_ingest" -> QueryDef(
-      streamDedupIngest, Some(graft.operators.Dedup.dedupIncrementalSql)))
+      streamDedupIngest, Some(graft.operators.Dedup.dedupIncrementalSql)),
+    "stream_quality_gate" -> QueryDef(
+      streamQualityGate, Some(streamQualityGateSql)))
 }

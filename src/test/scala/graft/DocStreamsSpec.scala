@@ -82,4 +82,43 @@ class DocStreamsSpec extends AnyFunSuite {
     // every flagged pair is a TRUE near-dup by the batch estimator
     hits.values.foreach { case (_, est) => assert(est >= 0.5) }
   }
+
+  test("stream_quality_gate: micro-batched verdicts equal the batch gate") {
+    val out = graft.streaming.DocStreams
+      .streamQualityGate(spark, TestSpark.Sf).collect()
+    assert(out.nonEmpty)
+    // batch recompute: base-slice thresholds, delta-slice verdicts
+    val docs = Tables.documents(spark, TestSpark.Sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), Option(r.getAs[String]("lang")),
+        Option(r.getAs[String]("text"))))
+    def scoreOf(t: Option[String]): Option[Double] = t.map { s =>
+      val toks = s.split(" ", -1)
+      toks.distinct.length.toDouble / toks.length
+    }
+    val thr = docs.filter(_._1 % 10 < 8).groupBy(_._2).collect {
+      case (Some(lang), ds) if ds.count(_ => true) >= 2 =>
+        val sc = ds.flatMap(d => scoreOf(d._3))
+        // spec-side recompute uses plain double sums: assert verdicts,
+        // not the 6-dp threshold bits (the DuckDB oracle covers those)
+        val n = ds.size.toDouble
+        val s1 = sc.sum; val s2 = sc.map(x => x * x).sum
+        val sd = math.sqrt(math.max((s2 - s1 * s1 / n) / (n - 1), 0.0))
+        lang -> (s1 / n - sd)
+    }.toMap
+    val expected = docs.filter(_._1 % 10 >= 8).map { case (id, lang, text) =>
+      val t = lang.flatMap(thr.get)
+      val s = scoreOf(text)
+      val keep = !(s.isDefined && t.isDefined && s.get < t.get)
+      id -> keep
+    }.toMap
+    assert(out.length === expected.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("keep") === expected(id), s"doc $id verdict diverges")
+    }
+    // the gate must be observably load-bearing: some doc dropped, some kept
+    assert(out.exists(!_.getAs[Boolean]("keep")), "gate never drops on the fixture")
+    assert(out.exists(_.getAs[Boolean]("keep")))
+  }
 }
