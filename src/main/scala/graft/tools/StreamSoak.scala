@@ -300,6 +300,86 @@ object StreamSoak {
       require(converged, "funnel partials failed exactly-once convergence")
     }
 
+    // ---- soak 4: stateless quality gate (stream_quality_gate shape) -----
+    // Thresholds trained ONCE on a synthetic base corpus, broadcast into
+    // every micro-batch; the soak checks the stateless invariants the
+    // file-replay oracle can't: latency stays flat with no state growth,
+    // and kept + dropped converges exactly-once to the committed input.
+    locally {
+      val gateDir = s"$base/gate"
+      def docsOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.select(
+          col("value").as("doc_id"),
+          concat(lit("l"), pmod(col("value"), lit(5L))).as("lang"),
+          // repetition varies by value so the distinct-token ratio has a
+          // real per-lang distribution for the z-gate to cut
+          expr("""concat_ws(' ', transform(sequence(0, CAST(pmod(value, 24) + 4 AS INT)),
+                 |  i -> concat('w', pmod(value * 7 + i * i, pmod(value, 13) + 3))))""".stripMargin)
+            .as("text"))
+      val score = expr(
+        "size(array_distinct(split(text, ' '))) / CAST(size(split(text, ' ')) AS DOUBLE)")
+      val nD   = col("n").cast("double")
+      val mean = col("s1") / nD
+      val sd = sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / nD) / (nD - 1.0), lit(0.0)))
+      val thr = docsOf(spark.range(100000).select(col("id").as("value")))
+        .select(col("lang"), score.as("score"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n"),
+          graft.Det.fineSum(col("score")).as("s1"),
+          graft.Det.fineSum(col("score") * col("score")).as("s2"))
+        .select(col("lang"), (mean - sd).as("threshold"))
+        .localCheckpoint()
+      val batchCounts =
+        new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+      val q = rateSource(spark, rowsPerS)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val verdicts = docsOf(batch.toDF())
+              .select(col("doc_id"), col("lang"), score.as("score"))
+              .join(broadcast(thr), Seq("lang"), "left")
+              .select(
+                col("doc_id"),
+                when(col("score") < col("threshold"), lit(false))
+                  .otherwise(lit(true)).as("keep"))
+              .localCheckpoint()
+            val kept = verdicts.filter(col("keep")).count()
+            val total = verdicts.count()
+            batchCounts.put(batchId, (kept, total))
+            verdicts.write.mode("overwrite").parquet(s"$gateDir/b=$batchId")
+        }
+        .option("checkpointLocation", s"$base/cp-gate")
+        .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+        .start()
+      val c = new Collector(q.id)
+      spark.streams.addListener(c)
+      awaitBatches(spark, q, c, batches, timeoutMs = 15 * 60 * 1000L)
+      spark.streams.removeListener(c)
+      val recs = c.recs.synchronized(c.recs.toVector).sortBy(_.batchId)
+        .map(r => r.copy(rows = Option(batchCounts.get(r.batchId)).map(_._2).getOrElse(0L)))
+
+      import scala.jdk.CollectionConverters._
+      val committed = batchCounts.keys.asScala.toVector.sorted
+      val expectRows = committed.map(b => batchCounts.get(b)._2).sum
+      val expectKept = committed.map(b => batchCounts.get(b)._1).sum
+      val written = spark.read.parquet(committed.map(b => s"$gateDir/b=$b"): _*)
+      val gotRows = written.count()
+      val gotKept = written.filter(col("keep")).count()
+      val maxState = recs.map(_.stateRows).max
+      val converged = gotRows == expectRows && gotKept == expectKept
+      println(s"### SOAK gate committed=${committed.size} expectRows=$expectRows " +
+        s"gotRows=$gotRows kept=$gotKept/$expectKept stateRowsMax=$maxState")
+      out += summarize(
+        "quality_gate", recs,
+        s""""converged":$converged,"kept":$gotKept,"dropped":${gotRows - gotKept},""" +
+          s""""state_rows_max":$maxState""")
+      require(converged, "quality gate failed exactly-once convergence")
+      require(maxState == 0L, "stateless gate grew state")
+    }
+
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SOAK_OUT", "bench/SOAK_last.json")),
