@@ -2302,7 +2302,99 @@ object Dedup {
        |GROUP BY size_bucket
        |ORDER BY size_bucket""".stripMargin
 
+  /** FUZZY train→eval leakage — split_contamination's near-dup
+    * counterpart: exact chunk hashing misses the lightly-edited copy
+    * (reworded sentence, shuffled paragraph) that MinHash catches, and
+    * published decontamination pipelines run BOTH tiers before
+    * reporting eval numbers. Reuses the stored 64-perm sketch and the
+    * 16×4 band kernel verbatim (dedupMinhashOf — same bucket caps, same
+    * ≥0.5 verify), assigns dataset_split's salted-hash splits in-row,
+    * keeps the pairs where EXACTLY one side is train, and counts the
+    * distinct eval docs carrying at least one such edge. Scale shape:
+    * the leak edge set rides the already-bounded candidate kernel; the
+    * per-split totals are a 3-row map-side aggregate of the corpus —
+    * no corpus-keyed join anywhere.
+    */
+  def splitContaminationFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 1) <= "b", "train")
+        .when(substring(md5(concat(lit("split:"), c.cast("string"))), 1, 1) <= "d", "val")
+        .otherwise("test")
+    val (sigs, bands) = minhashBands(spark, dir, MinhashK)
+    val pairs = dedupMinhashOf(sigs, bands)
+      .withColumn("split_a", splitOf(col("doc_a")))
+      .withColumn("split_b", splitOf(col("doc_b")))
+    val leaks = pairs
+      .filter((col("split_a") === "train") =!= (col("split_b") === "train"))
+      .select(
+        when(col("split_a") === "train", col("doc_b")).otherwise(col("doc_a")).as("doc_id"),
+        when(col("split_a") === "train", col("split_b")).otherwise(col("split_a")).as("split"))
+      .distinct()
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("docs_leaked"))
+    val totals = Tables.documents(spark, dir)
+      .select(splitOf(col("doc_id")).as("split"))
+      .filter(col("split") =!= "train")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+    totals
+      .join(leaks, Seq("split"), "left")
+      .select(
+        col("split"), col("n_docs"),
+        coalesce(col("docs_leaked"), lit(0L)).as("docs_leaked"),
+        Det.detRound(
+          coalesce(col("docs_leaked"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("leak_rate"))
+      .orderBy(col("split"))
+  }
+
+  /** DuckDB twin: the full minhash chain (shared prefix), the same
+    * candidate+verify pair set, the same salted-hash split rule, the
+    * same XOR-train edge filter and distinct-eval-doc count.
+    */
+  private val splitContaminationFuzzySql = {
+    val est = estJaccardSql(MinhashK)
+    def spl(c: String) =
+      s"""CASE WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 1) <= 'b' THEN 'train'
+         |     WHEN substr(md5('split:' || CAST($c AS VARCHAR)), 1, 1) <= 'd' THEN 'val'
+         |     ELSE 'test' END""".stripMargin
+    s"""WITH ${minhashSqlPrefix(MinhashK)},
+       |cand AS (
+       |  SELECT DISTINCT a.x AS doc_a, b.x AS doc_b
+       |  FROM buck, unnest(docs) AS a(x), unnest(docs) AS b(x)
+       |  WHERE len(docs) BETWEEN 2 AND 100 AND a.x < b.x
+       |), pairs AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         ${spl("c.doc_a")} AS split_a,
+       |         ${spl("c.doc_b")} AS split_b
+       |  FROM cand c
+       |  JOIN sigs sa ON c.doc_a = sa.doc_id
+       |  JOIN sigs sb ON c.doc_b = sb.doc_id
+       |  WHERE ${Det.roundSql(est, 6)} >= 0.5
+       |), leaks AS (
+       |  SELECT DISTINCT
+       |         CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS doc_id,
+       |         CASE WHEN split_a = 'train' THEN split_b ELSE split_a END AS split
+       |  FROM pairs
+       |  WHERE (split_a = 'train') != (split_b = 'train')
+       |), lk AS (
+       |  SELECT split, count(*) AS docs_leaked FROM leaks GROUP BY split
+       |), tot AS (
+       |  SELECT ${spl("doc_id")} AS split, count(*) AS n_docs
+       |  FROM documents GROUP BY 1
+       |)
+       |SELECT t.split, t.n_docs,
+       |       COALESCE(l.docs_leaked, 0) AS docs_leaked,
+       |       ${Det.roundSql("CAST(COALESCE(l.docs_leaked, 0) AS DOUBLE) / t.n_docs", 6)} AS leak_rate
+       |FROM tot t LEFT JOIN lk l ON t.split = l.split
+       |WHERE t.split != 'train'
+       |ORDER BY t.split""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "split_contamination_fuzzy" ->
+      QueryDef(splitContaminationFuzzy, Some(splitContaminationFuzzySql)),
     "cluster_cohesion" -> QueryDef(clusterCohesion, Some(clusterCohesionSql)),
     "quality_vs_dup" -> QueryDef(qualityVsDup, Some(qualityVsDupSql)),
     "dedup_source_matrix" -> QueryDef(dedupSourceMatrix, Some(dedupSourceMatrixSql)),

@@ -1654,7 +1654,8 @@ object Similarity {
     */
   private def pqAssign(
       spark: SparkSession, es: DataFrame,
-      cents: Seq[(Int, Long, Seq[Double])]): DataFrame = {
+      cents: Seq[(Int, Long, Seq[Double])],
+      keep: Seq[String] = Nil): DataFrame = {
     val bySub: Seq[Seq[(Long, Seq[Double])]] =
       (0 until PqM).map(s => cents.filter(_._1 == s).sortBy(_._2).map(c => (c._2, c._3)))
     es.withColumn("pq_books", typedLit(bySub.map(_.map(_._2))))
@@ -1664,10 +1665,11 @@ object Similarity {
           "c -> aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))"))
       .withColumn("idx", expr("array_position(d2s, array_min(d2s))").cast("int"))
       .select(
-        col("sub"), col("vec_id"),
-        expr("element_at(element_at(pq_cids, sub + 1), idx)").as("cell"),
-        expr("element_at(d2s, idx)").as("d2"),
-        col("v"))
+        (Seq(
+          col("sub"), col("vec_id"),
+          expr("element_at(element_at(pq_cids, sub + 1), idx)").as("cell"),
+          expr("element_at(d2s, idx)").as("d2"),
+          col("v")) ++ keep.map(col)): _*)
   }
 
   /** JVM-lifetime memo of the PQ codebooks (PqM·PqK·PqDsub doubles),
@@ -1690,8 +1692,17 @@ object Similarity {
     * trainCentroids dataflow with one extra key column.
     */
   private def trainPqImpl(
-      spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] = {
-    val es = pqSubspaces(spark, dir)
+      spark: SparkSession, dir: String): Seq[(Int, Long, Seq[Double])] =
+    trainPqOn(spark, pqSubspaces(spark, dir))
+
+  /** The Lloyd loop of trainPqImpl over an arbitrary (sub, vec_id, v)
+    * subspace frame — shared by the raw-vector books (ann_pq family)
+    * and the residual books (ann_ivfpq). Seeds = the subvectors of
+    * vec_id < PqK rows of the SAME frame, so the residual variant
+    * seeds from residuals, exactly what its oracle unrolls.
+    */
+  private def trainPqOn(
+      spark: SparkSession, es: DataFrame): Seq[(Int, Long, Seq[Double])] = {
     var cents: Seq[(Int, Long, Seq[Double])] = es
       .filter(col("vec_id") < PqK)
       .orderBy(col("sub"), col("vec_id"))
@@ -2280,7 +2291,273 @@ object Similarity {
        |GROUP BY self_lbl
        |ORDER BY label""".stripMargin
 
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** JVM-lifetime memo of the RESIDUAL codebooks (trained on v − c[cell],
+    * not raw vectors) — keyed like pqCache plus the coarse-quantizer
+    * params, since retraining the coarse cells changes every residual.
+    */
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[(Int, Long, Seq[Double])]]()
+
+  /** The (sub, vec_id, v, ivf_cell) residual-subspace frame behind
+    * ann_ivfpq: assign each corpus vector to its trained coarse cell,
+    * subtract the cell centroid, split the residual into PqM subvector
+    * streams. One corpus scan — cell assignment, residual and subspace
+    * split are all in-row against the broadcast k·dim centroid list.
+    */
+  private def ivfPqResidSubspaces(
+      spark: SparkSession, dir: String,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    // In-row argmin against the constant-folded k·dim centroid literal
+    // (the pqAssign trick): cell assignment + residual never shuffle —
+    // kmeansAssign's groupBy(vec_id) would move every vector once.
+    // array_position of the minimum = FIRST minimal d2 = lowest cent_id
+    // (sorted), the same tie contract as kmeansAssign and the oracle.
+    val sorted = cents.sortBy(_._1)
+    corpus(spark, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      .withColumn("cvecs", typedLit(sorted.map(_._2)))
+      .withColumn("cids", typedLit(sorted.map(_._1)))
+      .withColumn("d2s", expr(
+        "transform(cvecs, c -> aggregate(zip_with(v, c, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x))"))
+      .withColumn("idx", expr("array_position(d2s, array_min(d2s))").cast("int"))
+      .select(
+        col("vec_id"),
+        expr("element_at(cids, idx)").as("ivf_cell"),
+        expr("zip_with(v, element_at(cvecs, idx), (a, b) -> a - b)").as("rv"))
+      .select(
+        col("vec_id"), col("ivf_cell"),
+        explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), " +
+            s"s -> named_struct('sub', s, 'sv', slice(rv, s * $PqDsub + 1, $PqDsub)))")).as("p"))
+      .select(col("p.sub").as("sub"), col("vec_id"), col("p.sv").as("v"), col("ivf_cell"))
+  }
+
+  /** IVF-PQ (the Faiss IVFADC composition — Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011 §IV): the
+    * trained coarse quantizer prunes the corpus to each query's 2
+    * nearest cells, and within those cells distance is the ADC sum over
+    * PQ codes of the RESIDUAL (v − c[cell]) — residual quantization
+    * spends the codebook's resolution on the within-cell geometry
+    * instead of re-encoding the cell offset, which is why every
+    * production vector store serves this composition rather than
+    * ann_ivf (exact distances, full vectors touched) or ann_pq (ADC,
+    * but the whole corpus scanned). Spark shape: centroids and residual
+    * codebooks are driver-trained tiny models (broadcast); the corpus
+    * is encoded in one scan with ZERO exchange (pqAssign's constant-
+    * folded codebook literal, ivf_cell rides the rows); the serve scan
+    * joins the Q·2·m·k-row LUT BROADCAST on (cell, sub, code) so only
+    * probed-cell code rows survive, then sums exact-DECIMAL partials
+    * and ranks per query. At 100 TB the serving cost is PqM bytes per
+    * vector in 2-of-8 cells per query — the pruning of IVF stacked on
+    * the compression of PQ. Oracle: coarse Lloyd chain + residual
+    * Lloyd chain + probe + LUT + ADC rank, all unrolled.
+    */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8; val iters = 3
+    val cents = trainCentroids(spark, dir, k, iters)
+    val resSub = ivfPqResidSubspaces(spark, dir, cents)
+    val books = ivfPqCache.computeIfAbsent(
+      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
+      _ => trainPqOn(spark, resSub.select(col("sub"), col("vec_id"), col("v"))))
+    val codes = pqAssign(spark, resSub, books, keep = Seq("ivf_cell"))
+      .select(col("sub"), col("vec_id"), col("ivf_cell"), col("cell").cast("long").as("code"))
+    ivfPqServe(spark, dir, codes, books, cents)
+  }
+
+  /** The shared IVFADC serve path (the IVF-PQ analog of pqAdcRank):
+    * probe 2 coarse cells per query, build the per-(query, cell)
+    * residual LUT against the broadcast codebooks, join it BROADCAST
+    * onto the code stream on (cell, sub, code) — only probed-cell code
+    * rows survive — sum exact-DECIMAL partials, rank top-k. Both
+    * ann_ivfpq and ann_ivfpq_stored rank through THIS code, which is
+    * what lets the stored variant share the oracle byte-for-byte.
+    */
+  private def ivfPqServe(
+      spark: SparkSession, dir: String, codes: DataFrame,
+      books: Seq[(Int, Long, Seq[Double])],
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    // probe: 2 nearest coarse cells per query, query residual per cell
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(asc("d2"), asc("cent_id"))
+    val probed = queries(spark, dir)
+      .select(col("q_id"), expr("transform(q_vec, x -> CAST(x AS DOUBLE))").as("v"))
+      .crossJoin(broadcast(cents.toDF("cent_id", "cent_vec")))
+      .withColumn("d2", expr(KmeansDistExpr))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 2)
+      .select(
+        col("q_id"), col("cent_id").as("lcell"),
+        expr("zip_with(v, cent_vec, (a, b) -> a - b)").as("qr"))
+    // LUT: per (query, probed cell, sub, codeword) partial d2 of the
+    // query residual against the residual codebooks — Q·2·m·k rows
+    val lut = probed
+      .select(
+        col("q_id"), col("lcell"),
+        explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), " +
+            s"s -> named_struct('sub', s, 'sv', slice(qr, s * $PqDsub + 1, $PqDsub)))")).as("p"))
+      .select(col("q_id"), col("lcell"), col("p.sub").as("lsub"), col("p.sv").as("v"))
+      .join(broadcast(books.toDF("bsub", "cent_id", "cent_vec")), col("lsub") === col("bsub"))
+      .select(
+        col("q_id"), col("lcell"), col("lsub"),
+        col("cent_id").cast("long").as("lcode"), expr(KmeansDistExpr).as("pd2"))
+
+    val scan = codes
+      .join(
+        broadcast(lut),
+        col("ivf_cell") === col("lcell") && col("sub") === col("lsub") &&
+          col("code") === col("lcode"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("pd2").cast(Det.Fine)).as("adc_dec"))
+    val w = Window.partitionBy(col("q_id")).orderBy(asc("adc_dec"), asc("vec_id"))
+    scan
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .select(
+        col("q_id"), col("vec_id").as("neighbor_id"),
+        Det.detRound(col("adc_dec").cast("double"), 6).as("adc"), col("rn"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Stored-index IVF-PQ — the build/serve split of the full IVFADC
+    * index, persisted in its REAL layout: the residual codebooks
+    * (m·k·dsub doubles) plus one row per vector of (vec_id, packed
+    * m-byte code array), PARTITIONED BY COARSE CELL — the on-disk twin
+    * of Faiss's per-cell posting lists. Built ONCE per corpus stamp via
+    * DerivedCache; the serve path reads codes + the two tiny models
+    * back and ranks through the SAME ivfPqServe as the in-plan build,
+    * so results are identical by construction (shared oracle). The
+    * cell-partitioned directory is the point at 100 TB: the broadcast
+    * LUT join's cell key lets dynamic partition pruning skip the 6-of-8
+    * unprobed cell directories, so a query batch touches PqM bytes per
+    * vector in ONLY the cells it probes.
+    */
+  def annIvfPqStored(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val k = 8; val iters = 3
+    val rows = Tables.cachedCount(spark, dir, "embeddings")
+    val idx = graft.sources.DerivedCache.dir(
+      dir, "ann-ivfpq",
+      s"rows=$rows;k=$k;iters=$iters;m=$PqM;pk=$PqK;pi=$PqIters") { out =>
+      import spark.implicits._
+      val cents = trainCentroids(spark, dir, k, iters)
+      val resSub = ivfPqResidSubspaces(spark, dir, cents)
+      val books = ivfPqCache.computeIfAbsent(
+        (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
+        _ => trainPqOn(spark, resSub.select(col("sub"), col("vec_id"), col("v"))))
+      writeStored(books.toDF("sub", "cent_id", "cvec"), out, "books", Nil)
+      val packed = pqAssign(spark, resSub, books, keep = Seq("ivf_cell"))
+        .groupBy(col("vec_id"), col("ivf_cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(sub, cell))), p -> CAST(p.cell AS INT))")
+          .as("codes"))
+      writeStored(packed, out, "codes", Seq("ivf_cell"))
+    }
+    val books = spark.read
+      .schema(readStoredSchema(idx, "books", StructType(Seq(
+        StructField("sub", IntegerType),
+        StructField("cent_id", LongType),
+        StructField("cvec", ArrayType(DoubleType))))))
+      .parquet(s"$idx/books")
+      .collect()
+      .map(r => (r.getInt(0), r.getAs[Number](1).longValue, r.getSeq[Double](2).toSeq))
+      .toSeq
+      .sortBy(b => (b._1, b._2))
+    // the coarse quantizer is the persisted kmeans model — a k·dim read
+    val cents = trainCentroids(spark, dir, k, iters)
+    val codes = spark.read
+      .schema(readStoredSchema(idx, "codes", StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("codes", ArrayType(IntegerType)),
+        StructField("ivf_cell", IntegerType)))))
+      .parquet(s"$idx/codes")
+      .select(col("vec_id"), col("ivf_cell"), posexplode(col("codes")).as(Seq("sub", "code")))
+      .select(col("sub"), col("vec_id"), col("ivf_cell"), col("code").cast("long").as("code"))
+    ivfPqServe(spark, dir, codes, books, cents)
+  }
+
+  /** DuckDB twin of annIvfPq: the coarse kmeans chain (shared with
+    * ann_ivf_trained), residuals against the terminal centroids, the
+    * residual per-subspace Lloyd chain (pqSqlChain's shape over rq_es),
+    * probe + residual LUT + exact-DECIMAL ADC rank.
+    */
+  private val annIvfPqSql = {
+    val iters = 3
+    def d2(v: String, c: String) = kmeansD2Sql(v, c)
+    def rqAssignCte(name: String, centsCte: String, keep: String) =
+      s"""$name AS (
+         |  SELECT $keep FROM (
+         |    SELECT e.sub, e.vec_id, e.sv, e.ivf_cell, c.cent_id AS cell,
+         |           row_number() OVER (PARTITION BY e.sub, e.vec_id
+         |             ORDER BY ${d2("e.sv", "c.cvec")} ASC, c.cent_id ASC) AS rk
+         |    FROM rq_es e JOIN $centsCte c ON c.sub = e.sub
+         |  ) WHERE rk = 1
+         |)""".stripMargin
+    def rqCentsCte(name: String, assignCteName: String) =
+      s"""$name AS (
+         |  SELECT sub, cell AS cent_id, list(mean ORDER BY dim) AS cvec FROM (
+         |    SELECT sub, cell, dim, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
+         |    FROM (SELECT sub, cell, unnest(generate_series(1, len(sv))) AS dim, unnest(sv) AS x
+         |          FROM $assignCteName)
+         |    GROUP BY sub, cell, dim
+         |  ) GROUP BY sub, cell
+         |)""".stripMargin
+    val rqChain = (1 to PqIters)
+      .flatMap(i => Seq(
+        rqAssignCte(s"rq_a$i", s"rq_c${i - 1}", "sub, vec_id, sv, ivf_cell, cell"),
+        rqCentsCte(s"rq_c$i", s"rq_a$i")))
+      .mkString(",\n")
+    s"""WITH ${kmeansChainSql(8, iters)},
+       |${kmeansAssignCte("assigned", s"c$iters")},
+       |resid AS (
+       |  SELECT a.vec_id, a.cell AS ivf_cell,
+       |         list_transform(generate_series(1, len(a.v)), i -> a.v[i] - c.cvec[i]) AS rv
+       |  FROM assigned a JOIN c$iters c ON c.cent_id = a.cell
+       |), rq_es AS (
+       |  SELECT t.s AS sub, vec_id, ivf_cell,
+       |         list_slice(rv, t.s * $PqDsub + 1, t.s * $PqDsub + $PqDsub) AS sv
+       |  FROM resid, unnest(generate_series(0, ${PqM - 1})) AS t(s)
+       |), rq_c0 AS (
+       |  SELECT sub, vec_id AS cent_id, sv AS cvec FROM rq_es WHERE vec_id < $PqK
+       |),
+       |$rqChain,
+       |${rqAssignCte("rq_codes", s"rq_c$PqIters", "sub, vec_id, ivf_cell, cell AS code")},
+       |probed AS (
+       |  SELECT q_id, cell, qr FROM (
+       |    SELECT q.vec_id AS q_id, c.cent_id AS cell,
+       |           list_transform(generate_series(1, len(q.v)), i -> q.v[i] - c.cvec[i]) AS qr,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${d2("q.v", "c.cvec")} ASC, c.cent_id ASC) AS rk
+       |    FROM e q CROSS JOIN c$iters c WHERE q.vec_id < $NumQueries
+       |  ) WHERE rk <= 2
+       |), lut AS (
+       |  SELECT p.q_id, p.cell, b.sub, b.cent_id AS code,
+       |         ${d2(s"list_slice(p.qr, b.sub * $PqDsub + 1, b.sub * $PqDsub + $PqDsub)", "b.cvec")} AS pd2
+       |  FROM probed p CROSS JOIN rq_c$PqIters b
+       |), scan AS (
+       |  SELECT l.q_id, k.vec_id, SUM(CAST(pd2 AS DECIMAL(30,10))) AS adc_dec
+       |  FROM rq_codes k JOIN lut l
+       |    ON l.cell = k.ivf_cell AND l.sub = k.sub AND l.code = k.code
+       |  WHERE k.vec_id != l.q_id
+       |  GROUP BY l.q_id, k.vec_id
+       |), ranked AS (
+       |  SELECT q_id, vec_id AS neighbor_id, adc_dec,
+       |         CAST(row_number() OVER (PARTITION BY q_id ORDER BY adc_dec ASC, vec_id ASC) AS BIGINT) AS rn
+       |  FROM scan
+       |)
+       |SELECT q_id, neighbor_id,
+       |       ${Det.roundSql("CAST(adc_dec AS DOUBLE)", 6)} AS adc, rn
+       |FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "ann_ivfpq"         -> QueryDef(annIvfPq, Some(annIvfPqSql)),
+    // identical to ann_ivfpq by construction (shared ivfPqServe over
+    // the stored codes) — shares its oracle
+    "ann_ivfpq_stored"  -> QueryDef(annIvfPqStored, Some(annIvfPqSql)),
     "label_noise_report" -> QueryDef(labelNoiseReport, Some(labelNoiseReportSql)),
     "embedding_knn_eval" -> QueryDef(embeddingKnnEval, Some(embeddingKnnEvalSql)),
     "ann_ivf_incremental" -> QueryDef(annIvfIncremental, Some(annIvfIncrementalSql)),

@@ -94,6 +94,24 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(hashEx.size <= 2, s"ann_pq has ${hashEx.size} hash exchanges:\n$p")
   }
 
+  test("ann_ivfpq keeps the IVFADC scale shape") {
+    // encode (coarse argmin + residual + PQ codes) is constant-folded
+    // in-row work — no corpus-keyed exchange may appear; the LUT
+    // (Q·2·m·k rows) reaches the code stream as a broadcast. Every
+    // allowed hash exchange is q_id-keyed: the probe's rank window
+    // (Q·k rows), the ADC partial-sum on (q_id, vec_id), the final
+    // rank window on q_id — all bounded by the query batch.
+    val p = plan("ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), s"ann_ivfpq lost the broadcast LUT join:\n$p")
+    val hashEx = "Exchange hashpartitioning\\(([^)]*)\\)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    hashEx.foreach { keys =>
+      assert(keys.contains("q_id"),
+        s"ann_ivfpq grew a non-query-keyed shuffle on ($keys):\n$p")
+    }
+    assert(hashEx.size <= 3, s"ann_ivfpq has ${hashEx.size} hash exchanges:\n$p")
+  }
+
   test("curation queries keep their scale shapes") {
     // vocab join stays broadcast (the vocabulary is top-V, tiny by
     // construction); the per-stratum sampler runs on bounded heaps

@@ -24,6 +24,52 @@ class Round11AdditionsSpec extends AnyFunSuite {
     dir
   }
 
+  test("split_contamination_fuzzy: a train→val near-dup is counted, clean docs are not") {
+    // md5('split:0')[0]='0' → train, 'split:1'='c' → val, 'split:10'='f'
+    // → test. doc 1 duplicates doc 0's text (est_jaccard = 1.0 — every
+    // band collides by construction), doc 10 shares nothing.
+    val dir = java.nio.file.Files.createTempDirectory("graft-scf").toString
+    import spark.implicits._
+    val dup = (1 to 30).map(i => s"a$i").mkString(" ")
+    Seq(
+      (0L, dup),
+      (1L, dup),
+      (10L, (1 to 30).map(i => s"z$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = operators.Dedup.splitContaminationFuzzy(spark, dir).collect()
+    val byS = rows.map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(byS("val") === ((1L, 1L, 1.0)), s"val row wrong: ${byS.get("val")}")
+    assert(byS("test") === ((1L, 0L, 0.0)), s"test row wrong: ${byS.get("test")}")
+  }
+
+  test("split_contamination_fuzzy agrees with a driver-side recount of the pair kernel") {
+    def splitOf(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.head
+      if (h <= 'b') "train" else if (h <= 'd') "val" else "test"
+    }
+    val pairs = operators.Dedup.dedupMinhash(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs
+      .flatMap { case (a, b) =>
+        (splitOf(a), splitOf(b)) match {
+          case ("train", sb) if sb != "train" => Some((b, sb))
+          case (sa, "train") if sa != "train" => Some((a, sa))
+          case _                              => None
+        }
+      }
+      .distinct.groupBy(_._2).map { case (s, ds) => s -> ds.length.toLong }
+    val got = operators.Dedup.splitContaminationFuzzy(spark, TestSpark.Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    Seq("val", "test").foreach { s =>
+      assert(got.getOrElse(s, 0L) === expected.getOrElse(s, 0L),
+        s"$s leaked-doc count diverged from the pair-level recount")
+    }
+  }
+
   test("dedup_keep_best_containment: a strict-subset doc is clustered and dropped") {
     val kb = operators.Dedup.dedupKeepBestContainment(spark, quotedDir).collect()
     val c1 = kb.find(_.getLong(0) == 1L)

@@ -196,6 +196,67 @@ class SimilarityDedupSpec extends AnyFunSuite {
       s"duplicate of query 3 did not rank first: got $top1For3")
   }
 
+  test("ann_ivfpq: well-formed IVFADC top-k with recall against exact L2") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.annIvfPq(spark, TestSpark.Sf).collect()
+    val perQ = rows.groupBy(_.getLong(0))
+    assert(perQ.size === 10, "one block per query vector")
+    perQ.foreach { case (q, rs) =>
+      assert(rs.map(_.getLong(3)).toSeq === (1L to 10L), s"q=$q rn not 1..10")
+      val adcs = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(adcs.sliding(2).forall(p => p(0) <= p(1)), s"q=$q ADC not ascending")
+      assert(adcs.forall(_ >= 0.0), s"q=$q negative ADC")
+      assert(!rs.exists(_.getLong(1) == q), s"q=$q returned itself")
+    }
+    // recall@10 vs brute-force exact squared-L2. IVF-PQ stacks TWO
+    // losses — candidates pruned to 2-of-8 cells, distances quantized
+    // to m=8/k=32 residual codes — so the floor sits below ann_pq's
+    // 0.3 (measured 0.32/0.33/0.23 at sf0.001/0.01/0.1; random ≈ 0.02)
+    val e = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        expr("aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)").as("d2"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(asc("d2"), asc("vec_id"))))
+      .filter(col("rn") <= 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.2, f"IVF-PQ recall@10 = $recall%.2f — below the 0.2 floor")
+  }
+
+  test("ann_ivfpq: an exact duplicate of a query vector ranks first") {
+    // the dup lands in the query's own nearest coarse cell (identical
+    // vector, identical argmin tie-break), so IVF pruning keeps it, and
+    // its residual encodes to the query's own argmin codes — ADC floor,
+    // rank 1 (the ann_pq invariant surviving the cell restriction)
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ivfpq-dup").toFile
+    d.deleteOnExit()
+    def vec(i: Int): Array[Float] =
+      Array.tabulate(64)(j => (((i * 31 + j * 7 + i * j) % 97) / 97.0f) * 2 - 1)
+    val rows = (0 until 40).map(i => (i.toLong, vec(i), 0)) :+ ((100L, vec(3), 0))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(d.getAbsolutePath + "/embeddings.parquet")
+    val out = Similarity.annIvfPq(spark, d.getAbsolutePath).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(1)))
+    val top1For3 = out.collectFirst { case (3L, 1L, n) => n }
+    assert(top1For3 === Some(100L),
+      s"duplicate of query 3 did not rank first: got $top1For3")
+  }
+
+  test("ann_ivfpq_stored serves byte-identical results to the in-plan IVFADC scan") {
+    val inPlan = Similarity.annIvfPq(spark, TestSpark.Sf).collect().toSeq
+    val stored = Similarity.annIvfPqStored(spark, TestSpark.Sf).collect().toSeq
+    assert(stored === inPlan, "stored-codes IVFADC serve diverged from in-plan IVF-PQ")
+    // second serve reuses the cell-partitioned index
+    assert(Similarity.annIvfPqStored(spark, TestSpark.Sf).collect().toSeq === inPlan)
+  }
+
   test("ann_pq_stored serves byte-identical results to the in-plan ADC scan") {
     val inPlan = Similarity.annPq(spark, TestSpark.Sf).collect().toSeq
     val stored = Similarity.annPqStored(spark, TestSpark.Sf).collect().toSeq
