@@ -2291,6 +2291,53 @@ object Similarity {
        |GROUP BY self_lbl
        |ORDER BY label""".stripMargin
 
+  /** Filtered vector search — exact top-k restricted to candidates
+    * sharing the query's label (the metadata-filtered serving mode
+    * every production vector store exposes: "nearest neighbors WHERE
+    * tenant/lang/category = X"). Pre-filtering at the scan beats
+    * post-filtering a top-k that may contain zero matching rows. Spark
+    * shape: the query batch broadcasts with its labels, the label
+    * equi-key rides the broadcast hash join so non-matching corpus
+    * rows never reach the cosine kernel, and the per-query rank lowers
+    * to TopKPerKey (bounded heaps, no global sort).
+    */
+  def annFiltered(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val q = corpus(spark, dir)
+      .filter(col("vec_id") < NumQueries)
+      .select(
+        col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos"), asc("neighbor_id"))
+    corpus(spark, dir)
+      .join(broadcast(q), col("label") === col("q_label") && col("vec_id") =!= col("q_id"))
+      .select(
+        col("q_id"),
+        col("vec_id").as("neighbor_id"),
+        Det.detRound(expr("graft_cosine(q_vec, embedding)"), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= TopK)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** DuckDB twin of annFiltered: the brute-force chain with the label
+    * predicate in the join — same rounding, same tie-breaks.
+    */
+  private val annFilteredSql =
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings
+       |), sims AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |         ${Det.roundSql("list_cosine_similarity(q.v, c.v)", 6)} AS cos
+       |  FROM e q JOIN e c ON c.vec_id != q.vec_id AND c.label = q.label
+       |  WHERE q.vec_id < $NumQueries
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS BIGINT) AS rn
+       |  FROM sims
+       |)
+       |SELECT q_id, neighbor_id, cos, rn FROM ranked WHERE rn <= $TopK
+       |ORDER BY q_id, rn""".stripMargin
+
   // ------------------------------------------------------------ IVF-PQ
 
   /** JVM-lifetime memo of the RESIDUAL codebooks (trained on v − c[cell],
@@ -2478,38 +2525,39 @@ object Similarity {
     ivfPqServe(spark, dir, codes, books, cents)
   }
 
-  /** DuckDB twin of annIvfPq: the coarse kmeans chain (shared with
-    * ann_ivf_trained), residuals against the terminal centroids, the
-    * residual per-subspace Lloyd chain (pqSqlChain's shape over rq_es),
-    * probe + residual LUT + exact-DECIMAL ADC rank.
+  private def rqAssignCte(name: String, centsCte: String, keep: String) =
+    s"""$name AS (
+       |  SELECT $keep FROM (
+       |    SELECT e.sub, e.vec_id, e.sv, e.ivf_cell, c.cent_id AS cell,
+       |           row_number() OVER (PARTITION BY e.sub, e.vec_id
+       |             ORDER BY ${kmeansD2Sql("e.sv", "c.cvec")} ASC, c.cent_id ASC) AS rk
+       |    FROM rq_es e JOIN $centsCte c ON c.sub = e.sub
+       |  ) WHERE rk = 1
+       |)""".stripMargin
+
+  private def rqCentsCte(name: String, assignCteName: String) =
+    s"""$name AS (
+       |  SELECT sub, cell AS cent_id, list(mean ORDER BY dim) AS cvec FROM (
+       |    SELECT sub, cell, dim, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
+       |    FROM (SELECT sub, cell, unnest(generate_series(1, len(sv))) AS dim, unnest(sv) AS x
+       |          FROM $assignCteName)
+       |    GROUP BY sub, cell, dim
+       |  ) GROUP BY sub, cell
+       |)""".stripMargin
+
+  /** The shared IVF-PQ oracle core: coarse kmeans chain → assigned →
+    * residuals → residual subspaces → residual Lloyd chain. Terminal
+    * residual codebooks live in CTE rq_c$PqIters; callers append their
+    * own encode/serve CTEs. Shared by annIvfPqSql, the index-health
+    * audit and the nprobe curve so the three oracles cannot drift.
     */
-  private val annIvfPqSql = {
-    val iters = 3
-    def d2(v: String, c: String) = kmeansD2Sql(v, c)
-    def rqAssignCte(name: String, centsCte: String, keep: String) =
-      s"""$name AS (
-         |  SELECT $keep FROM (
-         |    SELECT e.sub, e.vec_id, e.sv, e.ivf_cell, c.cent_id AS cell,
-         |           row_number() OVER (PARTITION BY e.sub, e.vec_id
-         |             ORDER BY ${d2("e.sv", "c.cvec")} ASC, c.cent_id ASC) AS rk
-         |    FROM rq_es e JOIN $centsCte c ON c.sub = e.sub
-         |  ) WHERE rk = 1
-         |)""".stripMargin
-    def rqCentsCte(name: String, assignCteName: String) =
-      s"""$name AS (
-         |  SELECT sub, cell AS cent_id, list(mean ORDER BY dim) AS cvec FROM (
-         |    SELECT sub, cell, dim, CAST(SUM(CAST(x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mean
-         |    FROM (SELECT sub, cell, unnest(generate_series(1, len(sv))) AS dim, unnest(sv) AS x
-         |          FROM $assignCteName)
-         |    GROUP BY sub, cell, dim
-         |  ) GROUP BY sub, cell
-         |)""".stripMargin
+  private def ivfPqCoreSql(iters: Int): String = {
     val rqChain = (1 to PqIters)
       .flatMap(i => Seq(
         rqAssignCte(s"rq_a$i", s"rq_c${i - 1}", "sub, vec_id, sv, ivf_cell, cell"),
         rqCentsCte(s"rq_c$i", s"rq_a$i")))
       .mkString(",\n")
-    s"""WITH ${kmeansChainSql(8, iters)},
+    s"""${kmeansChainSql(8, iters)},
        |${kmeansAssignCte("assigned", s"c$iters")},
        |resid AS (
        |  SELECT a.vec_id, a.cell AS ivf_cell,
@@ -2522,7 +2570,18 @@ object Similarity {
        |), rq_c0 AS (
        |  SELECT sub, vec_id AS cent_id, sv AS cvec FROM rq_es WHERE vec_id < $PqK
        |),
-       |$rqChain,
+       |$rqChain""".stripMargin
+  }
+
+  /** DuckDB twin of annIvfPq: the coarse kmeans chain (shared with
+    * ann_ivf_trained), residuals against the terminal centroids, the
+    * residual per-subspace Lloyd chain (pqSqlChain's shape over rq_es),
+    * probe + residual LUT + exact-DECIMAL ADC rank.
+    */
+  private val annIvfPqSql = {
+    val iters = 3
+    def d2(v: String, c: String) = kmeansD2Sql(v, c)
+    s"""WITH ${ivfPqCoreSql(iters)},
        |${rqAssignCte("rq_codes", s"rq_c$PqIters", "sub, vec_id, ivf_cell, cell AS code")},
        |probed AS (
        |  SELECT q_id, cell, qr FROM (
@@ -2553,8 +2612,218 @@ object Similarity {
        |ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Per-cell health audit of the IVFADC index — the table an index
+    * operator watches to decide WHEN TO RETRAIN: rows per coarse cell
+    * (balance: a hot cell slows every query probing it; an empty cell
+    * wastes a probe) and the mean/max PQ reconstruction error (sum over
+    * subspaces of the residual-to-codeword squared distance — the
+    * quantization loss ADC distances carry). Errors are exact-DECIMAL
+    * per-vector sums, so DuckDB replays them hash-for-hash. Scale
+    * shape: the encode is the same exchange-free in-row pass as
+    * ann_ivfpq; the audit is two bounded hash aggregations (n rows →
+    * n per-vector rows map-side-combined → k cells).
+    */
+  def annIndexHealth(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8; val iters = 3
+    val cents = trainCentroids(spark, dir, k, iters)
+    val resSub = ivfPqResidSubspaces(spark, dir, cents)
+    val books = ivfPqCache.computeIfAbsent(
+      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
+      _ => trainPqOn(spark, resSub.select(col("sub"), col("vec_id"), col("v"))))
+    val perVec = pqAssign(spark, resSub, books, keep = Seq("ivf_cell"))
+      .groupBy(col("vec_id"), col("ivf_cell"))
+      .agg(sum(col("d2").cast(Det.Fine)).as("err"))
+    perVec
+      .groupBy(col("ivf_cell"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        Det.detRound(sum(col("err")).cast("double") / count(lit(1)), 6).as("mean_err"),
+        Det.detRound(max(col("err")).cast("double"), 6).as("max_err"))
+      .orderBy(col("ivf_cell"))
+  }
+
+  /** DuckDB twin: the shared IVF-PQ core, a d2-keeping encode CTE, the
+    * same DECIMAL per-vector error sums and per-cell aggregates.
+    */
+  private val annIndexHealthSql = {
+    val iters = 3
+    def d2(v: String, c: String) = kmeansD2Sql(v, c)
+    s"""WITH ${ivfPqCoreSql(iters)},
+       |rq_h AS (
+       |  SELECT sub, vec_id, ivf_cell, d2 FROM (
+       |    SELECT e.sub, e.vec_id, e.ivf_cell, c.cent_id AS cell,
+       |           ${d2("e.sv", "c.cvec")} AS d2,
+       |           row_number() OVER (PARTITION BY e.sub, e.vec_id
+       |             ORDER BY ${d2("e.sv", "c.cvec")} ASC, c.cent_id ASC) AS rk
+       |    FROM rq_es e JOIN rq_c$PqIters c ON c.sub = e.sub
+       |  ) WHERE rk = 1
+       |), perv AS (
+       |  SELECT vec_id, ivf_cell, SUM(CAST(d2 AS DECIMAL(30,10))) AS err
+       |  FROM rq_h GROUP BY vec_id, ivf_cell
+       |)
+       |SELECT ivf_cell, count(*) AS n_vecs,
+       |       ${Det.roundSql("CAST(SUM(err) AS DOUBLE) / count(*)", 6)} AS mean_err,
+       |       ${Det.roundSql("CAST(MAX(err) AS DOUBLE)", 6)} AS max_err
+       |FROM perv GROUP BY ivf_cell
+       |ORDER BY ivf_cell""".stripMargin
+  }
+
+  /** Serving-cost-vs-recall tuning curve for the IVFADC index —
+    * ann_nprobe_curve's sibling over ann_ivfpq: for nprobe ∈ {1, 2, 4},
+    * the candidate volume (code groups the ADC scan touches) and the
+    * recall of the ADC top-k against the STORED exact cosine anchor.
+    * This is the table that prices widening the probe on the REAL
+    * serving index (coarse prune + residual ADC), where the IVF curve
+    * prices it on exact in-cell distances. Shape: encode once
+    * (lineage-cut), the rk≤4 LUT built once and filtered per arm, every
+    * arm's scan joins the LUT broadcast — three bounded passes over the
+    * code stream, no corpus-keyed exchange.
+    */
+  def ivfPqNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val k = 8; val iters = 3
+    val cents = trainCentroids(spark, dir, k, iters)
+    val resSub = ivfPqResidSubspaces(spark, dir, cents)
+    val books = ivfPqCache.computeIfAbsent(
+      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
+      _ => trainPqOn(spark, resSub.select(col("sub"), col("vec_id"), col("v"))))
+    val codes = pqAssign(spark, resSub, books, keep = Seq("ivf_cell"))
+      .select(col("sub"), col("vec_id"), col("ivf_cell"), col("cell").cast("long").as("code"))
+      .cutLineage(eager = false) // three arms share the encode
+    val wProbe = Window.partitionBy(col("q_id")).orderBy(asc("d2"), asc("cent_id"))
+    val probed4 = queries(spark, dir)
+      .select(col("q_id"), expr("transform(q_vec, x -> CAST(x AS DOUBLE))").as("v"))
+      .crossJoin(broadcast(cents.toDF("cent_id", "cent_vec")))
+      .withColumn("d2", expr(KmeansDistExpr))
+      .withColumn("rk", row_number().over(wProbe))
+      .filter(col("rk") <= 4)
+      .select(
+        col("q_id"), col("rk"), col("cent_id").as("lcell"),
+        expr("zip_with(v, cent_vec, (a, b) -> a - b)").as("qr"))
+    val lut4 = probed4
+      .select(
+        col("q_id"), col("rk"), col("lcell"),
+        explode(expr(
+          s"transform(sequence(0, ${PqM - 1}), " +
+            s"s -> named_struct('sub', s, 'sv', slice(qr, s * $PqDsub + 1, $PqDsub)))")).as("p"))
+      .select(col("q_id"), col("rk"), col("lcell"), col("p.sub").as("lsub"), col("p.sv").as("v"))
+      .join(broadcast(books.toDF("bsub", "cent_id", "cent_vec")), col("lsub") === col("bsub"))
+      .select(
+        col("q_id"), col("rk"), col("lcell"), col("lsub"),
+        col("cent_id").cast("long").as("lcode"), expr(KmeansDistExpr).as("pd2"))
+      .cutLineage(eager = false)
+    val exact  = annExactStored(spark, dir).select(col("q_id"), col("neighbor_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nQ     = queries(spark, dir).agg(count(lit(1)).as("n_queries"))
+    val w = Window.partitionBy(col("q_id")).orderBy(asc("adc_dec"), asc("neighbor_id"))
+    val arms = Seq(1, 2, 4).map { np =>
+      val scan = codes
+        .join(
+          broadcast(lut4.filter(col("rk") <= np)),
+          col("ivf_cell") === col("lcell") && col("sub") === col("lsub") &&
+            col("code") === col("lcode"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("pd2").cast(Det.Fine)).as("adc_dec"))
+        .select(col("q_id"), col("vec_id").as("neighbor_id"), col("adc_dec"))
+        .cutLineage(eager = false) // candidate count + top-k share it
+      val nCand = scan.agg(count(lit(1)).as("n_candidates"))
+      val nHit = scan
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .join(exact, Seq("q_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit"))
+      nCand
+        .crossJoin(nHit)
+        .crossJoin(nExact)
+        .crossJoin(nQ)
+        .select(
+          lit(np.toLong).as("nprobe"),
+          col("n_queries"),
+          col("n_candidates"),
+          when(col("n_queries") === 0, lit(0.0))
+            .otherwise(Det.detRound(
+              col("n_candidates").cast("double") / col("n_queries"), 6))
+            .as("avg_candidates"),
+          col("n_hit"),
+          col("n_exact"),
+          when(col("n_exact") === 0, lit(0.0))
+            .otherwise(Det.detRound(
+              col("n_hit").cast("double") / col("n_exact"), 6))
+            .as("recall"))
+    }
+    arms.reduce(_ unionAll _).orderBy(col("nprobe"))
+  }
+
+  /** DuckDB twin: the shared IVF-PQ core + rq_codes, the rk≤4 probe
+    * and LUT, then one scan/rank/measure chain per arm, unioned.
+    */
+  private val ivfPqNprobeCurveSql = {
+    val iters = 3
+    def d2(v: String, c: String) = kmeansD2Sql(v, c)
+    def arm(np: Int) =
+      s"""scan$np AS (
+         |  SELECT l.q_id, k.vec_id AS neighbor_id,
+         |         SUM(CAST(pd2 AS DECIMAL(30,10))) AS adc_dec
+         |  FROM rq_codes k JOIN lut l
+         |    ON l.cell = k.ivf_cell AND l.sub = k.sub AND l.code = k.code
+         |  WHERE k.vec_id != l.q_id AND l.rk <= $np
+         |  GROUP BY l.q_id, k.vec_id
+         |), hit$np AS (
+         |  SELECT count(*) AS n_hit FROM (
+         |    SELECT q_id, neighbor_id,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY adc_dec ASC, neighbor_id ASC) AS rn
+         |    FROM scan$np
+         |  ) r JOIN exact x ON r.q_id = x.q_id AND r.neighbor_id = x.neighbor_id
+         |  WHERE r.rn <= $TopK
+         |), m$np AS (
+         |  SELECT CAST($np AS BIGINT) AS nprobe,
+         |         (SELECT n_queries FROM nq) AS n_queries,
+         |         (SELECT count(*) FROM scan$np) AS n_candidates,
+         |         (SELECT n_hit FROM hit$np) AS n_hit,
+         |         (SELECT count(*) FROM exact) AS n_exact
+         |)""".stripMargin
+    s"""WITH ${ivfPqCoreSql(iters)},
+       |${rqAssignCte("rq_codes", s"rq_c$PqIters", "sub, vec_id, ivf_cell, cell AS code")},
+       |probed AS (
+       |  SELECT q_id, rk, cell, qr FROM (
+       |    SELECT q.vec_id AS q_id, c.cent_id AS cell,
+       |           list_transform(generate_series(1, len(q.v)), i -> q.v[i] - c.cvec[i]) AS qr,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${d2("q.v", "c.cvec")} ASC, c.cent_id ASC) AS rk
+       |    FROM e q CROSS JOIN c$iters c WHERE q.vec_id < $NumQueries
+       |  ) WHERE rk <= 4
+       |), lut AS (
+       |  SELECT p.q_id, p.rk, p.cell, b.sub, b.cent_id AS code,
+       |         ${d2(s"list_slice(p.qr, b.sub * $PqDsub + 1, b.sub * $PqDsub + $PqDsub)", "b.cvec")} AS pd2
+       |  FROM probed p CROSS JOIN rq_c$PqIters b
+       |), exact AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${Det.roundSql("list_cosine_similarity(q.v, c.v)", 6)} DESC, c.vec_id) AS rn
+       |    FROM e q JOIN e c ON c.vec_id != q.vec_id
+       |    WHERE q.vec_id < $NumQueries
+       |  ) WHERE rn <= $TopK
+       |), nq AS (
+       |  SELECT count(*) AS n_queries FROM e WHERE vec_id < $NumQueries
+       |),
+       |${arm(1)}, ${arm(2)}, ${arm(4)}
+       |SELECT nprobe, n_queries, n_candidates,
+       |       CASE WHEN n_queries = 0 THEN 0.0
+       |            ELSE ${Det.roundSql("CAST(n_candidates AS DOUBLE) / n_queries", 6)} END AS avg_candidates,
+       |       n_hit, n_exact,
+       |       CASE WHEN n_exact = 0 THEN 0.0
+       |            ELSE ${Det.roundSql("CAST(n_hit AS DOUBLE) / n_exact", 6)} END AS recall
+       |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m4)
+       |ORDER BY nprobe""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "ann_ivfpq"         -> QueryDef(annIvfPq, Some(annIvfPqSql)),
+    "ann_filtered"      -> QueryDef(annFiltered, Some(annFilteredSql)),
+    "ann_index_health"  -> QueryDef(annIndexHealth, Some(annIndexHealthSql)),
+    "ivfpq_nprobe_curve" -> QueryDef(ivfPqNprobeCurve, Some(ivfPqNprobeCurveSql)),
     // identical to ann_ivfpq by construction (shared ivfPqServe over
     // the stored codes) — shares its oracle
     "ann_ivfpq_stored"  -> QueryDef(annIvfPqStored, Some(annIvfPqSql)),

@@ -112,6 +112,13 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(hashEx.size <= 3, s"ann_ivfpq has ${hashEx.size} hash exchanges:\n$p")
   }
 
+  test("ann_filtered pre-filters at the broadcast join and ranks on bounded heaps") {
+    val p = plan("ann_filtered")
+    assert(p.contains("BroadcastHashJoin"),
+      s"ann_filtered lost the broadcast label-filtered join:\n$p")
+    assert(p.contains("TopKPerKey"), s"ann_filtered not using TopKPerKey:\n$p")
+  }
+
   test("curation queries keep their scale shapes") {
     // vocab join stays broadcast (the vocabulary is top-V, tiny by
     // construction); the per-stratum sampler runs on bounded heaps

@@ -249,6 +249,59 @@ class SimilarityDedupSpec extends AnyFunSuite {
       s"duplicate of query 3 did not rank first: got $top1For3")
   }
 
+  test("ann_filtered returns only same-label neighbors, exact within the filter") {
+    import org.apache.spark.sql.functions._
+    val labels = Tables.embeddings(spark, TestSpark.Sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).intValue).toMap
+    val rows = Similarity.annFiltered(spark, TestSpark.Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getLong(0); val n = r.getLong(1)
+      assert(labels(n) === labels(q), s"neighbor $n label ${labels(n)} != query $q label ${labels(q)}")
+      assert(n !== q)
+    }
+    // within the label-restricted candidate set the search is EXACT:
+    // per query, the filtered top-k equals the unfiltered exact ranking
+    // restricted to same-label neighbors
+    val exact = Similarity.annCosineTopK(spark, TestSpark.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val perQ = rows.groupBy(_.getLong(0))
+    perQ.foreach { case (q, rs) =>
+      val exactSameLabel = exact
+        .filter { case (eq, en, _) => eq == q && labels(en) == labels(q) }
+        .map(_._2).toSeq
+      val got = rs.sortBy(_.getLong(3)).map(_.getLong(1)).toSeq
+      // restriction preserves order: the unfiltered exact top-10's
+      // same-label members must be exactly the filtered result's prefix
+      assert(exactSameLabel.zip(got).forall { case (e, g) => e == g },
+        s"q=$q filtered ranking disagrees with the exact same-label order")
+    }
+  }
+
+  test("ivfpq_nprobe_curve: candidates and recall are monotone in nprobe") {
+    val rows = Similarity.ivfPqNprobeCurve(spark, TestSpark.Sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L))
+    val cands  = rows.map(_.getLong(2))
+    val recall = rows.map(_.getDouble(6))
+    assert(cands.sliding(2).forall(p => p(0) <= p(1)), "candidate volume not monotone")
+    assert(recall.sliding(2).forall(p => p(0) <= p(1)), "recall not monotone")
+    assert(recall.last > 0.0, "zero recall at nprobe=4")
+  }
+
+  test("ann_index_health accounts for every encodable corpus vector") {
+    val rows = Similarity.annIndexHealth(spark, TestSpark.Sf).collect()
+    assert(rows.length === 8, "one row per coarse cell")
+    val total = rows.map(_.getLong(1)).sum
+    val corpus = Tables.embeddings(spark, TestSpark.Sf).count()
+    assert(total === corpus, s"per-cell counts $total != corpus $corpus")
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(3) >= r.getDouble(2),
+        s"cell ${r.getInt(0)}: mean/max reconstruction error malformed")
+    }
+  }
+
   test("ann_ivfpq_stored serves byte-identical results to the in-plan IVFADC scan") {
     val inPlan = Similarity.annIvfPq(spark, TestSpark.Sf).collect().toSeq
     val stored = Similarity.annIvfPqStored(spark, TestSpark.Sf).collect().toSeq
