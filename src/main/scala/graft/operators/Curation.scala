@@ -1056,7 +1056,130 @@ object Curation {
        |FROM hist
        |ORDER BY class_size""".stripMargin
 
+  /** token_mix_plan EXECUTED — the plan's fractional epochs
+    * materialized into per-doc repeat factors, the way a data loader
+    * actually consumes a mixing plan: every doc of source s repeats
+    * floor(e_s) times, plus one more when its salted-hash uniform
+    * u(doc) < frac(e_s) — deterministic Bernoulli up-sampling whose
+    * expectation hits the planned token count exactly, with no
+    * coordination between docs (each row decides alone — embarrassingly
+    * parallel at 100 TB). The report grades the materialization:
+    * realized tokens (an exact integer — repeats×tokens summed) against
+    * the plan's target, with the relative error the loader would see.
+    * u reads 13 md5 hex chars = 52 bits, so u = h/2^52 is an EXACT
+    * dyadic double and the comparison replays identically in DuckDB.
+    */
+  def tokenMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables
+      .documents(spark, dir)
+      .select(
+        col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val per = docs
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("avail_tokens"))
+      .withColumn("sq", sqrt(col("n_docs").cast("double")))
+    val denom = per.agg(
+      sum(col("sq").cast(Det.Fine)).cast("double").as("sq_sum"),
+      sum(col("avail_tokens")).as("total_tokens"))
+    val plan = per
+      .crossJoin(broadcast(denom))
+      .withColumn("w", col("sq") / col("sq_sum"))
+      .withColumn(
+        "epochs",
+        least(
+          lit(MaxEpochs),
+          col("w") * (lit(BudgetMultiple) * col("total_tokens").cast("double"))
+            / col("avail_tokens").cast("double")))
+      .select(
+        col("source").as("psrc"), col("n_docs"),
+        col("avail_tokens"), col("epochs"))
+    val perDoc = docs
+      .join(broadcast(plan), col("source") <=> col("psrc"))
+      .withColumn("base", floor(col("epochs")))
+      .withColumn("frac", col("epochs") - floor(col("epochs")).cast("double"))
+      .withColumn(
+        "u",
+        expr("CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+          .cast("double") / lit(4503599627370496.0))
+      .withColumn("up", when(col("u") < col("frac"), 1L).otherwise(0L))
+    val realized = perDoc
+      .groupBy(col("source"))
+      .agg(
+        sum(col("up")).as("n_upsampled"),
+        sum((col("base") + col("up")) * col("nt")).as("realized_tokens"))
+    plan
+      .join(realized, col("psrc") <=> col("source"))
+      .withColumn(
+        "planned_tokens",
+        Det.detRound(col("epochs") * col("avail_tokens").cast("double"), 2))
+      .select(
+        col("psrc").as("source"),
+        col("n_docs"),
+        Det.detRound(col("epochs"), 6).as("epochs"),
+        col("n_upsampled"),
+        col("realized_tokens"),
+        col("planned_tokens"),
+        when(col("planned_tokens") === 0.0, lit(0.0))
+          .otherwise(Det.detRound(
+            (col("realized_tokens").cast("double") - col("planned_tokens"))
+              / col("planned_tokens"), 6))
+          .as("rel_err"))
+      .orderBy(asc_nulls_last("source"))
+  }
+
+  /** DuckDB twin: the plan chain (token_mix_plan's formulas verbatim),
+    * the same exact-dyadic per-doc uniform, the same integer realized
+    * sum and rounded-plan relative error.
+    */
+  private val tokenMixSampleSql = {
+    def r6(e: String) = Det.roundSql(e, 6)
+    def r2(e: String) = Det.roundSql(e, 2)
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents
+       |), per AS (
+       |  SELECT source, count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS avail_tokens
+       |  FROM docs GROUP BY source
+       |), sq AS (
+       |  SELECT source, n_docs, avail_tokens, sqrt(CAST(n_docs AS DOUBLE)) AS sq FROM per
+       |), denom AS (
+       |  SELECT CAST(SUM(CAST(sq AS DECIMAL(30,10))) AS DOUBLE) AS sq_sum,
+       |         CAST(SUM(avail_tokens) AS BIGINT) AS total_tokens
+       |  FROM sq
+       |), plan AS (
+       |  SELECT source, n_docs, avail_tokens,
+       |         least($MaxEpochs,
+       |               (sq / sq_sum) * ($BudgetMultiple * CAST(total_tokens AS DOUBLE))
+       |                 / CAST(avail_tokens AS DOUBLE)) AS epochs
+       |  FROM sq, denom
+       |), perdoc AS (
+       |  SELECT d.source, d.nt, p.epochs,
+       |         CAST(floor(p.epochs) AS BIGINT) AS base,
+       |         p.epochs - floor(p.epochs) AS frac,
+       |         CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+       |           / 4503599627370496.0 AS u
+       |  FROM docs d JOIN plan p ON d.source IS NOT DISTINCT FROM p.source
+       |), realized AS (
+       |  SELECT source,
+       |         CAST(SUM(CASE WHEN u < frac THEN 1 ELSE 0 END) AS BIGINT) AS n_upsampled,
+       |         CAST(SUM((base + CASE WHEN u < frac THEN 1 ELSE 0 END) * nt) AS BIGINT) AS realized_tokens
+       |  FROM perdoc GROUP BY source
+       |), outp AS (
+       |  SELECT p.source, p.n_docs, p.epochs, r.n_upsampled, r.realized_tokens,
+       |         ${r2("p.epochs * CAST(p.avail_tokens AS DOUBLE)")} AS planned_tokens
+       |  FROM plan p JOIN realized r ON p.source IS NOT DISTINCT FROM r.source
+       |)
+       |SELECT source, n_docs, ${r6("epochs")} AS epochs, n_upsampled, realized_tokens,
+       |       planned_tokens,
+       |       CASE WHEN planned_tokens = 0 THEN 0.0
+       |            ELSE ${r6("(CAST(realized_tokens AS DOUBLE) - planned_tokens) / planned_tokens")} END AS rel_err
+       |FROM outp
+       |ORDER BY source""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "token_mix_sample"   -> QueryDef(tokenMixSample, Some(tokenMixSampleSql)),
     "k_anonymity"        -> QueryDef(kAnonymity, Some(kAnonymitySql)),
     "topic_tagging"      -> QueryDef(topicTagging, Some(topicTaggingSql)),
     "curation_funnel"    -> QueryDef(curationFunnel, Some(curationFunnelSql)),

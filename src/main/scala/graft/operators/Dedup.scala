@@ -2392,7 +2392,112 @@ object Dedup {
        |ORDER BY t.split""".stripMargin
   }
 
+  /** Dedup-aware weighted sampling — the sampler a pipeline runs when
+    * it keeps near-duplicates but refuses to let them vote with their
+    * multiplicity: each doc's PPS weight is its size DIVIDED by its
+    * near-dup cluster size (the stored minhash CC labels — a 40-copy
+    * boilerplate cluster carries one doc's worth of total weight, not
+    * forty), then the same systematic integer-crossing PPS design as
+    * sample_weighted_pps draws k docs on a salted-hash line. Weights
+    * floor at 1 so every doc keeps a nonzero inclusion probability and
+    * the line length stays positive. Scale shape: labels and sizes are
+    * one keyed join each (linear, AQE-handled), the prefix sum is the
+    * range-bucketed distributed kernel, the crossing test is pure
+    * 64-bit integer arithmetic — bit-reproducible across engines.
+    */
+  def sampleDedupAware(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.cachedCount(spark, dir, "documents")
+    val labels = ccLabels(
+      spark, dir, "minhash",
+      s"rows=$rows;k=$MinhashK;bucketCap=1000;tau=0.5")(minhashStarEdges(spark, dir))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val csize = labels
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("csize"))
+    val withSize = labels.join(csize, "cluster_id").select(col("doc_id"), col("csize"))
+    val k = Warehouse.PpsK
+    val adj = Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), coalesce(col("n_chars").cast("long"), lit(0L)).as("nc"))
+      .join(withSize, Seq("doc_id"), "left")
+      .withColumn("csize", coalesce(col("csize"), lit(1L)))
+      .withColumn("w", greatest(lit(1L), expr("nc div csize")))
+      .select(
+        col("doc_id"), col("csize"), col("w"),
+        expr("CAST(conv(substr(md5(concat('dsample:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .as("h"))
+    val totalRow = adj.agg(sum(col("w")).as("t")).first()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
+    if (total <= 0L)
+      return adj
+        .withColumn("cum", lit(0L))
+        .select(col("doc_id"), col("csize"), col("w"), col("cum"), lit(0L).as("sample_idx"))
+        .limit(0)
+    require(total <= Long.MaxValue / k,
+      s"adjusted corpus weight $total overflows the integer crossing test at k=$k")
+    Rank
+      .withPrefixSum(adj, "h", "w", tieBreak = Seq("doc_id"))
+      .filter(
+        expr(s"(cum * $k) div ${total}L") >
+          expr(s"((cum - w) * $k) div ${total}L"))
+      .select(
+        col("doc_id"), col("csize"), col("w"), col("cum"),
+        expr(s"(cum * $k) div ${total}L").as("sample_idx"))
+      .orderBy(col("cum"))
+  }
+
+  /** DuckDB twin: the star-edge CC closure (shared with
+    * dedup_clusters_minhash), cluster sizes, the same floored
+    * size/csize weights, the same salted-hash line and integer
+    * crossing test.
+    */
+  private val sampleDedupAwareSql = {
+    val k = Warehouse.PpsK
+    s"""WITH RECURSIVE ${minhashSqlPrefix(MinhashK)},
+       |star0 AS (
+       |  SELECT docs[1] AS doc_a, unnest(list_slice(docs, 2, len(docs))) AS doc_b
+       |  FROM buck WHERE len(docs) BETWEEN 2 AND 1000
+       |), star AS (
+       |  SELECT DISTINCT doc_a, doc_b FROM star0
+       |), verified AS (
+       |  SELECT s.doc_a, s.doc_b FROM star s
+       |  JOIN sigs sa ON s.doc_a = sa.doc_id
+       |  JOIN sigs sb ON s.doc_b = sb.doc_id
+       |  WHERE ${estJaccardSql(MinhashK)} >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM verified
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM verified
+       |), reach(node, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node
+       |), lab AS (
+       |  SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+       |), cs AS (
+       |  SELECT cluster_id, count(*) AS csize FROM lab GROUP BY cluster_id
+       |), ds AS (
+       |  SELECT l.doc_id, cs.csize FROM lab l JOIN cs ON l.cluster_id = cs.cluster_id
+       |), adj AS (
+       |  SELECT d.doc_id,
+       |         CAST(COALESCE(ds.csize, 1) AS BIGINT) AS csize,
+       |         CAST(GREATEST(1, COALESCE(d.n_chars, 0) // COALESCE(ds.csize, 1)) AS BIGINT) AS w,
+       |         ('0x' || substr(md5('dsample:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+       |  FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+       |), c AS (
+       |  SELECT doc_id, csize, w,
+       |         SUM(w) OVER (ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM adj
+       |), t AS (SELECT SUM(w) AS total FROM adj)
+       |SELECT doc_id, csize, w, CAST(cum AS BIGINT) AS cum,
+       |       CAST((cum * $k) // total AS BIGINT) AS sample_idx
+       |FROM c, t
+       |WHERE (cum * $k) // total > ((cum - w) * $k) // total
+       |ORDER BY cum""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "sample_dedup_aware" -> QueryDef(sampleDedupAware, Some(sampleDedupAwareSql)),
     "split_contamination_fuzzy" ->
       QueryDef(splitContaminationFuzzy, Some(splitContaminationFuzzySql)),
     "cluster_cohesion" -> QueryDef(clusterCohesion, Some(clusterCohesionSql)),

@@ -2347,6 +2347,49 @@ object Similarity {
   private val ivfPqCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[(Int, Long, Seq[Double])]]()
 
+  /** Residual codebooks, PERSISTED like trainCentroids' model file
+    * (DerivedCache + raw long-bit doubles, bit-exact round trip) so the
+    * residual Lloyd run is paid once EVER per corpus stamp — every
+    * IVFADC consumer (ann_ivfpq, its stored index, the health audit,
+    * the nprobe curve) in any later JVM reads the m·k·dsub model back
+    * instead of re-training. `resSub` is by-name: a model-cache hit
+    * skips building the residual frame entirely.
+    */
+  private def trainIvfPqBooks(
+      spark: SparkSession, dir: String,
+      resSub: => DataFrame): Seq[(Int, Long, Seq[Double])] =
+    ivfPqCache.computeIfAbsent(
+      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
+      _ => {
+        def train() = trainPqOn(spark, resSub.select(col("sub"), col("vec_id"), col("v")))
+        val model = graft.sources.DerivedCache.dir(
+          dir, "ivfpq-books", s"m=$PqM;k=$PqK;iters=$PqIters;coarse=8x3") { out =>
+          val lines = train().map { case (s, c, v) =>
+            s"$s\t$c\t${v.map(java.lang.Double.doubleToLongBits).mkString(",")}"
+          }
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$out/books.tsv"),
+            lines.mkString("\n").getBytes("UTF-8"))
+          ()
+        }
+        try {
+          val txt = new String(
+            java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(s"$model/books.tsv")), "UTF-8")
+          txt.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+            val Array(s, c, vs) = line.split("\t", 3)
+            (s.toInt, c.toLong,
+              if (vs.isEmpty) Seq.empty[Double]
+              else vs.split(",").toSeq.map(b =>
+                java.lang.Double.longBitsToDouble(b.toLong)))
+          }
+        } catch {
+          // unreadable/torn model file: fresh train (identical result)
+          case _: Exception => train()
+        }
+      })
+
   /** The (sub, vec_id, v, ivf_cell) residual-subspace frame behind
     * ann_ivfpq: assign each corpus vector to its trained coarse cell,
     * subtract the cell centroid, split the residual into PqM subvector
@@ -2405,9 +2448,7 @@ object Similarity {
     val k = 8; val iters = 3
     val cents = trainCentroids(spark, dir, k, iters)
     val resSub = ivfPqResidSubspaces(spark, dir, cents)
-    val books = ivfPqCache.computeIfAbsent(
-      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
-      _ => trainPqOn(spark, resSub.select(col("sub"), col("vec_id"), col("v"))))
+    val books = trainIvfPqBooks(spark, dir, resSub)
     val codes = pqAssign(spark, resSub, books, keep = Seq("ivf_cell"))
       .select(col("sub"), col("vec_id"), col("ivf_cell"), col("cell").cast("long").as("code"))
     ivfPqServe(spark, dir, codes, books, cents)
@@ -2492,9 +2533,7 @@ object Similarity {
       import spark.implicits._
       val cents = trainCentroids(spark, dir, k, iters)
       val resSub = ivfPqResidSubspaces(spark, dir, cents)
-      val books = ivfPqCache.computeIfAbsent(
-        (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
-        _ => trainPqOn(spark, resSub.select(col("sub"), col("vec_id"), col("v"))))
+      val books = trainIvfPqBooks(spark, dir, resSub)
       writeStored(books.toDF("sub", "cent_id", "cvec"), out, "books", Nil)
       val packed = pqAssign(spark, resSub, books, keep = Seq("ivf_cell"))
         .groupBy(col("vec_id"), col("ivf_cell"))
@@ -2627,9 +2666,7 @@ object Similarity {
     val k = 8; val iters = 3
     val cents = trainCentroids(spark, dir, k, iters)
     val resSub = ivfPqResidSubspaces(spark, dir, cents)
-    val books = ivfPqCache.computeIfAbsent(
-      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
-      _ => trainPqOn(spark, resSub.select(col("sub"), col("vec_id"), col("v"))))
+    val books = trainIvfPqBooks(spark, dir, resSub)
     val perVec = pqAssign(spark, resSub, books, keep = Seq("ivf_cell"))
       .groupBy(col("vec_id"), col("ivf_cell"))
       .agg(sum(col("d2").cast(Det.Fine)).as("err"))
@@ -2684,9 +2721,7 @@ object Similarity {
     val k = 8; val iters = 3
     val cents = trainCentroids(spark, dir, k, iters)
     val resSub = ivfPqResidSubspaces(spark, dir, cents)
-    val books = ivfPqCache.computeIfAbsent(
-      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/embeddings.parquet")),
-      _ => trainPqOn(spark, resSub.select(col("sub"), col("vec_id"), col("v"))))
+    val books = trainIvfPqBooks(spark, dir, resSub)
     val codes = pqAssign(spark, resSub, books, keep = Seq("ivf_cell"))
       .select(col("sub"), col("vec_id"), col("ivf_cell"), col("cell").cast("long").as("code"))
       .cutLineage(eager = false) // three arms share the encode
