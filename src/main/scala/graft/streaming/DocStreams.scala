@@ -279,7 +279,143 @@ object DocStreams {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** The mixing plan SERVED AT INGEST — token_mix_sample's streaming
+    * twin and the loader-side shape a 100 TB pipeline actually runs:
+    * the per-source epoch schedule is trained ONCE on the BASE corpus
+    * slice (doc_id % 10 < 8 — the corpus that existed at plan time)
+    * and persisted via DerivedCache; each arriving delta micro-batch
+    * joins the tiny broadcast plan and decides every doc's repeat
+    * factor alone (floor(epochs) + the exact-dyadic salted-hash coin —
+    * same 'mix:' salt as the batch sampler, so a doc draws the same
+    * up-sample verdict in either materialization). A source unseen at
+    * plan time gets repeats = 0 and planned = false — the honest
+    * "unplanned source arrived" signal. Per-row independence makes the
+    * union over any micro-batch partitioning byte-identical to the
+    * batch replay, which is what lets one DuckDB oracle check the
+    * whole streaming run.
+    */
+  def streamMixIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val rows = Tables.cachedCount(spark, dir, "documents")
+    val planDir = graft.sources.DerivedCache.dir(
+      dir, "mix-plan-base", s"rows=$rows;v=1") { out =>
+      val base = docs
+        .filter(col("doc_id") % 10 < 8)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      val per = base
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("avail_tokens"))
+        .withColumn("sq", sqrt(col("n_docs").cast("double")))
+      val denom = per.agg(
+        sum(col("sq").cast(graft.Det.Fine)).cast("double").as("sq_sum"),
+        sum(col("avail_tokens")).as("total_tokens"))
+      per
+        .crossJoin(broadcast(denom))
+        .select(
+          col("source").as("psrc"),
+          least(
+            lit(8.0),
+            (col("sq") / col("sq_sum")) * (lit(4.0) * col("total_tokens").cast("double"))
+              / col("avail_tokens").cast("double")).as("epochs"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$out/plan")
+      ()
+    }
+    val plan = spark.read.parquet(s"$planDir/plan")
+    val delta = docs
+      .filter((col("doc_id") % 10) >= 8)
+      .select(col("doc_id"), col("source"), col("text"))
+    val srcDir = graft.sources.DerivedCache.dir(
+      dir, "stream-mix-src", s"rows=$rows;files=4") { out =>
+      delta.repartition(4, col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/files")
+      ()
+    } + "/files"
+    StreamRunner.runAvailableNow(
+      spark,
+      schema = delta.schema,
+      srcDir = srcDir,
+      maxFilesPerTrigger = 2,
+      tmpPrefix = "graft-stream-mix",
+      mkHandler = outDir =>
+        (batch, _) => {
+          batch.toDF()
+            .select(
+              col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("nt"))
+            .join(broadcast(plan), col("source") <=> col("psrc"), "left")
+            .withColumn(
+              "u",
+              expr("CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+                .cast("double") / lit(4503599627370496.0))
+            .select(
+              col("doc_id"),
+              col("source"),
+              col("nt"),
+              when(col("epochs").isNull, lit(0L))
+                .otherwise(
+                  floor(col("epochs")) +
+                    when(col("u") < col("epochs") - floor(col("epochs")).cast("double"), 1L)
+                      .otherwise(0L))
+                .as("repeats"),
+              col("epochs").isNotNull.as("planned"))
+            .write.mode("append").parquet(outDir)
+          ()
+        },
+      finish = _.orderBy(col("doc_id")),
+      empty = {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("source", StringType),
+            StructField("nt", LongType),
+            StructField("repeats", LongType),
+            StructField("planned", BooleanType, nullable = false))))
+      })
+  }
+
+  /** Batch oracle of streamMixIngest: the base-slice plan and the
+    * per-delta-doc repeat rule replayed in SQL.
+    */
+  private val streamMixIngestSql = {
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+       |  FROM documents
+       |), per AS (
+       |  SELECT source, count(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS avail_tokens
+       |  FROM docs WHERE doc_id % 10 < 8 GROUP BY source
+       |), sq AS (
+       |  SELECT source, n_docs, avail_tokens, sqrt(CAST(n_docs AS DOUBLE)) AS sq FROM per
+       |), denom AS (
+       |  SELECT CAST(SUM(CAST(sq AS DECIMAL(30,10))) AS DOUBLE) AS sq_sum,
+       |         CAST(SUM(avail_tokens) AS BIGINT) AS total_tokens
+       |  FROM sq
+       |), plan AS (
+       |  SELECT source AS psrc,
+       |         least(8.0, (sq / sq_sum) * (4.0 * CAST(total_tokens AS DOUBLE))
+       |                      / CAST(avail_tokens AS DOUBLE)) AS epochs
+       |  FROM sq, denom
+       |), delta AS (
+       |  SELECT d.doc_id, d.source, d.nt, p.epochs,
+       |         CAST(('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 13))::BIGINT AS DOUBLE)
+       |           / 4503599627370496.0 AS u
+       |  FROM docs d LEFT JOIN plan p ON d.source IS NOT DISTINCT FROM p.psrc
+       |  WHERE d.doc_id % 10 >= 8
+       |)
+       |SELECT doc_id, source, nt,
+       |       CASE WHEN epochs IS NULL THEN 0
+       |            ELSE CAST(floor(epochs) AS BIGINT) +
+       |                 CASE WHEN u < epochs - floor(epochs) THEN 1 ELSE 0 END
+       |       END AS repeats,
+       |       epochs IS NOT NULL AS planned
+       |FROM delta
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "stream_mix_ingest" -> QueryDef(streamMixIngest, Some(streamMixIngestSql)),
     "stream_dedup_ingest" -> QueryDef(
       streamDedupIngest, Some(graft.operators.Dedup.dedupIncrementalSql)),
     "stream_quality_gate" -> QueryDef(

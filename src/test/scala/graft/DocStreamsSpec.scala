@@ -83,6 +83,34 @@ class DocStreamsSpec extends AnyFunSuite {
     hits.values.foreach { case (_, est) => assert(est >= 0.5) }
   }
 
+  test("stream_mix_ingest: planned sources repeat, unplanned sources get zero") {
+    // base slice (ids % 10 < 8) is all source A; delta doc 18 arrives
+    // with UNSEEN source B → planned=false, repeats=0; delta doc 19
+    // (source A) gets floor(epochs) or floor+1 — never negative, never
+    // above the MaxEpochs ceiling
+    val dir = Files.createTempDirectory("graft-smix").toString
+    import spark.implicits._
+    val rows =
+      (0L to 7L).map(i => (i, "A", s"base doc $i " + ("tok " * 20).trim)) ++
+        Seq(
+          (18L, "B", "an unplanned source arrives mid stream with fresh text"),
+          (19L, "A", "a planned source doc that the schedule covers today"))
+    rows.toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = DocStreams.streamMixIngest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(18L, 19L))
+    assert(out(18L) === ((0L, false)), "unseen source must be flagged unplanned with 0 repeats")
+    val (rep19, planned19) = out(19L)
+    assert(planned19, "source A is in the base plan")
+    assert(rep19 >= 1L && rep19 <= 8L, s"repeats $rep19 outside [1, MaxEpochs]")
+    // determinism: a second run serves byte-identical rows
+    val again = DocStreams.streamMixIngest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(again === out)
+  }
+
   test("stream_quality_gate: micro-batched verdicts equal the batch gate") {
     val out = graft.streaming.DocStreams
       .streamQualityGate(spark, TestSpark.Sf).collect()
