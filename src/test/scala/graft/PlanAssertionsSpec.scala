@@ -119,6 +119,15 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert(p.contains("TopKPerKey"), s"ann_filtered not using TopKPerKey:\n$p")
   }
 
+  test("token_mix_sample joins the per-source plan broadcast") {
+    // the plan frame is source-cardinality rows; if it ever reaches the
+    // corpus through a shuffle join, the per-doc coin pass re-shuffles
+    // every document by source — the null-safe equi-key must stay BHJ
+    val p = plan("token_mix_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"token_mix_sample lost the broadcast plan join:\n$p")
+  }
+
   test("curation queries keep their scale shapes") {
     // vocab join stays broadcast (the vocabulary is top-V, tiny by
     // construction); the per-stratum sampler runs on bounded heaps
