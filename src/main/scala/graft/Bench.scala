@@ -84,6 +84,23 @@ object Bench {
           .mkString("{", ",", "}")}}"""
     }
 
+    /** Compact worst-10 line, emitted just before summaryJson so the
+      * driver's ~2000-char tail always carries the slowest queries WITH
+      * their gc/jit seconds and plan fingerprint. This is what makes a
+      * driver-run outlier diagnosable from the artifact alone: round 11's
+      * +39%/query drift could not be attributed because the truncated
+      * tail kept only totals — the regressing queries were unrecoverable.
+      * ~85 bytes/entry keeps worst10 + summary comfortably inside the
+      * tail window.
+      */
+    def worst10Json: String = {
+      val w = ok.sortBy(-_.sec).take(10)
+      val items = w.map(t =>
+        s"""{"q":"${t.name}","s":${d3(t.sec)},"gc":${d3(t.gcS)},""" +
+          s""""jit":${d3(t.jitS)},"plan":"${t.plan}"}""")
+      s"""{"metric":"worst10","items":${items.mkString("[", ",", "]")}}"""
+    }
+
     /** Compact trailing summary — totals + failed names only, no per-query
       * map. The driver captures only the LAST ~2000 chars of output, so the
       * full line's leading totals get truncated away; this line is emitted
@@ -192,8 +209,10 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) })
     println(report.json)
-    // must stay the LAST stdout line before sbt's epilogue: the driver
-    // parses the tail of the captured log (see summaryJson)
+    // tail order matters: worst10 then summary, so the driver's 2000-char
+    // tail capture always ends with [worst10][summary] — the summary line
+    // must stay the LAST stdout line before sbt's epilogue
+    println(report.worst10Json)
     println(report.summaryJson)
     spark.stop()
   }

@@ -516,7 +516,115 @@ object Cdc {
        |FROM bc JOIN bd ON bc.split = bd.split
        |ORDER BY bc.split""".stripMargin
 
+  // ---------------------------------------- token-level substring dedup
+
+  /** Fixed window length (tokens) for dedup_substring — the "duplicated
+    * substring of at least W tokens" target length of the suffix-array
+    * exact-substring dedup literature (Lee et al. 2022 use 50 BPE
+    * tokens; word tokens here). Two docs share a verbatim run of >= W
+    * tokens iff they share at least one W-token window, so window-hash
+    * equality is an EXACT detector at this granularity — unlike CDC
+    * chunks, whose boundaries must fall inside the shared region for a
+    * full chunk to be shared (a W-token overlap with no internal cut,
+    * p = (15/16)^(W-1), is invisible to cdc_chunk_dedup; CdcSpec plants
+    * exactly that fixture).
+    */
+  private[graft] val SubstrW = 50
+
+  /** Document-frequency cap on a window hash's posting list: a window
+    * shared by more docs than this is boilerplate (licence block, nav
+    * text) already surfaced by boilerplate_ngrams/cdc_chunk_dedup, and
+    * expanding its C(df,2) pairs is the only superlinear term in the
+    * plan — the same bucket-cap discipline as dedup_jaccard's
+    * HotShingleCap. Mirrored in the oracle.
+    */
+  private val SubstrDfCap = 64
+
+  /** Top-k co-duplicated pairs reported by dedup_substring. */
+  private val SubstrTopK = 100
+
+  /** Token-level exact-substring dedup: for every document pair, how
+    * many distinct W-token windows they share verbatim — the
+    * sub-chunk-granularity pass that catches verbatim overlaps shorter
+    * than what CDC chunking resolves (its ~16-word chunks must fall
+    * ENTIRELY inside the overlap to match). est_overlap_tokens is the
+    * exact overlap length when the shared windows form one contiguous
+    * run (n_shared + W − 1), a lower bound otherwise.
+    *
+    * Scale shape (the Lee et al. operator re-expressed as a bucketed
+    * posting-list plan instead of a suffix array): windows are hashed
+    * IN-ROW (xxhash64 over the token slice — only 8-byte hashes ever
+    * leave the scan stage, never window text), per-doc distinct, then
+    * one groupBy builds the inverted index with the df cap folded into
+    * the same aggregate (bucket size IS the window's df), and pairs
+    * expand in-row from the sorted posting list — one corpus pass, two
+    * shuffles, zero joins, bounded C(cap,2) fan-out per hot window.
+    * The oracle self-joins raw window STRINGS (DuckDB has no xxhash64),
+    * so a hash collision would show up as a count mismatch — the same
+    * collision-audited equivalence dedup_jaccard uses.
+    */
+  def dedupSubstring(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringOf(Tables.documents(spark, dir))
+
+  /** The kernel over any (doc_id, text) frame, factored for CdcSpec's
+    * planted-overlap fixtures.
+    */
+  private[graft] def dedupSubstringOf(docs: DataFrame): DataFrame = {
+    val win = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        when(
+          size(col("t")) >= SubstrW,
+          array_distinct(expr(
+            s"transform(sequence(0, size(t) - $SubstrW), i -> xxhash64(concat_ws(' ', slice(t, i + 1, $SubstrW))))")))
+          .otherwise(array().cast("array<bigint>")).as("hs"))
+      .select(
+        col("doc_id"),
+        // if() wrapper: same InferFiltersFromGenerate defense as
+        // chunkFrame/pairCommonOf — keeps the window-hashing transform
+        // single-pass instead of duplicated into a pushed-down Filter
+        explode(expr("if(size(hs) >= 0, hs, slice(hs, 1, 0))")).as("h"))
+    win
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("docs"))
+      .filter(size(col("docs")).between(2, SubstrDfCap))
+      .select(posexplode(col("docs")).as(Seq("i", "a")), col("docs"))
+      .select(col("a"), explode(expr("slice(docs, i + 2, size(docs))")).as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .select(
+        col("a").as("doc_a"),
+        col("b").as("doc_b"),
+        col("n_shared"),
+        (col("n_shared") + lit((SubstrW - 1).toLong)).as("est_overlap_tokens"))
+      .orderBy(col("n_shared").desc, col("doc_a"), col("doc_b"))
+      .limit(SubstrTopK)
+  }
+
+  private val dedupSubstringSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), win AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE len(w) >= $SubstrW
+       |), cold AS (
+       |  SELECT * FROM win WHERE s IN (
+       |    SELECT s FROM win GROUP BY s HAVING count(*) BETWEEN 2 AND $SubstrDfCap)
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_shared,
+       |       n_shared + ${SubstrW - 1} AS est_overlap_tokens
+       |FROM pairs
+       |ORDER BY n_shared DESC, doc_a, doc_b
+       |LIMIT $SubstrTopK""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_substring"     -> QueryDef(dedupSubstring, Some(dedupSubstringSql)),
     "cdc_chunk_dedup"     -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
     "cdc_dedup_ratio"     -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)),
     "cdc_incremental"     -> QueryDef(cdcIncremental, Some(cdcIncrementalSql)),

@@ -635,8 +635,11 @@ object Curation {
   // upweighted small sources need >1 epoch and exercise the cap) and no
   // source may repeat more than MaxEpochs times (the data-repetition
   // degradation bound every mixture recipe carries)
-  private val BudgetMultiple = 4.0
-  private val MaxEpochs      = 8.0
+  // private[graft]: streaming.DocStreams.streamMixIngest materializes the
+  // SAME plan (its repeat verdicts must stay byte-identical to the batch
+  // sampler), so it reads these rather than duplicating the literals
+  private[graft] val BudgetMultiple = 4.0
+  private[graft] val MaxEpochs      = 8.0
 
   /** Token-budget mix planner — the step AFTER source_mix_weights in a
     * training-data recipe: given the temperature-weighted mix and a

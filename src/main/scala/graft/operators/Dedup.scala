@@ -2400,7 +2400,14 @@ object Dedup {
     * forty), then the same systematic integer-crossing PPS design as
     * sample_weighted_pps draws k docs on a salted-hash line. Weights
     * floor at 1 so every doc keeps a nonzero inclusion probability and
-    * the line length stays positive. Scale shape: labels and sizes are
+    * the line length stays positive. Draw-count caveat (inherited from
+    * sample_weighted_pps's systematic design): a doc whose weight
+    * exceeds total/k absorbs MULTIPLE integer crossings but is emitted
+    * once, so on a heavily skewed corpus the sample can come in under
+    * k — the standard systematic-PPS behavior (certainty units), kept
+    * deliberately so both samplers share one crossing kernel; engines
+    * always agree row-for-row either way.
+    * Scale shape: labels and sizes are
     * one keyed join each (linear, AQE-handled), the prefix sum is the
     * range-bucketed distributed kernel, the crossing test is pure
     * 64-bit integer arithmetic — bit-reproducible across engines.

@@ -36,6 +36,13 @@ object Similarity {
   private val PqDsub  = 8  // dims per subspace (embeddings dim 64, canaried)
   private val PqK     = 32 // codewords per subspace
   private val PqIters = 1
+  // IVFADC coarse-quantizer params, shared by every consumer of
+  // trainIvfPqBooks (annIvfPq, annIvfPqStored, annIndexHealth,
+  // ivfPqNprobeCurve) AND interpolated into the persisted-model
+  // fingerprint — one definition, so a param change can never serve
+  // residual codebooks trained against a different coarse quantizer.
+  private val IvfPqCoarseK     = 8
+  private val IvfPqCoarseIters = 3
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
@@ -2363,7 +2370,8 @@ object Similarity {
       _ => {
         def train() = trainPqOn(spark, resSub.select(col("sub"), col("vec_id"), col("v")))
         val model = graft.sources.DerivedCache.dir(
-          dir, "ivfpq-books", s"m=$PqM;k=$PqK;iters=$PqIters;coarse=8x3") { out =>
+          dir, "ivfpq-books",
+          s"m=$PqM;k=$PqK;iters=$PqIters;coarse=${IvfPqCoarseK}x$IvfPqCoarseIters") { out =>
           val lines = train().map { case (s, c, v) =>
             s"$s\t$c\t${v.map(java.lang.Double.doubleToLongBits).mkString(",")}"
           }
@@ -2445,7 +2453,7 @@ object Similarity {
     * Lloyd chain + probe + LUT + ADC rank, all unrolled.
     */
   def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
-    val k = 8; val iters = 3
+    val k = IvfPqCoarseK; val iters = IvfPqCoarseIters
     val cents = trainCentroids(spark, dir, k, iters)
     val resSub = ivfPqResidSubspaces(spark, dir, cents)
     val books = trainIvfPqBooks(spark, dir, resSub)
@@ -2525,7 +2533,7 @@ object Similarity {
     */
   def annIvfPqStored(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val k = 8; val iters = 3
+    val k = IvfPqCoarseK; val iters = IvfPqCoarseIters
     val rows = Tables.cachedCount(spark, dir, "embeddings")
     val idx = graft.sources.DerivedCache.dir(
       dir, "ann-ivfpq",
@@ -2663,7 +2671,7 @@ object Similarity {
     * n per-vector rows map-side-combined → k cells).
     */
   def annIndexHealth(spark: SparkSession, dir: String): DataFrame = {
-    val k = 8; val iters = 3
+    val k = IvfPqCoarseK; val iters = IvfPqCoarseIters
     val cents = trainCentroids(spark, dir, k, iters)
     val resSub = ivfPqResidSubspaces(spark, dir, cents)
     val books = trainIvfPqBooks(spark, dir, resSub)
@@ -2718,7 +2726,7 @@ object Similarity {
     */
   def ivfPqNprobeCurve(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val k = 8; val iters = 3
+    val k = IvfPqCoarseK; val iters = IvfPqCoarseIters
     val cents = trainCentroids(spark, dir, k, iters)
     val resSub = ivfPqResidSubspaces(spark, dir, cents)
     val books = trainIvfPqBooks(spark, dir, resSub)

@@ -429,6 +429,163 @@ object TextAnalysis {
        |GROUP BY b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Interpolated bigram LM gate — the production form of the LM-quality
+    * trio. Counts are trained ONCE on the 80% base split
+    * (doc_id % 10 < 8, the same train/serve split the incremental-dedup
+    * and mix-plan operators use) and PERSISTED as a model (DerivedCache
+    * parquet, like the BPE trainer and the IVF-PQ codebooks), then every
+    * document — base and held-out alike — is scored by its mean −log2 P
+    * over bigrams with Jelinek–Mercer interpolation:
+    *
+    *   P(w2|w1) = 0.75 · c2(w1,w2)/c1(w1) + 0.25 · (c1(w2)+1)/(T+V)
+    *
+    * λ = 0.75 is exactly dyadic, counts are exact integers, and both
+    * engines evaluate the identical multiply/add/divide tree, so the
+    * doubles are bit-identical; the NLL sum uses the same order-free
+    * DECIMAL accumulation as lm_score. OOV context (c1(w1) = 0 — unseen
+    * in the base split) drops the bigram term and backs off to the
+    * add-one unigram, which is also what keeps every P strictly
+    * positive.
+    *
+    * Contrast within the trio: lm_score is unigram and order-blind (a
+    * shuffled doc scores the same); lm_bigram_score re-counts the FULL
+    * corpus every run (a measurement, not a gate — scoring a doc against
+    * counts that include itself); this one is the gate: train once on
+    * the base split, serve forever, word ORDER matters (the shuffled-twin
+    * contrast is spec-asserted in Round12AdditionsSpec).
+    *
+    * Scale shape: the (w1,w2) model join reuses the bigram-explode
+    * partitioning; unigram counts are vocabulary-sized and broadcast
+    * twice (w1 context, w2 backoff); totals are one broadcast row; the
+    * serve pass never aggregates the corpus — per-batch cost ∝ scored
+    * tokens, model cost paid once EVER per corpus stamp.
+    */
+  def lmScoreBigram(spark: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.cachedCount(spark, dir, "documents")
+    val modelDir = graft.sources.DerivedCache.dir(
+      dir, "lm-bigram-model", s"rows=$rows;split=8of10;lambda=0.75;v=1") { out =>
+      val base = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)
+      val (uni, bg, _) = lmScoreBigramCounts(base)
+      uni.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$out/uni")
+      bg.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$out/bg")
+      // totals from the just-written unigram model (no second corpus pass)
+      spark.read.parquet(s"$out/uni")
+        .agg(sum(col("c1")).as("t_tokens"), count(lit(1)).as("v"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$out/tot")
+      ()
+    }
+    lmScoreBigramServe(
+      Tables.documents(spark, dir),
+      spark.read.parquet(s"$modelDir/uni"),
+      spark.read.parquet(s"$modelDir/bg"),
+      spark.read.parquet(s"$modelDir/tot"))
+  }
+
+  /** The count frames (unigram, bigram, totals) over a training split —
+    * one definition shared by the persisted trainer above and
+    * Round12AdditionsSpec's crafted-corpus fixtures.
+    */
+  private[graft] def lmScoreBigramCounts(
+      base: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val uni = base
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c1"))
+    val bg = base
+      .select(split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val tot = uni.agg(sum(col("c1")).as("t_tokens"), count(lit(1)).as("v"))
+    (uni, bg, tot)
+  }
+
+  /** The serve pass against an arbitrary trained model — factored so
+    * Round12AdditionsSpec can train on a crafted fluent corpus and score
+    * a natural-vs-shuffled twin pair without the DerivedCache layer.
+    */
+  private[graft] def lmScoreBigramServe(
+      docs: DataFrame, uni: DataFrame, bg: DataFrame, tot: DataFrame): DataFrame = {
+    val bgs = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val u1 = broadcast(uni.select(col("tok").as("w1"), col("c1").as("c1_w1")))
+    val u2 = broadcast(uni.select(col("tok").as("w2"), col("c1").as("c1_w2")))
+    val p =
+      lit(0.75) * when(
+        coalesce(col("c1_w1"), lit(0L)) > 0,
+        coalesce(col("c2"), lit(0L)).cast("double") / col("c1_w1").cast("double"))
+        .otherwise(lit(0.0)) +
+        lit(0.25) * ((coalesce(col("c1_w2"), lit(0L)) + lit(1L)).cast("double") /
+          (col("t_tokens") + col("v")).cast("double"))
+    bgs
+      .join(bg, Seq("w1", "w2"), "left")
+      .join(u1, Seq("w1"), "left")
+      .join(u2, Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), p.as("p"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        Det.detRound(
+          sum((-log2(col("p"))).cast(Det.Fine)).cast("double") / count(lit(1)), 4)
+          .as("mean_interp_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB twin: the base-split counts and the identical interpolation
+    * tree replayed inline (the oracle recomputes what the Spark side
+    * reads back from the persisted model — equivalence holds because the
+    * model is a pure function of the same source data).
+    */
+  private val lmScoreBigramSql =
+    s"""WITH tarr AS (
+       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |), base_toks AS (
+       |  SELECT unnest(t) AS tok FROM tarr WHERE doc_id % 10 < 8
+       |), uni AS (
+       |  SELECT tok, count(*) AS c1 FROM base_toks GROUP BY tok
+       |), tot AS (
+       |  SELECT CAST(SUM(c1) AS BIGINT) AS t_tokens, count(*) AS v FROM uni
+       |), base_bgs AS (
+       |  SELECT t[i] AS w1, t[i+1] AS w2
+       |  FROM tarr, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |  WHERE doc_id % 10 < 8 AND len(t) >= 2
+       |), bg AS (
+       |  SELECT w1, w2, count(*) AS c2 FROM base_bgs GROUP BY 1, 2
+       |), bgs AS (
+       |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |  FROM tarr, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+       |  WHERE len(t) >= 2
+       |), scored AS (
+       |  SELECT b.doc_id,
+       |         0.75 * (CASE WHEN COALESCE(u1.c1, 0) > 0
+       |                      THEN CAST(COALESCE(g.c2, 0) AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+       |                      ELSE 0.0 END)
+       |         + 0.25 * (CAST(COALESCE(u2.c1, 0) + 1 AS DOUBLE)
+       |                     / CAST(t_tokens + v AS DOUBLE)) AS p
+       |  FROM bgs b
+       |  LEFT JOIN bg g ON b.w1 = g.w1 AND b.w2 = g.w2
+       |  LEFT JOIN uni u1 ON b.w1 = u1.tok
+       |  LEFT JOIN uni u2 ON b.w2 = u2.tok
+       |  CROSS JOIN tot
+       |)
+       |SELECT doc_id,
+       |       count(*) AS n_bigrams,
+       |       ${Det.roundSql(
+        "CAST(SUM(CAST(-log2(p) AS DECIMAL(30,10))) AS DOUBLE) / count(*)", 4)} AS mean_interp_nll
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Per-SOURCE repetition profile: the corpus-observability rollup of
     * the Gopher repetition rules (Rae et al. 2021, §A1.1 — public
     * knowledge). Complements the per-document gate
@@ -527,6 +684,7 @@ object TextAnalysis {
   val defs: Map[String, QueryDef] = Map(
     "repetition_profile" -> QueryDef(repetitionProfile, Some(repetitionProfileSql)),
     "lm_bigram_score"   -> QueryDef(lmBigramScore, Some(lmBigramScoreSql)),
+    "lm_score_bigram"   -> QueryDef(lmScoreBigram, Some(lmScoreBigramSql)),
     "lm_score"          -> QueryDef(lmScore, Some(lmScoreSql)),
     "sample_stratified" -> QueryDef(sampleStratified, Some(sampleStratifiedSql)),
     "token_count"     -> QueryDef(tokenCount, Some(tokenCountSql)),

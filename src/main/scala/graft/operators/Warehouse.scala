@@ -171,7 +171,11 @@ object Warehouse {
     * its weight (n_chars); the k sample points at positions
     * total/k · {1..k} pick the documents whose segment they land in.
     * Inclusion probability ∝ weight, sample size exactly k when no
-    * weight exceeds the stride. The crossing test
+    * weight exceeds the stride; a doc heavier than total/k absorbs
+    * several sample points but is emitted once (a certainty unit), so
+    * the count can come in UNDER k on a skewed corpus — the standard
+    * systematic-PPS semantics, shared by sample_dedup_aware, which
+    * inherits this crossing kernel. The crossing test
     * floor(cum·k/total) > floor((cum−w)·k/total) is pure 64-bit integer
     * arithmetic over the range-bucketed distributed prefix sum
     * (Rank.withPrefixSum) — no transcendental math anywhere, so the

@@ -298,7 +298,9 @@ object DocStreams {
     val docs = Tables.documents(spark, dir)
     val rows = Tables.cachedCount(spark, dir, "documents")
     val planDir = graft.sources.DerivedCache.dir(
-      dir, "mix-plan-base", s"rows=$rows;v=1") { out =>
+      dir, "mix-plan-base",
+      s"rows=$rows;budget=${graft.operators.Curation.BudgetMultiple};" +
+        s"cap=${graft.operators.Curation.MaxEpochs};v=1") { out =>
       val base = docs
         .filter(col("doc_id") % 10 < 8)
         .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
@@ -314,8 +316,9 @@ object DocStreams {
         .select(
           col("source").as("psrc"),
           least(
-            lit(8.0),
-            (col("sq") / col("sq_sum")) * (lit(4.0) * col("total_tokens").cast("double"))
+            lit(graft.operators.Curation.MaxEpochs),
+            (col("sq") / col("sq_sum")) *
+              (lit(graft.operators.Curation.BudgetMultiple) * col("total_tokens").cast("double"))
               / col("avail_tokens").cast("double")).as("epochs"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$out/plan")
       ()
@@ -394,8 +397,9 @@ object DocStreams {
        |  FROM sq
        |), plan AS (
        |  SELECT source AS psrc,
-       |         least(8.0, (sq / sq_sum) * (4.0 * CAST(total_tokens AS DOUBLE))
-       |                      / CAST(avail_tokens AS DOUBLE)) AS epochs
+       |         least(${graft.operators.Curation.MaxEpochs},
+       |               (sq / sq_sum) * (${graft.operators.Curation.BudgetMultiple} * CAST(total_tokens AS DOUBLE))
+       |                 / CAST(avail_tokens AS DOUBLE)) AS epochs
        |  FROM sq, denom
        |), delta AS (
        |  SELECT d.doc_id, d.source, d.nt, p.epochs,

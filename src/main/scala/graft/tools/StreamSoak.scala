@@ -380,6 +380,118 @@ object StreamSoak {
       require(maxState == 0L, "stateless gate grew state")
     }
 
+    // ---- soak 5: mix-plan ingest (stream_mix_ingest shape) --------------
+    // The epoch plan is trained ONCE on a synthetic base corpus (same
+    // Curation.MaxEpochs/BudgetMultiple constants as the production
+    // query), broadcast into every micro-batch, and each arriving doc
+    // gets its integer repeat count from the deterministic md5 line.
+    // The soak checks what the file-replay oracle can't: sustained
+    // latency with zero state, exactly-once sink convergence, AND the
+    // batch-equivalence property the query's docstring promises — a
+    // one-shot batch recompute over every written doc_id must agree
+    // with the streamed verdicts row-for-row (per-row independence of
+    // the micro-batch partitioning).
+    locally {
+      val mixDir = s"$base/mix"
+      def docsOf(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        df.select(
+          col("value").as("doc_id"),
+          concat(lit("s"), pmod(col("value"), lit(6L))).as("source"),
+          // token counts vary by source so per-source availability is
+          // skewed and the epoch cap genuinely binds for small sources
+          (pmod(col("value") * 31L, lit(40L)) + lit(5L) +
+            pmod(col("value"), lit(6L)) * lit(25L)).as("nt"))
+      val plan = {
+        val per = docsOf(spark.range(100000).select(col("id").as("value")))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("avail_tokens"))
+          .withColumn("sq", sqrt(col("n_docs").cast("double")))
+        val denom = per.agg(
+          graft.Det.fineSum(col("sq")).as("sq_sum"),
+          sum(col("avail_tokens")).as("total_tokens"))
+        per.crossJoin(broadcast(denom))
+          .select(
+            col("source").as("psrc"),
+            least(
+              lit(graft.operators.Curation.MaxEpochs),
+              (col("sq") / col("sq_sum")) *
+                (lit(graft.operators.Curation.BudgetMultiple) *
+                  col("total_tokens").cast("double"))
+                / col("avail_tokens").cast("double")).as("epochs"))
+          .localCheckpoint()
+      }
+      def verdictsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+        docs
+          .join(broadcast(plan), col("source") === col("psrc"), "left")
+          .withColumn(
+            "u",
+            expr("CAST(conv(substr(md5(concat('mix:', CAST(doc_id AS STRING))), 1, 13), 16, 10) AS BIGINT)")
+              .cast("double") / lit(4503599627370496.0))
+          .select(
+            col("doc_id"),
+            col("source"),
+            when(col("epochs").isNull, lit(0L))
+              .otherwise(
+                floor(col("epochs")) +
+                  when(col("u") < col("epochs") - floor(col("epochs")).cast("double"), 1L)
+                    .otherwise(0L))
+              .as("repeats"))
+      val batchCounts =
+        new java.util.concurrent.ConcurrentHashMap[Long, (Long, Long)]()
+      val q = rateSource(spark, rowsPerS)
+        .writeStream
+        .outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+            val v = verdictsOf(docsOf(batch.toDF())).localCheckpoint()
+            val sums = v.agg(count(lit(1)), sum(col("repeats"))).head
+            batchCounts.put(batchId,
+              (sums.getLong(0), if (sums.isNullAt(1)) 0L else sums.getLong(1)))
+            v.write.mode("overwrite").parquet(s"$mixDir/b=$batchId")
+        }
+        .option("checkpointLocation", s"$base/cp-mix")
+        .trigger(Trigger.ProcessingTime(s"$triggerMs milliseconds"))
+        .start()
+      val c = new Collector(q.id)
+      spark.streams.addListener(c)
+      awaitBatches(spark, q, c, batches, timeoutMs = 15 * 60 * 1000L)
+      spark.streams.removeListener(c)
+      val recs = c.recs.synchronized(c.recs.toVector).sortBy(_.batchId)
+        .map(r => r.copy(rows = Option(batchCounts.get(r.batchId)).map(_._1).getOrElse(0L)))
+
+      import scala.jdk.CollectionConverters._
+      val committed = batchCounts.keys.asScala.toVector.sorted
+      val expectRows    = committed.map(b => batchCounts.get(b)._1).sum
+      val expectRepeats = committed.map(b => batchCounts.get(b)._2).sum
+      val written = spark.read.parquet(committed.map(b => s"$mixDir/b=$b"): _*)
+      val gotRow = written.agg(count(lit(1)), sum(col("repeats"))).head
+      val gotRows    = gotRow.getLong(0)
+      val gotRepeats = if (gotRow.isNullAt(1)) 0L else gotRow.getLong(1)
+      // batch equivalence: recompute every verdict in ONE batch pass and
+      // diff against the streamed rows — zero mismatches proves the
+      // repeat rule is independent of micro-batch partitioning
+      val replay = verdictsOf(
+        docsOf(written.select(col("doc_id").as("value"))))
+        .withColumnRenamed("repeats", "replay_repeats")
+        .select(col("doc_id"), col("replay_repeats"))
+      val mismatches = written
+        .join(replay, Seq("doc_id"))
+        .filter(col("repeats") =!= col("replay_repeats"))
+        .count()
+      val maxState = recs.map(_.stateRows).max
+      val converged =
+        gotRows == expectRows && gotRepeats == expectRepeats && mismatches == 0L
+      println(s"### SOAK mix committed=${committed.size} expectRows=$expectRows " +
+        s"gotRows=$gotRows repeats=$gotRepeats/$expectRepeats " +
+        s"replayMismatches=$mismatches stateRowsMax=$maxState")
+      out += summarize(
+        "mix_ingest", recs,
+        s""""converged":$converged,"repeats_written":$gotRepeats,""" +
+          s""""replay_mismatches":$mismatches,"state_rows_max":$maxState""")
+      require(converged, "mix ingest failed exactly-once/batch-equivalence")
+      require(maxState == 0L, "stateless mix ingest grew state")
+    }
+
     java.nio.file.Files.write(
       java.nio.file.Paths.get(
         sys.env.getOrElse("SOAK_OUT", "bench/SOAK_last.json")),

@@ -59,6 +59,31 @@ class BenchDiffSpec extends AnyFunSuite {
     assert(h.get("n_failed").asInt() === 0 && h.get("failed_truncated") == null)
   }
 
+  test("worst10 line parses standalone, sorts desc, bounded for the tail window") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.lit
+    val queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      (1 to 14).map(i => s"q_with_a_reasonably_long_name_$i" ->
+        ((s: org.apache.spark.sql.SparkSession, _: String) =>
+          s.range(3).toDF("n").withColumn("c", lit(1))))
+    val rep = Bench.runAll(spark, TestSpark.Sf, queries)
+    val line = rep.worst10Json
+    // worst10 + summary together must fit the driver's ~2000-char tail
+    assert(line.length + rep.summaryJson.length < 1900,
+      s"tail lines too long (${line.length} + ${rep.summaryJson.length})")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText() === "worst10")
+    val items = node.get("items")
+    assert(items.size() === 10) // capped at the 10 slowest of the 14
+    val secs = (0 until items.size()).map(i => items.get(i).get("s").asDouble())
+    assert(secs.sliding(2).forall(p => p.head >= p.last), s"not sorted desc: $secs")
+    (0 until items.size()).foreach { i =>
+      val it = items.get(i)
+      assert(it.get("q") != null && it.get("gc") != null &&
+        it.get("jit") != null && it.get("plan") != null)
+    }
+  }
+
   test("bench_diff selftest passes") {
     val out = new StringBuilder
     val code = Process(Seq("python3", "tools/bench_diff.py", "--selftest"))

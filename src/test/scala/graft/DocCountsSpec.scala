@@ -25,6 +25,27 @@ class DocCountsSpec extends AnyFunSuite {
     }
   }
 
+  test("README 'N spec suites' claim matches the *Spec.scala file count") {
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      "UTF-8")
+    val claims = raw"(\d+) spec suites".r
+      .findAllMatchIn(readme)
+      .map(_.group(1).toInt)
+      .toSeq
+    assert(claims.nonEmpty, "README must state the spec-suite count")
+    val actual = {
+      val s = java.nio.file.Files.list(
+        java.nio.file.Paths.get("src/test/scala/graft"))
+      try s.filter(_.getFileName.toString.endsWith("Spec.scala")).count().toInt
+      finally s.close()
+    }
+    claims.foreach { c =>
+      assert(c == actual,
+        s"README claims $c spec suites; src/test/scala/graft has $actual *Spec.scala files — update README.md")
+    }
+  }
+
   test("every registered query has an oracle") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracles: $missing")

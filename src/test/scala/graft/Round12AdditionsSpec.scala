@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-12 additions: token-level exact-substring dedup and the
+  * interpolated bigram LM gate.
+  */
+class Round12AdditionsSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  private def docsFrame(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** True iff the CDC boundary rule puts NO cut between words a and b
+    * (md5 of "a b" does not start with hex '0' — Cdc.chunkFrame's rule).
+    */
+  private def noCut(a: String, b: String): Boolean = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest((a + " " + b).getBytes("UTF-8"))
+    (h(0) & 0xf0) != 0
+  }
+
+  /** 50 tokens with no internal CDC boundary: every consecutive pair
+    * hashes away from the cut pattern, so the whole run lives inside one
+    * content-defined chunk of any document containing it.
+    */
+  private lazy val cutFreeOverlap: Seq[String] = {
+    val words = scala.collection.mutable.ArrayBuffer("ovl0")
+    var i = 1
+    while (words.size < 50) {
+      val cand = s"ovl$i"
+      i += 1
+      if (noCut(words.last, cand)) words += cand
+    }
+    words.toSeq
+  }
+
+  test("dedup_substring catches a 50-token verbatim overlap that CDC chunking misses") {
+    val overlap = cutFreeOverlap
+    assert(overlap.size === 50)
+    assert(overlap.sliding(2).forall(p => noCut(p.head, p.last)),
+      "fixture must have no internal CDC cut")
+    val doc1 = ((1 to 30).map(i => s"pre_a$i") ++ overlap ++
+      (1 to 30).map(i => s"suf_a$i")).mkString(" ")
+    val doc2 = ((1 to 30).map(i => s"pre_b$i") ++ overlap ++
+      (1 to 30).map(i => s"suf_b$i")).mkString(" ")
+    val docs = docsFrame(Seq(1L -> doc1, 2L -> doc2))
+
+    // CDC is blind to it: zero chunk hashes shared between the two docs
+    // (the overlap has no internal cut, so the chunk containing it
+    // extends into the doc-specific surroundings on both sides)
+    val sharedChunks = operators.Cdc.chunkFrame(docs)
+      .groupBy(col("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .count()
+    assert(sharedChunks === 0L, "fixture must be invisible to CDC chunking")
+
+    // the substring pass finds the pair, with the exact overlap length
+    val rows = operators.Cdc.dedupSubstringOf(docs).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L && rows.head.getLong(1) === 2L)
+    assert(rows.head.getLong(2) === 1L, "exactly one shared 50-token window")
+    assert(rows.head.getLong(3) === 50L, "est_overlap_tokens = n_shared + W - 1")
+  }
+
+  test("dedup_substring: a 49-token overlap is below the target length — no pair") {
+    val overlap = cutFreeOverlap.take(49)
+    val doc1 = ((1 to 30).map(i => s"pre_c$i") ++ overlap ++
+      (1 to 30).map(i => s"suf_c$i")).mkString(" ")
+    val doc2 = ((1 to 30).map(i => s"pre_d$i") ++ overlap ++
+      (1 to 30).map(i => s"suf_d$i")).mkString(" ")
+    val docs = docsFrame(Seq(3L -> doc1, 4L -> doc2))
+    assert(operators.Cdc.dedupSubstringOf(docs).count() === 0L)
+  }
+
+  test("dedup_substring: contiguous multi-window overlap reports its exact length") {
+    // a 60-token shared run = 11 shared 50-token windows; est = 11+49 = 60
+    val overlap = {
+      val words = scala.collection.mutable.ArrayBuffer("run0")
+      var i = 1
+      while (words.size < 60) {
+        val cand = s"run$i"
+        i += 1
+        if (noCut(words.last, cand)) words += cand
+      }
+      words.toSeq
+    }
+    val doc1 = ((1 to 10).map(i => s"pre_e$i") ++ overlap).mkString(" ")
+    val doc2 = (overlap ++ (1 to 10).map(i => s"suf_f$i")).mkString(" ")
+    val rows = operators.Cdc.dedupSubstringOf(
+      docsFrame(Seq(5L -> doc1, 6L -> doc2))).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(2) === 11L)
+    assert(rows.head.getLong(3) === 60L)
+  }
+
+  test("lm_score_bigram: a shuffled-word doc scores worse than its natural twin") {
+    val natural = "the cat sat on the mat and the dog lay by the door"
+    // same token multiset, order destroyed — a unigram LM scores these
+    // identically (same tokens, same corpus probabilities); the
+    // interpolated bigram gate must not
+    val shuffled = "mat the by dog the on lay door sat the and cat the"
+    assert(natural.split(" ").sorted.toSeq === shuffled.split(" ").sorted.toSeq,
+      "twins must share one token multiset")
+    val train = docsFrame((1L to 40L).map(i => i -> natural))
+    val (uni, bg, tot) = operators.TextAnalysis.lmScoreBigramCounts(train)
+    val out = operators.TextAnalysis
+      .lmScoreBigramServe(
+        docsFrame(Seq(100L -> natural, 101L -> shuffled)), uni, bg, tot)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(100L)._1 === out(101L)._1, "same bigram count on both twins")
+    assert(out(100L)._2 < out(101L)._2,
+      s"natural ${out(100L)._2} must beat shuffled ${out(101L)._2}")
+    // and the natural doc's NLL is far below: its bigrams are all in-model
+    assert(out(101L)._2 - out(100L)._2 > 1.0,
+      "order destruction must cost more than 1 bit/bigram on this fixture")
+  }
+
+  test("lm_score_bigram: OOV-context docs fall back to the unigram term (P stays positive)") {
+    val train = docsFrame((1L to 5L).map(i => i -> "a b c d e"))
+    val (uni, bg, tot) = operators.TextAnalysis.lmScoreBigramCounts(train)
+    val out = operators.TextAnalysis
+      .lmScoreBigramServe(
+        docsFrame(Seq(7L -> "zz yy xx ww")), uni, bg, tot)
+      .collect()
+    assert(out.length === 1)
+    val nll = out.head.getDouble(2)
+    assert(!nll.isNaN && !nll.isInfinite, s"OOV doc must score finite, got $nll")
+    assert(nll > 0.0)
+  }
+}
