@@ -602,6 +602,120 @@ object Cdc {
       .limit(SubstrTopK)
   }
 
+  /** Bucket-size cap for the positional span kernel: total (doc, pos)
+    * entries per window hash. Repetitive text can repeat one window many
+    * times WITHIN a doc, and the positional pair expansion is quadratic
+    * in entries — the cap bounds it at C(256,2) per bucket. Mirrored in
+    * the oracle.
+    */
+  private val SpanBucketCap = 256
+
+  /** Exact maximal-span report over the shared-window pairs: for every
+    * document pair, the number of MAXIMAL verbatim runs (>= SubstrW
+    * tokens) and the exact length of the longest one — the span
+    * extraction step of suffix-array substring dedup, re-expressed as
+    * diagonal runs over window positions. Two windows at positions
+    * (pa, pb) and (pa+1, pb+1) extend the same verbatim run, so shared
+    * windows group by diagonal d = pa − pb and a gaps-and-islands pass
+    * (pa − row_number) splits each diagonal into maximal runs:
+    * run of k consecutive windows = verbatim overlap of exactly
+    * k + W − 1 tokens. This is what dedup_substring's est_overlap_tokens
+    * approximates; here multi-region pairs are exact (spec-asserted on a
+    * planted two-region fixture).
+    *
+    * Scale shape: (doc, pos) packed into one long and carried through
+    * the posting lists like dedup_jaccard's size ride-along; buckets are
+    * df-capped AND entry-capped (SpanBucketCap) so the positional
+    * expansion is C(cap,2)-bounded per window; the islands window
+    * function partitions by (pair, diagonal) — thousands of tiny
+    * partitions, never a global sort.
+    */
+  def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringSpansOf(Tables.documents(spark, dir))
+
+  private[graft] def dedupSubstringSpansOf(docs: DataFrame): DataFrame = {
+    val win = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= SubstrW)
+      .select(
+        col("doc_id"),
+        expr(
+          s"transform(sequence(0, size(t) - $SubstrW), i -> named_struct('h', xxhash64(concat_ws(' ', slice(t, i + 1, $SubstrW))), 'p', i))")
+          .as("ws"))
+      .select(
+        col("doc_id"),
+        explode(expr("if(size(ws) >= 0, ws, slice(ws, 1, 0))")).as("w"))
+      // pack (doc_id, pos) into one long: packed order == (doc, pos) order
+      .select(
+        col("w.h").as("h"),
+        (shiftleft(col("doc_id"), 24) + col("w.p")).as("e"))
+    win
+      .groupBy(col("h"))
+      .agg(
+        sort_array(collect_list(col("e"))).as("es"),
+        countDistinct(shiftright(col("e"), 24)).as("nd"))
+      .filter(col("nd").between(2, SubstrDfCap) && size(col("es")) <= SpanBucketCap)
+      .select(posexplode(col("es")).as(Seq("i", "ea")), col("es"))
+      .select(col("ea"), explode(expr("slice(es, i + 2, size(es))")).as("eb"))
+      // cross-doc only: es is sorted by packed value = (doc, pos) order
+      .filter(shiftright(col("ea"), 24) < shiftright(col("eb"), 24))
+      .select(
+        shiftright(col("ea"), 24).as("doc_a"),
+        shiftright(col("eb"), 24).as("doc_b"),
+        (col("ea").bitwiseAND(lit((1L << 24) - 1)) -
+          col("eb").bitwiseAND(lit((1L << 24) - 1))).as("d"),
+        col("ea").bitwiseAND(lit((1L << 24) - 1)).as("pa"))
+      .withColumn(
+        "island",
+        col("pa") - row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_a"), col("doc_b"), col("d"))
+            .orderBy(col("pa"))))
+      .groupBy(col("doc_a"), col("doc_b"), col("d"), col("island"))
+      .agg(count(lit(1)).as("run_len"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        (max(col("run_len")) + lit((SubstrW - 1).toLong)).as("max_span_tokens"),
+        sum(col("run_len")).as("shared_window_pairs"))
+      .orderBy(col("max_span_tokens").desc, col("doc_a"), col("doc_b"))
+      .limit(SubstrTopK)
+  }
+
+  private val dedupSubstringSpansSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), win AS (
+       |  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE len(w) >= $SubstrW
+       |), cold AS (
+       |  SELECT * FROM win WHERE s IN (
+       |    SELECT s FROM win GROUP BY s
+       |    HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SubstrDfCap
+       |       AND count(*) <= $SpanBucketCap)
+       |), hits AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         a.p - b.p AS d, a.p AS pa
+       |  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+       |), isl AS (
+       |  SELECT doc_a, doc_b, d,
+       |         pa - row_number() OVER (PARTITION BY doc_a, doc_b, d ORDER BY pa)
+       |           AS island
+       |  FROM hits
+       |), runs AS (
+       |  SELECT doc_a, doc_b, d, island, count(*) AS run_len
+       |  FROM isl GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT doc_a, doc_b,
+       |       count(*) AS n_spans,
+       |       max(run_len) + ${SubstrW - 1} AS max_span_tokens,
+       |       CAST(SUM(run_len) AS BIGINT) AS shared_window_pairs
+       |FROM runs
+       |GROUP BY 1, 2
+       |ORDER BY max_span_tokens DESC, doc_a, doc_b
+       |LIMIT $SubstrTopK""".stripMargin
+
   private val dedupSubstringSql =
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -625,6 +739,8 @@ object Cdc {
 
   val defs: Map[String, QueryDef] = Map(
     "dedup_substring"     -> QueryDef(dedupSubstring, Some(dedupSubstringSql)),
+    "dedup_substring_spans" -> QueryDef(
+      dedupSubstringSpans, Some(dedupSubstringSpansSql)),
     "cdc_chunk_dedup"     -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
     "cdc_dedup_ratio"     -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)),
     "cdc_incremental"     -> QueryDef(cdcIncremental, Some(cdcIncrementalSql)),

@@ -70,14 +70,65 @@ object Dedup {
     */
   private[graft] val ExactDocCap = 100000L
 
+  /** Pair-expansion budget for the exact family — the SECOND axis of the
+    * guard. The doc-count cap alone is not a spill bound: the exact
+    * kernels' cost is Σ C(df,2) over cold shingle buckets (the number of
+    * pair rows the inverted index expands), which depends on DUPLICATE
+    * DENSITY, not corpus size. Measured on the ×10/×20 docs fixtures
+    * (maximally duplicated — every doc has copies): spill is ~0.3 KiB
+    * per pair row, 138M pairs → 39 GiB (fits easily), 556M pairs →
+    * 162 GiB (completes at 184 s but exceeds the 128 GiB sandbox
+    * envelope). 200M pairs ≈ 60 GiB worst-case spill — the bound at
+    * which the worst LEGAL exact plan demonstrably fits. A real corpus
+    * at the 100k-doc cap with ordinary duplicate rates sits far below
+    * this; only pathologically duplicated corpora route early.
+    */
+  private[graft] val PairBudget = 200000000L
+
+  private val pairMassMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
+  /** Σ C(df,2) over cold shingle buckets — the EXACT number of pair rows
+    * pairCommonOf would emit, measured from the posting-list df
+    * histogram BEFORE any expansion: one (hash → df) aggregate over the
+    * shingle stream, no text, no pairs, ~the cheap first third of the
+    * jaccard plan. Memoized per corpus stamp for the JVM lifetime (one
+    * measurement serves all four exact-family queries in a run).
+    */
+  private[graft] def exactPairMass(spark: SparkSession, dir: String): Long =
+    pairMassMemo.computeIfAbsent(
+      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/documents.parquet")),
+      _ => {
+        val row = shingleIndex(Tables.documents(spark, dir))
+          .groupBy(col("h"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n").between(2, HotShingleCap))
+          .agg(sum(expr("n * (n - 1) div 2")).as("mass"))
+          .first()
+        java.lang.Long.valueOf(if (row.isNullAt(0)) 0L else row.getLong(0))
+      }).longValue()
+
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =
     dedupJaccardGuarded(spark, dir, ExactDocCap)
 
   private[graft] def dedupJaccardGuarded(
-      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+      spark: SparkSession, dir: String, cap: Long,
+      pairBudget: Long = PairBudget): DataFrame = {
     val nDocs = Tables.cachedCount(spark, dir, "documents")
     if (nDocs > cap) {
       graft.Downgrades.record("dedup_jaccard", "dedup_minhash", nDocs, cap)
+      return dedupMinhash(spark, dir).select(
+        col("doc_a"),
+        col("doc_b"),
+        lit(null).cast("long").as("common"),
+        col("est_jaccard").as("jaccard"))
+    }
+    // duplicate-density axis: a legal-size corpus can still carry an
+    // over-budget pair expansion (see PairBudget) — measure, don't guess
+    val mass = exactPairMass(spark, dir)
+    if (mass > pairBudget) {
+      graft.Downgrades.record(
+        "dedup_jaccard", "dedup_minhash (pair-mass)", mass, pairBudget)
       return dedupMinhash(spark, dir).select(
         col("doc_a"),
         col("doc_b"),
@@ -124,13 +175,12 @@ object Dedup {
       .filter(col("jaccard") >= 0.6)
       .orderBy(col("doc_a"), col("doc_b"))
 
-  /** The packed inverted-index pair kernel shared by the exact-Jaccard
-    * and containment views: (doc_a, sz_a, doc_b, sz_b, common) for every
-    * pair sharing at least one cold shingle — sizes carried bit-packed
-    * through the posting lists so no sizes join is ever needed.
+  /** The packed shingle index feeding pairCommonOf: one (h, packed-doc)
+    * row per distinct 3-gram per doc — factored so exactPairMass can
+    * aggregate its df histogram without building pairs.
     */
-  private def pairCommonOf(docsIn: DataFrame): DataFrame = {
-    val sh = docsIn
+  private def shingleIndex(docsIn: DataFrame): DataFrame = {
+    docsIn
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(
         col("doc_id"),
@@ -151,7 +201,15 @@ object Dedup {
         // shingling single-pass; empty arrays just generate no rows.
         explode(expr("if(size(shs) >= 0, shs, array())")).as("shingle"))
       .select(xxhash64(col("shingle")).as("h"), col("d"))
-    sh
+  }
+
+  /** The packed inverted-index pair kernel shared by the exact-Jaccard
+    * and containment views: (doc_a, sz_a, doc_b, sz_b, common) for every
+    * pair sharing at least one cold shingle — sizes carried bit-packed
+    * through the posting lists so no sizes join is ever needed.
+    */
+  private def pairCommonOf(docsIn: DataFrame): DataFrame = {
+    shingleIndex(docsIn)
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("d"))).as("docs"))
       .filter(size(col("docs")).between(2, HotShingleCap))
@@ -213,10 +271,29 @@ object Dedup {
     dedupContainmentGuarded(spark, dir, ExactDocCap)
 
   private[graft] def dedupContainmentGuarded(
-      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+      spark: SparkSession, dir: String, cap: Long,
+      pairBudget: Long = PairBudget): DataFrame = {
     val nDocs = Tables.cachedCount(spark, dir, "documents")
-    val (docs, _) =
+    val (docs0, m0) =
       sampleAboveCap("dedup_containment", Tables.documents(spark, dir), nDocs, cap)
+    // density axis: pair mass scales ~1/m² under a 1/m doc-hash sample,
+    // so m = ceil(sqrt(mass/budget)) brings an over-budget corpus back
+    // under PairBudget while keeping the decile report a uniform sample
+    val docs =
+      if (m0 > 1L) docs0
+      else {
+        val mass = exactPairMass(spark, dir)
+        if (mass <= pairBudget) docs0
+        else {
+          val m = math.max(
+            2L, math.ceil(math.sqrt(mass.toDouble / pairBudget)).toLong)
+          graft.Downgrades.record(
+            "dedup_containment", s"1/$m doc-hash sample (pair-mass)",
+            mass, pairBudget)
+          Tables.documents(spark, dir)
+            .filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
+        }
+      }
     val measured = pairCommonOf(docs).select(
       greatest(
         Det.detRound(col("common").cast("double") / col("sz_a"), 6),
@@ -1135,12 +1212,17 @@ object Dedup {
     dedupKeepBestContainmentGuarded(spark, dir, ExactDocCap)
 
   private[graft] def dedupKeepBestContainmentGuarded(
-      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+      spark: SparkSession, dir: String, cap: Long,
+      pairBudget: Long = PairBudget): DataFrame = {
     val nDocs = Tables.cachedCount(spark, dir, "documents")
-    val labels = if (nDocs > cap) {
+    // route on EITHER axis: corpus size (cap) or duplicate density
+    // (pair-expansion mass) — see PairBudget
+    val overBudget = nDocs <= cap && exactPairMass(spark, dir) > pairBudget
+    val labels = if (nDocs > cap || overBudget) {
       graft.Downgrades.record(
         "dedup_keep_best_containment", "minhash_star+containment_minhash",
-        nDocs, ExactDocCap)
+        if (overBudget) exactPairMass(spark, dir) else nDocs,
+        if (overBudget) pairBudget else ExactDocCap)
       def edges: DataFrame = {
         GraftFunctions.register(spark)
         val (sigs, bands) = minhashBands(spark, dir, MinhashK)

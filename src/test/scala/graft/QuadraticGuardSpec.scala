@@ -25,6 +25,46 @@ class QuadraticGuardSpec extends AnyFunSuite {
         twin.select("doc_a", "doc_b", "est_jaccard").collect().map(_.toSeq).toSeq)
   }
 
+  test("over-budget pair mass routes the exact family even under the doc cap") {
+    // The ×20 probe (100k docs, maximally duplicated) showed the doc cap
+    // alone is not a spill guard: 556M expanded pairs → 162 GiB spill,
+    // past the 128 GiB envelope. The second guard axis measures
+    // Σ C(df,2) from the df histogram and routes when it exceeds
+    // PairBudget (200M ≈ 60 GiB worst-case spill at the measured
+    // ~0.3 KiB/pair).
+    val mass = Dedup.exactPairMass(spark, TestSpark.Sf)
+    assert(mass > 0L, "fixture must carry duplicated shingles")
+
+    Downgrades.last = None
+    val routed = Dedup.dedupJaccardGuarded(
+      spark, TestSpark.Sf, cap = Long.MaxValue, pairBudget = 0L)
+    assert(Downgrades.last.exists(m =>
+      m.contains("dedup_jaccard") && m.contains("pair-mass")))
+    val twin = Dedup.dedupMinhash(spark, TestSpark.Sf)
+    assert(
+      routed.select("doc_a", "doc_b", "jaccard").collect().map(_.toSeq).toSeq ==
+        twin.select("doc_a", "doc_b", "est_jaccard").collect().map(_.toSeq).toSeq)
+
+    // within budget the exact plan is untouched
+    Downgrades.last = None
+    Dedup.dedupJaccardGuarded(
+      spark, TestSpark.Sf, cap = Long.MaxValue, pairBudget = Long.MaxValue).count()
+    assert(Downgrades.last.isEmpty)
+
+    // containment samples down by ceil(sqrt(mass/budget)) on the same axis
+    Downgrades.last = None
+    Dedup.dedupContainmentGuarded(
+      spark, TestSpark.Sf, cap = Long.MaxValue, pairBudget = 0L).count()
+    assert(Downgrades.last.exists(m =>
+      m.contains("dedup_containment") && m.contains("pair-mass")))
+
+    // keep-best routes to the minhash-star labels on the same axis
+    Downgrades.last = None
+    Dedup.dedupKeepBestContainmentGuarded(
+      spark, TestSpark.Sf, cap = Long.MaxValue, pairBudget = 0L).count()
+    assert(Downgrades.last.exists(_.contains("dedup_keep_best_containment")))
+  }
+
   test("embedding_neardup above the cap routes to embedding_neardup_lsh") {
     Downgrades.last = None
     val routed = Similarity.embeddingNeardupGuarded(spark, TestSpark.Sf, cap = 10)

@@ -28,16 +28,7 @@ class Round12AdditionsSpec extends AnyFunSuite {
     * hashes away from the cut pattern, so the whole run lives inside one
     * content-defined chunk of any document containing it.
     */
-  private lazy val cutFreeOverlap: Seq[String] = {
-    val words = scala.collection.mutable.ArrayBuffer("ovl0")
-    var i = 1
-    while (words.size < 50) {
-      val cand = s"ovl$i"
-      i += 1
-      if (noCut(words.last, cand)) words += cand
-    }
-    words.toSeq
-  }
+  private lazy val cutFreeOverlap: Seq[String] = cutFreeRun("ovl", 50)
 
   test("dedup_substring catches a 50-token verbatim overlap that CDC chunking misses") {
     val overlap = cutFreeOverlap
@@ -80,16 +71,7 @@ class Round12AdditionsSpec extends AnyFunSuite {
 
   test("dedup_substring: contiguous multi-window overlap reports its exact length") {
     // a 60-token shared run = 11 shared 50-token windows; est = 11+49 = 60
-    val overlap = {
-      val words = scala.collection.mutable.ArrayBuffer("run0")
-      var i = 1
-      while (words.size < 60) {
-        val cand = s"run$i"
-        i += 1
-        if (noCut(words.last, cand)) words += cand
-      }
-      words.toSeq
-    }
+    val overlap = cutFreeRun("run", 60)
     val doc1 = ((1 to 10).map(i => s"pre_e$i") ++ overlap).mkString(" ")
     val doc2 = (overlap ++ (1 to 10).map(i => s"suf_f$i")).mkString(" ")
     val rows = operators.Cdc.dedupSubstringOf(
@@ -97,6 +79,53 @@ class Round12AdditionsSpec extends AnyFunSuite {
     assert(rows.length === 1)
     assert(rows.head.getLong(2) === 11L)
     assert(rows.head.getLong(3) === 60L)
+  }
+
+  /** Cut-free token run with a caller-chosen prefix (distinct prefixes
+    * give disjoint vocabularies, so two runs never share windows).
+    */
+  private def cutFreeRun(prefix: String, n: Int): Seq[String] = {
+    val words = scala.collection.mutable.ArrayBuffer(s"${prefix}0")
+    var i = 1
+    while (words.size < n) {
+      val cand = s"$prefix$i"
+      i += 1
+      if (noCut(words.last, cand)) words += cand
+    }
+    words.toSeq
+  }
+
+  test("dedup_substring_spans: one contiguous run reports its exact length") {
+    val overlap = cutFreeRun("run", 60)
+    val doc1 = ((1 to 10).map(i => s"pre_g$i") ++ overlap).mkString(" ")
+    val doc2 = (overlap ++ (1 to 10).map(i => s"suf_h$i")).mkString(" ")
+    val rows = operators.Cdc.dedupSubstringSpansOf(
+      docsFrame(Seq(7L -> doc1, 8L -> doc2))).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 7L && r.getLong(1) === 8L)
+    assert(r.getLong(2) === 1L, "one maximal span")
+    assert(r.getLong(3) === 60L, "exact span length, not an estimate")
+    assert(r.getLong(4) === 11L, "11 shared window pairs in a 60-token run")
+  }
+
+  test("dedup_substring_spans: two separate regions are two spans (where est_overlap is wrong)") {
+    val ovA = cutFreeRun("ova", 50)
+    val ovB = cutFreeRun("ovb", 50)
+    val doc1 = (ovA ++ (1 to 7).map(i => s"mid_a$i") ++ ovB).mkString(" ")
+    val doc2 = (ovA ++ (1 to 13).map(i => s"mid_b$i") ++ ovB).mkString(" ")
+    val rows = operators.Cdc.dedupSubstringSpansOf(
+      docsFrame(Seq(9L -> doc1, 10L -> doc2))).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(2) === 2L, "two maximal spans")
+    assert(r.getLong(3) === 50L, "each region is exactly 50 tokens")
+    assert(r.getLong(4) === 2L)
+    // contrast: dedup_substring's single-region estimate under-reports
+    // the same pair as one 51-token overlap (2 shared windows + 49)
+    val est = operators.Cdc.dedupSubstringOf(
+      docsFrame(Seq(9L -> doc1, 10L -> doc2))).collect()
+    assert(est.head.getLong(3) === 51L)
   }
 
   test("lm_score_bigram: a shuffled-word doc scores worse than its natural twin") {
