@@ -514,6 +514,78 @@ object MortonCode {
   def interleave(x: Long, y: Long): Long = spread(x) | (spread(y) << 1)
 }
 
+/** All W-token window hashes of a token array in O(n) — the kernel
+  * behind dedup_substring/dedup_substring_spans at corpus scale.
+  * Per-token 64-bit hashes are computed once, then each window hash is
+  * a degree-(W−1) polynomial over them in the odd constant B (mod 2^64,
+  * natural overflow), slid in O(1) per position:
+  *
+  *   h_{i+1} = (h_i − th_i · B^{W−1}) · B + th_{i+W}
+  *
+  * and avalanche-finalized on emission so bucket keys carry no
+  * positional structure. The transform+slice formulation re-hashes
+  * every W-token window STRING — O(n·W) bytes hashed per doc plus a
+  * ~300-byte transient string per window; this is O(n) with zero
+  * transient allocations beyond the two long arrays. Hash VALUES differ
+  * from the xxhash64-of-string form, but only bucket identity matters
+  * (the oracle self-joins raw window strings), so the swap is
+  * result-identical modulo 64-bit collisions — the same
+  * collision-audited equivalence dedup_jaccard runs under. Rolling-hash
+  * window scans are the standard fixed-target-length alternative to
+  * suffix arrays (Lee et al. 2022, §4 — public knowledge).
+  */
+case class TokenWindowHashes(child: Expression, w: Int)
+    extends UnaryExpression {
+  require(w > 0 && w <= 4096, "window length must be in (0, 4096]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(tokens: Any): Any =
+    TokenWindowHashes.compute(tokens.asInstanceOf[ArrayData], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenWindowHashes.compute($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): TokenWindowHashes =
+    copy(child = newChild)
+  override def prettyName: String = "graft_window_hashes"
+}
+
+object TokenWindowHashes {
+  private val B = 0x9e3779b97f4a7c15L // odd golden-ratio multiplier
+
+  private def fmix(v: Long): Long = {
+    var h = v
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  def compute(tokens: ArrayData, w: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n < w) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) =
+        if (tokens.isNullAt(i)) 0L
+        else StrHash.hash(tokens.getUTF8String(i), 0L)
+      i += 1
+    }
+    var bw = 1L // B^{w-1}
+    i = 1
+    while (i < w) { bw *= B; i += 1 }
+    val out = new Array[Long](n - w + 1)
+    var h = 0L
+    i = 0
+    while (i < w) { h = h * B + th(i); i += 1 }
+    out(0) = fmix(h)
+    i = 1
+    while (i <= n - w) {
+      h = (h - th(i - 1) * bw) * B + th(i + w - 1)
+      out(i) = fmix(h)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Registers the expressions as SQL functions (graft_cosine, graft_simhash,
   * graft_minhash, graft_lsh_bucket) so queries can use them via expr(...)
   * / spark.sql(...). Idempotent per session.
@@ -552,6 +624,10 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "graft_lang_id", exprs => LangIdPredict(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_window_hashes",
+      exprs => TokenWindowHashes(exprs(0), exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
     reg.createOrReplaceTempFunction(
       "graft_morton", exprs => MortonCode(exprs(0), exprs(1)), "built-in")
   }

@@ -553,13 +553,15 @@ object Cdc {
     *
     * Scale shape (the Lee et al. operator re-expressed as a bucketed
     * posting-list plan instead of a suffix array): windows are hashed
-    * IN-ROW (xxhash64 over the token slice — only 8-byte hashes ever
-    * leave the scan stage, never window text), per-doc distinct, then
+    * IN-ROW by the O(n) rolling-hash codegen kernel
+    * (functions.TokenWindowHashes — only 8-byte hashes ever leave the
+    * scan stage, never window text), per-doc distinct, then
     * one groupBy builds the inverted index with the df cap folded into
     * the same aggregate (bucket size IS the window's df), and pairs
     * expand in-row from the sorted posting list — one corpus pass, two
     * shuffles, zero joins, bounded C(cap,2) fan-out per hot window.
-    * The oracle self-joins raw window STRINGS (DuckDB has no xxhash64),
+    * The oracle self-joins raw window STRINGS (the rolling kernel is
+    * Spark-side only),
     * so a hash collision would show up as a count mismatch — the same
     * collision-audited equivalence dedup_jaccard uses.
     */
@@ -570,14 +572,17 @@ object Cdc {
     * planted-overlap fixtures.
     */
   private[graft] def dedupSubstringOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val win = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(
         col("doc_id"),
+        // O(n) rolling-hash window kernel (TokenWindowHashes) — the
+        // transform+slice form re-hashed every 50-token window string,
+        // O(n·W) bytes per doc
         when(
           size(col("t")) >= SubstrW,
-          array_distinct(expr(
-            s"transform(sequence(0, size(t) - $SubstrW), i -> xxhash64(concat_ws(' ', slice(t, i + 1, $SubstrW))))")))
+          array_distinct(expr(s"graft_window_hashes(t, $SubstrW)")))
           .otherwise(array().cast("array<bigint>")).as("hs"))
       .select(
         col("doc_id"),
@@ -634,21 +639,22 @@ object Cdc {
     dedupSubstringSpansOf(Tables.documents(spark, dir))
 
   private[graft] def dedupSubstringSpansOf(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val win = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= SubstrW)
+      // the array index IS the window position, so the O(n) rolling
+      // kernel + posexplode yields (pos, hash) directly
       .select(
         col("doc_id"),
-        expr(
-          s"transform(sequence(0, size(t) - $SubstrW), i -> named_struct('h', xxhash64(concat_ws(' ', slice(t, i + 1, $SubstrW))), 'p', i))")
-          .as("ws"))
+        expr(s"graft_window_hashes(t, $SubstrW)").as("ws"))
       .select(
         col("doc_id"),
-        explode(expr("if(size(ws) >= 0, ws, slice(ws, 1, 0))")).as("w"))
+        posexplode(expr("if(size(ws) >= 0, ws, slice(ws, 1, 0))")).as(Seq("p", "h")))
       // pack (doc_id, pos) into one long: packed order == (doc, pos) order
       .select(
-        col("w.h").as("h"),
-        (shiftleft(col("doc_id"), 24) + col("w.p")).as("e"))
+        col("h"),
+        (shiftleft(col("doc_id"), 24) + col("p")).as("e"))
     win
       .groupBy(col("h"))
       .agg(

@@ -128,6 +128,39 @@ class Round12AdditionsSpec extends AnyFunSuite {
     assert(est.head.getLong(3) === 51L)
   }
 
+  test("TokenWindowHashes: O(1) rolling slide, position independence, exact output shape") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ts: Seq[String]) =
+      new GenericArrayData(ts.map(t => UTF8String.fromString(t)).toArray[Any])
+    def hashes(ts: Seq[String], w: Int): Seq[Long] = {
+      val out = functions.TokenWindowHashes.compute(arr(ts), w)
+      (0 until out.numElements()).map(out.getLong(_))
+    }
+    // shape: exactly n-w+1 hashes; empty below the window length
+    assert(hashes((1 to 10).map("t" + _), 4).size === 7)
+    assert(hashes((1 to 3).map("t" + _), 4).isEmpty)
+    // the rolling slide must equal a from-scratch window hash:
+    // identical windows at DIFFERENT positions (and in different docs)
+    // hash identically — the property cross-doc matching rests on
+    val run = (1 to 6).map("w" + _)
+    val d1 = Seq("x1", "x2") ++ run ++ Seq("y1")
+    val d2 = Seq("z1", "z2", "z3", "z4", "z5") ++ run
+    val h1 = hashes(d1, 4)
+    val h2 = hashes(d2, 4)
+    assert(h1.slice(2, 5) === h2.slice(5, 8),
+      "shared 6-token run must yield identical window hashes at any offset")
+    // repeated window inside ONE doc hashes identically
+    val rep = Seq("a", "b", "c") ++ Seq("sep1", "sep2") ++ Seq("a", "b", "c")
+    val hr = hashes(rep, 3)
+    assert(hr.head === hr(5))
+    // and distinct windows do not collide on this fixture
+    val uniq = hashes((1 to 200).map("u" + _), 4)
+    assert(uniq.distinct.size === uniq.size)
+    // order sensitivity: a permuted window hashes differently
+    assert(hashes(Seq("a", "b", "c"), 3).head !== hashes(Seq("c", "b", "a"), 3).head)
+  }
+
   test("lm_score_bigram: a shuffled-word doc scores worse than its natural twin") {
     val natural = "the cat sat on the mat and the dog lay by the door"
     // same token multiset, order destroyed — a unigram LM scores these
