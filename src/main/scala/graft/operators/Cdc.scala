@@ -638,11 +638,22 @@ object Cdc {
   def dedupSubstringSpans(spark: SparkSession, dir: String): DataFrame =
     dedupSubstringSpansOf(Tables.documents(spark, dir))
 
+  /** Position capacity of the packed (doc_id << 24) + pos entry: a doc
+    * longer than this would carry its position into the doc_id bits and
+    * silently misattribute spans (round-12 review finding), so docs at
+    * or beyond the bound are EXCLUDED — mirrored in the oracle so both
+    * engines agree on the capacity semantics. 2^24 tokens ≈ a 100 MB
+    * document; real corpora chunk far earlier, and doc_id keeps the
+    * same < 2^39 headroom as dedup_jaccard's packing.
+    */
+  private val SpanMaxDocTokens = (1L << 24) + SubstrW - 1
+
   private[graft] def dedupSubstringSpansOf(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val win = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= SubstrW)
+      .filter(
+        size(col("t")) >= SubstrW && size(col("t")) <= lit(SpanMaxDocTokens))
       // the array index IS the window position, so the O(n) rolling
       // kernel + posexplode yields (pos, hash) directly
       .select(
@@ -694,7 +705,7 @@ object Cdc {
        |), win AS (
        |  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
-       |  WHERE len(w) >= $SubstrW
+       |  WHERE len(w) >= $SubstrW AND len(w) <= $SpanMaxDocTokens
        |), cold AS (
        |  SELECT * FROM win WHERE s IN (
        |    SELECT s FROM win GROUP BY s

@@ -274,25 +274,34 @@ object Dedup {
       spark: SparkSession, dir: String, cap: Long,
       pairBudget: Long = PairBudget): DataFrame = {
     val nDocs = Tables.cachedCount(spark, dir, "documents")
-    val (docs0, m0) =
-      sampleAboveCap("dedup_containment", Tables.documents(spark, dir), nDocs, cap)
-    // density axis: pair mass scales ~1/m² under a 1/m doc-hash sample,
-    // so m = ceil(sqrt(mass/budget)) brings an over-budget corpus back
-    // under PairBudget while keeping the decile report a uniform sample
+    // ONE sampling decision from BOTH guard axes: doc count (the old
+    // sampleAboveCap rule, m = ceil(nDocs/cap)) and duplicate density —
+    // pair mass scales ~1/m² under a 1/m doc-hash sample, so
+    // m = ceil(sqrt(mass/budget)) brings an over-budget corpus back
+    // under PairBudget. max() satisfies both: mass/m² ≤ budget AND
+    // sample ≤ cap. The axes must combine, not short-circuit: an
+    // above-cap corpus whose 1/m0 sample RETAINS x20-level duplicate
+    // density would still blow the spill envelope if the density axis
+    // were skipped on the sampled path (round-12 review finding).
+    val mCap = if (nDocs > cap) (nDocs + cap - 1) / cap else 1L
+    val mass = exactPairMass(spark, dir)
+    val mMass =
+      if (mass > pairBudget)
+        math.max(2L, math.ceil(math.sqrt(mass.toDouble / pairBudget)).toLong)
+      else 1L
+    val m = math.max(mCap, mMass)
     val docs =
-      if (m0 > 1L) docs0
+      if (m <= 1L) Tables.documents(spark, dir)
       else {
-        val mass = exactPairMass(spark, dir)
-        if (mass <= pairBudget) docs0
-        else {
-          val m = math.max(
-            2L, math.ceil(math.sqrt(mass.toDouble / pairBudget)).toLong)
+        if (mMass > mCap)
           graft.Downgrades.record(
             "dedup_containment", s"1/$m doc-hash sample (pair-mass)",
             mass, pairBudget)
-          Tables.documents(spark, dir)
-            .filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
-        }
+        else
+          graft.Downgrades.record(
+            "dedup_containment", s"1/$m doc-hash sample", nDocs, cap)
+        Tables.documents(spark, dir)
+          .filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
       }
     val measured = pairCommonOf(docs).select(
       greatest(

@@ -58,6 +58,22 @@ class QuadraticGuardSpec extends AnyFunSuite {
     assert(Downgrades.last.exists(m =>
       m.contains("dedup_containment") && m.contains("pair-mass")))
 
+    // the two containment axes COMBINE (m = max of both), they never
+    // short-circuit: an above-cap corpus still gets the density check,
+    // and the governing axis names itself in the downgrade
+    val n = Tables.cachedCount(spark, TestSpark.Sf, "documents")
+    val mCap = (n + 10 - 1) / 10
+    val mMass = math.max(
+      2L, math.ceil(math.sqrt(mass.toDouble / 1.0)).toLong)
+    val expectM = math.max(mCap, mMass)
+    Downgrades.last = None
+    Dedup.dedupContainmentGuarded(
+      spark, TestSpark.Sf, cap = 10, pairBudget = 1L).count()
+    assert(Downgrades.last.exists(_.contains(s"1/$expectM doc-hash sample")),
+      s"expected combined m=$expectM (cap axis $mCap, mass axis $mMass): ${Downgrades.last}")
+    if (mMass > mCap)
+      assert(Downgrades.last.exists(_.contains("pair-mass")))
+
     // keep-best routes to the minhash-star labels on the same axis
     Downgrades.last = None
     Dedup.dedupKeepBestContainmentGuarded(
