@@ -648,25 +648,30 @@ object Cdc {
     */
   private val SpanMaxDocTokens = (1L << 24) + SubstrW - 1
 
-  private[graft] def dedupSubstringSpansOf(docs: DataFrame): DataFrame = {
+  /** Position-level packed window stream (h, (doc_id << 24) + pos) —
+    * shared by the span report and the strip transform. The array index
+    * IS the window position, so the O(n) rolling kernel + posexplode
+    * yields (pos, hash) directly; packed order == (doc, pos) order.
+    */
+  private def spanWin(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val win = docs
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(
         size(col("t")) >= SubstrW && size(col("t")) <= lit(SpanMaxDocTokens))
-      // the array index IS the window position, so the O(n) rolling
-      // kernel + posexplode yields (pos, hash) directly
       .select(
         col("doc_id"),
         expr(s"graft_window_hashes(t, $SubstrW)").as("ws"))
       .select(
         col("doc_id"),
         posexplode(expr("if(size(ws) >= 0, ws, slice(ws, 1, 0))")).as(Seq("p", "h")))
-      // pack (doc_id, pos) into one long: packed order == (doc, pos) order
       .select(
         col("h"),
         (shiftleft(col("doc_id"), 24) + col("p")).as("e"))
-    win
+  }
+
+  private[graft] def dedupSubstringSpansOf(docs: DataFrame): DataFrame = {
+    spanWin(docs)
       .groupBy(col("h"))
       .agg(
         sort_array(collect_list(col("e"))).as("es"),
@@ -733,6 +738,89 @@ object Cdc {
        |ORDER BY max_span_tokens DESC, doc_a, doc_b
        |LIMIT $SubstrTopK""".stripMargin
 
+  /** The ACTIONABLE step of substring dedup — what Lee et al. 2022
+    * actually do to the corpus: remove every token covered by a
+    * duplicated >= W-token window, keeping one canonical occurrence.
+    * Keep-first rule: per shared window, the LOWEST doc_id containing it
+    * keeps its text; every other doc marks the window's W positions for
+    * removal. Per doc the report is (n_tokens, n_removed,
+    * removed_ratio) — the token-level dedup savings a curation run
+    * publishes before materializing the stripped corpus (the stripped
+    * TEXT itself is a trivial slice over the same covered-position set;
+    * the report form keeps the oracle exact and the output bounded).
+    *
+    * Scale shape: the packed position stream is reused from the span
+    * kernel (df- and entry-capped buckets), non-keeper entries explode
+    * to their W covered positions (volume = W · |duplicated windows|,
+    * collapsed per-doc by the distinct — bounded by corpus token count),
+    * and the final frame is one left join onto per-doc token counts.
+    */
+  def dedupSubstringStrip(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringStripOf(Tables.documents(spark, dir))
+
+  private[graft] def dedupSubstringStripOf(docs: DataFrame): DataFrame = {
+    val removals = spanWin(docs)
+      .groupBy(col("h"))
+      .agg(
+        sort_array(collect_list(col("e"))).as("es"),
+        countDistinct(shiftright(col("e"), 24)).as("nd"))
+      .filter(col("nd").between(2, SubstrDfCap) && size(col("es")) <= SpanBucketCap)
+      // es is sorted packed (doc, pos): es[0]'s doc is the keeper
+      .select(explode(expr(
+        "filter(es, x -> shiftright(x, 24) != shiftright(element_at(es, 1), 24))"))
+        .as("e"))
+      .select(
+        shiftright(col("e"), 24).as("doc_id"),
+        col("e").bitwiseAND(lit((1L << 24) - 1)).as("p"))
+      .select(
+        col("doc_id"),
+        explode(expr(s"sequence(p, p + ${SubstrW - 1})")).as("pos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_removed"))
+    docs
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(removals, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        Det.detRound(
+          coalesce(col("n_removed"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"), 6).as("removed_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringStripSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), win AS (
+       |  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE len(w) >= $SubstrW AND len(w) <= $SpanMaxDocTokens
+       |), b AS (
+       |  SELECT s, min(doc_id) AS keeper FROM win GROUP BY s
+       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SubstrDfCap
+       |     AND count(*) <= $SpanBucketCap
+       |), rem AS (
+       |  SELECT DISTINCT w.doc_id, w.p + g.o AS pos
+       |  FROM win w
+       |  JOIN b ON w.s = b.s AND w.doc_id != b.keeper,
+       |  LATERAL (SELECT unnest(generate_series(0, ${SubstrW - 1})) AS o) g
+       |), cnt AS (
+       |  SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id
+       |)
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |       COALESCE(c.n_removed, 0) AS n_removed,
+       |       ${Det.roundSql(
+        "CAST(COALESCE(c.n_removed, 0) AS DOUBLE) / CAST(len(string_split(d.text, ' ')) AS DOUBLE)",
+        6)} AS removed_ratio
+       |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private val dedupSubstringSql =
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -758,6 +846,8 @@ object Cdc {
     "dedup_substring"     -> QueryDef(dedupSubstring, Some(dedupSubstringSql)),
     "dedup_substring_spans" -> QueryDef(
       dedupSubstringSpans, Some(dedupSubstringSpansSql)),
+    "dedup_substring_strip" -> QueryDef(
+      dedupSubstringStrip, Some(dedupSubstringStripSql)),
     "cdc_chunk_dedup"     -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
     "cdc_dedup_ratio"     -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)),
     "cdc_incremental"     -> QueryDef(cdcIncremental, Some(cdcIncrementalSql)),

@@ -99,13 +99,28 @@ object Dedup {
     pairMassMemo.computeIfAbsent(
       (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/documents.parquet")),
       _ => {
-        val row = shingleIndex(Tables.documents(spark, dir))
-          .groupBy(col("h"))
-          .agg(count(lit(1)).as("n"))
-          .filter(col("n").between(2, HotShingleCap))
-          .agg(sum(expr("n * (n - 1) div 2")).as("mass"))
-          .first()
-        java.lang.Long.valueOf(if (row.isNullAt(0)) 0L else row.getLong(0))
+        // persisted like the trained models: the measurement is a pure
+        // function of the corpus, so it is paid once EVER per corpus
+        // stamp — a fresh JVM (bench rerun, verify, driver) reads the
+        // scalar back instead of re-scanning the corpus
+        val out = graft.sources.DerivedCache.dir(
+          dir, "pair-mass", s"hot=$HotShingleCap;v=1") { o =>
+          val row = shingleIndex(Tables.documents(spark, dir))
+            .groupBy(col("h"))
+            .agg(count(lit(1)).as("n"))
+            .filter(col("n").between(2, HotShingleCap))
+            .agg(sum(expr("n * (n - 1) div 2")).as("mass"))
+            .first()
+          val mass = if (row.isNullAt(0)) 0L else row.getLong(0)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(o))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$o/mass.txt"),
+            mass.toString.getBytes("UTF-8"))
+          ()
+        }
+        java.lang.Long.valueOf(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$out/mass.txt")), "UTF-8").trim.toLong)
       }).longValue()
 
   def dedupJaccard(spark: SparkSession, dir: String): DataFrame =

@@ -128,6 +128,23 @@ class Round12AdditionsSpec extends AnyFunSuite {
     assert(est.head.getLong(3) === 51L)
   }
 
+  test("dedup_substring_strip: keep-first removal, exact covered-token counts") {
+    val overlap = cutFreeRun("stp", 55) // 55-token run = 6 shared windows
+    val doc1 = ((1 to 20).map(i => s"pre_k$i") ++ overlap).mkString(" ")
+    val doc2 = (overlap ++ (1 to 20).map(i => s"suf_k$i")).mkString(" ")
+    val doc3 = (1 to 60).map(i => s"solo$i").mkString(" ")
+    val rows = operators.Cdc.dedupSubstringStripOf(
+      docsFrame(Seq(11L -> doc1, 12L -> doc2, 13L -> doc3))).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // keep-first: doc 11 (lowest id) keeps its text, doc 12 removes the
+    // full 55-token covered region (6 windows x 50 positions, unioned)
+    assert(rows(11L) === ((75L, 0L, 0.0)))
+    assert(rows(12L)._1 === 75L)
+    assert(rows(12L)._2 === 55L, "covered positions union to the exact overlap length")
+    assert(rows(13L) === ((60L, 0L, 0.0)))
+  }
+
   test("TokenWindowHashes: O(1) rolling slide, position independence, exact output shape") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String
