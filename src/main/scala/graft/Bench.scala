@@ -23,6 +23,19 @@ object Bench {
   private def d3(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
+  /** JSON string escape for interpolated names: query names and plan
+    * fingerprints are identifier-shaped today, but a future name carrying
+    * a quote or backslash must degrade to an escaped string, not an
+    * unparseable artifact line.
+    */
+  private def jesc(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < ' '  => "\\u%04x".format(c.toInt)
+      case c             => c.toString
+    }
+
   final case class Timing(
       name: String, sec: Double, gcS: Double, jitS: Double, plan: String)
 
@@ -96,8 +109,8 @@ object Bench {
     def worst10Json: String = {
       val w = ok.sortBy(-_.sec).take(10)
       val items = w.map(t =>
-        s"""{"q":"${t.name}","s":${d3(t.sec)},"gc":${d3(t.gcS)},""" +
-          s""""jit":${d3(t.jitS)},"plan":"${t.plan}"}""")
+        s"""{"q":"${jesc(t.name)}","s":${d3(t.sec)},"gc":${d3(t.gcS)},""" +
+          s""""jit":${d3(t.jitS)},"plan":"${jesc(t.plan)}"}""")
       s"""{"metric":"worst10","items":${items.mkString("[", ",", "]")}}"""
     }
 

@@ -88,6 +88,18 @@ object Dedup {
   private val pairMassMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
 
+  /** Overflow-safe C(n,2) — the worst CONCEIVABLE pair mass of an n-doc
+    * corpus (every doc sharing one bucket). When even this bound fits the
+    * budget, the guards skip the [[exactPairMass]] measurement entirely:
+    * no Spark job at DataFrame construction (plan-only callers — explain,
+    * plan fingerprints, spec plan asserts — stay lazy; round-12 ADVICE),
+    * and no measurement cost at any corpus that provably cannot exceed
+    * the budget. Above the bound the measurement is mandatory — measure,
+    * don't guess.
+    */
+  private def worstCasePairs(n: Long): Long =
+    if (n > 3037000499L) Long.MaxValue else n * (n - 1) / 2
+
   /** Σ C(df,2) over cold shingle buckets — the EXACT number of pair rows
     * pairCommonOf would emit, measured from the posting-list df
     * histogram BEFORE any expansion: one (hash → df) aggregate over the
@@ -139,8 +151,11 @@ object Dedup {
         col("est_jaccard").as("jaccard"))
     }
     // duplicate-density axis: a legal-size corpus can still carry an
-    // over-budget pair expansion (see PairBudget) — measure, don't guess
-    val mass = exactPairMass(spark, dir)
+    // over-budget pair expansion (see PairBudget) — measure, don't guess.
+    // Corpora whose worst-case C(n,2) already fits need no measurement.
+    val mass =
+      if (worstCasePairs(nDocs) <= pairBudget) 0L
+      else exactPairMass(spark, dir)
     if (mass > pairBudget) {
       graft.Downgrades.record(
         "dedup_jaccard", "dedup_minhash (pair-mass)", mass, pairBudget)
@@ -299,7 +314,11 @@ object Dedup {
     // density would still blow the spill envelope if the density axis
     // were skipped on the sampled path (round-12 review finding).
     val mCap = if (nDocs > cap) (nDocs + cap - 1) / cap else 1L
-    val mass = exactPairMass(spark, dir)
+    // measurement deferred when even the worst-case C(n,2) fits — keeps
+    // DataFrame construction job-free on provably-safe corpora
+    val mass =
+      if (worstCasePairs(nDocs) <= pairBudget) 0L
+      else exactPairMass(spark, dir)
     val mMass =
       if (mass > pairBudget)
         math.max(2L, math.ceil(math.sqrt(mass.toDouble / pairBudget)).toLong)
@@ -1240,8 +1259,10 @@ object Dedup {
       pairBudget: Long = PairBudget): DataFrame = {
     val nDocs = Tables.cachedCount(spark, dir, "documents")
     // route on EITHER axis: corpus size (cap) or duplicate density
-    // (pair-expansion mass) — see PairBudget
-    val overBudget = nDocs <= cap && exactPairMass(spark, dir) > pairBudget
+    // (pair-expansion mass) — see PairBudget; the mass measurement is
+    // skipped when even worst-case C(n,2) fits the budget
+    val overBudget = nDocs <= cap && worstCasePairs(nDocs) > pairBudget &&
+      exactPairMass(spark, dir) > pairBudget
     val labels = if (nDocs > cap || overBudget) {
       graft.Downgrades.record(
         "dedup_keep_best_containment", "minhash_star+containment_minhash",

@@ -440,9 +440,13 @@ object TextAnalysis {
     *   P(w2|w1) = 0.75 · c2(w1,w2)/c1(w1) + 0.25 · (c1(w2)+1)/(T+V)
     *
     * λ = 0.75 is exactly dyadic, counts are exact integers, and both
-    * engines evaluate the identical multiply/add/divide tree, so the
-    * doubles are bit-identical; the NLL sum uses the same order-free
-    * DECIMAL accumulation as lm_score. OOV context (c1(w1) = 0 — unseen
+    * engines evaluate the identical multiply/add/divide tree, so each P
+    * is bit-identical; −log2(P) is transcendental, so Spark's JVM log
+    * and DuckDB's libm log2 may differ in the last ulp — that noise is
+    * absorbed by the DECIMAL(30,10) NLL accumulation + 4-dp rounding
+    * (the same accepted lm_score caveat, exact only away from a 1e-10
+    * rounding boundary); the NLL sum uses the same order-free DECIMAL
+    * accumulation as lm_score. OOV context (c1(w1) = 0 — unseen
     * in the base split) drops the bigram term and backs off to the
     * add-one unigram, which is also what keeps every P strictly
     * positive.
@@ -455,8 +459,11 @@ object TextAnalysis {
     * contrast is spec-asserted in Round12AdditionsSpec).
     *
     * Scale shape: the (w1,w2) model join reuses the bigram-explode
-    * partitioning; unigram counts are vocabulary-sized and broadcast
-    * twice (w1 context, w2 backoff); totals are one broadcast row; the
+    * partitioning; unigram counts are vocabulary-sized and joined twice
+    * (w1 context, w2 backoff) — broadcast below
+    * [[BigramBroadcastMaxVocab]] rows, shuffled joins above it (an
+    * open-web vocabulary must not land on the driver); totals are one
+    * broadcast row; the
     * serve pass never aggregates the corpus — per-batch cost ∝ scored
     * tokens, model cost paid once EVER per corpus stamp.
     */
@@ -502,12 +509,35 @@ object TextAnalysis {
     (uni, bg, tot)
   }
 
+  /** Vocabulary-size gate on the serve pass's unigram broadcasts: below
+    * this many distinct tokens the two unigram model joins broadcast
+    * (vocab ≪ executor memory — the common case, Heaps-law sublinear);
+    * above it they become ordinary shuffled joins. At open-web 100 TB
+    * vocab (10⁸⁺ distinct whitespace tokens including typos and URLs) an
+    * unconditional broadcast is a driver OOM — this was the one
+    * unguarded corpus-derived broadcast in the codebase (round-12
+    * verdict). 2M rows ≈ tens of MB serialized: safely inside Spark's
+    * broadcast comfort zone, far above any test corpus. Both regimes are
+    * hash-identical (PlanAssertionsSpec asserts the plans and the equal
+    * results).
+    */
+  private[graft] val BigramBroadcastMaxVocab = 2000000L
+
   /** The serve pass against an arbitrary trained model — factored so
     * Round12AdditionsSpec can train on a crafted fluent corpus and score
     * a natural-vs-shuffled twin pair without the DerivedCache layer.
+    * `vocabCap` is the broadcast gate ([[BigramBroadcastMaxVocab]]);
+    * specs pass 0 to force the shuffled-join regime.
     */
   private[graft] def lmScoreBigramServe(
-      docs: DataFrame, uni: DataFrame, bg: DataFrame, tot: DataFrame): DataFrame = {
+      docs: DataFrame, uni: DataFrame, bg: DataFrame, tot: DataFrame,
+      vocabCap: Long = BigramBroadcastMaxVocab): DataFrame = {
+    // one row — the persisted totals parquet in production, a tiny agg in
+    // specs; carries v = exact vocab row count, so the gate costs no
+    // extra job over the model
+    val vocabRows = tot.select(col("v")).first().getLong(0)
+    def gated(df: DataFrame): DataFrame =
+      if (vocabRows <= vocabCap) broadcast(df) else df
     val bgs = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
@@ -517,8 +547,8 @@ object TextAnalysis {
           "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
           .as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val u1 = broadcast(uni.select(col("tok").as("w1"), col("c1").as("c1_w1")))
-    val u2 = broadcast(uni.select(col("tok").as("w2"), col("c1").as("c1_w2")))
+    val u1 = gated(uni.select(col("tok").as("w1"), col("c1").as("c1_w1")))
+    val u2 = gated(uni.select(col("tok").as("w2"), col("c1").as("c1_w2")))
     val p =
       lit(0.75) * when(
         coalesce(col("c1_w1"), lit(0L)) > 0,

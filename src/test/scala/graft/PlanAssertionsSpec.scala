@@ -155,4 +155,47 @@ class PlanAssertionsSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(ag).size >= 2,
       s"dedup_detector_agreement lost a broadcast sig join:\n$ag")
   }
+
+  test("lm_score_bigram gates its unigram broadcasts on vocabulary size") {
+    val s = spark
+    import s.implicits._
+    def docsFrame(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val train = docsFrame((1L to 30L).map(i =>
+      i -> "the cat sat on the mat and the dog lay by the door"))
+    val scoreMe = docsFrame(Seq(
+      100L -> "the cat sat on the mat",
+      101L -> "mat the on sat cat the"))
+    val (uni, bg, tot) = operators.TextAnalysis.lmScoreBigramCounts(train)
+    def planOf(df: DataFrame): String =
+      df.asInstanceOf[CDataset[Row]].queryExecution.executedPlan.toString
+    // regime 1 — vocab under the gate: both unigram joins broadcast
+    val small = operators.TextAnalysis.lmScoreBigramServe(scoreMe, uni, bg, tot)
+    assert("BroadcastHashJoin".r.findAllIn(planOf(small)).size >= 2,
+      s"below-gate serve lost its unigram broadcasts:\n${planOf(small)}")
+    // regime 2 — vocab over the gate (cap 0): the unigram joins must
+    // shuffle (no driver-sized collect of an open-web vocabulary). Both
+    // auto-broadcast thresholds are pinned off so the assertion tests
+    // OUR gate, not Spark's size heuristic; the tot row stays a
+    // broadcast NESTED-LOOP join (one row), which the assert permits.
+    val prevA = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevB = s.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val big = operators.TextAnalysis
+        .lmScoreBigramServe(scoreMe, uni, bg, tot, vocabCap = 0L)
+      assert(!planOf(big).contains("BroadcastHashJoin"),
+        s"above-gate serve still broadcasts a unigram side:\n${planOf(big)}")
+      // both regimes produce the identical frame
+      assert(
+        big.collect().map(_.toSeq).toSeq === small.collect().map(_.toSeq).toSeq,
+        "broadcast and shuffled regimes diverged")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevA)
+      prevB match {
+        case Some(v) => s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None    => s.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
+    }
+  }
 }
