@@ -75,6 +75,39 @@ object Bench {
       md.digest(norm.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     } catch { case _: Throwable => "na" }
 
+  /** Queries whose first execution BUILDS a stored DerivedCache layout
+    * (corpus minhash sketch, CC labels, trained centroids/codebooks,
+    * stored indexes, streaming source dirs, …). The bench runs these
+    * once in a labeled PREBUILD phase before timing, so the per-query
+    * numbers measure serve cost and the one-time build bill is itemized
+    * in the `builds` metric line instead of landing on whichever query
+    * alphabetically touches a layout first (round 12:
+    * dedup_containment_minhash read 19.96 s driver vs 1.06 s warm — the
+    * corpus-sketch build, not the query). A layout added without
+    * registering its owner here still self-reports: its build logs
+    * during the timed run and surfaces in the `residual` list.
+    */
+  private val PrebuildQueries = Seq(
+    // dedup stored layouts: corpus sketch, CC labels (minhash + exact +
+    // containment flavors), base index, jaccard anchor, band buckets
+    "dedup_containment_minhash", "dedup_clusters", "dedup_clusters_minhash",
+    "dedup_keep_best_containment", "dedup_incremental", "minhash_k_curve",
+    "lsh_band_sweep",
+    // CDC + substring stored stores/indexes
+    "cdc_incremental", "dedup_substring_incremental",
+    // LM model
+    "lm_score_bigram",
+    // ANN stored indexes + trained models
+    "ann_recall", "retrieval_eval", "ann_ivf_stored", "ann_ivf_trained",
+    "ann_pq_stored", "ann_ivf_incremental", "ann_filtered",
+    "ann_ivfpq_stored", "ivfpq_nprobe_curve",
+    // manifest day layout
+    "manifest_range_scan",
+    // streaming queries build their replay source dirs under
+    // DerivedCache AND pay heavy one-shot codegen/JIT — prebuild warms both
+    "stream_dedup_ingest", "stream_funnel", "stream_quality_gate",
+    "stream_mix_ingest", "stream_ts_anomaly")
+
   final case class Report(
       ok: Seq[Timing],
       failed: Seq[(String, String)],
@@ -216,15 +249,50 @@ object Bench {
     // dev-only subset filter (unset in driver runs): cold-time a few
     // queries in a fresh JVM without the full sweep
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+
+    // PREBUILD phase: force every stored-layout-owning query once, so the
+    // timed run below measures SERVE cost; actual cache-miss builds are
+    // itemized by layout name via sources.BuildLog (builds fired by the
+    // JIT warm-up above flow into the same bill — the log is not drained
+    // between the phases). Each force in its own try (a broken query
+    // must not cold-start the rest).
+    val preT0 = System.nanoTime()
+    PrebuildQueries
+      .filter(n => only.forall(_.contains(n)))
+      .foreach { n =>
+        SparkEntry.queries.get(n).foreach { fn =>
+          try { force(spark, sfDir, fn); QueryState.release(spark) }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] prebuild $n failed: ${e.getMessage}")
+          }
+        }
+      }
+    val preSec = (System.nanoTime() - preT0) / 1e9
+    val built = graft.sources.BuildLog.drain()
+
     val report = runAll(
       spark,
       sfDir,
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) })
+    // builds that still fired INSIDE the timed run: a stored layout whose
+    // owner is missing from PrebuildQueries — named here so the affected
+    // query's timing is explainable from the artifact alone
+    val residual = graft.sources.BuildLog.drain()
+    def buildItems(items: Seq[graft.sources.BuildLog.Item]): String =
+      items.map(i => s"""{"n":"${jesc(i.name)}","s":${d3(i.sec)}}""")
+        .mkString("[", ",", "]")
+    val buildsJson =
+      s"""{"metric":"builds","phase_s":${d3(preSec)},""" +
+        s""""build_s":${d3(built.map(_.sec).sum)},""" +
+        s""""items":${buildItems(built)},"residual":${buildItems(residual)}}"""
     println(report.json)
-    // tail order matters: worst10 then summary, so the driver's 2000-char
-    // tail capture always ends with [worst10][summary] — the summary line
-    // must stay the LAST stdout line before sbt's epilogue
+    // tail order matters: builds, then worst10, then summary, so the
+    // driver's 2000-char tail capture always ends with
+    // [builds][worst10][summary] — the summary line must stay the LAST
+    // stdout line before sbt's epilogue
+    println(buildsJson)
     println(report.worst10Json)
     println(report.summaryJson)
     spark.stop()

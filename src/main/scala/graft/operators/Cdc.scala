@@ -758,8 +758,13 @@ object Cdc {
   def dedupSubstringStrip(spark: SparkSession, dir: String): DataFrame =
     dedupSubstringStripOf(Tables.documents(spark, dir))
 
-  private[graft] def dedupSubstringStripOf(docs: DataFrame): DataFrame = {
-    val removals = spanWin(docs)
+  /** Distinct covered token positions (doc_id, pos) under the keep-first
+    * rule — the removal set shared by the per-doc savings report
+    * ([[dedupSubstringStripOf]]) and the stripped-corpus materialization
+    * ([[dedupSubstringStripTextOf]]).
+    */
+  private def stripPositions(docs: DataFrame): DataFrame =
+    spanWin(docs)
       .groupBy(col("h"))
       .agg(
         sort_array(collect_list(col("e"))).as("es"),
@@ -776,6 +781,9 @@ object Cdc {
         col("doc_id"),
         explode(expr(s"sequence(p, p + ${SubstrW - 1})")).as("pos"))
       .distinct()
+
+  private[graft] def dedupSubstringStripOf(docs: DataFrame): DataFrame = {
+    val removals = stripPositions(docs)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_removed"))
     docs
@@ -821,6 +829,237 @@ object Cdc {
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** The stripped corpus itself — the artifact a curation run SHIPS
+    * (Lee et al. 2022 apply the removal, they don't just report it):
+    * per document, the text with every covered token deleted, carried as
+    * md5(stripped text) so the oracle compare stays exact and the output
+    * stays bounded (the driver harness hashes result frames; shipping
+    * full text would also make the row a near-copy of the input). The
+    * removal set is [[stripPositions]] — identical keep-first rule as
+    * the savings report, so (n_tokens, n_removed) here always agree
+    * with dedup_substring_strip.
+    *
+    * Scale shape: removal positions per doc collapse to ONE sorted int
+    * array (bounded by the doc's own token count) and join back to the
+    * documents scan — document TEXT never shuffles; the strip itself is
+    * an in-row kernel: array_except(sequence, rs) builds the kept
+    * positions hash-set-style (O(n + r), not O(n·r) array_contains
+    * probes), then an element_at transform re-assembles the kept tokens.
+    * A doc with no removals strips to its own text (md5 of the original
+    * join of tokens — byte-identical to md5(text) only when the doc has
+    * no repeated separators; we hash the REJOINED tokens in both engines
+    * so the convention is shared).
+    */
+  def dedupSubstringStripText(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringStripTextOf(Tables.documents(spark, dir))
+
+  private[graft] def dedupSubstringStripTextOf(docs: DataFrame): DataFrame = {
+    val rs = stripPositions(docs)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("rs"))
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .join(rs, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        coalesce(size(col("rs")), lit(0)).cast("long").as("n_removed"),
+        md5(concat_ws(" ", expr(
+          """transform(
+            |  array_except(sequence(0L, CAST(size(t) - 1 AS BIGINT)),
+            |               coalesce(rs, CAST(array() AS ARRAY<BIGINT>))),
+            |  i -> element_at(t, CAST(i AS INT) + 1))""".stripMargin)))
+          .as("stripped_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringStripTextSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), win AS (
+       |  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE len(w) >= $SubstrW AND len(w) <= $SpanMaxDocTokens
+       |), b AS (
+       |  SELECT s, min(doc_id) AS keeper FROM win GROUP BY s
+       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SubstrDfCap
+       |     AND count(*) <= $SpanBucketCap
+       |), rem AS (
+       |  SELECT DISTINCT w.doc_id, w.p + g.o AS pos
+       |  FROM win w
+       |  JOIN b ON w.s = b.s AND w.doc_id != b.keeper,
+       |  LATERAL (SELECT unnest(generate_series(0, ${SubstrW - 1})) AS o) g
+       |), ps AS (
+       |  SELECT doc_id, list_sort(list(pos)) AS rs FROM rem GROUP BY doc_id
+       |)
+       |SELECT t.doc_id,
+       |       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(len(p.rs), 0) AS BIGINT) AS n_removed,
+       |       -- a fully-stripped doc: DuckDB's array_to_string([]) is NULL
+       |       -- where Spark's concat_ws is '' — pin the '' convention
+       |       md5(COALESCE(array_to_string(
+       |         list_filter(t.w, (x, i) ->
+       |           NOT list_contains(COALESCE(p.rs, []), i - 1)), ' '), ''))
+       |         AS stripped_md5
+       |FROM t LEFT JOIN ps p ON t.doc_id = p.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
+  /** Per-doc DISTINCT window-hash stream (doc_id, h) over any
+    * (doc_id, text) frame — the probe-side kernel shared by the stored
+    * index build and the delta probe. Docs shorter than W have no
+    * windows and vanish here (the verdict frame re-adds them by left
+    * join).
+    */
+  private def winDistinct(docs: DataFrame, w: Int = SubstrW): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(
+        col("doc_id"),
+        when(
+          size(col("t")) >= w,
+          array_distinct(expr(s"graft_window_hashes(t, $w)")))
+          .otherwise(array().cast("array<bigint>")).as("hs"))
+      .select(
+        col("doc_id"),
+        explode(expr("if(size(hs) >= 0, hs, slice(hs, 1, 0))")).as("h"))
+  }
+
+  /** Build-once stored window-hash posting index for
+    * [[dedupSubstringIncremental]] — the substring tier's ingest form.
+    * Base = the 80% split (doc_id % 10 < 8, the same deterministic
+    * stand-in the minhash and CDC incremental paths use); the index is
+    * the df-capped inverted lists (window hash → sorted base doc ids,
+    * hot boilerplate windows dropped exactly as in dedup_substring).
+    * Built under DerivedCache once per corpus stamp, like
+    * Dedup.baseIndexDir; at 100 TB the index lives bucketed by h
+    * (sources/Bucketing) so a delta probe shuffles only the delta.
+    */
+  /** The df-capped posting lists (h, base_docs) of a base frame — the
+    * index CONTENT, factored so Round13AdditionsSpec can build one over
+    * planted fixtures without the DerivedCache layer.
+    */
+  private[graft] def substrPostings(base: DataFrame): DataFrame =
+    winDistinct(base)
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("base_docs"))
+      .filter(size(col("base_docs")) <= SubstrDfCap)
+
+  private def substrIndexDir(spark: SparkSession, dir: String): String = {
+    val rows = Tables.cachedCount(spark, dir, "documents")
+    graft.sources.DerivedCache.dir(
+      dir, "substr-index", s"rows=$rows;w=$SubstrW;df=$SubstrDfCap;v=1") { out =>
+      substrPostings(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/postings")
+      ()
+    }
+  }
+
+  /** Incremental substring dedup — the ingest form of the strongest
+    * exact detector (round-12 gap: the minhash and CDC tiers had
+    * dedup_incremental / cdc_incremental; the window-hash tier re-scanned
+    * the full corpus every run). Today's batch (the 20% delta) is window-
+    * hashed fresh by the O(n) rolling kernel and probed against the
+    * STORED posting index: per delta doc, how many of its distinct
+    * W-token windows exist verbatim in the base corpus, which base doc
+    * shares the most (ties to the smallest id), and the keep/flag
+    * verdict. Per-batch cost ∝ delta size — the base is never re-hashed,
+    * and only 8-byte hashes + capped posting lists move in the probe
+    * join. The delta's rolling kernel runs twice (window count + probe);
+    * at O(n) per doc that is cheaper than caching corpus-wide hash
+    * arrays across the two consumers.
+    *
+    * Oracle: DuckDB rebuilds the base posting lists from window STRINGS
+    * (the rolling hash is Spark-side only), so a hash collision would
+    * surface as a count mismatch — the same collision-audited
+    * equivalence dedup_substring uses.
+    */
+  def dedupSubstringIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.read.parquet(s"${substrIndexDir(spark, dir)}/postings")
+    dedupSubstringIncrementalOf(
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8), idx)
+  }
+
+  /** The probe kernel against an arbitrary delta frame + posting index,
+    * factored for Round13AdditionsSpec's planted fixtures.
+    */
+  private[graft] def dedupSubstringIncrementalOf(
+      delta: DataFrame, idx: DataFrame): DataFrame = {
+    val dwin = winDistinct(delta)
+    val nw = dwin.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    val best = dwin
+      .join(idx, Seq("h"))
+      .select(col("doc_id").as("delta_id"), explode(col("base_docs")).as("base_id"))
+      .groupBy(col("delta_id"), col("base_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      // best match + base-match count in ONE aggregation (the
+      // incrementalProbe min-struct idiom): min of struct(-n_shared,
+      // base_id) IS "most shared windows, ties to the smallest base id"
+      .groupBy(col("delta_id"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min(struct((-col("n_shared")).as("neg"), col("base_id").as("base_id"))).as("m"))
+      .select(
+        col("delta_id").as("doc_id"),
+        col("n_dups"),
+        col("m.base_id").as("dup_of"),
+        (-col("m.neg")).as("n_shared"))
+    delta
+      .select(col("doc_id"))
+      .join(nw, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of"),
+        col("n_shared"),
+        (col("n_shared") + lit((SubstrW - 1).toLong)).as("est_overlap_tokens"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringIncrementalSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), win AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE len(w) >= $SubstrW
+       |), idx AS (
+       |  -- win is per-doc distinct, so count(*) IS the document frequency
+       |  SELECT s, list_sort(list(doc_id)) AS base_docs
+       |  FROM win WHERE doc_id % 10 < 8
+       |  GROUP BY s HAVING count(*) <= $SubstrDfCap
+       |), dwin AS (
+       |  SELECT doc_id, s FROM win WHERE doc_id % 10 >= 8
+       |), nw AS (
+       |  SELECT doc_id, count(*) AS n_windows FROM dwin GROUP BY 1
+       |), pairs AS (
+       |  SELECT d.doc_id AS delta_id, b.x AS base_id, count(*) AS n_shared
+       |  FROM dwin d JOIN idx ON d.s = idx.s, unnest(idx.base_docs) AS b(x)
+       |  GROUP BY 1, 2
+       |), best AS (
+       |  SELECT delta_id, base_id, n_shared,
+       |         row_number() OVER (PARTITION BY delta_id
+       |                            ORDER BY n_shared DESC, base_id) AS rn,
+       |         count(*) OVER (PARTITION BY delta_id) AS n_dups
+       |  FROM pairs
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(nw.n_windows, 0) AS n_windows,
+       |       COALESCE(b.n_dups, 0) AS n_dups,
+       |       b.base_id AS dup_of,
+       |       b.n_shared,
+       |       b.n_shared + ${SubstrW - 1} AS est_overlap_tokens,
+       |       b.base_id IS NULL AS keep
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8) d
+       |LEFT JOIN nw ON d.doc_id = nw.doc_id
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.delta_id
+       |ORDER BY d.doc_id""".stripMargin
+
   private val dedupSubstringSql =
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -842,12 +1081,151 @@ object Cdc {
        |ORDER BY n_shared DESC, doc_a, doc_b
        |LIMIT $SubstrTopK""".stripMargin
 
+  /** Window lengths the W curve prices. 50 is the shipped SubstrW (the
+    * Lee et al. 2022 target length); 25 halves it (aggressive — more
+    * matches, more false positives below the target length), 100 doubles
+    * it (conservative — verbatim runs of 50–99 tokens become invisible).
+    */
+  private val WCurveArms = Seq(25, 50, 100)
+
+  /** Substring-W tuning curve — W is dedup_substring's only free
+    * parameter, and every other tuned family (LSH bands, minhash k,
+    * nprobe, simhash threshold) has its pricing curve. For each W the
+    * same sampled corpus is window-hashed in one O(n) pass and the
+    * posting-list stats + pair yield are priced against the W=50 anchor:
+    *   - n_dup_windows / n_hot_windows: inverted-index health (hot =
+    *     above the df cap, dropped as boilerplate — cap loss);
+    *   - n_docs_covered: docs carrying at least one duplicated window;
+    *   - n_pairs: distinct doc pairs sharing >= 1 window at this W;
+    *   - vs50_extra_rate: fraction of this W's pairs NOT found at the
+    *     target length — sub-target matches a halved W would flag
+    *     (pairs(50) ⊆ pairs(25) up to cap loss, so this prices the
+    *     false-match cost of shrinking W);
+    *   - vs50_recall: fraction of the W=50 anchor pairs this W retains
+    *     (doubling W loses every 50–99-token overlap — the recall cost
+    *     of growing W).
+    * Above [[Dedup.SweepDocCap]] the whole curve runs on the shared
+    * deterministic 1/m doc-hash sample (every arm sampled identically,
+    * so the RELATIVE comparison survives; bucket thresholds stated in
+    * full-corpus units size·m, the lsh_band_sweep discipline). Below the
+    * cap m = 1 — the oracle form.
+    */
+  def substringWCurve(spark: SparkSession, dir: String): DataFrame =
+    substringWCurveGuarded(spark, dir, Dedup.SweepDocCap)
+
+  private[graft] def substringWCurveGuarded(
+      spark: SparkSession, dir: String, cap: Long): DataFrame = {
+    import graft.Ckpt.CutOps
+    val nDocs = Tables.cachedCount(spark, dir, "documents")
+    val (docs, m) = Dedup.sampleAboveCap(
+      "substring_w_curve", Tables.documents(spark, dir), nDocs, cap)
+    def pairsOf(dup: DataFrame): DataFrame = dup
+      .select(posexplode(col("ds")).as(Seq("i", "a")), col("ds"))
+      .select(col("a"), explode(expr("slice(ds, i + 2, size(ds))")).as("b"))
+      .dropDuplicates("a", "b")
+    def bucketsOf(w: Int): DataFrame = winDistinct(docs, w)
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    // one bucket build per arm, each cut once — every downstream stat
+    // (hot count, dup count, coverage, pairs) re-reads the checkpoint
+    // instead of re-hashing the corpus
+    val bucketsByW =
+      WCurveArms.map(w => w -> bucketsOf(w).cutLineage(eager = false)).toMap
+    def dupOf(buckets: DataFrame): DataFrame = buckets.filter(
+      size(col("ds")) >= 2 && size(col("ds")) * lit(m) <= SubstrDfCap)
+    // the anchor's pair set feeds every arm's comparison join — cut once
+    val p50 = pairsOf(dupOf(bucketsByW(SubstrW))).cutLineage(eager = false)
+    val n50 = p50.agg(count(lit(1)).as("n50"))
+    WCurveArms.map { w =>
+      val buckets = bucketsByW(w)
+      val dup = dupOf(buckets)
+      val nHot = buckets
+        .filter(size(col("ds")) * lit(m) > SubstrDfCap)
+        .agg(count(lit(1)).as("n_hot_windows"))
+      val nDup = dup.agg(count(lit(1)).as("n_dup_windows"))
+      val nCov = dup
+        .select(explode(col("ds")).as("d"))
+        .agg(countDistinct(col("d")).as("n_docs_covered"))
+      val pw = if (w == SubstrW) p50 else pairsOf(dup)
+      val vs = pw
+        .join(p50.select(col("a"), col("b"), lit(1).as("in50")), Seq("a", "b"), "left")
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          // empty pair set: SUM over zero rows is NULL, not 0
+          coalesce(sum(when(col("in50").isNull, 1L).otherwise(0L)), lit(0L))
+            .as("n_extra"))
+      nDup.crossJoin(nHot).crossJoin(nCov).crossJoin(vs).crossJoin(n50)
+        .select(
+          lit(w.toLong).as("w"),
+          col("n_dup_windows"), col("n_hot_windows"), col("n_docs_covered"),
+          col("n_pairs"),
+          when(col("n_pairs") > 0,
+            Det.detRound(col("n_extra").cast("double") / col("n_pairs"), 6))
+            .otherwise(lit(0.0)).as("vs50_extra_rate"),
+          when(col("n50") > 0,
+            Det.detRound(
+              (col("n_pairs") - col("n_extra")).cast("double") / col("n50"), 6))
+            .otherwise(lit(0.0)).as("vs50_recall"))
+    }.reduce(_ unionAll _)
+      .orderBy(col("w"))
+  }
+
+  /** DuckDB twin: one window CTE per W over window STRINGS, bucket df
+    * stats, distinct-pair self-joins, and the same anchor comparisons
+    * (m = 1 at every oracle-checked scale).
+    */
+  private val substringWCurveSql = {
+    def chain(w: Int) =
+      s"""win_$w AS (
+         |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${w - 1}], ' ') AS s
+         |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${w - 1})) AS i)
+         |  WHERE len(w) >= $w
+         |), bu_$w AS (
+         |  SELECT s, count(*) AS df FROM win_$w GROUP BY s
+         |), pd_$w AS (
+         |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+         |  FROM win_$w a JOIN win_$w b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  WHERE a.s IN (SELECT s FROM bu_$w WHERE df BETWEEN 2 AND $SubstrDfCap)
+         |)""".stripMargin
+    def arm(w: Int) =
+      s"""  SELECT CAST($w AS BIGINT) AS w,
+         |    (SELECT count(*) FROM bu_$w WHERE df BETWEEN 2 AND $SubstrDfCap) AS n_dup_windows,
+         |    (SELECT count(*) FROM bu_$w WHERE df > $SubstrDfCap) AS n_hot_windows,
+         |    (SELECT count(DISTINCT doc_id) FROM win_$w
+         |     WHERE s IN (SELECT s FROM bu_$w WHERE df BETWEEN 2 AND $SubstrDfCap))
+         |      AS n_docs_covered,
+         |    (SELECT count(*) FROM pd_$w) AS n_pairs,
+         |    CASE WHEN (SELECT count(*) FROM pd_$w) > 0
+         |         THEN ${Det.roundSql(
+        s"(SELECT CAST(count(*) AS DOUBLE) FROM pd_$w p LEFT JOIN pd_$SubstrW q " +
+          s"ON p.da = q.da AND p.db = q.db WHERE q.da IS NULL) / " +
+          s"(SELECT count(*) FROM pd_$w)", 6)}
+         |         ELSE 0.0 END AS vs50_extra_rate,
+         |    CASE WHEN (SELECT count(*) FROM pd_$SubstrW) > 0
+         |         THEN ${Det.roundSql(
+        s"(SELECT CAST(count(*) AS DOUBLE) FROM pd_$w p JOIN pd_$SubstrW q " +
+          s"ON p.da = q.da AND p.db = q.db) / " +
+          s"(SELECT count(*) FROM pd_$SubstrW)", 6)}
+         |         ELSE 0.0 END AS vs50_recall""".stripMargin
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |),
+       |${WCurveArms.map(chain).mkString(",\n")}
+       |${WCurveArms.map(arm).mkString("\nUNION ALL\n")}
+       |ORDER BY w""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "substring_w_curve" -> QueryDef(substringWCurve, Some(substringWCurveSql)),
     "dedup_substring"     -> QueryDef(dedupSubstring, Some(dedupSubstringSql)),
     "dedup_substring_spans" -> QueryDef(
       dedupSubstringSpans, Some(dedupSubstringSpansSql)),
     "dedup_substring_strip" -> QueryDef(
       dedupSubstringStrip, Some(dedupSubstringStripSql)),
+    "dedup_substring_strip_text" -> QueryDef(
+      dedupSubstringStripText, Some(dedupSubstringStripTextSql)),
+    "dedup_substring_incremental" -> QueryDef(
+      dedupSubstringIncremental, Some(dedupSubstringIncrementalSql)),
     "cdc_chunk_dedup"     -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
     "cdc_dedup_ratio"     -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)),
     "cdc_incremental"     -> QueryDef(cdcIncremental, Some(cdcIncrementalSql)),

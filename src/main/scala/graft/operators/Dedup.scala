@@ -1005,12 +1005,38 @@ object Dedup {
     * decode in the O(len²) kernel); Spark is lowered to byte level by
     * the encode→ISO-8859-1-decode trick (one char per byte), which
     * Spark's levenshtein then counts exactly like DuckDB's.
+    *
+    * VERIFY BUDGET: the O(len²) kernel runs on at most
+    * [[EditVerifyCap]] candidates per doc_a — top-j by (estimated)
+    * jaccard, ties to the smaller doc_b, selected on the bounded-heap
+    * TopKPerKey and mirrored as `row_number() <= j` in the oracle. On a
+    * duplicated corpus the candidate stage (routed to minhash above the
+    * caps) still emits C(copies,2) pairs per copy-group, and an
+    * UNBUDGETED verify pays a full-text O(len²) distance on every one —
+    * the registry's worst legal tail (87.9 s / the only >26 GiB spill at
+    * the ×20 density probe). The cap bounds verify work to j·n docs; a
+    * doc's strongest matches are exactly the ones kept. Test-scale
+    * corpora sit far below the cap (max 3 candidates/doc at sf0.1), so
+    * sf hashes are unchanged.
     */
-  def dedupEditdist(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEditdist(spark: SparkSession, dir: String): DataFrame =
+    dedupEditdistCapped(spark, dir, EditVerifyCap)
+
+  /** Max levenshtein-verified candidates per doc_a — see dedupEditdist. */
+  private[graft] val EditVerifyCap = 8
+
+  private[graft] def dedupEditdistCapped(
+      spark: SparkSession, dir: String, verifyCap: Int): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     def b(c: org.apache.spark.sql.Column) = decode(encode(c, "UTF-8"), "ISO-8859-1")
-    dedupJaccard(spark, dir)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    org.apache.spark.sql.graft.TopK
+      .perKey(
+        dedupJaccard(spark, dir).select(col("doc_a"), col("doc_b"), col("jaccard")),
+        Seq("doc_a"),
+        Seq("jaccard" -> false, "doc_b" -> true),
+        k = verifyCap,
+        rankName = "rn")
+      .drop("rn")
       .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
       .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
       .select(
@@ -1026,8 +1052,17 @@ object Dedup {
   }
 
   private val dedupEditdistSql =
-    s"""WITH pairs AS (
+    s"""WITH allpairs AS (
        |${dedupJaccardSql.linesIterator.map("  " + _).mkString("\n")}
+       |), pairs AS (
+       |  -- verify budget: top-$EditVerifyCap candidates per doc_a by
+       |  -- jaccard (ties to the smaller doc_b) — mirrors TopKPerKey
+       |  SELECT doc_a, doc_b, jaccard FROM (
+       |    SELECT doc_a, doc_b, jaccard,
+       |           row_number() OVER (PARTITION BY doc_a
+       |                              ORDER BY jaccard DESC, doc_b) AS rn
+       |    FROM allpairs)
+       |  WHERE rn <= $EditVerifyCap
        |)
        |SELECT p.doc_a, p.doc_b, p.jaccard,
        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
@@ -1626,7 +1661,7 @@ object Dedup {
     * bucket-size thresholds in FULL-corpus units (a sampled bucket of
     * size s estimates a full bucket of size s·m).
     */
-  private def sampleAboveCap(
+  private[operators] def sampleAboveCap(
       query: String, df: DataFrame, nDocs: Long, cap: Long): (DataFrame, Long) =
     if (nDocs > cap) {
       val m = (nDocs + cap - 1) / cap

@@ -41,6 +41,28 @@ import scala.jdk.CollectionConverters._
   * stale artifact; completion is marked by an explicit done-file
   * written only after `build` returns.
   */
+/** Record of DerivedCache builds that actually RAN (cache misses) in
+  * this JVM — the instrumentation behind graft.Bench's builds line. A
+  * one-time stored-layout build landing inside a timed query reads as
+  * that query being slow (round 12: dedup_containment_minhash at 19.96 s
+  * driver vs 1.06 s warm was the first-touch corpus-sketch build);
+  * itemizing builds by layout name makes the driver artifact separate
+  * build bill from serve cost. Thread-safe; drain() empties the log.
+  */
+object BuildLog {
+  final case class Item(name: String, sec: Double)
+  private val q = new java.util.concurrent.ConcurrentLinkedQueue[Item]()
+  private[sources] def record(name: String, sec: Double): Unit = {
+    q.add(Item(name, sec)); ()
+  }
+  def drain(): Seq[Item] = {
+    val out = Seq.newBuilder[Item]
+    var it = q.poll()
+    while (it != null) { out += it; it = q.poll() }
+    out.result()
+  }
+}
+
 object DerivedCache {
   /** File-metadata stamp of a source path (recursive size+mtime sum —
     * no data scan): appended to every cache key so REGENERATED source
@@ -109,7 +131,9 @@ object DerivedCache {
           try {
             if (!valid()) { // losing racer: winner built it while we waited
               deleteRecursively(new java.io.File(out))
+              val t0 = System.nanoTime()
               build(out)
+              BuildLog.record(name, (System.nanoTime() - t0) / 1e9)
               java.nio.file.Files.createDirectories(done.toPath.getParent)
               java.nio.file.Files.write(done.toPath, fp.getBytes("UTF-8"))
               ()

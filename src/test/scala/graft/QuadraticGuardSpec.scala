@@ -91,6 +91,30 @@ class QuadraticGuardSpec extends AnyFunSuite {
       routed.collect().map(_.toSeq).toSeq == twin.collect().map(_.toSeq).toSeq)
   }
 
+  test("dedup_editdist verifies at most EditVerifyCap candidates per doc") {
+    // the O(len^2) levenshtein stage must be budgeted: top-j by jaccard
+    // (ties to the smaller doc_b) per doc_a, j = EditVerifyCap
+    val full = Dedup.dedupEditdistCapped(spark, TestSpark.Sf, verifyCap = 1000)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val capped1 = Dedup.dedupEditdistCapped(spark, TestSpark.Sf, verifyCap = 1)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // cap respected
+    assert(capped1.groupBy(_._1).values.map(_.size).max === 1)
+    // and the survivor per doc is the STRONGEST candidate, not an
+    // arbitrary one: max jaccard, ties to the smaller doc_b
+    val expect = full.groupBy(_._1).values
+      .map(_.minBy(t => (-t._3, t._2))).toSet
+    assert(capped1.toSet === expect)
+    // at the shipped cap the test corpus is untouched (max candidates
+    // per doc is far below 8 — the sf hashes must not move)
+    val shipped = Dedup.dedupEditdist(spark, TestSpark.Sf)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(shipped.toSet === full.toSet)
+  }
+
   test("the exact family inherits the routing (editdist stays bounded)") {
     // dedup_editdist builds on dedupJaccard; with the cap tripped its
     // candidate set comes from the minhash twin — the plan must still
