@@ -140,11 +140,18 @@ object Dedup {
 
   private[graft] def dedupJaccardGuarded(
       spark: SparkSession, dir: String, cap: Long,
-      pairBudget: Long = PairBudget): DataFrame = {
+      pairBudget: Long = PairBudget,
+      ordered: Boolean = true): DataFrame = {
+    // `ordered = false` drops the presentation sort on every branch:
+    // internal consumers that wrap this frame in a custom logical node
+    // (editdist's TopKPerKey budget) must not inherit a global orderBy
+    // EliminateSorts cannot reach
+    def minhashTwin(): DataFrame =
+      if (ordered) dedupMinhash(spark, dir) else dedupMinhashUnordered(spark, dir)
     val nDocs = Tables.cachedCount(spark, dir, "documents")
     if (nDocs > cap) {
       graft.Downgrades.record("dedup_jaccard", "dedup_minhash", nDocs, cap)
-      return dedupMinhash(spark, dir).select(
+      return minhashTwin().select(
         col("doc_a"),
         col("doc_b"),
         lit(null).cast("long").as("common"),
@@ -159,12 +166,13 @@ object Dedup {
     if (mass > pairBudget) {
       graft.Downgrades.record(
         "dedup_jaccard", "dedup_minhash (pair-mass)", mass, pairBudget)
-      return dedupMinhash(spark, dir).select(
+      return minhashTwin().select(
         col("doc_a"),
         col("doc_b"),
         lit(null).cast("long").as("common"),
         col("est_jaccard").as("jaccard"))
     }
+    if (!ordered) return dedupJaccardOfUnordered(Tables.documents(spark, dir))
     // Single-pass inverted index: per-doc shingle arrays built in-row,
     // with the per-doc distinct-shingle count |doc| = size(shs) CARRIED
     // through the posting list, bit-packed into the doc_id long
@@ -194,6 +202,13 @@ object Dedup {
     * routed estimate. Callers own the corpus-size guard.
     */
   private[operators] def dedupJaccardOf(docsIn: DataFrame): DataFrame =
+    dedupJaccardOfUnordered(docsIn).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The exact kernel WITHOUT the presentation sort — see
+    * dedupMinhashOfUnordered for why internal consumers must not carry
+    * the global orderBy.
+    */
+  private def dedupJaccardOfUnordered(docsIn: DataFrame): DataFrame =
     pairCommonOf(docsIn)
       .select(
         col("doc_a"),
@@ -203,7 +218,6 @@ object Dedup {
           col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= 0.6)
-      .orderBy(col("doc_a"), col("doc_b"))
 
   /** The packed shingle index feeding pairCommonOf: one (h, packed-doc)
     * row per distinct 3-gram per doc — factored so exactPairMass can
@@ -626,7 +640,17 @@ object Dedup {
     * pair-quality route) grade the REAL kernel over their sample
     * instead of the full corpus.
     */
-  private[operators] def dedupMinhashOf(sigs: DataFrame, bands: DataFrame): DataFrame = {
+  private[operators] def dedupMinhashOf(sigs: DataFrame, bands: DataFrame): DataFrame =
+    dedupMinhashOfUnordered(sigs, bands).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The same kernel WITHOUT the presentation sort — for internal
+    * consumers (editdist's verify-budget TopKPerKey). A global orderBy
+    * buried under a custom logical node is invisible to EliminateSorts,
+    * so it survives as a RangePartitioning exchange whose SAMPLING pass
+    * re-executes the whole upstream subtree (measured: capped editdist
+    * at x10 went 36 s -> 250 s before this split).
+    */
+  private def dedupMinhashOfUnordered(sigs: DataFrame, bands: DataFrame): DataFrame = {
     val k = MinhashK
     val candidates = bands
       .groupBy(col("band"), col("bh"))
@@ -652,7 +676,13 @@ object Dedup {
           expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
           6).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Unordered full-corpus minhash pairs for internal consumers. */
+  private def dedupMinhashUnordered(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val (sigs, bands) = minhashBands(spark, dir, MinhashK)
+    dedupMinhashOfUnordered(sigs, bands)
   }
 
   /** DuckDB twin of dedupMinhash: the full sketch recomputed — same
@@ -1029,15 +1059,24 @@ object Dedup {
       spark: SparkSession, dir: String, verifyCap: Int): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     def b(c: org.apache.spark.sql.Column) = decode(encode(c, "UTF-8"), "ISO-8859-1")
+    // SHUFFLE_HASH, not broadcast, on the text joins: capped pairs are
+    // 8·n rows — corpus-sized, NOT broadcastable at 100 TB — and a
+    // broadcast-of-pairs plan streams the DOCS SCAN, whose handful of
+    // file splits collapses the O(len²) verify to 1-2 tasks (measured at
+    // x10: 101 s single-task vs seconds across 32 shuffle partitions).
+    // The shuffle join distributes the levenshtein across the cluster.
     org.apache.spark.sql.graft.TopK
       .perKey(
-        dedupJaccard(spark, dir).select(col("doc_a"), col("doc_b"), col("jaccard")),
+        dedupJaccardGuarded(spark, dir, ExactDocCap, ordered = false)
+          .select(col("doc_a"), col("doc_b"), col("jaccard")),
         Seq("doc_a"),
         Seq("jaccard" -> false, "doc_b" -> true),
         k = verifyCap,
         rankName = "rn")
       .drop("rn")
+      .hint("shuffle_hash")
       .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("text", "text_a"), "doc_a")
+      .hint("shuffle_hash")
       .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("text", "text_b"), "doc_b")
       .select(
         col("doc_a"),
@@ -1686,7 +1725,10 @@ object Dedup {
       spark: SparkSession, dir: String, docs: DataFrame, m: Long): DataFrame = {
     val out = graft.sources.DerivedCache.dir(
       dir, "jaccard-anchor", s"m=$m") { o =>
-      val df = dedupJaccardOf(docs)
+      // unordered kernel: a parquet write needs no presentation sort,
+      // and the RangePartitioning sampling pass would re-execute the
+      // whole inverted-index subtree just to pick sort bounds
+      val df = dedupJaccardOfUnordered(docs)
       df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$o/pairs")
       // as-written schema sidecar: the read path must match what THIS
       // build wrote even under tolerated source-schema drift
