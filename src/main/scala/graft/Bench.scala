@@ -100,7 +100,9 @@ object Bench {
     // ANN stored indexes + trained models
     "ann_recall", "retrieval_eval", "ann_ivf_stored", "ann_ivf_trained",
     "ann_pq_stored", "ann_ivf_incremental", "ann_filtered",
-    "ann_ivfpq_stored", "ivfpq_nprobe_curve",
+    "ann_ivfpq_stored", "ivfpq_nprobe_curve", "ann_nprobe_curve",
+    // chunked-ingest roundtrip store
+    "ingest_roundtrip",
     // manifest day layout
     "manifest_range_scan",
     // streaming queries build their replay source dirs under
