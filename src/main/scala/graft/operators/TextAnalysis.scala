@@ -481,12 +481,25 @@ object TextAnalysis {
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$out/tot")
       ()
     }
+    val tot = spark.read.parquet(s"$modelDir/tot")
+    // vocab row count memoized per model dir: the broadcast gate is a
+    // plan-construction decision, and without the memo every plan-only
+    // construction (bench plan fingerprints, spec plan asserts) pays a
+    // 1-row read job — the construction-time-job concern the pair-mass
+    // deferral addressed for the dedup guards
+    val v = vocabMemo.computeIfAbsent(
+      modelDir, _ => java.lang.Long.valueOf(
+        tot.select(col("v")).first().getLong(0))).longValue()
     lmScoreBigramServe(
       Tables.documents(spark, dir),
       spark.read.parquet(s"$modelDir/uni"),
       spark.read.parquet(s"$modelDir/bg"),
-      spark.read.parquet(s"$modelDir/tot"))
+      tot,
+      vocabRowsHint = Some(v))
   }
+
+  private val vocabMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** The count frames (unigram, bigram, totals) over a training split —
     * one definition shared by the persisted trainer above and
@@ -531,11 +544,13 @@ object TextAnalysis {
     */
   private[graft] def lmScoreBigramServe(
       docs: DataFrame, uni: DataFrame, bg: DataFrame, tot: DataFrame,
-      vocabCap: Long = BigramBroadcastMaxVocab): DataFrame = {
-    // one row — the persisted totals parquet in production, a tiny agg in
-    // specs; carries v = exact vocab row count, so the gate costs no
-    // extra job over the model
-    val vocabRows = tot.select(col("v")).first().getLong(0)
+      vocabCap: Long = BigramBroadcastMaxVocab,
+      vocabRowsHint: Option[Long] = None): DataFrame = {
+    // one row — the persisted totals parquet in production (memoized by
+    // the production caller), a tiny agg in specs; carries v = exact
+    // vocab row count, so the gate costs no extra job over the model
+    val vocabRows =
+      vocabRowsHint.getOrElse(tot.select(col("v")).first().getLong(0))
     def gated(df: DataFrame): DataFrame =
       if (vocabRows <= vocabCap) broadcast(df) else df
     val bgs = docs
