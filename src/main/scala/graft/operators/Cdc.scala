@@ -853,10 +853,21 @@ object Cdc {
   def dedupSubstringStripText(spark: SparkSession, dir: String): DataFrame =
     dedupSubstringStripTextOf(Tables.documents(spark, dir))
 
-  private[graft] def dedupSubstringStripTextOf(docs: DataFrame): DataFrame = {
-    val rs = stripPositions(docs)
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("rs"))
+  private[graft] def dedupSubstringStripTextOf(docs: DataFrame): DataFrame =
+    maskedStripReport(
+      docs,
+      stripPositions(docs)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("rs")))
+
+  /** The in-row strip kernel shared by the full-corpus and incremental
+    * strip-text queries: given per-doc sorted removal-position arrays
+    * `rs` (doc_id, rs: array<bigint>), emit (doc_id, n_tokens,
+    * n_removed, stripped_md5). Text never shuffles — only the position
+    * arrays join to the scan; the kept-position set is built
+    * hash-set-style by array_except (O(n + r)).
+    */
+  private def maskedStripReport(docs: DataFrame, rs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .join(rs, Seq("doc_id"), "left")
@@ -871,7 +882,6 @@ object Cdc {
             |  i -> element_at(t, CAST(i AS INT) + 1))""".stripMargin)))
           .as("stripped_md5"))
       .orderBy(col("doc_id"))
-  }
 
   private val dedupSubstringStripTextSql =
     s"""WITH t AS (
@@ -1020,6 +1030,85 @@ object Cdc {
         col("dup_of").isNull.as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Incremental STRIP — cleaning the incoming batch against the
+    * existing corpus, the form an ingest pipeline actually runs: every
+    * delta token covered by a W-token window that exists verbatim in the
+    * BASE index is removed (the base always keeps — it is already
+    * stored; keep-first generalizes to keep-base), and the stripped
+    * delta text ships as md5 like dedup_substring_strip_text. Completes
+    * the substring tier's ingest story: detect (dedup_substring_
+    * incremental) and now transform, both ∝ delta.
+    *
+    * Scale shape: the delta's positional window stream probes the
+    * stored posting lists with a LEFT SEMI join on the 8-byte hash
+    * (base doc ids never ship — presence is all the strip needs),
+    * covered positions collapse per delta doc, and the in-row mask
+    * kernel is shared with the full-corpus strip. Delta-internal
+    * duplication is out of scope here by design — that is the
+    * full-corpus strip's job after the batch lands.
+    */
+  def dedupSubstringStripIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val idx = spark.read.parquet(s"${substrIndexDir(spark, dir)}/postings")
+    dedupSubstringStripIncrementalOf(
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8), idx)
+  }
+
+  private[graft] def dedupSubstringStripIncrementalOf(
+      delta: DataFrame, idx: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(delta.sparkSession)
+    val dwin = delta
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= SubstrW)
+      .select(
+        col("doc_id"),
+        posexplode(expr(
+          s"if(size(graft_window_hashes(t, $SubstrW)) >= 0, " +
+            s"graft_window_hashes(t, $SubstrW), array())")).as(Seq("p", "h")))
+    val rs = dwin
+      .join(idx.select(col("h")), Seq("h"), "leftsemi")
+      .select(
+        col("doc_id"),
+        explode(expr(
+          s"sequence(CAST(p AS BIGINT), CAST(p AS BIGINT) + ${SubstrW - 1})"))
+          .as("pos"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("rs"))
+    maskedStripReport(delta, rs)
+  }
+
+  private val dedupSubstringStripIncrementalSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), win AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE len(w) >= $SubstrW
+       |), idx AS (
+       |  SELECT s FROM win WHERE doc_id % 10 < 8
+       |  GROUP BY s HAVING count(*) <= $SubstrDfCap
+       |), dwin AS (
+       |  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE doc_id % 10 >= 8 AND len(w) >= $SubstrW
+       |), rem AS (
+       |  SELECT DISTINCT d.doc_id, d.p + g.o AS pos
+       |  FROM dwin d JOIN idx ON d.s = idx.s,
+       |  LATERAL (SELECT unnest(generate_series(0, ${SubstrW - 1})) AS o) g
+       |), ps AS (
+       |  SELECT doc_id, list_sort(list(pos)) AS rs FROM rem GROUP BY doc_id
+       |)
+       |SELECT t.doc_id,
+       |       CAST(len(t.w) AS BIGINT) AS n_tokens,
+       |       CAST(COALESCE(len(p.rs), 0) AS BIGINT) AS n_removed,
+       |       md5(COALESCE(array_to_string(
+       |         list_filter(t.w, (x, i) ->
+       |           NOT list_contains(COALESCE(p.rs, []), i - 1)), ' '), ''))
+       |         AS stripped_md5
+       |FROM t LEFT JOIN ps p ON t.doc_id = p.doc_id
+       |WHERE t.doc_id % 10 >= 8
+       |ORDER BY t.doc_id""".stripMargin
 
   private val dedupSubstringIncrementalSql =
     s"""WITH t AS (
@@ -1226,6 +1315,8 @@ object Cdc {
       dedupSubstringStripText, Some(dedupSubstringStripTextSql)),
     "dedup_substring_incremental" -> QueryDef(
       dedupSubstringIncremental, Some(dedupSubstringIncrementalSql)),
+    "dedup_substring_strip_incremental" -> QueryDef(
+      dedupSubstringStripIncremental, Some(dedupSubstringStripIncrementalSql)),
     "cdc_chunk_dedup"     -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
     "cdc_dedup_ratio"     -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)),
     "cdc_incremental"     -> QueryDef(cdcIncremental, Some(cdcIncrementalSql)),

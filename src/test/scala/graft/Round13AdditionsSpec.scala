@@ -106,4 +106,33 @@ class Round13AdditionsSpec extends AnyFunSuite {
     // doc 18: too short to window — kept, zero windows
     assert(out(18L).getLong(1) === 0L && out(18L).getBoolean(6))
   }
+
+  test("dedup_substring_strip_incremental: delta text cleaned against the base index") {
+    val run = cutFreeRun("sic", 55) // 55 tokens = 6 windows per carrier
+    val base = docsFrame(Seq(
+      1L -> ((1 to 20).map(i => s"sb1_$i") ++ run).mkString(" ")))
+    val idx = operators.Cdc.substrPostings(base)
+    val tailToks = (1 to 10).map(i => s"sd8_$i")
+    val delta = docsFrame(Seq(
+      // the full run + its own tail: the covered 55 positions strip,
+      // the tail survives verbatim
+      8L -> (run ++ tailToks).mkString(" "),
+      // clean long doc: identity strip
+      9L -> (1 to 60).map(i => s"sd9_$i").mkString(" "),
+      // below the window length: untouched
+      18L -> (1 to 10).map(i => s"sd18_$i").mkString(" ")))
+    val out = operators.Cdc.dedupSubstringStripIncrementalOf(delta, idx)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 8: positions 0..54 covered (6 base-shared windows, unioned);
+    // the EXACT surviving text is its 10 tail tokens
+    assert(out(8L)._1 === 65L)
+    assert(out(8L)._2 === 55L, "the full shared run strips, nothing more")
+    assert(out(8L)._3 === md5hex(tailToks.mkString(" ")))
+    assert(out(9L) === ((60L, 0L,
+      md5hex((1 to 60).map(i => s"sd9_$i").mkString(" ")))))
+    assert(out(18L) === ((10L, 0L,
+      md5hex((1 to 10).map(i => s"sd18_$i").mkString(" ")))))
+  }
 }
