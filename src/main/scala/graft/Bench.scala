@@ -252,22 +252,33 @@ object Bench {
     // queries in a fresh JVM without the full sweep
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
 
+    // builds fired by the JIT warm-up above are billed separately
+    // (warmup_s / warmup items): summing them into build_s while
+    // phase_s times only the prebuild loop made build_s > phase_s
+    // possible — nonsensical accounting to an artifact consumer
+    val warm = graft.sources.BuildLog.drain()
+
     // PREBUILD phase: force every stored-layout-owning query once, so the
     // timed run below measures SERVE cost; actual cache-miss builds are
-    // itemized by layout name via sources.BuildLog (builds fired by the
-    // JIT warm-up above flow into the same bill — the log is not drained
-    // between the phases). Each force in its own try (a broken query
-    // must not cold-start the rest).
+    // itemized by layout name via sources.BuildLog. Each force in its own
+    // try (a broken query must not cold-start the rest). A PrebuildQueries
+    // name that no longer resolves (typo, query rename) must WARN: its
+    // layout build would silently land back inside a timed query,
+    // detectable only via the residual list.
     val preT0 = System.nanoTime()
     PrebuildQueries
       .filter(n => only.forall(_.contains(n)))
       .foreach { n =>
-        SparkEntry.queries.get(n).foreach { fn =>
-          try { force(spark, sfDir, fn); QueryState.release(spark) }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] prebuild $n failed: ${e.getMessage}")
-          }
+        SparkEntry.queries.get(n) match {
+          case Some(fn) =>
+            try { force(spark, sfDir, fn); QueryState.release(spark) }
+            catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] prebuild $n failed: ${e.getMessage}")
+            }
+          case None =>
+            System.err.println(
+              s"[bench] prebuild $n does not resolve to a registered query")
         }
       }
     val preSec = (System.nanoTime() - preT0) / 1e9
@@ -288,7 +299,9 @@ object Bench {
     val buildsJson =
       s"""{"metric":"builds","phase_s":${d3(preSec)},""" +
         s""""build_s":${d3(built.map(_.sec).sum)},""" +
-        s""""items":${buildItems(built)},"residual":${buildItems(residual)}}"""
+        s""""warmup_s":${d3(warm.map(_.sec).sum)},""" +
+        s""""items":${buildItems(built)},"warmup":${buildItems(warm)},""" +
+        s""""residual":${buildItems(residual)}}"""
     println(report.json)
     // tail order matters: builds, then worst10, then summary, so the
     // driver's 2000-char tail capture always ends with

@@ -50,8 +50,26 @@ object GraftSession {
   * declare the query and let column pruning do it.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Schema memo per parquet path: every schema-less spark.read.parquet
+    * fires a footer-inference Spark JOB, so each of a query's table
+    * scans was paying one tiny job per plan CONSTRUCTION — noise across
+    * 200+ queries' plan builds and a violation of the job-free-explain
+    * discipline for warm paths. First read per (path, source stamp)
+    * infers and memoizes; later constructions pass the schema
+    * explicitly. Stamp-keyed so regenerated testdata (the events ts
+    * encoding has shipped in two physical types) re-infers instead of
+    * pinning a stale schema.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long), org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaMemo.computeIfAbsent(
+      (path, graft.sources.DerivedCache.sourceStamp(path)),
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   private val countMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()

@@ -468,9 +468,11 @@ object TextAnalysis {
     * tokens, model cost paid once EVER per corpus stamp.
     */
   def lmScoreBigram(spark: SparkSession, dir: String): DataFrame = {
-    val rows = Tables.cachedCount(spark, dir, "documents")
+    // fingerprint = sketch parameters only: DerivedCache appends the
+    // source-file stamp, which already invalidates on regenerated data —
+    // the old rows=N component cost a count() job at plan construction
     val modelDir = graft.sources.DerivedCache.dir(
-      dir, "lm-bigram-model", s"rows=$rows;split=8of10;lambda=0.75;v=1") { out =>
+      dir, "lm-bigram-model", s"split=8of10;lambda=0.75;v=2") { out =>
       val base = Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)
       val (uni, bg, _) = lmScoreBigramCounts(base)
       uni.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$out/uni")
@@ -479,27 +481,44 @@ object TextAnalysis {
       spark.read.parquet(s"$out/uni")
         .agg(sum(col("c1")).as("t_tokens"), count(lit(1)).as("v"))
         .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(s"$out/tot")
+      // vocab row count persisted as a SCALAR beside the model: the
+      // broadcast gate is a plan-construction decision, and a 1-row
+      // tot.first() at serve is still a Spark job on a fresh JVM —
+      // training (already a job) writes it once, every later plan
+      // construction is a file read (round-13 verdict task 4)
+      val v = spark.read.parquet(s"$out/tot")
+        .select(col("v")).first().getLong(0)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$out/v.txt"), v.toString.getBytes("UTF-8"))
       ()
     }
-    val tot = spark.read.parquet(s"$modelDir/tot")
-    // vocab row count memoized per model dir: the broadcast gate is a
-    // plan-construction decision, and without the memo every plan-only
-    // construction (bench plan fingerprints, spec plan asserts) pays a
-    // 1-row read job — the construction-time-job concern the pair-mass
-    // deferral addressed for the dedup guards
+    // model reads are schema-PINNED (the trainer owns this layout):
+    // a schema-less parquet read fires a footer-inference Spark job per
+    // plan construction, which is exactly the job-free-explain property
+    // this path guarantees
+    val tot = spark.read
+      .schema("t_tokens BIGINT, v BIGINT").parquet(s"$modelDir/tot")
     val v = vocabMemo.computeIfAbsent(
-      modelDir, _ => java.lang.Long.valueOf(
-        tot.select(col("v")).first().getLong(0))).longValue()
+      modelDir, _ => java.lang.Long.valueOf(new String(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$modelDir/v.txt")), "UTF-8").trim.toLong))
+      .longValue()
     lmScoreBigramServe(
       Tables.documents(spark, dir),
-      spark.read.parquet(s"$modelDir/uni"),
-      spark.read.parquet(s"$modelDir/bg"),
+      spark.read.schema("tok STRING, c1 BIGINT").parquet(s"$modelDir/uni"),
+      spark.read.schema("w1 STRING, w2 STRING, c2 BIGINT")
+        .parquet(s"$modelDir/bg"),
       tot,
       vocabRowsHint = Some(v))
   }
 
   private val vocabMemo =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Test hook: simulate a fresh JVM against a persisted model (the
+    * job-free-construction property Round14AdditionsSpec asserts).
+    */
+  private[graft] def clearVocabMemoForTest(): Unit = vocabMemo.clear()
 
   /** The count frames (unigram, bigram, totals) over a training split —
     * one definition shared by the persisted trainer above and

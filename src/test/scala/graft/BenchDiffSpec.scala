@@ -84,6 +84,20 @@ class BenchDiffSpec extends AnyFunSuite {
     }
   }
 
+  test("a query name carrying a quote/backslash round-trips the worst10 line") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.lit
+    val nasty = "q\"with\\quote"
+    val queries: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq(nasty -> ((s: org.apache.spark.sql.SparkSession, _: String) =>
+        s.range(3).toDF("n").withColumn("c", lit(1))))
+    val rep = Bench.runAll(spark, TestSpark.Sf, queries)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(rep.worst10Json) // must parse, not throw
+    assert(node.get("items").get(0).get("q").asText() === nasty,
+      "escaped name must decode back to the original")
+  }
+
   test("bench_diff selftest passes") {
     val out = new StringBuilder
     val code = Process(Seq("python3", "tools/bench_diff.py", "--selftest"))
