@@ -346,17 +346,18 @@ object Cdc {
     * Dedup.baseIndexDir: keyed by source, fingerprinted by corpus row
     * count, rebuilt only when missing.
     */
-  private def cdcStoreDir(spark: SparkSession, dir: String): String = {
-    val rows = Tables.cachedCount(spark, dir, "documents")
-    graft.sources.DerivedCache.dir(dir, "cdc-store", s"rows=$rows") { out =>
-      chunkFrame(Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8))
-        .groupBy(col("chunk_md5"))
-        .agg(max(col("chunk_len")).as("chunk_len"))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$out/chunks")
+  private def cdcStoreDir(spark: SparkSession, dir: String): String =
+    // v=2 = bucketed by chunk_md5 (the probe key); fingerprint is
+    // parameter-only — the source stamp DerivedCache appends already
+    // invalidates on regenerated data, and rows=N cost a count() job
+    graft.sources.DerivedCache.dir(dir, "cdc-store", "v=2") { out =>
+      graft.sources.Bucketing.writeBucketedExternal(
+        chunkFrame(Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8))
+          .groupBy(col("chunk_md5"))
+          .agg(max(col("chunk_len")).as("chunk_len")),
+        s"$out/chunks", Seq("chunk_md5"))
       ()
     }
-  }
 
   /** Incremental content-addressed ingest: chunk TODAY'S batch (the
     * delta 20% of the corpus), probe the STORED chunk store, and report
@@ -372,12 +373,18 @@ object Cdc {
     * table's content.
     */
   def cdcIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val store = spark.read.parquet(s"${cdcStoreDir(spark, dir)}/chunks")
+    val store = graft.sources.Bucketing.readBucketed(
+      spark, s"${cdcStoreDir(spark, dir)}/chunks", Seq("chunk_md5"),
+      "chunk_md5 STRING, chunk_len BIGINT")
     val perHash = chunkFrame(
         Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8))
       .groupBy(col("chunk_md5"))
       .agg(count(lit(1)).as("n"), max(col("chunk_len")).as("clen"))
+    // left-outer SHUFFLE_HASH building the DELTA side: the bucketed
+    // store scan is already clustered on chunk_md5, so only the delta
+    // exchanges and the corpus-sized store streams unsorted
     perHash
+      .hint("SHUFFLE_HASH")
       .join(
         store.select(col("chunk_md5"), lit(1).as("in_store")),
         Seq("chunk_md5"), "left")
@@ -743,20 +750,61 @@ object Cdc {
     * duplicated >= W-token window, keeping one canonical occurrence.
     * Keep-first rule: per shared window, the LOWEST doc_id containing it
     * keeps its text; every other doc marks the window's W positions for
-    * removal. Per doc the report is (n_tokens, n_removed,
-    * removed_ratio) — the token-level dedup savings a curation run
-    * publishes before materializing the stripped corpus (the stripped
-    * TEXT itself is a trivial slice over the same covered-position set;
-    * the report form keeps the oracle exact and the output bounded).
+    * removal. Per doc the report is (n_tokens, n_removed, removed_ratio,
+    * boiler_windows, boiler_removed) — the token-level dedup savings a
+    * curation run publishes before materializing the stripped corpus
+    * (the stripped TEXT itself is a trivial slice over the same
+    * covered-position set; the report form keeps the oracle exact and
+    * the output bounded). Unlike the span/detector kernels, the strip is
+    * UNCAPPED since round 14: boilerplate windows (df > SubstrDfCap)
+    * strip too — they are the most-duplicated text, exactly what a
+    * curation run most wants removed — and the boiler_* columns account
+    * for that tier's window count and removed-token mass per doc (the
+    * mass the pre-r14 cap silently kept).
     *
-    * Scale shape: the packed position stream is reused from the span
-    * kernel (df- and entry-capped buckets), non-keeper entries explode
-    * to their W covered positions (volume = W · |duplicated windows|,
-    * collapsed per-doc by the distinct — bounded by corpus token count),
-    * and the final frame is one left join onto per-doc token counts.
+    * Scale shape: the position stream reuses the span kernel's packed
+    * encoding, the keeper is a per-bucket MIN (an aggregate — no bucket
+    * is ever materialized as an array, which is what lets the df cap
+    * go), non-keeper entries explode to their W covered positions
+    * (volume = W · |duplicated window occurrences|, collapsed per-doc by
+    * the distinct), and the final frame is one left join onto per-doc
+    * token counts.
     */
   def dedupSubstringStrip(spark: SparkSession, dir: String): DataFrame =
     dedupSubstringStripOf(Tables.documents(spark, dir))
+
+  /** Non-keeper window occurrences (doc_id, p, boiler) under the
+    * keep-first rule over ALL duplicated windows — including the
+    * boilerplate tier (df > [[SubstrDfCap]]) the span/detector kernels
+    * cap away. The caps exist to bound PAIR expansion; the strip needs
+    * no pairs, so the keeper is computed without ever materializing a
+    * bucket: min packed entry = (lowest doc, earliest pos) — an
+    * aggregate, not a collect_list, so a window duplicated 10M times
+    * costs one scalar per bucket, never an 80 MB array row. Before
+    * round 14 those windows were silently KEPT (the ×100 copymark
+    * fixture showed zero strip yield on 100-copy text by design) —
+    * the most-duplicated content is exactly what a curation run most
+    * wants removed; `boiler` tags them so the report can account for
+    * the mass the old cap discarded.
+    */
+  private def stripEntries(docs: DataFrame): DataFrame = {
+    val win = spanWin(docs)
+    val keep = win
+      .groupBy(col("h"))
+      .agg(
+        min(col("e")).as("e0"),
+        countDistinct(shiftright(col("e"), 24)).as("nd"))
+      .filter(col("nd") >= 2)
+    // the join re-keys the window stream by h — the same partitioning
+    // the keeper aggregate used, so the exchange is reused, not repaid
+    win
+      .join(keep, Seq("h"))
+      .filter(shiftright(col("e"), 24) =!= shiftright(col("e0"), 24))
+      .select(
+        shiftright(col("e"), 24).as("doc_id"),
+        col("e").bitwiseAND(lit((1L << 24) - 1)).as("p"),
+        (col("nd") > SubstrDfCap).as("boiler"))
+  }
 
   /** Distinct covered token positions (doc_id, pos) under the keep-first
     * rule — the removal set shared by the per-doc savings report
@@ -764,28 +812,30 @@ object Cdc {
     * ([[dedupSubstringStripTextOf]]).
     */
   private def stripPositions(docs: DataFrame): DataFrame =
-    spanWin(docs)
-      .groupBy(col("h"))
-      .agg(
-        sort_array(collect_list(col("e"))).as("es"),
-        countDistinct(shiftright(col("e"), 24)).as("nd"))
-      .filter(col("nd").between(2, SubstrDfCap) && size(col("es")) <= SpanBucketCap)
-      // es is sorted packed (doc, pos): es[0]'s doc is the keeper
-      .select(explode(expr(
-        "filter(es, x -> shiftright(x, 24) != shiftright(element_at(es, 1), 24))"))
-        .as("e"))
-      .select(
-        shiftright(col("e"), 24).as("doc_id"),
-        col("e").bitwiseAND(lit((1L << 24) - 1)).as("p"))
+    stripEntries(docs)
       .select(
         col("doc_id"),
         explode(expr(s"sequence(p, p + ${SubstrW - 1})")).as("pos"))
       .distinct()
 
   private[graft] def dedupSubstringStripOf(docs: DataFrame): DataFrame = {
-    val removals = stripPositions(docs)
+    // ONE pass over the removal entries: positions collapse per
+    // (doc, pos) carrying a boiler flag (max), and the entry-grain
+    // boiler-window count rides along by tagging each entry's o=0
+    // position — no second aggregation over the entry stream
+    val removals = stripEntries(docs)
+      .select(
+        col("doc_id"), col("boiler"),
+        posexplode(expr(s"sequence(p, p + ${SubstrW - 1})")).as(Seq("o", "pos")))
+      .groupBy(col("doc_id"), col("pos"))
+      .agg(
+        max(col("boiler")).as("b"),
+        sum(when(col("o") === 0 && col("boiler"), 1L).otherwise(0L)).as("bw"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_removed"))
+      .agg(
+        count(lit(1)).as("n_removed"),
+        sum(when(col("b"), 1L).otherwise(0L)).as("boiler_removed"),
+        sum(col("bw")).as("boiler_windows"))
     docs
       .select(
         col("doc_id"),
@@ -797,7 +847,13 @@ object Cdc {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"),
         Det.detRound(
           coalesce(col("n_removed"), lit(0L)).cast("double") /
-            col("n_tokens").cast("double"), 6).as("removed_ratio"))
+            col("n_tokens").cast("double"), 6).as("removed_ratio"),
+        // the boilerplate-tier accounting (round-13 verdict task 2):
+        // how many of this doc's removed window occurrences had
+        // df > SubstrDfCap, and how many removed positions those
+        // windows cover — the mass the pre-r14 cap silently kept
+        coalesce(col("boiler_windows"), lit(0L)).as("boiler_windows"),
+        coalesce(col("boiler_removed"), lit(0L)).as("boiler_removed"))
       .orderBy(col("doc_id"))
   }
 
@@ -809,23 +865,37 @@ object Cdc {
        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
        |  WHERE len(w) >= $SubstrW AND len(w) <= $SpanMaxDocTokens
        |), b AS (
-       |  SELECT s, min(doc_id) AS keeper FROM win GROUP BY s
-       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SubstrDfCap
-       |     AND count(*) <= $SpanBucketCap
+       |  -- ALL duplicated windows strip (keep-first); df > cap only TAGS
+       |  -- the boilerplate tier for the accounting columns
+       |  SELECT s, min(doc_id) AS keeper,
+       |         count(DISTINCT doc_id) > $SubstrDfCap AS boiler
+       |  FROM win GROUP BY s
+       |  HAVING count(DISTINCT doc_id) >= 2
        |), rem AS (
-       |  SELECT DISTINCT w.doc_id, w.p + g.o AS pos
+       |  SELECT w.doc_id, w.p + g.o AS pos, b.boiler,
+       |         CASE WHEN g.o = 0 AND b.boiler THEN 1 ELSE 0 END AS bw
        |  FROM win w
        |  JOIN b ON w.s = b.s AND w.doc_id != b.keeper,
        |  LATERAL (SELECT unnest(generate_series(0, ${SubstrW - 1})) AS o) g
+       |), pp AS (
+       |  SELECT doc_id, pos,
+       |         max(CASE WHEN boiler THEN 1 ELSE 0 END) AS bb,
+       |         SUM(bw) AS bw
+       |  FROM rem GROUP BY 1, 2
        |), cnt AS (
-       |  SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id
+       |  SELECT doc_id, count(*) AS n_removed,
+       |         CAST(SUM(bb) AS BIGINT) AS boiler_removed,
+       |         CAST(SUM(bw) AS BIGINT) AS boiler_windows
+       |  FROM pp GROUP BY doc_id
        |)
        |SELECT d.doc_id,
        |       CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
        |       COALESCE(c.n_removed, 0) AS n_removed,
        |       ${Det.roundSql(
         "CAST(COALESCE(c.n_removed, 0) AS DOUBLE) / CAST(len(string_split(d.text, ' ')) AS DOUBLE)",
-        6)} AS removed_ratio
+        6)} AS removed_ratio,
+       |       COALESCE(c.boiler_windows, 0) AS boiler_windows,
+       |       COALESCE(c.boiler_removed, 0) AS boiler_removed
        |FROM documents d LEFT JOIN cnt c ON d.doc_id = c.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
@@ -891,9 +961,9 @@ object Cdc {
        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
        |  WHERE len(w) >= $SubstrW AND len(w) <= $SpanMaxDocTokens
        |), b AS (
+       |  -- keep-first over ALL duplicated windows (boilerplate strips too)
        |  SELECT s, min(doc_id) AS keeper FROM win GROUP BY s
-       |  HAVING count(DISTINCT doc_id) BETWEEN 2 AND $SubstrDfCap
-       |     AND count(*) <= $SpanBucketCap
+       |  HAVING count(DISTINCT doc_id) >= 2
        |), rem AS (
        |  SELECT DISTINCT w.doc_id, w.p + g.o AS pos
        |  FROM win w
@@ -945,27 +1015,53 @@ object Cdc {
     * Dedup.baseIndexDir; at 100 TB the index lives bucketed by h
     * (sources/Bucketing) so a delta probe shuffles only the delta.
     */
-  /** The df-capped posting lists (h, base_docs) of a base frame — the
-    * index CONTENT, factored so Round13AdditionsSpec can build one over
-    * planted fixtures without the DerivedCache layer.
+  /** The posting lists (h, base_docs) of a base frame — the index
+    * CONTENT, factored so Round13AdditionsSpec can build one over
+    * planted fixtures without the DerivedCache layer. Posting LISTS are
+    * df-capped (they feed the detector's pair expansion), but since
+    * round 14 every window keeps a PRESENCE row: boilerplate windows
+    * (df > [[SubstrDfCap]]) store an EMPTY posting list instead of
+    * vanishing — the detector probe explodes base_docs and is
+    * unaffected, while the incremental STRIP probes h-presence only and
+    * must see boilerplate (the old capped index silently exempted the
+    * most-duplicated text from the strip). The big list is materialized
+    * transiently before the cap (exactly as the pre-r14 filter did); a
+    * 100 TB build would two-pass this (df aggregate, then capped
+    * collect) to keep peak row size bounded.
     */
   private[graft] def substrPostings(base: DataFrame): DataFrame =
     winDistinct(base)
       .groupBy(col("h"))
-      .agg(sort_array(collect_list(col("doc_id"))).as("base_docs"))
-      .filter(size(col("base_docs")) <= SubstrDfCap)
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(
+        col("h"),
+        when(size(col("ds")) <= SubstrDfCap, col("ds"))
+          .otherwise(array().cast("array<bigint>")).as("base_docs"))
 
-  private def substrIndexDir(spark: SparkSession, dir: String): String = {
-    val rows = Tables.cachedCount(spark, dir, "documents")
+  private def substrIndexDir(spark: SparkSession, dir: String): String =
+    // fingerprint = parameters only (DerivedCache appends the source
+    // stamp — the old rows=N component cost a count() job at plan
+    // construction); v=2 = the BUCKETED layout
     graft.sources.DerivedCache.dir(
-      dir, "substr-index", s"rows=$rows;w=$SubstrW;df=$SubstrDfCap;v=1") { out =>
-      substrPostings(
-        Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8))
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$out/postings")
+      dir, "substr-index", s"w=$SubstrW;df=$SubstrDfCap;v=2") { out =>
+      // bucketed by the probe key: every delta probe is an equi-join on
+      // h, and a plain-parquet index re-shuffles the CORPUS-sized side
+      // on every batch — the incremental tier's cost-∝-delta claim
+      // inverts at 100 TB (round-13 verdict task 1)
+      graft.sources.Bucketing.writeBucketedExternal(
+        substrPostings(
+          Tables.documents(spark, dir).filter(col("doc_id") % 10 < 8)),
+        s"$out/postings", Seq("h"))
       ()
     }
-  }
+
+  /** The stored posting index as a bucketed-table scan — hash-clustered
+    * by h, so probe joins exchange only the delta side.
+    */
+  private def substrIndex(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Bucketing.readBucketed(
+      spark, s"${substrIndexDir(spark, dir)}/postings", Seq("h"),
+      "h BIGINT, base_docs ARRAY<BIGINT>")
 
   /** Incremental substring dedup — the ingest form of the strongest
     * exact detector (round-12 gap: the minhash and CDC tiers had
@@ -986,11 +1082,10 @@ object Cdc {
     * surface as a count mismatch — the same collision-audited
     * equivalence dedup_substring uses.
     */
-  def dedupSubstringIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val idx = spark.read.parquet(s"${substrIndexDir(spark, dir)}/postings")
+  def dedupSubstringIncremental(spark: SparkSession, dir: String): DataFrame =
     dedupSubstringIncrementalOf(
-      Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8), idx)
-  }
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8),
+      substrIndex(spark, dir))
 
   /** The probe kernel against an arbitrary delta frame + posting index,
     * factored for Round13AdditionsSpec's planted fixtures.
@@ -999,7 +1094,14 @@ object Cdc {
       delta: DataFrame, idx: DataFrame): DataFrame = {
     val dwin = winDistinct(delta)
     val nw = dwin.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    // SHUFFLE_HASH with the DELTA as build side: the stored index scan
+    // is already hash-clustered on h (bucketed table), so the join
+    // exchanges only the delta and streams the index with no sort — a
+    // broadcast here would collapse parallelism to the index's file
+    // splits (the round-13 editdist hazard), and SMJ would sort the
+    // corpus-sized side
     val best = dwin
+      .hint("SHUFFLE_HASH")
       .join(idx, Seq("h"))
       .select(col("doc_id").as("delta_id"), explode(col("base_docs")).as("base_id"))
       .groupBy(col("delta_id"), col("base_id"))
@@ -1041,18 +1143,20 @@ object Cdc {
     * incremental) and now transform, both ∝ delta.
     *
     * Scale shape: the delta's positional window stream probes the
-    * stored posting lists with a LEFT SEMI join on the 8-byte hash
-    * (base doc ids never ship — presence is all the strip needs),
-    * covered positions collapse per delta doc, and the in-row mask
-    * kernel is shared with the full-corpus strip. Delta-internal
-    * duplication is out of scope here by design — that is the
-    * full-corpus strip's job after the batch lands.
+    * stored posting index on the 8-byte hash (base doc ids never ship —
+    * presence is all the strip needs; the bucketed index streams
+    * exchange-free), covered positions collapse per delta doc, and the
+    * in-row mask kernel is shared with the full-corpus strip. Since
+    * round 14 delta-INTERNAL duplication is also handled: the same
+    * keep-first rule runs over the delta alone (cost ∝ delta), so a
+    * batch of near-identical new documents no longer lands verbatim —
+    * the old fallback (full-corpus re-strip after the batch lands) cost
+    * exactly the corpus re-scan the incremental form exists to avoid.
     */
-  def dedupSubstringStripIncremental(spark: SparkSession, dir: String): DataFrame = {
-    val idx = spark.read.parquet(s"${substrIndexDir(spark, dir)}/postings")
+  def dedupSubstringStripIncremental(spark: SparkSession, dir: String): DataFrame =
     dedupSubstringStripIncrementalOf(
-      Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8), idx)
-  }
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 >= 8),
+      substrIndex(spark, dir))
 
   private[graft] def dedupSubstringStripIncrementalOf(
       delta: DataFrame, idx: DataFrame): DataFrame = {
@@ -1065,13 +1169,33 @@ object Cdc {
         posexplode(expr(
           s"if(size(graft_window_hashes(t, $SubstrW)) >= 0, " +
             s"graft_window_hashes(t, $SubstrW), array())")).as(Seq("p", "h")))
-    val rs = dwin
-      .join(idx.select(col("h")), Seq("h"), "leftsemi")
+    // INNER join standing in for the old LEFT SEMI: postings h is
+    // unique (grouped by h), so the row sets are identical — but a semi
+    // join forces the INDEX side to be the hash-map build side in a
+    // shuffled hash join, while this form lets the delta build and the
+    // bucketed index stream exchange-free (base doc ids still never
+    // ship: only h is selected)
+    val baseRs = dwin
+      .hint("SHUFFLE_HASH")
+      .join(idx.select(col("h")), Seq("h"))
       .select(
         col("doc_id"),
         explode(expr(
           s"sequence(CAST(p AS BIGINT), CAST(p AS BIGINT) + ${SubstrW - 1})"))
           .as("pos"))
+    // intra-DELTA duplication (closed in round 14): a duplicate-heavy
+    // ingest batch used to land verbatim — the same keep-first window
+    // rule the full-corpus strip applies now runs on the delta alone
+    // (delta-sized, not corpus-sized; windows already covered by the
+    // base rule union away). A window present in base strips from ALL
+    // delta docs (keep-base); a delta-only duplicated window keeps its
+    // first delta occurrence.
+    val intraRs = stripEntries(delta)
+      .select(
+        col("doc_id"),
+        explode(expr(s"sequence(p, p + ${SubstrW - 1})")).as("pos"))
+    val rs = baseRs
+      .unionByName(intraRs)
       .distinct()
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("rs"))
@@ -1086,15 +1210,27 @@ object Cdc {
        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
        |  WHERE len(w) >= $SubstrW
        |), idx AS (
-       |  SELECT s FROM win WHERE doc_id % 10 < 8
-       |  GROUP BY s HAVING count(*) <= $SubstrDfCap
+       |  -- presence is uncapped since r14: boilerplate windows strip too
+       |  SELECT s FROM win WHERE doc_id % 10 < 8 GROUP BY s
        |), dwin AS (
        |  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
        |  WHERE doc_id % 10 >= 8 AND len(w) >= $SubstrW
+       |), iwin AS (
+       |  -- intra-delta stream mirrors spanWin's packing capacity bound
+       |  SELECT doc_id, i - 1 AS p, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE doc_id % 10 >= 8 AND len(w) >= $SubstrW AND len(w) <= $SpanMaxDocTokens
+       |), ib AS (
+       |  SELECT s, min(doc_id) AS keeper FROM iwin GROUP BY s
+       |  HAVING count(DISTINCT doc_id) >= 2
        |), rem AS (
        |  SELECT DISTINCT d.doc_id, d.p + g.o AS pos
        |  FROM dwin d JOIN idx ON d.s = idx.s,
+       |  LATERAL (SELECT unnest(generate_series(0, ${SubstrW - 1})) AS o) g
+       |  UNION
+       |  SELECT DISTINCT w.doc_id, w.p + g.o AS pos
+       |  FROM iwin w JOIN ib ON w.s = ib.s AND w.doc_id != ib.keeper,
        |  LATERAL (SELECT unnest(generate_series(0, ${SubstrW - 1})) AS o) g
        |), ps AS (
        |  SELECT doc_id, list_sort(list(pos)) AS rs FROM rem GROUP BY doc_id

@@ -88,17 +88,56 @@ object Dedup {
   private val pairMassMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
 
-  /** Overflow-safe C(n,2) — the worst CONCEIVABLE pair mass of an n-doc
-    * corpus (every doc sharing one bucket). When even this bound fits the
-    * budget, the guards skip the [[exactPairMass]] measurement entirely:
-    * no Spark job at DataFrame construction (plan-only callers — explain,
-    * plan fingerprints, spec plan asserts — stay lazy; round-12 ADVICE),
-    * and no measurement cost at any corpus that provably cannot exceed
-    * the budget. Above the bound the measurement is mandatory — measure,
-    * don't guess.
+  private val tokenCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Long]()
+
+  /** Total whitespace-token count of the corpus, persisted per corpus
+    * stamp exactly like [[exactPairMass]] (one narrow scan + a scalar
+    * sum, no shuffle over shingles — strictly cheaper than the df
+    * histogram). Feeds [[pairMassBound]].
     */
-  private def worstCasePairs(n: Long): Long =
-    if (n > 3037000499L) Long.MaxValue else n * (n - 1) / 2
+  private[graft] def cachedTokenCount(spark: SparkSession, dir: String): Long =
+    tokenCountMemo.computeIfAbsent(
+      (dir, graft.sources.DerivedCache.sourceStamp(s"$dir/documents.parquet")),
+      _ => {
+        val out = graft.sources.DerivedCache.dir(
+          dir, "token-count", "v=1") { o =>
+          val row = Tables.documents(spark, dir)
+            .agg(sum(size(split(col("text"), " ")).cast("long")).as("t"))
+            .first()
+          val t = if (row.isNullAt(0)) 0L else row.getLong(0)
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(o))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$o/tokens.txt"),
+            t.toString.getBytes("UTF-8"))
+          ()
+        }
+        java.lang.Long.valueOf(new String(
+          java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$out/tokens.txt")), "UTF-8").trim.toLong)
+      }).longValue()
+
+  /** SOUND upper bound on [[exactPairMass]], from the persisted token
+    * count: every cold posting entry is one (shingle, doc) row, so
+    * postingEntries ≤ Σ_doc shingles(doc) ≤ tokens, and each bucket's
+    * C(df,2) ≤ df·(HotShingleCap−1)/2, so
+    * mass ≤ tokens·(HotShingleCap−1)/2. C(n,2) over DOC count does NOT
+    * bound the mass — a doc pair is counted once PER shared cold
+    * shingle, so 1,000 identical 500-token docs carry ~2.5e8 mass
+    * against C(n,2) ≈ 5e5 (round-13 review finding: the old doc-count
+    * short-circuit silently took the exact path on exactly the dense
+    * small corpora the budget exists to route). When this bound fits
+    * the budget the guards skip the pair-mass measurement: the only
+    * construction cost is the persisted token scalar (paid once EVER
+    * per corpus stamp, a strict subset of what exactPairMass costs);
+    * above the bound the measurement is mandatory — measure, don't
+    * guess.
+    */
+  private[graft] def pairMassBound(spark: SparkSession, dir: String): Long = {
+    val t = cachedTokenCount(spark, dir)
+    val f = (HotShingleCap - 1).toLong
+    if (t > 0 && t > Long.MaxValue / f) Long.MaxValue else t * f / 2
+  }
 
   /** Σ C(df,2) over cold shingle buckets — the EXACT number of pair rows
     * pairCommonOf would emit, measured from the posting-list df
@@ -159,9 +198,9 @@ object Dedup {
     }
     // duplicate-density axis: a legal-size corpus can still carry an
     // over-budget pair expansion (see PairBudget) — measure, don't guess.
-    // Corpora whose worst-case C(n,2) already fits need no measurement.
+    // Corpora whose token-mass bound already fits need no measurement.
     val mass =
-      if (worstCasePairs(nDocs) <= pairBudget) 0L
+      if (pairMassBound(spark, dir) <= pairBudget) 0L
       else exactPairMass(spark, dir)
     if (mass > pairBudget) {
       graft.Downgrades.record(
@@ -328,10 +367,10 @@ object Dedup {
     // density would still blow the spill envelope if the density axis
     // were skipped on the sampled path (round-12 review finding).
     val mCap = if (nDocs > cap) (nDocs + cap - 1) / cap else 1L
-    // measurement deferred when even the worst-case C(n,2) fits — keeps
-    // DataFrame construction job-free on provably-safe corpora
+    // measurement deferred when the sound token-mass bound fits — only
+    // the cheap persisted token scalar moves on provably-safe corpora
     val mass =
-      if (worstCasePairs(nDocs) <= pairBudget) 0L
+      if (pairMassBound(spark, dir) <= pairBudget) 0L
       else exactPairMass(spark, dir)
     val mMass =
       if (mass > pairBudget)
@@ -1334,8 +1373,8 @@ object Dedup {
     val nDocs = Tables.cachedCount(spark, dir, "documents")
     // route on EITHER axis: corpus size (cap) or duplicate density
     // (pair-expansion mass) — see PairBudget; the mass measurement is
-    // skipped when even worst-case C(n,2) fits the budget
-    val overBudget = nDocs <= cap && worstCasePairs(nDocs) > pairBudget &&
+    // skipped when the sound token-mass bound fits the budget
+    val overBudget = nDocs <= cap && pairMassBound(spark, dir) > pairBudget &&
       exactPairMass(spark, dir) > pairBudget
     val labels = if (nDocs > cap || overBudget) {
       graft.Downgrades.record(
@@ -1455,27 +1494,28 @@ object Dedup {
     * delta signing + index probe, never a base re-sign. Keyed by source
     * dir, rebuilt only if missing (deterministic content).
     */
-  private def baseIndexDir(spark: SparkSession, dir: String, k: Int): String = {
-    // fingerprint = corpus row count + sketch parameters: regenerated
-    // testdata, a different k, or a re-tuned bucket cap rebuilds the
-    // stored index instead of silently probing a stale one
-    val rows = Tables.cachedCount(spark, dir, "documents")
+  private def baseIndexDir(spark: SparkSession, dir: String, k: Int): String =
+    // fingerprint = sketch parameters (DerivedCache appends the source
+    // stamp, which covers regenerated testdata — the old rows=N
+    // component cost a count() job at plan construction); v=2 = the
+    // BUCKETED layout: both index tables are hash-clustered by their
+    // probe key so every delta probe exchanges only the delta, never
+    // the corpus-sized index (round-13 verdict task 1)
     graft.sources.DerivedCache.dir(
-      dir, "dedup-base", s"rows=$rows;k=$k;cap=$IncrBucketCap") { out =>
+      dir, "dedup-base", s"k=$k;cap=$IncrBucketCap;v=2") { out =>
       val (sigs, bands) = minhashBandsOf(
         Tables.documents(spark, dir).filter((col("doc_id") % 10) < 8), k)
-      sigs.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$out/sigs")
-      bands
-        .groupBy(col("band"), col("bh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("base_docs"))
-        .filter(size(col("base_docs")) <= IncrBucketCap)
-        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-        .parquet(s"$out/bidx")
+      graft.sources.Bucketing.writeBucketedExternal(
+        sigs, s"$out/sigs", Seq("doc_id"))
+      graft.sources.Bucketing.writeBucketedExternal(
+        bands
+          .groupBy(col("band"), col("bh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("base_docs"))
+          .filter(size(col("base_docs")) <= IncrBucketCap),
+        s"$out/bidx", Seq("band", "bh"))
       sigs.unpersist()
       ()
     }
-  }
 
   /** Previous invocation's persisted delta signatures: the persist is
     * only useful while that query's plan executes (deltaBands + the est
@@ -1515,9 +1555,18 @@ object Dedup {
       deltaIsSmall: Boolean = false): (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val k = MinhashK
-    def hinted(df: DataFrame): DataFrame = if (deltaIsSmall) broadcast(df) else df
-    val baseSigs = spark.read.parquet(s"$idx/sigs")
-    val baseIdx  = spark.read.parquet(s"$idx/bidx")
+    // bounded micro-batch (streaming): broadcast the delta so the probe
+    // is exchange-free everywhere; corpus-proportional batch: SHUFFLE_HASH
+    // with the delta as build side — the bucketed index scans are
+    // already hash-clustered on their probe keys, so only the delta
+    // exchanges and the corpus-sized index streams unsorted
+    def hinted(df: DataFrame): DataFrame =
+      if (deltaIsSmall) broadcast(df) else df.hint("SHUFFLE_HASH")
+    val baseSigs = graft.sources.Bucketing.readBucketed(
+      spark, s"$idx/sigs", Seq("doc_id"), "doc_id BIGINT, sig ARRAY<BIGINT>")
+    val baseIdx = graft.sources.Bucketing.readBucketed(
+      spark, s"$idx/bidx", Seq("band", "bh"),
+      "band INT, bh STRING, base_docs ARRAY<BIGINT>")
     // only the DELTA is signed at probe time — the base comes from the
     // stored index, so this pass costs ∝ today's batch, not the corpus
     val (deltaSigs, deltaBands) = minhashBandsOf(delta, k, persistSigs = !deltaIsSmall)

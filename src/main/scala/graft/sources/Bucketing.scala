@@ -32,6 +32,78 @@ object Bucketing {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Bucket count for the stored probe indexes (substring postings,
+    * minhash base index, CDC chunk store). 32 matches the session's
+    * shuffle partitioning at test scale; a 100 TB deployment raises it
+    * to O(corpus/target-partition-size) once at index build — probes
+    * adapt automatically (the delta side is exchanged to the index's
+    * bucket count, never the reverse).
+    */
+  val IndexBuckets = 32
+
+  private val regLock = new Object
+
+  /** Deterministic catalog name for an external bucketed table at
+    * `path`. The path already carries the DerivedCache content key, so
+    * the name is unique per corpus stamp + layout version and never
+    * stale: a rebuilt layout lands at a NEW path → a new table name.
+    */
+  private[graft] def tableNameFor(path: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    "graft_idx_" + md.digest(path.getBytes("UTF-8"))
+      .take(12).map("%02x".format(_)).mkString
+  }
+
+  /** Write `df` as an external BUCKETED table at `path` — the layout
+    * that makes every later equi-join on `keys` exchange-free on this
+    * side. bucketBy requires saveAsTable (catalog metadata carries the
+    * bucket spec), so the table registers in the session catalog AND
+    * the files land at `path`; the repartition puts one file per
+    * bucket. The in-memory catalog dies with the session — later
+    * sessions re-attach via [[readBucketed]].
+    */
+  def writeBucketedExternal(
+      df: DataFrame, path: String, keys: Seq[String],
+      buckets: Int = IndexBuckets): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val tbl = tableNameFor(path)
+    regLock.synchronized {
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      df.repartition(buckets, keys.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("path", path)
+        .bucketBy(buckets, keys.head, keys.tail: _*)
+        .sortBy(keys.head, keys.tail: _*)
+        .format("parquet")
+        .saveAsTable(tbl)
+    }
+  }
+
+  /** Read an external bucketed table written by [[writeBucketedExternal]],
+    * (re-)registering it in THIS session's catalog when absent (the
+    * in-memory catalog does not survive the JVM; the bucketed files
+    * do — Spark recovers each row's bucket from the writer's file
+    * naming). `schema` is explicit DDL: the layout is ours, and a
+    * schema-less read would fire a footer-inference job per plan
+    * construction.
+    */
+  def readBucketed(
+      spark: SparkSession, path: String, keys: Seq[String], schema: String,
+      buckets: Int = IndexBuckets): DataFrame = {
+    val tbl = tableNameFor(path)
+    regLock.synchronized {
+      if (!spark.catalog.tableExists(tbl)) {
+        val ks = keys.mkString(", ")
+        spark.sql(
+          s"CREATE TABLE $tbl ($schema) USING parquet " +
+            s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS " +
+            s"LOCATION '$path'")
+      }
+    }
+    spark.table(tbl)
+  }
+
   /** Equi-join two same-bucket-count tables on their bucket keys.
     * With both sides bucketed this plans with no Exchange on either
     * side; the caller can `.explain` or assert on the executed plan.
