@@ -29,6 +29,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // NB: adaptive.coalescePartitions.initialPartitionNum is left
+      // UNSET deliberately: raising it globally makes every join's
+      // shuffle side start at N ≠ the stored indexes' bucket count, and
+      // the planner then DISABLES the bucketed scans and re-shuffles
+      // both sides — exactly the corpus-sized exchange the bucketed
+      // layout exists to avoid (measured: "Bucketed: false (disabled by
+      // query planner)" on every probe at 256). Volume-aware partition
+      // sizing is done locally where the optimizer is blind to it
+      // (Dedup.pairCommonOf sizes the pair exchange from the measured
+      // pair mass a generator is about to emit).
       // session_window aggs: merge sessions map-side so the shuffle
       // carries session partials, not raw events — on a duplicate-heavy
       // or hot-user corpus this collapses each input partition's

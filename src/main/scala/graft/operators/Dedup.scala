@@ -211,7 +211,8 @@ object Dedup {
         lit(null).cast("long").as("common"),
         col("est_jaccard").as("jaccard"))
     }
-    if (!ordered) return dedupJaccardOfUnordered(Tables.documents(spark, dir))
+    if (!ordered)
+      return dedupJaccardOfUnordered(Tables.documents(spark, dir), mass)
     // Single-pass inverted index: per-doc shingle arrays built in-row,
     // with the per-doc distinct-shingle count |doc| = size(shs) CARRIED
     // through the posting list, bit-packed into the doc_id long
@@ -232,7 +233,7 @@ object Dedup {
     // df-subquery + self-join SQL. Capacity: sz < 2^24 distinct
     // shingles per doc, doc_id < 2^39 — both far above any real
     // corpus row (ExactDocCap bounds this path to 100k docs anyway).
-    dedupJaccardOf(Tables.documents(spark, dir))
+    dedupJaccardOf(Tables.documents(spark, dir), mass)
   }
 
   /** The exact-Jaccard kernel over an arbitrary (doc_id, text) frame —
@@ -240,15 +241,31 @@ object Dedup {
     * route) can grade against the REAL exact anchor instead of the
     * routed estimate. Callers own the corpus-size guard.
     */
-  private[operators] def dedupJaccardOf(docsIn: DataFrame): DataFrame =
-    dedupJaccardOfUnordered(docsIn).orderBy(col("doc_a"), col("doc_b"))
+  private[operators] def dedupJaccardOf(
+      docsIn: DataFrame, pairMass: Long = 0L): DataFrame = {
+    val u = dedupJaccardOfUnordered(docsIn, pairMass)
+    // materialization boundary before the presentation sort on heavy
+    // corpora: RangePartitioning SAMPLES its child plan, and without an
+    // exchange between them the sample pass re-executes the whole pair
+    // aggregate (the round-13 opaque-node hazard, here on a plain
+    // orderBy — per-stage attribution showed the agg stage running
+    // twice, 11.5 GiB spill each). The cheap hash exchange of the
+    // FILTERED result materializes a query stage the sampler reads back
+    // instead of recomputing.
+    val cut =
+      if (pairMass / PairsPerExpandPartition > 32)
+        u.repartition(col("doc_a"), col("doc_b"))
+      else u
+    cut.orderBy(col("doc_a"), col("doc_b"))
+  }
 
   /** The exact kernel WITHOUT the presentation sort — see
     * dedupMinhashOfUnordered for why internal consumers must not carry
     * the global orderBy.
     */
-  private def dedupJaccardOfUnordered(docsIn: DataFrame): DataFrame =
-    pairCommonOf(docsIn)
+  private def dedupJaccardOfUnordered(
+      docsIn: DataFrame, pairMass: Long = 0L): DataFrame =
+    pairCommonOf(docsIn, pairMass)
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -286,18 +303,57 @@ object Dedup {
       .select(xxhash64(col("shingle")).as("h"), col("d"))
   }
 
+  /** Pair-rows-per-expansion-partition target for [[pairCommonOf]]'s
+    * mass-adaptive repartition: ~2M pair rows ≈ 100-150 MB of partial
+    * (a,b)-aggregate state per task — inside a task's execution-memory
+    * share, so the worst LEGAL densities aggregate in memory instead of
+    * sort-spilling (×10 docs: 138M pairs over 32 tasks = 4.3M/task spilt
+    * 39 GiB).
+    */
+  private val PairsPerExpandPartition = 500000L
+
   /** The packed inverted-index pair kernel shared by the exact-Jaccard
     * and containment views: (doc_a, sz_a, doc_b, sz_b, common) for every
     * pair sharing at least one cold shingle — sizes carried bit-packed
     * through the posting lists so no sizes join is ever needed.
+    *
+    * `pairMass` = the measured Σ C(df,2) for THIS frame (0 = unknown/
+    * small): the optimizer sizes the stage from the shuffled posting
+    * BYTES, but the stage's true volume is the EXPANDED pair mass the
+    * slice generator emits — a number AQE cannot foresee and the guards
+    * already measure and persist. Above 32 target partitions the bucket
+    * frame re-keys by h to ceil(mass / [[PairsPerExpandPartition]])
+    * (capped at 512), bounding the per-task pair volume the partial
+    * aggregate must absorb.
     */
-  private def pairCommonOf(docsIn: DataFrame): DataFrame = {
-    shingleIndex(docsIn)
+  private def pairCommonOf(docsIn: DataFrame, pairMass: Long = 0L): DataFrame = {
+    val idx = shingleIndex(docsIn)
+    val k = math.min(512L, pairMass / PairsPerExpandPartition).toInt
+    // Two volume-aware repartitions, both invisible to the optimizer
+    // (stage sizing follows SHUFFLED bytes; here the volume is what the
+    // slice generator EMITS — a number only the measured mass knows):
+    // (1) the posting frame re-keys by h so each map task expands (and
+    // shuffle-writes) a bounded share of the mass instead of AQE's
+    // posting-byte-coalesced 16 fat tasks; (2) the RAW pair stream
+    // re-keys by (a, b) so the pair aggregate runs complete on
+    // ~500k-row tasks whose distinct-key state fits execution memory —
+    // the 32-partition default put 4.3M pairs AND a multi-million-key
+    // agg map per task and sort-spilled everything. Forgoing map-side
+    // combine costs nothing here: a pair's duplicates live in DIFFERENT
+    // h-buckets, so partial aggregation almost never merged them
+    // pre-shuffle (measured: raw pair shuffle 1.7 GB vs combined
+    // 1.4 GB). Measured at ×10 docs / 138M mass (each piece isolated
+    // via per-stage spill attribution): 38.9 GiB spill / 21.5 s →
+    // ZERO spill / 17.5 s.
+    val keyed = if (k > 32) idx.repartition(k, col("h")) else idx
+    val raw = keyed
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("d"))).as("docs"))
       .filter(size(col("docs")).between(2, HotShingleCap))
       .select(posexplode(col("docs")).as(Seq("i", "a")), col("docs"))
       .select(col("a"), explode(expr("slice(docs, i + 2, size(docs))")).as("b"))
+    val pairs = if (k > 32) raw.repartition(k, col("a"), col("b")) else raw
+    pairs
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
       .select(
@@ -390,7 +446,9 @@ object Dedup {
         Tables.documents(spark, dir)
           .filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
       }
-    val measured = pairCommonOf(docs).select(
+    // mass under a 1/m doc-hash sample scales ~1/m² (the same relation
+    // mMass inverts) — size the expansion stage for the SAMPLED volume
+    val measured = pairCommonOf(docs, if (m > 1L) mass / (m * m) else mass).select(
       greatest(
         Det.detRound(col("common").cast("double") / col("sz_a"), 6),
         Det.detRound(col("common").cast("double") / col("sz_b"), 6)).as("cmax"),
@@ -1337,8 +1395,9 @@ object Dedup {
     * dominated by the long side). Both thresholds detRound-pinned to
     * match the oracle's edge membership exactly.
     */
-  private[graft] def containmentEdgesOf(docsIn: DataFrame): DataFrame =
-    pairCommonOf(docsIn)
+  private[graft] def containmentEdgesOf(
+      docsIn: DataFrame, pairMass: Long = 0L): DataFrame =
+    pairCommonOf(docsIn, pairMass)
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -1374,12 +1433,14 @@ object Dedup {
     // route on EITHER axis: corpus size (cap) or duplicate density
     // (pair-expansion mass) — see PairBudget; the mass measurement is
     // skipped when the sound token-mass bound fits the budget
-    val overBudget = nDocs <= cap && pairMassBound(spark, dir) > pairBudget &&
-      exactPairMass(spark, dir) > pairBudget
+    val massOpt =
+      if (pairMassBound(spark, dir) <= pairBudget) None
+      else Some(exactPairMass(spark, dir))
+    val overBudget = nDocs <= cap && massOpt.exists(_ > pairBudget)
     val labels = if (nDocs > cap || overBudget) {
       graft.Downgrades.record(
         "dedup_keep_best_containment", "minhash_star+containment_minhash",
-        if (overBudget) exactPairMass(spark, dir) else nDocs,
+        if (overBudget) massOpt.get else nDocs,
         if (overBudget) pairBudget else ExactDocCap)
       def edges: DataFrame = {
         GraftFunctions.register(spark)
@@ -1395,7 +1456,7 @@ object Dedup {
     } else ccLabels(
       spark, dir, "exactcont",
       s"rows=$nDocs;cap=$cap;hot=$HotShingleCap;tau=0.6;cont=0.8")(
-      containmentEdgesOf(Tables.documents(spark, dir)))
+      containmentEdgesOf(Tables.documents(spark, dir), massOpt.getOrElse(0L)))
     keepBestOf(
       labels
         .select(col("node").as("doc_id"), col("label").as("cluster_id"))
