@@ -806,36 +806,48 @@ object Cdc {
         (col("nd") > SubstrDfCap).as("boiler"))
   }
 
-  /** Distinct covered token positions (doc_id, pos) under the keep-first
-    * rule — the removal set shared by the per-doc savings report
-    * ([[dedupSubstringStripOf]]) and the stripped-corpus materialization
-    * ([[dedupSubstringStripTextOf]]).
+  /** Per-doc removal summary under the keep-first rule: (doc_id, rs =
+    * sorted distinct covered positions, boiler_windows, boiler_removed)
+    * — the removal set shared by the savings report
+    * ([[dedupSubstringStripOf]]) and the stripped-corpus
+    * materialization ([[dedupSubstringStripTextOf]]).
+    *
+    * The ×W position expansion happens IN-ROW (flatten + distinct over
+    * the per-doc window-position array), never through a shuffle: the
+    * exploded form shipped W · occurrences rows, which on a 100-copy
+    * corpus (99% of windows stripped) is a ~50× corpus-token-count
+    * exchange — ~12.5B rows at the ×100 docsonly fixture. Collapsing to
+    * per-doc arrays first moves only one row per removed window
+    * occurrence. Transient in-row size is W × windows(doc) (≈ 550k
+    * elements for an 11k-token doc — measured fine); a ≥1M-token
+    * document would want the interval-merge form, but real corpora
+    * chunk far earlier (the SpanMaxDocTokens convention).
     */
-  private def stripPositions(docs: DataFrame): DataFrame =
+  private def stripRemovals(docs: DataFrame): DataFrame =
     stripEntries(docs)
-      .select(
-        col("doc_id"),
-        explode(expr(s"sequence(p, p + ${SubstrW - 1})")).as("pos"))
-      .distinct()
-
-  private[graft] def dedupSubstringStripOf(docs: DataFrame): DataFrame = {
-    // ONE pass over the removal entries: positions collapse per
-    // (doc, pos) carrying a boiler flag (max), and the entry-grain
-    // boiler-window count rides along by tagging each entry's o=0
-    // position — no second aggregation over the entry stream
-    val removals = stripEntries(docs)
-      .select(
-        col("doc_id"), col("boiler"),
-        posexplode(expr(s"sequence(p, p + ${SubstrW - 1})")).as(Seq("o", "pos")))
-      .groupBy(col("doc_id"), col("pos"))
-      .agg(
-        max(col("boiler")).as("b"),
-        sum(when(col("o") === 0 && col("boiler"), 1L).otherwise(0L)).as("bw"))
       .groupBy(col("doc_id"))
       .agg(
-        count(lit(1)).as("n_removed"),
-        sum(when(col("b"), 1L).otherwise(0L)).as("boiler_removed"),
-        sum(col("bw")).as("boiler_windows"))
+        sort_array(collect_list(col("p"))).as("ps"),
+        // collect_list drops nulls: bps = boiler-window positions only
+        sort_array(collect_list(when(col("boiler"), col("p")))).as("bps"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("boiler_windows"))
+      .select(
+        col("doc_id"),
+        expr(s"""array_sort(array_distinct(
+                 flatten(transform(ps, p -> sequence(p, p + ${SubstrW - 1})))))""")
+          .as("rs"),
+        expr(s"""size(array_distinct(
+                 flatten(transform(bps, p -> sequence(p, p + ${SubstrW - 1})))))""")
+          .cast("long").as("boiler_removed"),
+        col("boiler_windows"))
+
+  private[graft] def dedupSubstringStripOf(docs: DataFrame): DataFrame = {
+    val removals = stripRemovals(docs)
+      .select(
+        col("doc_id"),
+        size(col("rs")).cast("long").as("n_removed"),
+        col("boiler_removed"),
+        col("boiler_windows"))
     docs
       .select(
         col("doc_id"),
@@ -905,7 +917,7 @@ object Cdc {
     * md5(stripped text) so the oracle compare stays exact and the output
     * stays bounded (the driver harness hashes result frames; shipping
     * full text would also make the row a near-copy of the input). The
-    * removal set is [[stripPositions]] — identical keep-first rule as
+    * removal set is [[stripRemovals]] — identical keep-first rule as
     * the savings report, so (n_tokens, n_removed) here always agree
     * with dedup_substring_strip.
     *
@@ -924,11 +936,7 @@ object Cdc {
     dedupSubstringStripTextOf(Tables.documents(spark, dir))
 
   private[graft] def dedupSubstringStripTextOf(docs: DataFrame): DataFrame =
-    maskedStripReport(
-      docs,
-      stripPositions(docs)
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("pos"))).as("rs")))
+    maskedStripReport(docs, stripRemovals(docs).select(col("doc_id"), col("rs")))
 
   /** The in-row strip kernel shared by the full-corpus and incremental
     * strip-text queries: given per-doc sorted removal-position arrays
@@ -1175,14 +1183,10 @@ object Cdc {
     // shuffled hash join, while this form lets the delta build and the
     // bucketed index stream exchange-free (base doc ids still never
     // ship: only h is selected)
-    val baseRs = dwin
+    val baseP = dwin
       .hint("SHUFFLE_HASH")
       .join(idx.select(col("h")), Seq("h"))
-      .select(
-        col("doc_id"),
-        explode(expr(
-          s"sequence(CAST(p AS BIGINT), CAST(p AS BIGINT) + ${SubstrW - 1})"))
-          .as("pos"))
+      .select(col("doc_id"), col("p").cast("long").as("p"))
     // intra-DELTA duplication (closed in round 14): a duplicate-heavy
     // ingest batch used to land verbatim — the same keep-first window
     // rule the full-corpus strip applies now runs on the delta alone
@@ -1190,15 +1194,19 @@ object Cdc {
     // base rule union away). A window present in base strips from ALL
     // delta docs (keep-base); a delta-only duplicated window keeps its
     // first delta occurrence.
-    val intraRs = stripEntries(delta)
+    val intraP = stripEntries(delta).select(col("doc_id"), col("p"))
+    // the ×W expansion is in-row (flatten + distinct), like the
+    // full-corpus strip: only one row per removed window occurrence
+    // ever moves through a shuffle
+    val rs = baseP
+      .unionByName(intraP)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p"))).as("ps"))
       .select(
         col("doc_id"),
-        explode(expr(s"sequence(p, p + ${SubstrW - 1})")).as("pos"))
-    val rs = baseRs
-      .unionByName(intraRs)
-      .distinct()
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("pos"))).as("rs"))
+        expr(s"""array_sort(array_distinct(
+                 flatten(transform(ps, p -> sequence(p, p + ${SubstrW - 1})))))""")
+          .as("rs"))
     maskedStripReport(delta, rs)
   }
 
