@@ -1448,8 +1448,74 @@ object Cdc {
        |ORDER BY w""".stripMargin
   }
 
+  /** Corpus-wide window-duplication profile — the accounting view over
+    * the W-token window stream that tells a curation run what each
+    * duplication tier holds BEFORE it strips: per tier (unique df=1,
+    * cold 2..SubstrDfCap, boiler >SubstrDfCap), the distinct window
+    * count, total occurrences, strippable occurrences (df−1 per window
+    * — what keep-first would remove), and documents touched. This is
+    * the corpus-level companion of dedup_substring_strip's per-doc
+    * boiler_* columns (round-13 verdict: the df cap discarded mass with
+    * no visible signal — now both grains report it).
+    *
+    * Scale shape: one rolling-hash pass, a (h → df) aggregate, and a
+    * join back to the window stream that reuses the same h
+    * partitioning; only 8-byte hashes and doc ids move. Oracle rebuilds
+    * the profile from window STRINGS, so hash collisions would surface
+    * as count mismatches (the tier's standing collision audit).
+    */
+  def substrDfProfile(spark: SparkSession, dir: String): DataFrame = {
+    val w = winDistinct(Tables.documents(spark, dir))
+    val perWin = w.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    def tier(c: org.apache.spark.sql.Column) =
+      when(c === 1, "unique")
+        .when(c <= SubstrDfCap, "cold")
+        .otherwise("boiler")
+    val byWin = perWin
+      .select(tier(col("df")).as("tier"), col("df"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("df")).as("n_occurrences"),
+        sum(col("df") - 1).as("strippable_occurrences"))
+    val byDoc = w
+      .join(perWin, Seq("h"))
+      .select(tier(col("df")).as("tier"), col("doc_id"))
+      .groupBy(col("tier"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    byWin.join(byDoc, Seq("tier")).orderBy(col("tier"))
+  }
+
+  private val substrDfProfileSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), win AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE len(w) >= $SubstrW
+       |), d AS (
+       |  SELECT s, count(*) AS df,
+       |         CASE WHEN count(*) = 1 THEN 'unique'
+       |              WHEN count(*) <= $SubstrDfCap THEN 'cold'
+       |              ELSE 'boiler' END AS tier
+       |  FROM win GROUP BY s
+       |), byw AS (
+       |  SELECT tier, count(*) AS n_windows,
+       |         CAST(SUM(df) AS BIGINT) AS n_occurrences,
+       |         CAST(SUM(df - 1) AS BIGINT) AS strippable_occurrences
+       |  FROM d GROUP BY tier
+       |), bd AS (
+       |  SELECT d.tier, count(DISTINCT w.doc_id) AS n_docs
+       |  FROM win w JOIN d ON w.s = d.s GROUP BY d.tier
+       |)
+       |SELECT b.tier, b.n_windows, b.n_occurrences, b.strippable_occurrences,
+       |       bd.n_docs
+       |FROM byw b JOIN bd ON b.tier = bd.tier
+       |ORDER BY b.tier""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
     "substring_w_curve" -> QueryDef(substringWCurve, Some(substringWCurveSql)),
+    "substr_df_profile" -> QueryDef(substrDfProfile, Some(substrDfProfileSql)),
     "dedup_substring"     -> QueryDef(dedupSubstring, Some(dedupSubstringSql)),
     "dedup_substring_spans" -> QueryDef(
       dedupSubstringSpans, Some(dedupSubstringSpansSql)),

@@ -153,7 +153,6 @@ class Round14AdditionsSpec extends AnyFunSuite {
       assert(rows(d) === ((58L, 55L, 6L, 55L)), s"doc $d: ${rows(d)}")
     }
     // and the strip-text surface materializes exactly the prefix tokens
-    val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val texts = operators.Cdc.dedupSubstringStripTextOf(docs).collect()
