@@ -818,10 +818,9 @@ object Cdc {
     * corpus (99% of windows stripped) is a ~50× corpus-token-count
     * exchange — ~12.5B rows at the ×100 docsonly fixture. Collapsing to
     * per-doc arrays first moves only one row per removed window
-    * occurrence. Transient in-row size is W × windows(doc) (≈ 550k
-    * elements for an 11k-token doc — measured fine); a ≥1M-token
-    * document would want the interval-merge form, but real corpora
-    * chunk far earlier (the SpanMaxDocTokens convention).
+    * occurrence, and the in-row expansion is the island-flatten kernel
+    * ([[coveredPositionsExpr]]) whose transient is O(positions +
+    * covered tokens) — bounded by the doc's own length, never W× it.
     */
   private def stripRemovals(docs: DataFrame): DataFrame =
     stripEntries(docs)
@@ -833,13 +832,37 @@ object Cdc {
         sum(when(col("boiler"), 1L).otherwise(0L)).as("boiler_windows"))
       .select(
         col("doc_id"),
-        expr(s"""array_sort(array_distinct(
-                 flatten(transform(ps, p -> sequence(p, p + ${SubstrW - 1})))))""")
-          .as("rs"),
-        expr(s"""size(array_distinct(
-                 flatten(transform(bps, p -> sequence(p, p + ${SubstrW - 1})))))""")
+        expr(coveredPositionsExpr("ps")).as("rs"),
+        expr(s"size(${coveredPositionsExpr("bps")})")
           .cast("long").as("boiler_removed"),
         col("boiler_windows"))
+
+  /** In-row covered-position expansion of a SORTED window-position
+    * array: island starts/ends by gap detection (a new island starts
+    * when the next window begins past the previous covered run, i.e.
+    * p > prev + W — the spans kernel's diagonal-island trick), one
+    * `sequence(start, last + W − 1)` per island, flattened. Equivalent
+    * to `array_distinct(flatten(transform(ps, p → sequence(p,
+    * p+W−1))))` but with an O(|positions| + |covered|) transient
+    * instead of W×|positions| — a heavily-covered long document used to
+    * allocate a W× transient in ONE row (round-14 review finding;
+    * ~800 MB for a fully-covered 2M-token doc). Islands are disjoint so
+    * no distinct is needed; flattened ascending sequences are already
+    * sorted; duplicate positions (the incremental path unions base and
+    * intra removals) are never island starts, so they collapse for
+    * free. Empty arrays short-circuit (`sequence(1, 0)` would count
+    * DOWN).
+    */
+  private def coveredPositionsExpr(ps: String): String =
+    s"""IF(size($ps) = 0, CAST(array() AS ARRAY<BIGINT>),
+       |  flatten(zip_with(
+       |    filter(transform(sequence(1, size($ps)),
+       |      i -> IF(i = 1 OR element_at($ps, i) > element_at($ps, i - 1) + $SubstrW,
+       |              element_at($ps, i), CAST(-1 AS BIGINT))), x -> x >= 0),
+       |    filter(transform(sequence(1, size($ps)),
+       |      i -> IF(i = size($ps) OR element_at($ps, i + 1) > element_at($ps, i) + $SubstrW,
+       |              element_at($ps, i) + ${SubstrW - 1}, CAST(-1 AS BIGINT))), x -> x >= 0),
+       |    (s, e) -> sequence(s, e))))""".stripMargin
 
   private[graft] def dedupSubstringStripOf(docs: DataFrame): DataFrame = {
     val removals = stripRemovals(docs)
@@ -1017,11 +1040,12 @@ object Cdc {
     * [[dedupSubstringIncremental]] — the substring tier's ingest form.
     * Base = the 80% split (doc_id % 10 < 8, the same deterministic
     * stand-in the minhash and CDC incremental paths use); the index is
-    * the df-capped inverted lists (window hash → sorted base doc ids,
-    * hot boilerplate windows dropped exactly as in dedup_substring).
-    * Built under DerivedCache once per corpus stamp, like
-    * Dedup.baseIndexDir; at 100 TB the index lives bucketed by h
-    * (sources/Bucketing) so a delta probe shuffles only the delta.
+    * the inverted lists (window hash → sorted base doc ids; posting
+    * LISTS df-capped for the detector's pair expansion, but every
+    * window keeps a presence row — see [[substrPostings]]). Built under
+    * DerivedCache once per corpus stamp as a BUCKETED table
+    * (sources/Bucketing, key h) so a delta probe shuffles only the
+    * delta.
     */
   /** The posting lists (h, base_docs) of a base frame — the index
     * CONTENT, factored so Round13AdditionsSpec can build one over
@@ -1195,18 +1219,14 @@ object Cdc {
     // delta docs (keep-base); a delta-only duplicated window keeps its
     // first delta occurrence.
     val intraP = stripEntries(delta).select(col("doc_id"), col("p"))
-    // the ×W expansion is in-row (flatten + distinct), like the
+    // the ×W expansion is in-row (the island-flatten kernel), like the
     // full-corpus strip: only one row per removed window occurrence
     // ever moves through a shuffle
     val rs = baseP
       .unionByName(intraP)
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("p"))).as("ps"))
-      .select(
-        col("doc_id"),
-        expr(s"""array_sort(array_distinct(
-                 flatten(transform(ps, p -> sequence(p, p + ${SubstrW - 1})))))""")
-          .as("rs"))
+      .select(col("doc_id"), expr(coveredPositionsExpr("ps")).as("rs"))
     maskedStripReport(delta, rs)
   }
 
@@ -1465,7 +1485,13 @@ object Cdc {
     * as count mismatches (the tier's standing collision audit).
     */
   def substrDfProfile(spark: SparkSession, dir: String): DataFrame = {
+    // the window stream feeds TWO plan branches (the df aggregate and
+    // the per-doc join probe); persisted so the rolling-hash pass over
+    // the corpus runs once, not twice — the minhashBandsOf persistSigs
+    // pattern, released like it by the harness (QueryState.release
+    // between queries) or the block manager's LRU in a long session.
     val w = winDistinct(Tables.documents(spark, dir))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perWin = w.groupBy(col("h")).agg(count(lit(1)).as("df"))
     def tier(c: org.apache.spark.sql.Column) =
       when(c === 1, "unique")

@@ -1433,8 +1433,12 @@ object Dedup {
     // route on EITHER axis: corpus size (cap) or duplicate density
     // (pair-expansion mass) — see PairBudget; the mass measurement is
     // skipped when the sound token-mass bound fits the budget
+    // mass is only measured when it can change the outcome: above the
+    // doc cap the route is already decided, and measuring there would
+    // fire a corpus-sized construction job on exactly the largest
+    // corpora (round-14 review finding)
     val massOpt =
-      if (pairMassBound(spark, dir) <= pairBudget) None
+      if (nDocs > cap || pairMassBound(spark, dir) <= pairBudget) None
       else Some(exactPairMass(spark, dir))
     val overBudget = nDocs <= cap && massOpt.exists(_ > pairBudget)
     val labels = if (nDocs > cap || overBudget) {

@@ -41,7 +41,15 @@ object Bucketing {
     */
   val IndexBuckets = 32
 
-  private val regLock = new Object
+  // PER-TABLE monitors, not one global lock: a corpus-sized bucketed
+  // write must not block an unrelated layout's already-built fast-path
+  // registration (the same rule DerivedCache documents for its key
+  // locks). Spark's catalog is itself thread-safe; the lock only makes
+  // each table's exists-check/CREATE (and DROP/write) pair atomic.
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def lockFor(table: String): Object =
+    tableLocks.computeIfAbsent(table, _ => new Object)
 
   /** Deterministic catalog name for an external bucketed table at
     * `path`. The path already carries the DerivedCache content key, so
@@ -68,7 +76,7 @@ object Bucketing {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val tbl = tableNameFor(path)
-    regLock.synchronized {
+    lockFor(tbl).synchronized {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
       df.repartition(buckets, keys.map(col): _*)
         .write.mode(SaveMode.Overwrite)
@@ -92,7 +100,7 @@ object Bucketing {
       spark: SparkSession, path: String, keys: Seq[String], schema: String,
       buckets: Int = IndexBuckets): DataFrame = {
     val tbl = tableNameFor(path)
-    regLock.synchronized {
+    lockFor(tbl).synchronized {
       if (!spark.catalog.tableExists(tbl)) {
         val ks = keys.mkString(", ")
         spark.sql(

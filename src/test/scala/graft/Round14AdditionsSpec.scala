@@ -82,7 +82,9 @@ class Round14AdditionsSpec extends AnyFunSuite {
       val df = q(spark, TestSpark.Sf)
       df.asInstanceOf[CDataset[Row]]
         .queryExecution.executedPlan.toString // force full planning
-      Thread.sleep(1500) // listener bus is async
+      // deterministic drain of the async listener bus (a sleep can mask
+      // a late-arriving job event on a loaded machine)
+      org.apache.spark.GraftTestBus.drain(spark.sparkContext)
       assert(jobs.get() === 0,
         "plan-only construction against a stored model must trigger no job; " +
           s"fired: ${descs.toArray.mkString(" | ")}")
