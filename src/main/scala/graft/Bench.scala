@@ -89,7 +89,11 @@ object Bench {
     */
   private val PrebuildQueries = Seq(
     // dedup stored layouts: corpus sketch, CC labels (minhash + exact +
-    // containment flavors), base index, jaccard anchor, band buckets
+    // containment flavors), base index, jaccard anchor, band buckets,
+    // and (since r14) the persisted token-count + pair-mass scalars the
+    // density guard measures at sf0.1 (the token-mass bound exceeds the
+    // budget there, so the measurement is mandatory)
+    "dedup_jaccard",
     "dedup_containment_minhash", "dedup_clusters", "dedup_clusters_minhash",
     "dedup_keep_best_containment", "dedup_incremental", "minhash_k_curve",
     "lsh_band_sweep",
