@@ -97,8 +97,10 @@ object Bench {
     "dedup_containment_minhash", "dedup_clusters", "dedup_clusters_minhash",
     "dedup_keep_best_containment", "dedup_incremental", "minhash_k_curve",
     "lsh_band_sweep",
-    // CDC + substring stored stores/indexes
+    // CDC + substring stored stores/indexes (segment + compacted
+    // layouts are owned by the LSM append/compact pair)
     "cdc_incremental", "dedup_substring_incremental",
+    "dedup_substring_index_append", "dedup_substring_index_compact",
     // LM model
     "lm_score_bigram",
     // ANN stored indexes + trained models

@@ -1095,6 +1095,38 @@ object Cdc {
       spark, s"${substrIndexDir(spark, dir)}/postings", Seq("h"),
       "h BIGINT, base_docs ARRAY<BIGINT>")
 
+  /** An APPENDED index segment — the LSM shape of index maintenance.
+    * When a probed batch lands, rebuilding the base index costs a
+    * corpus re-scan (what the incremental tier exists to avoid); instead
+    * the batch's postings are written as their OWN bucketed segment
+    * (delta-sized build: one rolling-hash pass over the batch, one
+    * delta-sized shuffle into the bucket layout) and later probes read
+    * base + segments. Join distributes over union, so each segment is
+    * probed exchange-free on its own hash-clustered scan and only the
+    * per-doc aggregation merges the tiers — never a corpus-sized
+    * re-shuffle. Segments fold into the base at compaction
+    * ([[mergedPostings]]), which is the amortized corpus-sized op, run
+    * on the STORED postings (index-sized), not the corpus text.
+    *
+    * The shipped segment is batch 1 = the `doc_id % 10 == 8` docs (the
+    * deterministic stand-in for "yesterday's ingest"), leaving
+    * `% 10 == 9` as today's probe batch.
+    */
+  private def substrSegDir(spark: SparkSession, dir: String): String =
+    graft.sources.DerivedCache.dir(
+      dir, "substr-seg", s"w=$SubstrW;df=$SubstrDfCap;seg=8;v=1") { out =>
+      graft.sources.Bucketing.writeBucketedExternal(
+        substrPostings(
+          Tables.documents(spark, dir).filter(col("doc_id") % 10 === 8)),
+        s"$out/postings", Seq("h"))
+      ()
+    }
+
+  private def substrSeg(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Bucketing.readBucketed(
+      spark, s"${substrSegDir(spark, dir)}/postings", Seq("h"),
+      "h BIGINT, base_docs ARRAY<BIGINT>")
+
   /** Incremental substring dedup — the ingest form of the strongest
     * exact detector (round-12 gap: the minhash and CDC tiers had
     * dedup_incremental / cdc_incremental; the window-hash tier re-scanned
@@ -1312,6 +1344,244 @@ object Cdc {
        |LEFT JOIN nw ON d.doc_id = nw.doc_id
        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.delta_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** Probe across base + appended segments — the read path that makes
+    * index APPEND real: batch 2 (`doc_id % 10 == 9`) dedupes against
+    * both the original base (`% 10 < 8`) and the previously-ingested
+    * batch 1 (`% 10 == 8`, stored as its own bucketed segment by
+    * [[substrSegDir]]). Without segments, consecutive batches never see
+    * each other until a full index rebuild — exactly the staleness hole
+    * a 100 TB ingest pipeline cannot afford. `dup_tier` names where the
+    * best match lives ("base" / "seg1"), making cross-batch detection
+    * visible in the verdict frame.
+    *
+    * Scale shape: each segment is probed by its own SHUFFLE_HASH join
+    * with the delta as build side (the index scans stream hash-clustered
+    * with no Exchange — plan-asserted); per-segment match streams union
+    * BEFORE the per-doc aggregation. Probe cost ∝ delta × segments, and
+    * the segment count is bounded by compaction
+    * ([[dedupSubstringIndexCompact]]) — the LSM read/maintenance split.
+    * The df cap applies per segment (each segment's posting lists are
+    * capped at build); the global cap is restored at compaction, and
+    * [[dedupSubstringIndexCompact]] accounts for the windows whose df
+    * crosses the cap only when segments merge.
+    */
+  def dedupSubstringIndexAppend(spark: SparkSession, dir: String): DataFrame =
+    dedupSubstringIndexAppendOf(
+      Tables.documents(spark, dir).filter(col("doc_id") % 10 === 9),
+      Seq("base" -> substrIndex(spark, dir), "seg1" -> substrSeg(spark, dir)))
+
+  /** The multi-segment probe kernel, factored for planted-fixture specs.
+    * Segment doc sets must be disjoint (an LSM invariant: a doc lands in
+    * exactly one segment), so (delta_id, match_id) is unique across
+    * tiers and the min-struct tie-break never reaches the tier field.
+    */
+  private[graft] def dedupSubstringIndexAppendOf(
+      delta: DataFrame, segs: Seq[(String, DataFrame)]): DataFrame = {
+    val dwin = winDistinct(delta)
+    val nw = dwin.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
+    // one probe join per segment, each exchange-free on the index side
+    // (same plan discipline as dedupSubstringIncrementalOf); the delta's
+    // O(n) rolling kernel re-runs per consumer — cheaper than caching
+    // corpus-wide hash arrays, and the delta side is batch-sized
+    val matches = segs.map { case (tier, idx) =>
+      winDistinct(delta)
+        .hint("SHUFFLE_HASH")
+        .join(idx, Seq("h"))
+        .select(
+          col("doc_id").as("delta_id"),
+          explode(col("base_docs")).as("match_id"),
+          lit(tier).as("tier"))
+    }.reduce(_ unionByName _)
+    val best = matches
+      .groupBy(col("delta_id"), col("match_id"), col("tier"))
+      .agg(count(lit(1)).as("n_shared"))
+      .groupBy(col("delta_id"))
+      .agg(
+        count(lit(1)).as("n_dups"),
+        min(struct(
+          (-col("n_shared")).as("neg"),
+          col("match_id").as("mid"),
+          col("tier").as("tier"))).as("m"))
+      .select(
+        col("delta_id").as("doc_id"),
+        col("n_dups"),
+        col("m.mid").as("dup_of"),
+        col("m.tier").as("dup_tier"),
+        (-col("m.neg")).as("n_shared"))
+    delta
+      .select(col("doc_id"))
+      .join(nw, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of"),
+        col("dup_tier"),
+        col("n_shared"),
+        (col("n_shared") + lit((SubstrW - 1).toLong)).as("est_overlap_tokens"),
+        col("dup_of").isNull.as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupSubstringIndexAppendSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), win AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE len(w) >= $SubstrW
+       |), idx0 AS (
+       |  -- the base index: df cap per SEGMENT (win is per-doc distinct)
+       |  SELECT s, list_sort(list(doc_id)) AS base_docs
+       |  FROM win WHERE doc_id % 10 < 8
+       |  GROUP BY s HAVING count(*) <= $SubstrDfCap
+       |), idx1 AS (
+       |  -- the appended batch-1 segment, capped independently
+       |  SELECT s, list_sort(list(doc_id)) AS base_docs
+       |  FROM win WHERE doc_id % 10 = 8
+       |  GROUP BY s HAVING count(*) <= $SubstrDfCap
+       |), dwin AS (
+       |  SELECT doc_id, s FROM win WHERE doc_id % 10 = 9
+       |), nw AS (
+       |  SELECT doc_id, count(*) AS n_windows FROM dwin GROUP BY 1
+       |), pairs AS (
+       |  SELECT d.doc_id AS delta_id, b.x AS match_id, 'base' AS tier,
+       |         count(*) AS n_shared
+       |  FROM dwin d JOIN idx0 ON d.s = idx0.s, unnest(idx0.base_docs) AS b(x)
+       |  GROUP BY 1, 2, 3
+       |  UNION ALL
+       |  SELECT d.doc_id, b.x, 'seg1', count(*)
+       |  FROM dwin d JOIN idx1 ON d.s = idx1.s, unnest(idx1.base_docs) AS b(x)
+       |  GROUP BY 1, 2, 3
+       |), best AS (
+       |  SELECT delta_id, match_id, tier, n_shared,
+       |         row_number() OVER (PARTITION BY delta_id
+       |                            ORDER BY n_shared DESC, match_id) AS rn,
+       |         count(*) OVER (PARTITION BY delta_id) AS n_dups
+       |  FROM pairs
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(nw.n_windows, 0) AS n_windows,
+       |       COALESCE(b.n_dups, 0) AS n_dups,
+       |       b.match_id AS dup_of,
+       |       b.tier AS dup_tier,
+       |       b.n_shared,
+       |       b.n_shared + ${SubstrW - 1} AS est_overlap_tokens,
+       |       b.match_id IS NULL AS keep
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+       |LEFT JOIN nw ON d.doc_id = nw.doc_id
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.delta_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Merge two stored posting frames — the compaction kernel, and the
+    * reason the capped-list representation was chosen: it is CLOSED
+    * under merge. An empty list means "boilerplate, df > cap" — and
+    * since global df ≥ any segment df, empty stays empty; two real
+    * lists concat (segment doc sets are disjoint) and re-cap. So
+    * compaction runs on the STORED index segments alone — index-sized,
+    * never a corpus-text re-scan — and is associative, exactly what an
+    * LSM maintenance schedule needs. The full-outer join runs
+    * exchange-free when both sides are bucketed scans on h.
+    */
+  private[graft] def mergedPostings(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("h"), col("base_docs").as("da"))
+      .join(
+        b.select(col("h"), col("base_docs").as("db")), Seq("h"), "full_outer")
+      .select(
+        col("h"), col("da"), col("db"),
+        when(col("da").isNull, col("db"))
+          .when(col("db").isNull, col("da"))
+          .when(
+            size(col("da")) === 0 || size(col("db")) === 0 ||
+              size(col("da")) + size(col("db")) > SubstrDfCap,
+            array().cast("array<bigint>"))
+          .otherwise(sort_array(concat(col("da"), col("db"))))
+          .as("base_docs"))
+
+  private def substrCompactDir(spark: SparkSession, dir: String): String =
+    graft.sources.DerivedCache.dir(
+      dir, "substr-compact", s"w=$SubstrW;df=$SubstrDfCap;seg=8;v=1") { out =>
+      graft.sources.Bucketing.writeBucketedExternal(
+        mergedPostings(substrIndex(spark, dir), substrSeg(spark, dir))
+          .select(col("h"), col("base_docs")),
+        s"$out/postings", Seq("h"))
+      ()
+    }
+
+  /** Compact the base index + the batch-1 segment into one globally
+    * df-capped index (stored bucketed, build-once), and report what the
+    * merge changed: per resulting tier (unique / cold / boiler by the
+    * MERGED df), the window count, surviving posting entries, windows
+    * present in both inputs, and — the number the per-segment cap hides
+    * — the CAP CROSSERS: windows cold in every segment individually but
+    * boilerplate once merged (df_base ≤ cap ∧ df_seg ≤ cap ∧ sum > cap).
+    * Those windows' posting lists would feed the detector's pair
+    * expansion on a segmented read; compaction reclassifies them, which
+    * is why an LSM index must compact rather than accrete forever.
+    * Round14AdditionsSpec pins the stored compacted layout to be
+    * row-identical to a from-scratch build over base ∪ batch-1 docs.
+    */
+  def dedupSubstringIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    substrCompactDir(spark, dir) // build-once side effect (the layout)
+    val m = mergedPostings(substrIndex(spark, dir), substrSeg(spark, dir))
+    val inBoth = col("da").isNotNull && col("db").isNotNull
+    val crosser = col("da").isNotNull && col("db").isNotNull &&
+      size(col("da")) > 0 && size(col("db")) > 0 &&
+      size(col("da")) + size(col("db")) > SubstrDfCap
+    m.select(
+        when(size(col("base_docs")) === 0, "boiler")
+          .when(size(col("base_docs")) === 1, "unique")
+          .otherwise("cold").as("tier"),
+        size(col("base_docs")).cast("long").as("entries"),
+        when(inBoth, 1L).otherwise(0L).as("in_both"),
+        when(crosser, 1L).otherwise(0L).as("crosser"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n_windows"),
+        sum(col("entries")).as("n_entries"),
+        sum(col("in_both")).as("n_in_both"),
+        sum(col("crosser")).as("n_cap_crossers"))
+      .orderBy(col("tier"))
+  }
+
+  private val dedupSubstringIndexCompactSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |), win AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${SubstrW - 1}], ' ') AS s
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(w) - ${SubstrW - 1})) AS i)
+       |  WHERE len(w) >= $SubstrW
+       |), d AS (
+       |  -- per-window df split by segment (base = %10<8, seg1 = %10=8);
+       |  -- the merged representation keeps size = total df when <= cap,
+       |  -- 0 (presence only) when boilerplate in ANY input or merged
+       |  SELECT s,
+       |         count(*) FILTER (WHERE doc_id % 10 < 8) AS dfb,
+       |         count(*) FILTER (WHERE doc_id % 10 = 8) AS dfs
+       |  FROM win WHERE doc_id % 10 < 9
+       |  GROUP BY s
+       |), m AS (
+       |  SELECT s, dfb, dfs, dfb + dfs AS df,
+       |         CASE WHEN dfb + dfs > $SubstrDfCap THEN 0
+       |              ELSE dfb + dfs END AS entries
+       |  FROM d
+       |)
+       |SELECT CASE WHEN entries = 0 THEN 'boiler'
+       |            WHEN entries = 1 THEN 'unique'
+       |            ELSE 'cold' END AS tier,
+       |       count(*) AS n_windows,
+       |       CAST(SUM(entries) AS BIGINT) AS n_entries,
+       |       CAST(SUM(CASE WHEN dfb > 0 AND dfs > 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_in_both,
+       |       CAST(SUM(CASE WHEN dfb BETWEEN 1 AND $SubstrDfCap
+       |                      AND dfs BETWEEN 1 AND $SubstrDfCap
+       |                      AND dfb + dfs > $SubstrDfCap
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cap_crossers
+       |FROM m
+       |GROUP BY 1
+       |ORDER BY tier""".stripMargin
 
   private val dedupSubstringSql =
     s"""WITH t AS (
@@ -1553,6 +1823,10 @@ object Cdc {
       dedupSubstringIncremental, Some(dedupSubstringIncrementalSql)),
     "dedup_substring_strip_incremental" -> QueryDef(
       dedupSubstringStripIncremental, Some(dedupSubstringStripIncrementalSql)),
+    "dedup_substring_index_append" -> QueryDef(
+      dedupSubstringIndexAppend, Some(dedupSubstringIndexAppendSql)),
+    "dedup_substring_index_compact" -> QueryDef(
+      dedupSubstringIndexCompact, Some(dedupSubstringIndexCompactSql)),
     "cdc_chunk_dedup"     -> QueryDef(cdcChunkDedup, Some(cdcChunkDedupSql)),
     "cdc_dedup_ratio"     -> QueryDef(cdcDedupRatio, Some(cdcDedupRatioSql)),
     "cdc_incremental"     -> QueryDef(cdcIncremental, Some(cdcIncrementalSql)),

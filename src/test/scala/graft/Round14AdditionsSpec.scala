@@ -112,7 +112,9 @@ class Round14AdditionsSpec extends AnyFunSuite {
       else p.children.flatMap(paths).map(c => p :: c).toSeq
 
     Seq("dedup_substring_incremental", "dedup_substring_strip_incremental",
-      "dedup_incremental", "cdc_incremental").foreach { q =>
+      "dedup_incremental", "cdc_incremental",
+      "dedup_substring_index_append", "dedup_substring_index_compact")
+      .foreach { q =>
       val qe = SparkEntry.queries(q)(spark, TestSpark.Sf)
         .asInstanceOf[CDataset[Row]].queryExecution
       val plan = qe.executedPlan match {
@@ -207,6 +209,48 @@ class Round14AdditionsSpec extends AnyFunSuite {
     val strip = operators.Cdc.dedupSubstringStripIncrementalOf(delta, idx)
       .collect().head
     assert(strip.getLong(2) === 55L, "all 55 run tokens strip")
+  }
+
+  test("segment merge equals a from-scratch rebuild, including cap crossers") {
+    // base and segment each hold the shared run at df=40 ≤ SubstrDfCap;
+    // merged df=80 crosses the cap ONLY at compaction — the exact case a
+    // per-segment capped representation could get wrong. The merge is
+    // computed from the STORED posting frames alone (no corpus re-scan)
+    // and must be row-identical to rebuilding over base ∪ segment docs.
+    val run = (1 to 55).map(i => s"cx$i")
+    val base = docsFrame((0L until 40L).map(d =>
+      d -> ((1 to 3).map(i => s"b${d}_$i") ++ run).mkString(" ")))
+    val seg = docsFrame((100L until 140L).map(d =>
+      d -> ((1 to 3).map(i => s"s${d}_$i") ++ run).mkString(" ")))
+    val merged = operators.Cdc.mergedPostings(
+        operators.Cdc.substrPostings(base), operators.Cdc.substrPostings(seg))
+      .select(col("h"), col("base_docs"))
+    val scratch = operators.Cdc.substrPostings(base.unionByName(seg))
+    assert(merged.exceptAll(scratch).isEmpty && scratch.exceptAll(merged).isEmpty,
+      "compacted index must equal the from-scratch build")
+    // the 6 fully-shared run windows are boiler ONLY after the merge
+    val boiler = merged.filter(size(col("base_docs")) === 0).count()
+    assert(boiler === 6L, s"cap crossers must reclassify at compaction: $boiler")
+  }
+
+  test("append probe: batch 2 dedupes against base AND the appended batch-1 segment") {
+    val runA = (1 to 60).map(i => s"ba$i").mkString(" ") // lives in base
+    val runB = (1 to 60).map(i => s"sg$i").mkString(" ") // lives in batch 1
+    val idx0 = operators.Cdc.substrPostings(docsFrame(Seq(1L -> runA)))
+    val idx1 = operators.Cdc.substrPostings(docsFrame(Seq(8L -> runB)))
+    val solo = (1 to 60).map(i => s"so$i").mkString(" ")
+    // 901 matches base; 902 matches ONLY the appended segment (the
+    // staleness hole a static index leaves open); 903 matches nothing
+    val delta = docsFrame(Seq(901L -> runA, 902L -> runB, 903L -> solo))
+    val out = operators.Cdc.dedupSubstringIndexAppendOf(
+        delta, Seq("base" -> idx0, "seg1" -> idx1))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), Option(r.get(3)), Option(r.get(4)), r.getBoolean(7))))
+      .toMap
+    assert(out(901L) === ((1L, Some(1L), Some("base"), false)))
+    assert(out(902L) === ((1L, Some(8L), Some("seg1"), false)))
+    assert(out(903L) === ((0L, None, None, true)))
   }
 
   test("the token-mass bound dominates the measured mass on the sf fixture") {
