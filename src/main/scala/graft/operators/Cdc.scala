@@ -1500,7 +1500,7 @@ object Cdc {
           .otherwise(sort_array(concat(col("da"), col("db"))))
           .as("base_docs"))
 
-  private def substrCompactDir(spark: SparkSession, dir: String): String =
+  private[graft] def substrCompactDir(spark: SparkSession, dir: String): String =
     graft.sources.DerivedCache.dir(
       dir, "substr-compact", s"w=$SubstrW;df=$SubstrDfCap;seg=8;v=1") { out =>
       graft.sources.Bucketing.writeBucketedExternal(

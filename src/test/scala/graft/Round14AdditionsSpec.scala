@@ -233,6 +233,23 @@ class Round14AdditionsSpec extends AnyFunSuite {
     assert(boiler === 6L, s"cap crossers must reclassify at compaction: $boiler")
   }
 
+  test("the STORED compacted layout equals a from-scratch rebuild on the sf fixture") {
+    // the merge-kernel equality above runs on planted frames; this pins
+    // the artifact a later session actually serves from — the bucketed
+    // layout dedup_substring_index_compact writes — against rebuilding
+    // postings over base ∪ segment docs of the real fixture
+    SparkEntry.queries("dedup_substring_index_compact")(spark, TestSpark.Sf)
+    val stored = sources.Bucketing.readBucketed(
+      spark,
+      s"${operators.Cdc.substrCompactDir(spark, TestSpark.Sf)}/postings",
+      Seq("h"), "h BIGINT, base_docs ARRAY<BIGINT>")
+    val scratch = operators.Cdc.substrPostings(
+      Tables.documents(spark, TestSpark.Sf).filter(col("doc_id") % 10 < 9))
+    assert(
+      stored.exceptAll(scratch).isEmpty && scratch.exceptAll(stored).isEmpty,
+      "stored compacted layout must equal the from-scratch build")
+  }
+
   test("append probe: batch 2 dedupes against base AND the appended batch-1 segment") {
     val runA = (1 to 60).map(i => s"ba$i").mkString(" ") // lives in base
     val runB = (1 to 60).map(i => s"sg$i").mkString(" ") // lives in batch 1
