@@ -660,7 +660,7 @@ object Dedup {
   /** Same sketch over an arbitrary (doc_id, text) frame — the
     * incremental path signs base and delta separately.
     */
-  private[operators] def minhashBandsOf(
+  private[graft] def minhashBandsOf(
       docs: DataFrame, k: Int, persistSigs: Boolean = true): (DataFrame, DataFrame) = {
     val raw = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -1559,28 +1559,86 @@ object Dedup {
     * delta signing + index probe, never a base re-sign. Keyed by source
     * dir, rebuilt only if missing (deterministic content).
     */
+  /** Capped band-bucket posting lists of a band frame — the bidx
+    * CONTENT, one kernel shared by the base index, the appended
+    * segments and the merge-vs-rebuild spec pin. Since round 15 a hot
+    * bucket (> [[IncrBucketCap]] docs) keeps a PRESENCE row with an
+    * EMPTY list instead of vanishing (the substrPostings convention):
+    * probes explode base_docs, so an empty list contributes no
+    * candidates and every probe result is unchanged — but presence is
+    * what makes the representation CLOSED under merge. Without it,
+    * "bucket absent" is ambiguous between "no docs" and "hot, dropped",
+    * and folding stored segments could resurrect a bucket the global
+    * build would cap ([[mergedBandBuckets]]'s closure argument).
+    */
+  private[graft] def minhashBidxOf(bands: DataFrame): DataFrame =
+    bands
+      .groupBy(col("band"), col("bh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .select(
+        col("band"), col("bh"),
+        when(size(col("ds")) <= IncrBucketCap, col("ds"))
+          .otherwise(array().cast("array<bigint>")).as("base_docs"))
+
   private def baseIndexDir(spark: SparkSession, dir: String, k: Int): String =
     // fingerprint = sketch parameters (DerivedCache appends the source
     // stamp, which covers regenerated testdata — the old rows=N
     // component cost a count() job at plan construction); v=2 = the
     // BUCKETED layout: both index tables are hash-clustered by their
     // probe key so every delta probe exchanges only the delta, never
-    // the corpus-sized index (round-13 verdict task 1)
+    // the corpus-sized index (round-13 verdict task 1); v=3 = hot
+    // buckets keep presence rows (see minhashBidxOf)
     graft.sources.DerivedCache.dir(
-      dir, "dedup-base", s"k=$k;cap=$IncrBucketCap;v=2") { out =>
+      dir, "dedup-base", s"k=$k;cap=$IncrBucketCap;v=3") { out =>
       val (sigs, bands) = minhashBandsOf(
         Tables.documents(spark, dir).filter((col("doc_id") % 10) < 8), k)
       graft.sources.Bucketing.writeBucketedExternal(
         sigs, s"$out/sigs", Seq("doc_id"))
       graft.sources.Bucketing.writeBucketedExternal(
-        bands
-          .groupBy(col("band"), col("bh"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("base_docs"))
-          .filter(size(col("base_docs")) <= IncrBucketCap),
-        s"$out/bidx", Seq("band", "bh"))
+        minhashBidxOf(bands), s"$out/bidx", Seq("band", "bh"))
       sigs.unpersist()
       ()
     }
+
+  /** An APPENDED minhash index segment — the LSM lifecycle the
+    * substring tier got in round 14, now on the production ingest
+    * index: when a probed batch lands, re-signing the base corpus to
+    * fold it in is exactly the cost [[dedupIncremental]] exists to
+    * avoid, so the batch's signatures and band buckets are written as
+    * their OWN bucketed segment (batch-sized build: one signing pass,
+    * one batch-sized shuffle into each bucket layout) and later probes
+    * read base + segments. The shipped segment is batch 1 = the
+    * `doc_id % 10 == 8` docs ("yesterday's ingest"), leaving
+    * `% 10 == 9` as today's probe batch — the same split the substring
+    * tier's segment uses, so the two LSM tiers describe the same
+    * ingest story.
+    */
+  private def minhashSegDir(spark: SparkSession, dir: String): String =
+    graft.sources.DerivedCache.dir(
+      dir, "minhash-seg", s"k=$MinhashK;cap=$IncrBucketCap;seg=8;v=1") { out =>
+      val (sigs, bands) = minhashBandsOf(
+        Tables.documents(spark, dir).filter(col("doc_id") % 10 === 8),
+        MinhashK)
+      graft.sources.Bucketing.writeBucketedExternal(
+        sigs, s"$out/sigs", Seq("doc_id"))
+      graft.sources.Bucketing.writeBucketedExternal(
+        minhashBidxOf(bands), s"$out/bidx", Seq("band", "bh"))
+      sigs.unpersist()
+      ()
+    }
+
+  /** The two bucketed tables of a stored minhash index tier (sigs keyed
+    * by doc_id for the verify join, band buckets keyed by (band, bh)
+    * for the candidate join), schema-pinned so re-attach never infers.
+    */
+  private def minhashIdxTables(
+      spark: SparkSession, idxDir: String): (DataFrame, DataFrame) = (
+    graft.sources.Bucketing.readBucketed(
+      spark, s"$idxDir/sigs", Seq("doc_id"),
+      "doc_id BIGINT, sig ARRAY<BIGINT>"),
+    graft.sources.Bucketing.readBucketed(
+      spark, s"$idxDir/bidx", Seq("band", "bh"),
+      "band INT, bh STRING, base_docs ARRAY<BIGINT>"))
 
   /** Previous invocation's persisted delta signatures: the persist is
     * only useful while that query's plan executes (deltaBands + the est
@@ -1728,6 +1786,318 @@ object Dedup {
        |LEFT JOIN best b ON d.doc_id = b.delta_id AND b.rn = 1
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  // --------------------------------------- minhash index LSM lifecycle
+
+  /** Probe across base + appended minhash segments — the read path that
+    * makes index APPEND real for the production ingest tier: batch 2
+    * (`doc_id % 10 == 9`) dedupes against both the original base
+    * (`% 10 < 8`) and the previously-ingested batch 1 (`% 10 == 8`,
+    * stored as its own bucketed segment by [[minhashSegDir]]). Without
+    * segments, consecutive batches never see each other until a full
+    * corpus re-sign — the staleness hole [[dedupIncremental]] carries
+    * and Round15AdditionsSpec's planted cross-batch twin proves
+    * matters. `dup_tier` names where the best match lives
+    * ("base" / "seg1").
+    *
+    * Scale shape: each tier is probed by its own candidate + verify
+    * joins with the delta as SHUFFLE_HASH build side (both stored
+    * tables stream hash-clustered with no Exchange — plan-asserted);
+    * per-tier match streams union BEFORE the per-delta-doc aggregation.
+    * Probe cost ∝ delta × segments; the segment count is bounded by
+    * compaction ([[dedupMinhashIndexCompact]]) — the LSM
+    * read/maintenance split, identical to the substring tier's.
+    */
+  def dedupMinhashIndexAppend(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark) // the index builders sign with graft_minhash_md5
+    val delta = Tables.documents(spark, dir).filter(col("doc_id") % 10 === 9)
+    val segs = Seq(
+      "base" -> minhashIdxTables(spark, incrementalIndexDir(spark, dir)),
+      "seg1" -> minhashIdxTables(spark, minhashSegDir(spark, dir)))
+    val (verdicts, deltaSigs) = dedupMinhashIndexAppendOf(spark, delta, segs)
+    val prev = lastDeltaSigs.getAndSet(deltaSigs)
+    if (prev != null && (prev ne deltaSigs)) prev.unpersist(blocking = false)
+    verdicts.orderBy(col("doc_id"))
+  }
+
+  /** The multi-segment probe kernel, factored for planted-fixture specs
+    * and the streaming runner. Segment doc sets must be disjoint (the
+    * LSM invariant: a doc lands in exactly one segment), so a match_id
+    * resolves to exactly one tier and the min-struct tie-break never
+    * reaches the tier field. Returns (verdicts, persisted delta sigs) —
+    * the caller owns the unpersist (the [[incrementalProbe]] contract).
+    */
+  private[graft] def dedupMinhashIndexAppendOf(
+      spark: SparkSession, delta: DataFrame,
+      segs: Seq[(String, (DataFrame, DataFrame))],
+      deltaIsSmall: Boolean = false): (DataFrame, DataFrame) = {
+    GraftFunctions.register(spark)
+    val k = MinhashK
+    def hinted(df: DataFrame): DataFrame =
+      if (deltaIsSmall) broadcast(df) else df.hint("SHUFFLE_HASH")
+    val (deltaSigs, deltaBands) =
+      minhashBandsOf(delta, k, persistSigs = !deltaIsSmall)
+    // one candidate + one verify join per tier, each exchange-free on
+    // the stored side; candidates are NOT pair-deduped (the
+    // incrementalProbe trade: duplicate rows per shared band cost a few
+    // in-row compares, countDistinct below keeps verdicts exact)
+    val ests = segs.map { case (tier, (sigs, bidx)) =>
+      val cand = hinted(deltaBands)
+        .join(bidx, Seq("band", "bh"))
+        .select(
+          col("doc_id").as("delta_id"),
+          explode(col("base_docs")).as("match_id"))
+      hinted(cand
+        .join(
+          hinted(deltaSigs
+            .select(col("doc_id").as("delta_id"), col("sig").as("sig_a"))),
+          "delta_id"))
+        .join(
+          sigs.select(col("doc_id").as("match_id"), col("sig").as("sig_b")),
+          "match_id")
+        .select(
+          col("delta_id"), col("match_id"), lit(tier).as("tier"),
+          Det.detRound(
+            expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
+            6).as("est"))
+        .filter(col("est") >= 0.5)
+    }.reduce(_ unionByName _)
+    val best = ests
+      .groupBy(col("delta_id"))
+      .agg(
+        countDistinct(col("match_id")).as("n_dups"),
+        min(struct(
+          (-col("est")).as("neg_est"),
+          col("match_id").as("mid"),
+          col("tier").as("tier"))).as("m"))
+      .select(
+        col("delta_id").as("doc_id"),
+        col("n_dups"),
+        col("m.mid").as("dup_of"),
+        col("m.tier").as("dup_tier"),
+        (-col("m.neg_est")).as("est"))
+    val verdicts = delta
+      .select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        col("dup_of"),
+        col("dup_tier"),
+        col("est"),
+        col("dup_of").isNull.as("keep"))
+    (verdicts, deltaSigs)
+  }
+
+  private val dedupMinhashIndexAppendSql = {
+    val est = estJaccardSql(MinhashK)
+    s"""WITH ${minhashSqlPrefix(MinhashK)},
+       |bidx0 AS (
+       |  SELECT band, bh, list_sort(list(doc_id)) AS base_docs
+       |  FROM bands WHERE doc_id % 10 < 8
+       |  GROUP BY band, bh
+       |  HAVING count(*) <= $IncrBucketCap
+       |), bidx1 AS (
+       |  -- the appended batch-1 segment, capped independently
+       |  SELECT band, bh, list_sort(list(doc_id)) AS base_docs
+       |  FROM bands WHERE doc_id % 10 = 8
+       |  GROUP BY band, bh
+       |  HAVING count(*) <= $IncrBucketCap
+       |), cand AS (
+       |  SELECT DISTINCT db.doc_id AS delta_id, b.x AS match_id, 'base' AS tier
+       |  FROM bands db
+       |  JOIN bidx0 USING (band, bh), unnest(bidx0.base_docs) AS b(x)
+       |  WHERE db.doc_id % 10 = 9
+       |  UNION
+       |  SELECT DISTINCT db.doc_id, b.x, 'seg1'
+       |  FROM bands db
+       |  JOIN bidx1 USING (band, bh), unnest(bidx1.base_docs) AS b(x)
+       |  WHERE db.doc_id % 10 = 9
+       |), e AS (
+       |  SELECT c.delta_id, c.match_id, c.tier, ${Det.roundSql(est, 6)} AS est
+       |  FROM cand c
+       |  JOIN sigs sa ON c.delta_id = sa.doc_id
+       |  JOIN sigs sb ON c.match_id = sb.doc_id
+       |  WHERE ${Det.roundSql(est, 6)} >= 0.5
+       |), best AS (
+       |  SELECT delta_id, match_id, tier, est,
+       |         row_number() OVER (PARTITION BY delta_id ORDER BY est DESC, match_id) AS rn,
+       |         count(*) OVER (PARTITION BY delta_id) AS n
+       |  FROM e
+       |)
+       |SELECT d.doc_id,
+       |       COALESCE(b.n, 0) AS n_dups,
+       |       b.match_id AS dup_of,
+       |       b.tier AS dup_tier,
+       |       b.est,
+       |       b.match_id IS NULL AS keep
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 9) d
+       |LEFT JOIN best b ON d.doc_id = b.delta_id AND b.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Merge two stored band-bucket frames — the minhash compaction
+    * kernel, closed under merge by the same argument as
+    * Cdc.mergedPostings: an empty list means "hot, > cap" — global
+    * bucket size ≥ any segment's, so empty stays empty; two real lists
+    * concat (segment doc sets are disjoint) and re-cap. Compaction
+    * therefore runs on the STORED index tables alone — index-sized,
+    * never a corpus re-sign — and the full-outer join is exchange-free
+    * when both sides are bucketed scans on (band, bh).
+    */
+  private[graft] def mergedBandBuckets(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("band"), col("bh"), col("base_docs").as("da"))
+      .join(
+        b.select(col("band"), col("bh"), col("base_docs").as("db")),
+        Seq("band", "bh"), "full_outer")
+      .select(
+        col("band"), col("bh"), col("da"), col("db"),
+        when(col("da").isNull, col("db"))
+          .when(col("db").isNull, col("da"))
+          .when(
+            size(col("da")) === 0 || size(col("db")) === 0 ||
+              size(col("da")) + size(col("db")) > IncrBucketCap,
+            array().cast("array<bigint>"))
+          .otherwise(sort_array(concat(col("da"), col("db"))))
+          .as("base_docs"))
+
+  private[graft] def minhashCompactDir(spark: SparkSession, dir: String): String =
+    graft.sources.DerivedCache.dir(
+      dir, "minhash-compact",
+      s"k=$MinhashK;cap=$IncrBucketCap;seg=8;v=1") { out =>
+      val (bSigs, bBidx) =
+        minhashIdxTables(spark, incrementalIndexDir(spark, dir))
+      val (sSigs, sBidx) = minhashIdxTables(spark, minhashSegDir(spark, dir))
+      // both writes are ALIGNED (zero shuffle): the bidx merge join of
+      // two bucketed scans on (band, bh) leaves the frame hash-clustered
+      // at bucket count, and the sigs union concatenates two sets of
+      // bucket-pure partitions — two files per bucket, a valid bucketed
+      // layout (the writer derives bucket ids per row; readers group
+      // files by bucket id)
+      graft.sources.Bucketing.writeBucketedExternal(
+        bSigs.unionByName(sSigs), s"$out/sigs", Seq("doc_id"),
+        aligned = true)
+      graft.sources.Bucketing.writeBucketedExternal(
+        mergedBandBuckets(bBidx, sBidx)
+          .select(col("band"), col("bh"), col("base_docs")),
+        s"$out/bidx", Seq("band", "bh"), aligned = true)
+      ()
+    }
+
+  /** The minhash tier's one-row maintenance summary (base/seg key
+    * counts + cap-crosser mass from the stored-table merge) — consumed
+    * by the cross-tier advisory (Cdc.indexMaintenancePlan). Lives here
+    * so the bucket cap stays a module constant.
+    */
+  private[operators] def minhashMaintenanceRow(
+      spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val (_, bBidx) = minhashIdxTables(spark, incrementalIndexDir(spark, dir))
+    val (_, sBidx) = minhashIdxTables(spark, minhashSegDir(spark, dir))
+    val crosser = col("da").isNotNull && col("db").isNotNull &&
+      size(col("da")) > 0 && size(col("db")) > 0 &&
+      size(col("da")) + size(col("db")) > IncrBucketCap
+    mergedBandBuckets(bBidx, sBidx)
+      .agg(
+        count(when(col("da").isNotNull, 1)).as("base_keys"),
+        count(when(col("db").isNotNull, 1)).as("seg_keys"),
+        sum(when(crosser, 1L).otherwise(0L)).as("n_crossers"))
+      .select(
+        lit("minhash").as("tier"),
+        col("base_keys"), col("seg_keys"),
+        coalesce(col("n_crossers"), lit(0L)).as("n_crossers"))
+  }
+
+  /** DuckDB twin of [[minhashMaintenanceRow]] — a SELECT over the
+    * shared minhash CTE prefix (the caller composes the WITH).
+    */
+  private[operators] val minhashMaintenanceRowSql =
+    s"""SELECT 'minhash' AS tier,
+       |       CAST(count(*) FILTER (WHERE dfb > 0) AS BIGINT) AS base_keys,
+       |       CAST(count(*) FILTER (WHERE dfs > 0) AS BIGINT) AS seg_keys,
+       |       CAST(COALESCE(SUM(CASE WHEN dfb BETWEEN 1 AND $IncrBucketCap
+       |                               AND dfs BETWEEN 1 AND $IncrBucketCap
+       |                               AND dfb + dfs > $IncrBucketCap
+       |                              THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |         AS n_crossers
+       |FROM (
+       |  SELECT band, bh,
+       |         count(*) FILTER (WHERE doc_id % 10 < 8) AS dfb,
+       |         count(*) FILTER (WHERE doc_id % 10 = 8) AS dfs
+       |  FROM bands WHERE doc_id % 10 < 9
+       |  GROUP BY band, bh
+       |)""".stripMargin
+
+  /** Compact the minhash base index + the batch-1 segment into one
+    * globally capped index (stored bucketed, build-once, written with
+    * ZERO shuffles — see [[minhashCompactDir]]) and report what the
+    * merge changed: per resulting bucket tier (hot / unique / cold by
+    * the MERGED size), the bucket count, surviving posting entries,
+    * buckets present in both inputs, and the CAP CROSSERS — buckets
+    * under the cap in every segment individually but hot once merged.
+    * Crossers are the candidates a segmented probe still expands that
+    * the compacted index drops as near-identical boilerplate: the LSM
+    * trade made visible, and a number the maintenance advisory
+    * (index_maintenance_plan) consumes to decide when to compact.
+    * Round15AdditionsSpec pins the stored compacted layout to be
+    * row-identical to a from-scratch build over base ∪ batch-1 docs.
+    */
+  def dedupMinhashIndexCompact(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark) // the index builders sign with graft_minhash_md5
+    minhashCompactDir(spark, dir) // build-once side effect (the layout)
+    val (_, bBidx) = minhashIdxTables(spark, incrementalIndexDir(spark, dir))
+    val (_, sBidx) = minhashIdxTables(spark, minhashSegDir(spark, dir))
+    val m = mergedBandBuckets(bBidx, sBidx)
+    val inBoth = col("da").isNotNull && col("db").isNotNull
+    val crosser = inBoth &&
+      size(col("da")) > 0 && size(col("db")) > 0 &&
+      size(col("da")) + size(col("db")) > IncrBucketCap
+    m.select(
+        when(size(col("base_docs")) === 0, "hot")
+          .when(size(col("base_docs")) === 1, "unique")
+          .otherwise("cold").as("tier"),
+        size(col("base_docs")).cast("long").as("entries"),
+        when(inBoth, 1L).otherwise(0L).as("in_both"),
+        when(crosser, 1L).otherwise(0L).as("crosser"))
+      .groupBy(col("tier"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("entries")).as("n_entries"),
+        sum(col("in_both")).as("n_in_both"),
+        sum(col("crosser")).as("n_cap_crossers"))
+      .orderBy(col("tier"))
+  }
+
+  private val dedupMinhashIndexCompactSql =
+    s"""WITH ${minhashSqlPrefix(MinhashK)},
+       |d AS (
+       |  SELECT band, bh,
+       |         count(*) FILTER (WHERE doc_id % 10 < 8) AS dfb,
+       |         count(*) FILTER (WHERE doc_id % 10 = 8) AS dfs
+       |  FROM bands WHERE doc_id % 10 < 9
+       |  GROUP BY band, bh
+       |), m AS (
+       |  -- merged representation: entries = total bucket size when
+       |  -- <= cap, 0 (presence only) when hot in ANY input or merged
+       |  SELECT band, bh, dfb, dfs,
+       |         CASE WHEN dfb + dfs > $IncrBucketCap THEN 0
+       |              ELSE dfb + dfs END AS entries
+       |  FROM d
+       |)
+       |SELECT CASE WHEN entries = 0 THEN 'hot'
+       |            WHEN entries = 1 THEN 'unique'
+       |            ELSE 'cold' END AS tier,
+       |       count(*) AS n_buckets,
+       |       CAST(SUM(entries) AS BIGINT) AS n_entries,
+       |       CAST(SUM(CASE WHEN dfb > 0 AND dfs > 0 THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_in_both,
+       |       CAST(SUM(CASE WHEN dfb BETWEEN 1 AND $IncrBucketCap
+       |                      AND dfs BETWEEN 1 AND $IncrBucketCap
+       |                      AND dfb + dfs > $IncrBucketCap
+       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cap_crossers
+       |FROM m
+       |GROUP BY 1
+       |ORDER BY tier""".stripMargin
 
   /** Duplicate-cluster size histogram over the BOUNDED minhash-LSH
     * cluster path (the 100 TB form): per cluster size, how many
@@ -2837,6 +3207,10 @@ object Dedup {
       QueryDef(dedupDetectorAgreement, Some(dedupDetectorAgreementSql)),
     "dedup_cluster_sizes" -> QueryDef(dedupClusterSizes, Some(dedupClusterSizesSql)),
     "dedup_incremental" -> QueryDef(dedupIncremental, Some(dedupIncrementalSql)),
+    "dedup_minhash_index_append" -> QueryDef(
+      dedupMinhashIndexAppend, Some(dedupMinhashIndexAppendSql)),
+    "dedup_minhash_index_compact" -> QueryDef(
+      dedupMinhashIndexCompact, Some(dedupMinhashIndexCompactSql)),
     "dedup_keep_best" -> QueryDef(dedupKeepBest, Some(dedupKeepBestSql)),
     "dedup_keep_best_containment" ->
       QueryDef(dedupKeepBestContainment, Some(dedupKeepBestContainmentSql)),

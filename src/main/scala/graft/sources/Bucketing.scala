@@ -69,16 +69,28 @@ object Bucketing {
     * the files land at `path`; the repartition puts one file per
     * bucket. The in-memory catalog dies with the session — later
     * sessions re-attach via [[readBucketed]].
+    *
+    * `aligned = true` skips the repartition: for a frame that is ALREADY
+    * hash-clustered on `keys` at `buckets` partitions (e.g. the output
+    * of an exchange-free join of two same-bucketed scans, or an
+    * aggregation keyed on `keys` when shuffle partitions == buckets),
+    * the user repartition is a redundant table-sized shuffle Spark will
+    * not elide — compaction of a bucketed index must not pay it.
+    * Alignment is a FILE-COUNT optimization, never a correctness
+    * gamble: the bucketed writer derives each row's bucket id from its
+    * key hash per row (sorting within tasks by bucket id), so a
+    * misaligned caller only produces more files per bucket, and
+    * bucketed reads group files by bucket id regardless.
     */
   def writeBucketedExternal(
       df: DataFrame, path: String, keys: Seq[String],
-      buckets: Int = IndexBuckets): Unit = {
+      buckets: Int = IndexBuckets, aligned: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val tbl = tableNameFor(path)
     lockFor(tbl).synchronized {
       spark.sql(s"DROP TABLE IF EXISTS $tbl")
-      df.repartition(buckets, keys.map(col): _*)
+      (if (aligned) df else df.repartition(buckets, keys.map(col): _*))
         .write.mode(SaveMode.Overwrite)
         .option("path", path)
         .bucketBy(buckets, keys.head, keys.tail: _*)
@@ -103,10 +115,15 @@ object Bucketing {
     lockFor(tbl).synchronized {
       if (!spark.catalog.tableExists(tbl)) {
         val ks = keys.mkString(", ")
+        // single quotes in the path double-escape per the SQL string
+        // literal rule — an unescaped quote (user-named tmpdirs on
+        // macOS etc.) would break the statement while tableNameFor
+        // already committed to this exact path string
+        val loc = path.replace("'", "''")
         spark.sql(
           s"CREATE TABLE $tbl ($schema) USING parquet " +
             s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS " +
-            s"LOCATION '$path'")
+            s"LOCATION '$loc'")
       }
     }
     spark.table(tbl)
@@ -200,52 +217,100 @@ object Bucketing {
       |GROUP BY 1
       |ORDER BY tile""".stripMargin
 
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree); f.delete(); ()
+  }
+
+  /** Heal any state a crashed [[compact]] left behind — the recovery
+    * half of the commit protocol (see compact's docstring). Plain
+    * filesystems have no two-directory atomic swap, so the protocol
+    * makes every intermediate state DETERMINISTICALLY recoverable
+    * instead: the rewrite's `_SUCCESS` marker is the commit record
+    * (the same role the manifest file plays in
+    * EventStreams.mergeManifestBatch), and this function rolls each
+    * possible crash state forward (marker present → finish the swap)
+    * or back (marker absent → restore the original). Idempotent;
+    * called automatically at the start of every compact(), and safe
+    * for an operator/reader to call any time.
+    */
+  def recoverCompact(path: String): Unit = {
+    val base = path.stripSuffix("/")
+    val dir  = new java.io.File(base)
+    val next = new java.io.File(base + "._next")
+    val old  = new java.io.File(base + "._old")
+    val committed = new java.io.File(next, "_SUCCESS").exists()
+    if (dir.exists()) {
+      // crash before the swap started (next half-written or complete
+      // but unswapped — a retry rewrites it), or after the swap-in but
+      // before the old dir was pruned; the table itself is intact
+      if (next.exists()) rmTree(next)
+      if (old.exists()) rmTree(old)
+    } else if (old.exists()) {
+      // crash mid-swap: the table was moved aside. The marker decides:
+      // a COMPLETE rewrite rolls forward (finish the swap), anything
+      // else rolls back to the original
+      if (committed && next.renameTo(dir)) rmTree(old)
+      else {
+        require(old.renameTo(dir), s"recoverCompact: could not restore $path")
+        if (next.exists()) rmTree(next)
+      }
+    }
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈bytes/target⌉ files. Streaming sinks and incremental upserts
     * accrete files far smaller than a scan-efficient size; compaction
     * restores (file count ∝ data size) so scans stop paying per-file
     * open/footer costs — at 100 TB an uncompacted events table can hit
-    * millions of files and spend longer listing than reading. Rewrite
-    * goes to a sibling temp dir first; the swap is two renames with a
-    * rollback (the original is restored if the swap-in fails), so no
-    * failure loses data — but a crash BETWEEN the renames can leave the
-    * table parked at `<path>._precompact` until the next compact() (or
-    * operator) moves it back; plain filesystems have no two-directory
-    * atomic commit, which is exactly what table formats with a
-    * transaction log exist to provide. Callers needing concurrent
-    * readers during compaction should route reads through a pointer
-    * (see the streaming view's versioned commit for that pattern).
+    * millions of files and spend longer listing than reading.
+    *
+    * Commit protocol (crash-safe at every step, CompactCrashSpec
+    * injects a crash at the widest window):
+    *   1. rewrite to `<path>._next` (the `_SUCCESS` marker = the
+    *      commit record);
+    *   2. rename `<path>` → `<path>._old`;
+    *   3. rename `<path>._next` → `<path>`;
+    *   4. prune `<path>._old`.
+    * A crash anywhere leaves a state [[recoverCompact]] (run on the
+    * next compact(), or by any operator/reader) resolves without data
+    * loss: before step 2 the table is untouched; between 2 and 3 the
+    * marker rolls the swap forward; after 3 the old dir is garbage.
+    * Callers needing concurrent readers DURING compaction should route
+    * reads through a pointer (the streaming view's versioned commit
+    * pattern); for exclusive maintenance windows this protocol is the
+    * whole story.
     *
     * @return (filesBefore, filesAfter)
     */
   def compact(
-      spark: SparkSession, path: String, targetBytes: Long): (Int, Int) = {
+      spark: SparkSession, path: String, targetBytes: Long,
+      crashHook: () => Unit = () => ()): (Int, Int) = {
     def parquetFiles(p: java.io.File): Seq[java.io.File] =
       Option(p.listFiles()).getOrElse(Array.empty).toSeq.flatMap { f =>
         if (f.isDirectory) parquetFiles(f)
         else if (f.getName.endsWith(".parquet")) Seq(f)
         else Nil
       }
-    val dir    = new java.io.File(path)
+    recoverCompact(path)
+    val base   = path.stripSuffix("/")
+    val dir    = new java.io.File(base)
     val before = parquetFiles(dir)
     val total  = before.map(_.length()).sum
     val nOut   = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    val tmp    = path.stripSuffix("/") + "._compacting"
+    val next   = new java.io.File(base + "._next")
     spark.read.parquet(path)
       .repartition(nOut)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val bak = new java.io.File(path.stripSuffix("/") + "._precompact")
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm); f.delete(); ()
-    }
-    require(dir.renameTo(bak), s"could not move $path aside")
-    if (!new java.io.File(tmp).renameTo(dir)) {
+      .write.mode(SaveMode.Overwrite).parquet(next.getPath)
+    val old = new java.io.File(base + "._old")
+    require(dir.renameTo(old), s"could not move $path aside")
+    crashHook() // spec-injected crash: the widest torn window (no table dir)
+    if (!next.renameTo(dir)) {
       // roll back: the original table comes back before we report failure
-      bak.renameTo(dir)
-      rm(new java.io.File(tmp))
-      throw new IllegalStateException(s"could not swap $tmp into $path; original restored")
+      old.renameTo(dir)
+      rmTree(next)
+      throw new IllegalStateException(s"could not swap $next into $path; original restored")
     }
-    rm(bak)
+    rmTree(old)
     (before.length, parquetFiles(dir).length)
   }
 
