@@ -359,7 +359,7 @@ object Cdc {
         max(col("chunk_len")).as("chunk_len"),
         count(lit(1)).as("n_occ"))
 
-  private def cdcStoreDir(spark: SparkSession, dir: String): String =
+  private[operators] def cdcStoreDir(spark: SparkSession, dir: String): String =
     // v=2 = bucketed by chunk_md5 (the probe key); fingerprint is
     // parameter-only — the source stamp DerivedCache appends already
     // invalidates on regenerated data, and rows=N cost a count() job;
@@ -390,7 +390,7 @@ object Cdc {
 
   private val CdcStoreDdl = "chunk_md5 STRING, chunk_len BIGINT, n_occ BIGINT"
 
-  private def cdcStoreTable(spark: SparkSession, d: String): DataFrame =
+  private[operators] def cdcStoreTable(spark: SparkSession, d: String): DataFrame =
     graft.sources.Bucketing.readBucketed(
       spark, s"$d/chunks", Seq("chunk_md5"), CdcStoreDdl)
 
@@ -739,7 +739,7 @@ object Cdc {
     * plan — the same bucket-cap discipline as dedup_jaccard's
     * HotShingleCap. Mirrored in the oracle.
     */
-  private val SubstrDfCap = 64
+  private[operators] val SubstrDfCap = 64
 
   /** Top-k co-duplicated pairs reported by dedup_substring. */
   private val SubstrTopK = 100
@@ -1284,7 +1284,7 @@ object Cdc {
   /** The stored posting index as a bucketed-table scan — hash-clustered
     * by h, so probe joins exchange only the delta side.
     */
-  private def substrIndex(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def substrIndex(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Bucketing.readBucketed(
       spark, s"${substrIndexDir(spark, dir)}/postings", Seq("h"),
       "h BIGINT, base_docs ARRAY<BIGINT>")
@@ -1565,13 +1565,36 @@ object Cdc {
       Tables.documents(spark, dir).filter(col("doc_id") % 10 === 9),
       Seq("base" -> substrIndex(spark, dir), "seg1" -> substrSeg(spark, dir)))
 
+  /** The stored base + batch-1 segment pair the append probe reads —
+    * factored so the streaming ingest leg (DocStreams) probes the SAME
+    * stored tables per micro-batch.
+    */
+  private[graft] def substrAppendSegs(
+      spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    Seq("base" -> substrIndex(spark, dir), "seg1" -> substrSeg(spark, dir))
+
   /** The multi-segment probe kernel, factored for planted-fixture specs.
     * Segment doc sets must be disjoint (an LSM invariant: a doc lands in
     * exactly one segment), so (delta_id, match_id) is unique across
     * tiers and the min-struct tie-break never reaches the tier field.
     */
   private[graft] def dedupSubstringIndexAppendOf(
-      delta: DataFrame, segs: Seq[(String, DataFrame)]): DataFrame = {
+      delta: DataFrame, segs: Seq[(String, DataFrame)]): DataFrame =
+    dedupSubstringIndexAppendUnorderedOf(delta, segs)
+      .orderBy(col("doc_id"))
+
+  /** The same kernel WITHOUT the presentation sort, and with per-row
+    * independent verdicts — the property that lets the streaming leg
+    * (stream_substr_ingest) drive it per micro-batch and union to the
+    * byte-identical table. `deltaIsSmall` = caller guarantees a bounded
+    * micro-batch: the delta side broadcasts (exchange-free everywhere)
+    * instead of SHUFFLE_HASH-building against the bucketed scans.
+    */
+  private[graft] def dedupSubstringIndexAppendUnorderedOf(
+      delta: DataFrame, segs: Seq[(String, DataFrame)],
+      deltaIsSmall: Boolean = false): DataFrame = {
+    def hinted(df: DataFrame): DataFrame =
+      if (deltaIsSmall) broadcast(df) else df.hint("SHUFFLE_HASH")
     val dwin = winDistinct(delta)
     val nw = dwin.groupBy(col("doc_id")).agg(count(lit(1)).as("n_windows"))
     // one probe join per segment, each exchange-free on the index side
@@ -1579,8 +1602,7 @@ object Cdc {
     // O(n) rolling kernel re-runs per consumer — cheaper than caching
     // corpus-wide hash arrays, and the delta side is batch-sized
     val matches = segs.map { case (tier, idx) =>
-      winDistinct(delta)
-        .hint("SHUFFLE_HASH")
+      hinted(winDistinct(delta))
         .join(idx, Seq("h"))
         .select(
           col("doc_id").as("delta_id"),
@@ -1616,10 +1638,9 @@ object Cdc {
         col("n_shared"),
         (col("n_shared") + lit((SubstrW - 1).toLong)).as("est_overlap_tokens"),
         col("dup_of").isNull.as("keep"))
-      .orderBy(col("doc_id"))
   }
 
-  private val dedupSubstringIndexAppendSql =
+  private[graft] val dedupSubstringIndexAppendSql =
     s"""WITH t AS (
        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
        |), win AS (

@@ -1083,15 +1083,22 @@ object Dedup {
     spark.read.parquet(s"$d/labels")
   }
 
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** The stored exact-Jaccard CC label table (node, label) — factored
+    * so the cross-tier pipeline report can read the SAME stored
+    * artifact dedup_clusters serves, with an identical fingerprint.
+    */
+  private def exactCcLabels(spark: SparkSession, dir: String): DataFrame = {
     val rows = Tables.cachedCount(spark, dir, "documents")
     ccLabels(
       spark, dir, "exact",
       s"rows=$rows;cap=$ExactDocCap;hot=$HotShingleCap;tau=0.6")(
       dedupJaccard(spark, dir).select(col("doc_a"), col("doc_b")))
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    exactCcLabels(spark, dir)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
-  }
 
   /** DuckDB twin of dedupClusters: connected components as a recursive
     * transitive closure — `reach(node, r)` grows until fixpoint (UNION
@@ -1249,16 +1256,20 @@ object Dedup {
     * BASELINE.md's 10×-documents probe). Same canonical min-id labels;
     * agreement with the exact clusters is spec-asserted on the fixture.
     */
-  def dedupClustersMinhash(spark: SparkSession, dir: String): DataFrame = {
+  /** The stored minhash-LSH CC label table — see [[exactCcLabels]]. */
+  private def minhashCcLabels(spark: SparkSession, dir: String): DataFrame = {
     val rows = Tables.cachedCount(spark, dir, "documents")
     // the edge derivation is by-name (lazy) so a label-cache hit skips
     // the whole sketch construction (including its persist marks)
     ccLabels(
       spark, dir, "minhash",
       s"rows=$rows;k=$MinhashK;bucketCap=1000;tau=0.5")(minhashStarEdges(spark, dir))
+  }
+
+  def dedupClustersMinhash(spark: SparkSession, dir: String): DataFrame =
+    minhashCcLabels(spark, dir)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .orderBy(col("doc_id"))
-  }
 
   /** DuckDB twin of dedupClustersMinhash: the same star-edge candidate
     * graph (hub = bucket minimum) from the portable sketch, signature
@@ -2097,6 +2108,190 @@ object Dedup {
        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cap_crossers
        |FROM m
        |GROUP BY 1
+       |ORDER BY tier""".stripMargin
+
+  // ----------------------------------------- cross-tier pipeline report
+
+  /** Dedup-tier capstone: the morning-report composition a 100 TB
+    * curation run reads — per detector tier, what it flags and how the
+    * tiers overlap — computed ENTIRELY from the STORED dedup artifacts
+    * (exact-Jaccard CC labels, minhash-LSH CC labels, the substring
+    * posting index, the CDC chunk store). No corpus text is re-scanned
+    * and no detector re-runs: after the one-time builds, every input is
+    * an index-/label-sized table, which is the whole point — the
+    * per-tier queries already exist, but a pipeline owner needs the
+    * cross-tier view at artifact cost, not detector cost.
+    *
+    * Scope is the shared base corpus (`doc_id % 10 < 8` — the slice all
+    * four stored artifacts cover). Per tier:
+    *   - `docs_flagged`: docs the tier marks removable (cluster tiers:
+    *     non-keeper members, node ≠ min-id label; substring: docs
+    *     carrying a duplicated cold window; CDC: NULL — chunks carry no
+    *     doc identity in a content-addressed store);
+    *   - `units_removed` / `unit`: docs for the cluster tiers, Σ(df−1)
+    *     removable window occurrences for substring (doc-presence
+    *     grain), duplicate bytes (Σ(n_occ−1)·len) for CDC;
+    *   - `overlap_upstream` / `net_new_docs`: how much of the tier's
+    *     flag set an EARLIER tier (pipeline order exact_jaccard →
+    *     minhash → substring) already caught — the marginal value of
+    *     running each additional tier.
+    */
+  def dedupPipelineReport(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    val baseDoc = col("node") % 10 < 8 && col("node") =!= col("label")
+    val exactFlagged = exactCcLabels(spark, dir)
+      .filter(baseDoc).select(col("node").as("doc_id"))
+    val mhFlagged = minhashCcLabels(spark, dir)
+      .filter(baseDoc).select(col("node").as("doc_id"))
+    val postings = Cdc.substrIndex(spark, dir)
+    val subFlagged = postings
+      .filter(size(col("base_docs")) >= 2)
+      .select(explode(col("base_docs")).as("doc_id"))
+      .distinct()
+    val store = Cdc.cdcStoreTable(spark, Cdc.cdcStoreDir(spark, dir))
+
+    def row(
+        tier: String, flagged: DataFrame, upstream: Option[DataFrame])
+        : DataFrame = {
+      val joined = upstream match {
+        case Some(up) =>
+          flagged.join(
+            up.distinct().withColumn("up", lit(1L)), Seq("doc_id"), "left")
+        case None => flagged.withColumn("up", lit(null).cast("long"))
+      }
+      joined.agg(
+          count(lit(1)).as("docs_flagged"),
+          sum(coalesce(col("up"), lit(0L))).as("ov"))
+        .select(
+          lit(tier).as("tier"),
+          col("docs_flagged"),
+          col("docs_flagged").as("units_removed"),
+          lit("docs").as("unit"),
+          (if (upstream.isDefined) coalesce(col("ov"), lit(0L))
+           else lit(null).cast("long")).as("overlap_upstream"),
+          (if (upstream.isDefined)
+             col("docs_flagged") - coalesce(col("ov"), lit(0L))
+           else lit(null).cast("long")).as("net_new_docs"))
+    }
+
+    val exactRow = row("exact_jaccard", exactFlagged, None)
+      // the first tier has no upstream: overlap 0, net = all
+      .select(
+        col("tier"), col("docs_flagged"), col("units_removed"), col("unit"),
+        lit(0L).as("overlap_upstream"),
+        col("docs_flagged").as("net_new_docs"))
+    val mhRow = row("minhash", mhFlagged, Some(exactFlagged))
+    val subRow = {
+      val units = postings
+        .filter(size(col("base_docs")) >= 2)
+        .agg(coalesce(
+          sum(size(col("base_docs")).cast("long") - 1L), lit(0L)).as("u"))
+      row("substring", subFlagged, Some(exactFlagged.unionByName(mhFlagged)))
+        .crossJoin(units)
+        .select(
+          col("tier"), col("docs_flagged"),
+          col("u").as("units_removed"),
+          lit("windows").as("unit"),
+          col("overlap_upstream"), col("net_new_docs"))
+    }
+    val cdcRow = store
+      .agg(coalesce(
+        sum((col("n_occ") - 1L) * col("chunk_len")), lit(0L)).as("u"))
+      .select(
+        lit("cdc").as("tier"),
+        lit(null).cast("long").as("docs_flagged"),
+        col("u").as("units_removed"),
+        lit("bytes").as("unit"),
+        lit(null).cast("long").as("overlap_upstream"),
+        lit(null).cast("long").as("net_new_docs"))
+    exactRow.unionByName(mhRow).unionByName(subRow).unionByName(cdcRow)
+      .orderBy(col("tier"))
+  }
+
+  private val dedupPipelineReportSql =
+    s"""WITH ecl AS (
+       |  SELECT * FROM (
+       |${dedupClustersSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |), mcl AS (
+       |  SELECT * FROM (
+       |${dedupClustersMinhashSql.linesIterator.map("    " + _).mkString("\n")}
+       |  )
+       |), ef AS (
+       |  SELECT doc_id FROM ecl WHERE doc_id % 10 < 8 AND doc_id != cluster_id
+       |), mf AS (
+       |  SELECT doc_id FROM mcl WHERE doc_id % 10 < 8 AND doc_id != cluster_id
+       |), tt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE doc_id % 10 < 8
+       |), win AS (
+       |  SELECT DISTINCT doc_id, array_to_string(w[i:i+${Cdc.SubstrW - 1}], ' ') AS s
+       |  FROM tt, LATERAL (SELECT unnest(generate_series(1, len(w) - ${Cdc.SubstrW - 1})) AS i)
+       |  WHERE len(w) >= ${Cdc.SubstrW}
+       |), wd AS (
+       |  SELECT s, count(*) AS df FROM win GROUP BY s
+       |), sf AS (
+       |  SELECT DISTINCT w.doc_id FROM win w
+       |  JOIN wd ON w.s = wd.s
+       |  WHERE wd.df BETWEEN 2 AND ${Cdc.SubstrDfCap}
+       |), ct AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+       |  WHERE doc_id % 10 < 8
+       |), ccut AS (
+       |  SELECT doc_id, w,
+       |         CASE WHEN len(w) >= 2
+       |              THEN list_filter(generate_series(2, len(w)),
+       |                               i -> substr(md5(w[i-1] || ' ' || w[i]), 1, 1) = '0')
+       |              ELSE [] END AS cuts
+       |  FROM ct
+       |), ccs AS (
+       |  SELECT doc_id, w, list_concat(list_concat([0], cuts), [len(w)]) AS cs FROM ccut
+       |), cseg AS (
+       |  SELECT doc_id, w,
+       |         unnest(list_filter(
+       |           list_transform(generate_series(1, len(cs) - 1),
+       |                          j -> {'s': cs[j], 'e': cs[j+1]}),
+       |           p -> p.e > p.s)) AS p
+       |  FROM ccs
+       |), cch AS (
+       |  SELECT md5(array_to_string(w[(p.s + 1):(p.e)], ' ')) AS chunk_md5,
+       |         CAST(length(array_to_string(w[(p.s + 1):(p.e)], ' ')) AS BIGINT) AS chunk_len
+       |  FROM cseg
+       |), cg AS (
+       |  SELECT chunk_md5, count(*) AS n, max(chunk_len) AS clen
+       |  FROM cch GROUP BY 1
+       |)
+       |SELECT 'cdc' AS tier,
+       |       CAST(NULL AS BIGINT) AS docs_flagged,
+       |       CAST(COALESCE((SELECT SUM((n - 1) * clen) FROM cg), 0) AS BIGINT)
+       |         AS units_removed,
+       |       'bytes' AS unit,
+       |       CAST(NULL AS BIGINT) AS overlap_upstream,
+       |       CAST(NULL AS BIGINT) AS net_new_docs
+       |UNION ALL
+       |SELECT 'exact_jaccard',
+       |       (SELECT count(*) FROM ef),
+       |       (SELECT count(*) FROM ef),
+       |       'docs',
+       |       0,
+       |       (SELECT count(*) FROM ef)
+       |UNION ALL
+       |SELECT 'minhash',
+       |       (SELECT count(*) FROM mf),
+       |       (SELECT count(*) FROM mf),
+       |       'docs',
+       |       (SELECT count(*) FROM mf WHERE doc_id IN (SELECT doc_id FROM ef)),
+       |       (SELECT count(*) FROM mf WHERE doc_id NOT IN (SELECT doc_id FROM ef))
+       |UNION ALL
+       |SELECT 'substring',
+       |       (SELECT count(*) FROM sf),
+       |       CAST(COALESCE((SELECT SUM(df - 1) FROM wd
+       |                      WHERE df BETWEEN 2 AND ${Cdc.SubstrDfCap}), 0) AS BIGINT),
+       |       'windows',
+       |       (SELECT count(*) FROM sf
+       |        WHERE doc_id IN (SELECT doc_id FROM ef UNION SELECT doc_id FROM mf)),
+       |       (SELECT count(*) FROM sf
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM ef UNION SELECT doc_id FROM mf))
        |ORDER BY tier""".stripMargin
 
   /** Duplicate-cluster size histogram over the BOUNDED minhash-LSH
@@ -3211,6 +3406,8 @@ object Dedup {
       dedupMinhashIndexAppend, Some(dedupMinhashIndexAppendSql)),
     "dedup_minhash_index_compact" -> QueryDef(
       dedupMinhashIndexCompact, Some(dedupMinhashIndexCompactSql)),
+    "dedup_pipeline_report" -> QueryDef(
+      dedupPipelineReport, Some(dedupPipelineReportSql)),
     "dedup_keep_best" -> QueryDef(dedupKeepBest, Some(dedupKeepBestSql)),
     "dedup_keep_best_containment" ->
       QueryDef(dedupKeepBestContainment, Some(dedupKeepBestContainmentSql)),

@@ -157,6 +157,70 @@ object DocStreams {
       })
   }
 
+  /** Streaming leg of the substring-index LSM ingest — the append
+    * probe (dedup_substring_index_append) driven from micro-batches:
+    * today's batch (`doc_id % 10 == 9`) re-published as a 4-file
+    * parquet stream, consumed with Trigger.AvailableNow +
+    * maxFilesPerTrigger=2 (two REAL micro-batches with checkpointed
+    * progress), each batch window-hashed fresh and probed against the
+    * SAME stored base + batch-1 segment tables the batch query reads.
+    * Verdicts are per-delta-row independent (the append kernel's
+    * contract), so the union over any batch partitioning is
+    * byte-identical to dedup_substring_index_append's output and the
+    * query shares its DuckDB oracle — closing the LSM loop: the tier
+    * exists FOR ingest, and this is the ingest runner actually driving
+    * it. Per-batch cost ∝ batch size (bounded-batch broadcast probe,
+    * zero exchange anywhere); segment maintenance stays with the batch
+    * compaction queries.
+    */
+  def streamSubstrIngest(spark: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(spark)
+    // force the stored base+seg builds BEFORE the stream starts: index
+    // maintenance is a batch job; the stream only probes
+    val segs = graft.operators.Cdc.substrAppendSegs(spark, dir)
+    val delta = Tables
+      .documents(spark, dir)
+      .filter((col("doc_id") % 10) === 9)
+      .select(col("doc_id"), col("text"))
+    val rows = Tables.cachedCount(spark, dir, "documents")
+    val srcDir = graft.sources.DerivedCache.dir(
+      dir, "stream-substr-src", s"rows=$rows;files=4") { out =>
+      delta.repartition(4, col("doc_id"))
+        .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .parquet(s"$out/files")
+      ()
+    } + "/files"
+    StreamRunner.runAvailableNow(
+      spark,
+      schema = delta.schema,
+      srcDir = srcDir,
+      maxFilesPerTrigger = 2,
+      tmpPrefix = "graft-stream-substr",
+      mkHandler = outDir =>
+        (batch, _) => {
+          graft.operators.Cdc
+            .dedupSubstringIndexAppendUnorderedOf(
+              batch.toDF(), segs, deltaIsSmall = true)
+            .write.mode("append").parquet(outDir)
+          ()
+        },
+      finish = _.orderBy(col("doc_id")),
+      empty = {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row],
+          StructType(Seq(
+            StructField("doc_id", LongType),
+            StructField("n_windows", LongType, nullable = false),
+            StructField("n_dups", LongType, nullable = false),
+            StructField("dup_of", LongType),
+            StructField("dup_tier", StringType),
+            StructField("n_shared", LongType),
+            StructField("est_overlap_tokens", LongType),
+            StructField("keep", BooleanType, nullable = false))))
+      })
+  }
+
   /** Streaming quality gate — the lambda-architecture twin of
     * quality_adaptive_gate: per-language z-score drop lines are TRAINED
     * once on the base corpus slice (doc_id % 10 < 8, the
@@ -422,6 +486,9 @@ object DocStreams {
     "stream_mix_ingest" -> QueryDef(streamMixIngest, Some(streamMixIngestSql)),
     "stream_dedup_ingest" -> QueryDef(
       streamDedupIngest, Some(graft.operators.Dedup.dedupIncrementalSql)),
+    "stream_substr_ingest" -> QueryDef(
+      streamSubstrIngest,
+      Some(graft.operators.Cdc.dedupSubstringIndexAppendSql)),
     "stream_quality_gate" -> QueryDef(
       streamQualityGate, Some(streamQualityGateSql)))
 }
