@@ -1048,13 +1048,19 @@ object Cdc {
     * DOWN).
     */
   private def coveredPositionsExpr(ps: String): String =
+    // the boundary probes (i−1 at the head, i+1 at the tail) use
+    // try_element_at: NULL instead of an error on the out-of-range
+    // index, so the guard holds under ANY evaluation order — the first
+    // disjunct (i = 1 / i = size) is TRUE exactly when the probe is out
+    // of range, and TRUE OR NULL = TRUE (an OR short-circuit alone is
+    // an ANSI-evaluation-order gamble; round-14 ADVICE)
     s"""IF(size($ps) = 0, CAST(array() AS ARRAY<BIGINT>),
        |  flatten(zip_with(
        |    filter(transform(sequence(1, size($ps)),
-       |      i -> IF(i = 1 OR element_at($ps, i) > element_at($ps, i - 1) + $SubstrW,
+       |      i -> IF(i = 1 OR element_at($ps, i) > try_element_at($ps, i - 1) + $SubstrW,
        |              element_at($ps, i), CAST(-1 AS BIGINT))), x -> x >= 0),
        |    filter(transform(sequence(1, size($ps)),
-       |      i -> IF(i = size($ps) OR element_at($ps, i + 1) > element_at($ps, i) + $SubstrW,
+       |      i -> IF(i = size($ps) OR try_element_at($ps, i + 1) > element_at($ps, i) + $SubstrW,
        |              element_at($ps, i) + ${SubstrW - 1}, CAST(-1 AS BIGINT))), x -> x >= 0),
        |    (s, e) -> sequence(s, e))))""".stripMargin
 
@@ -2086,8 +2092,12 @@ object Cdc {
     * the W-token window stream that tells a curation run what each
     * duplication tier holds BEFORE it strips: per tier (unique df=1,
     * cold 2..SubstrDfCap, boiler >SubstrDfCap), the distinct window
-    * count, total occurrences, strippable occurrences (df−1 per window
-    * — what keep-first would remove), and documents touched. This is
+    * count, total occurrences, strippable DOC-occurrences (df−1 per window —
+    * the windows keep-first would remove counting each window ONCE per
+    * additional DOC that carries it; winDistinct collapses within-doc
+    * repeats, so a window repeating inside one non-keeper doc still
+    * counts once here even though the positional strip removes every
+    * repeat), and documents touched. This is
     * the corpus-level companion of dedup_substring_strip's per-doc
     * boiler_* columns (round-13 verdict: the df cap discarded mass with
     * no visible signal — now both grains report it).
@@ -2117,7 +2127,7 @@ object Cdc {
       .agg(
         count(lit(1)).as("n_windows"),
         sum(col("df")).as("n_occurrences"),
-        sum(col("df") - 1).as("strippable_occurrences"))
+        sum(col("df") - 1).as("strippable_doc_occurrences"))
     val byDoc = w
       .join(perWin, Seq("h"))
       .select(tier(col("df")).as("tier"), col("doc_id"))
@@ -2142,13 +2152,13 @@ object Cdc {
        |), byw AS (
        |  SELECT tier, count(*) AS n_windows,
        |         CAST(SUM(df) AS BIGINT) AS n_occurrences,
-       |         CAST(SUM(df - 1) AS BIGINT) AS strippable_occurrences
+       |         CAST(SUM(df - 1) AS BIGINT) AS strippable_doc_occurrences
        |  FROM d GROUP BY tier
        |), bd AS (
        |  SELECT d.tier, count(DISTINCT w.doc_id) AS n_docs
        |  FROM win w JOIN d ON w.s = d.s GROUP BY d.tier
        |)
-       |SELECT b.tier, b.n_windows, b.n_occurrences, b.strippable_occurrences,
+       |SELECT b.tier, b.n_windows, b.n_occurrences, b.strippable_doc_occurrences,
        |       bd.n_docs
        |FROM byw b JOIN bd ON b.tier = bd.tier
        |ORDER BY b.tier""".stripMargin

@@ -253,7 +253,7 @@ object Dedup {
     // FILTERED result materializes a query stage the sampler reads back
     // instead of recomputing.
     val cut =
-      if (pairMass / PairsPerExpandPartition > 32)
+      if (pairMass / PairsPerExpandPartition > shuffleWidth(u))
         u.repartition(col("doc_a"), col("doc_b"))
       else u
     cut.orderBy(col("doc_a"), col("doc_b"))
@@ -312,6 +312,23 @@ object Dedup {
     */
   private val PairsPerExpandPartition = 500000L
 
+  /** Ceiling on the mass-adaptive pair-exchange width: enough tasks to
+    * keep the worst in-budget mass (PairBudget = 200M pairs) at
+    * ~[[PairsPerExpandPartition]] rows each, with headroom. Tied to the
+    * budget, not to a core count — the exchange width is about per-task
+    * STATE, not parallelism.
+    */
+  private val MaxExpandPartitions = 512L
+
+  /** The session's configured shuffle width — the floor under which the
+    * mass-adaptive repartitions are pointless (the default exchange
+    * already spreads at least this wide). Read per-call: sessions built
+    * with a different core count (GraftSession sets shuffle.partitions
+    * = cpus) must not inherit a hardcoded 32 (round-14 ADVICE).
+    */
+  private def shuffleWidth(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** The packed inverted-index pair kernel shared by the exact-Jaccard
     * and containment views: (doc_a, sz_a, doc_b, sz_b, common) for every
     * pair sharing at least one cold shingle — sizes carried bit-packed
@@ -328,7 +345,8 @@ object Dedup {
     */
   private def pairCommonOf(docsIn: DataFrame, pairMass: Long = 0L): DataFrame = {
     val idx = shingleIndex(docsIn)
-    val k = math.min(512L, pairMass / PairsPerExpandPartition).toInt
+    val floor = shuffleWidth(idx)
+    val k = math.min(MaxExpandPartitions, pairMass / PairsPerExpandPartition).toInt
     // Two volume-aware repartitions, both invisible to the optimizer
     // (stage sizing follows SHUFFLED bytes; here the volume is what the
     // slice generator EMITS — a number only the measured mass knows):
@@ -345,14 +363,14 @@ object Dedup {
     // 1.4 GB). Measured at ×10 docs / 138M mass (each piece isolated
     // via per-stage spill attribution): 38.9 GiB spill / 21.5 s →
     // ZERO spill / 17.5 s.
-    val keyed = if (k > 32) idx.repartition(k, col("h")) else idx
+    val keyed = if (k > floor) idx.repartition(k, col("h")) else idx
     val raw = keyed
       .groupBy(col("h"))
       .agg(sort_array(collect_list(col("d"))).as("docs"))
       .filter(size(col("docs")).between(2, HotShingleCap))
       .select(posexplode(col("docs")).as(Seq("i", "a")), col("docs"))
       .select(col("a"), explode(expr("slice(docs, i + 2, size(docs))")).as("b"))
-    val pairs = if (k > 32) raw.repartition(k, col("a"), col("b")) else raw
+    val pairs = if (k > floor) raw.repartition(k, col("a"), col("b")) else raw
     pairs
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("common"))
@@ -1684,18 +1702,36 @@ object Dedup {
     * index is corpus-sized and the batch is not. The batch query's
     * delta is corpus-proportional, so it must NOT set this.
     */
+  /** Max delta rows for the FORCED shuffled-hash build across the
+    * probe joins: Spark's shuffled-hash build has no spill fallback, so
+    * the hint is safe only while the per-task hash map (≈1 KiB per sig
+    * row: 64 longs + keys + map overhead) stays inside a task's
+    * execution-memory share — 2^18 rows/bucket ≈ 256 MiB/task across
+    * [[graft.sources.Bucketing.IndexBuckets]] buckets. Above it the
+    * hint is DROPPED and the planner's SMJ (spillable) takes over:
+    * slower, never OOM (round-14 ADVICE — the 32-bucket coupling was
+    * documented but unenforced).
+    */
+  private val ShuffleHashDeltaRowsMax =
+    (1L << 18) * graft.sources.Bucketing.IndexBuckets
+
   private[graft] def incrementalProbe(
       spark: SparkSession, idx: String, delta: DataFrame,
-      deltaIsSmall: Boolean = false): (DataFrame, DataFrame) = {
+      deltaIsSmall: Boolean = false, deltaRows: Long = -1L)
+      : (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val k = MinhashK
     // bounded micro-batch (streaming): broadcast the delta so the probe
     // is exchange-free everywhere; corpus-proportional batch: SHUFFLE_HASH
     // with the delta as build side — the bucketed index scans are
     // already hash-clustered on their probe keys, so only the delta
-    // exchanges and the corpus-sized index streams unsorted
+    // exchanges and the corpus-sized index streams unsorted. The hint
+    // is size-gated (see [[ShuffleHashDeltaRowsMax]]); deltaRows < 0 =
+    // caller vouches the batch is bounded.
     def hinted(df: DataFrame): DataFrame =
-      if (deltaIsSmall) broadcast(df) else df.hint("SHUFFLE_HASH")
+      if (deltaIsSmall) broadcast(df)
+      else if (deltaRows >= 0 && deltaRows > ShuffleHashDeltaRowsMax) df
+      else df.hint("SHUFFLE_HASH")
     val baseSigs = graft.sources.Bucketing.readBucketed(
       spark, s"$idx/sigs", Seq("doc_id"), "doc_id BIGINT, sig ARRAY<BIGINT>")
     val baseIdx = graft.sources.Bucketing.readBucketed(
@@ -1750,8 +1786,13 @@ object Dedup {
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val idx = incrementalIndexDir(spark, dir)
+    // the 20% split of the cached corpus count — a job-free estimate
+    // for the shuffled-hash size gate
+    val est = Tables.cachedCount(spark, dir, "documents") / 5
     val (verdicts, deltaSigs) = incrementalProbe(
-      spark, idx, Tables.documents(spark, dir).filter((col("doc_id") % 10) >= 8))
+      spark, idx,
+      Tables.documents(spark, dir).filter((col("doc_id") % 10) >= 8),
+      deltaRows = est)
     // atomic swap: guarantees no double-unpersist and no lost handle.
     // It does NOT serialize concurrent callers — caller B's swap may
     // unpersist the frame caller A's still-running plan references, in
@@ -1825,7 +1866,9 @@ object Dedup {
     val segs = Seq(
       "base" -> minhashIdxTables(spark, incrementalIndexDir(spark, dir)),
       "seg1" -> minhashIdxTables(spark, minhashSegDir(spark, dir)))
-    val (verdicts, deltaSigs) = dedupMinhashIndexAppendOf(spark, delta, segs)
+    val (verdicts, deltaSigs) = dedupMinhashIndexAppendOf(
+      spark, delta, segs,
+      deltaRows = Tables.cachedCount(spark, dir, "documents") / 10)
     val prev = lastDeltaSigs.getAndSet(deltaSigs)
     if (prev != null && (prev ne deltaSigs)) prev.unpersist(blocking = false)
     verdicts.orderBy(col("doc_id"))
@@ -1841,11 +1884,15 @@ object Dedup {
   private[graft] def dedupMinhashIndexAppendOf(
       spark: SparkSession, delta: DataFrame,
       segs: Seq[(String, (DataFrame, DataFrame))],
-      deltaIsSmall: Boolean = false): (DataFrame, DataFrame) = {
+      deltaIsSmall: Boolean = false, deltaRows: Long = -1L)
+      : (DataFrame, DataFrame) = {
     GraftFunctions.register(spark)
     val k = MinhashK
+    // same size-gated build-side discipline as incrementalProbe
     def hinted(df: DataFrame): DataFrame =
-      if (deltaIsSmall) broadcast(df) else df.hint("SHUFFLE_HASH")
+      if (deltaIsSmall) broadcast(df)
+      else if (deltaRows >= 0 && deltaRows > ShuffleHashDeltaRowsMax) df
+      else df.hint("SHUFFLE_HASH")
     val (deltaSigs, deltaBands) =
       minhashBandsOf(delta, k, persistSigs = !deltaIsSmall)
     // one candidate + one verify join per tier, each exchange-free on
