@@ -98,9 +98,14 @@ object Bench {
     "dedup_keep_best_containment", "dedup_incremental", "minhash_k_curve",
     "lsh_band_sweep",
     // CDC + substring stored stores/indexes (segment + compacted
-    // layouts are owned by the LSM append/compact pair)
+    // layouts are owned by the LSM append/compact pair; since r15 the
+    // minhash and CDC tiers have their own segment/compacted layouts,
+    // and the pipeline report reads every stored dedup artifact)
     "cdc_incremental", "dedup_substring_incremental",
     "dedup_substring_index_append", "dedup_substring_index_compact",
+    "dedup_minhash_index_append", "dedup_minhash_index_compact",
+    "cdc_store_append", "cdc_store_compact",
+    "index_maintenance_plan", "dedup_pipeline_report",
     // LM model
     "lm_score_bigram",
     // ANN stored indexes + trained models
@@ -114,7 +119,7 @@ object Bench {
     // streaming queries build their replay source dirs under
     // DerivedCache AND pay heavy one-shot codegen/JIT — prebuild warms both
     "stream_dedup_ingest", "stream_funnel", "stream_quality_gate",
-    "stream_mix_ingest", "stream_ts_anomaly")
+    "stream_mix_ingest", "stream_ts_anomaly", "stream_substr_ingest")
 
   final case class Report(
       ok: Seq[Timing],

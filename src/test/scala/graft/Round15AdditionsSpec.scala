@@ -207,6 +207,47 @@ class Round15AdditionsSpec extends AnyFunSuite {
     assert(rm.filter(size(col("base_docs")) === 2).count() === 250L)
   }
 
+  test("stream_substr_ingest micro-batch union is byte-identical to the batch append") {
+    val batch = SparkEntry.queries("dedup_substring_index_append")(
+      spark, TestSpark.Sf).collect().toSeq
+    val streamed = SparkEntry.queries("stream_substr_ingest")(
+      spark, TestSpark.Sf).collect().toSeq
+    assert(streamed === batch,
+      s"replay must reproduce the batch verdicts; " +
+        s"batch=${batch.take(2)} streamed=${streamed.take(2)}")
+    assert(batch.nonEmpty)
+  }
+
+  test("index_maintenance_plan flips to compact_now on a crosser-heavy corpus") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-maint").toString
+    // 60 identical docs in base + 60 in seg1: every minhash band bucket
+    // and every substring window is under its cap per segment (60) but
+    // over it merged (120 > 100 bucket cap, > 64 df cap) — the exact
+    // silent-degradation state the advisory exists to catch
+    val text = (1 to 60).map(i => s"crosser$i").mkString(" ")
+    val rows =
+      (0L until 60L).map(i => (i * 10L) -> text) ++       // % 10 == 0 → base
+        (0L until 60L).map(i => (i * 10L + 8L) -> text)   // % 10 == 8 → seg1
+    rows.toDF("doc_id", "text")
+      .select(
+        col("doc_id"), col("text"),
+        lit("en").as("lang"), lit("web").as("source"),
+        length(col("text")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val plan = SparkEntry.queries("index_maintenance_plan")(spark, tmp)
+      .collect().map(r => r.getString(0) -> (r.getLong(4), r.getString(6)))
+      .toMap
+    assert(plan.keySet === Set("cdc", "minhash", "substring"))
+    assert(plan("minhash")._1 > 0 && plan("minhash")._2 === "compact_now",
+      s"minhash: ${plan("minhash")}")
+    assert(plan("substring")._1 > 0 && plan("substring")._2 === "compact_now",
+      s"substring: ${plan("substring")}")
+    // identical text in both tiers → shared chunks → cdc flips too
+    assert(plan("cdc")._2 === "compact_now", s"cdc: ${plan("cdc")}")
+  }
+
   test("compact survives a crash between the swap renames (roll-forward by marker)") {
     val s = spark
     import s.implicits._
