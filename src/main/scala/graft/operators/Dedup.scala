@@ -1747,8 +1747,19 @@ object Dedup {
     val cand = hinted(deltaBands)
       .join(baseIdx, Seq("band", "bh"))
       .select(col("doc_id").as("delta_id"), explode(col("base_docs")).as("base_id"))
-    val est = hinted(cand
-      .join(hinted(deltaSigs.select(col("doc_id").as("delta_id"), col("sig").as("sig_a"))), "delta_id"))
+    // the sig-verify join is NOT hash-hinted on the candidate side: its
+    // left input is the CANDIDATE EXPANSION (delta docs × matching
+    // bucket members — on a duplicate-heavy batch this is far larger
+    // than the delta, carrying a 64-long signature per row), and a
+    // forced shuffled-hash build of it has no spill fallback — measured
+    // at ×100 copymark: "Can't acquire 128 MiB to build hash relation"
+    // OOM, three reps out of three. Unhinted, the planner's SMJ sorts
+    // only the candidate side (spillable) while the bucketed-SORTED
+    // sigs scan stays exchange-free AND sort-free; the inner deltaSigs
+    // build stays hinted — that side really is delta-bounded.
+    val estLeft = cand
+      .join(hinted(deltaSigs.select(col("doc_id").as("delta_id"), col("sig").as("sig_a"))), "delta_id")
+    val est = (if (deltaIsSmall) broadcast(estLeft) else estLeft)
       .join(baseSigs.select(col("doc_id").as("base_id"), col("sig").as("sig_b")), "base_id")
       .select(
         col("delta_id"),
@@ -1905,11 +1916,16 @@ object Dedup {
         .select(
           col("doc_id").as("delta_id"),
           explode(col("base_docs")).as("match_id"))
-      hinted(cand
+      // candidate-expansion side NOT hash-hinted (no spill fallback in
+      // shuffled-hash builds; ×100 copymark OOM'd) — see
+      // incrementalProbe; the bucketed-sorted sigs scan keeps the
+      // index side exchange- and sort-free under the planner's SMJ
+      val estLeft = cand
         .join(
           hinted(deltaSigs
             .select(col("doc_id").as("delta_id"), col("sig").as("sig_a"))),
-          "delta_id"))
+          "delta_id")
+      (if (deltaIsSmall) broadcast(estLeft) else estLeft)
         .join(
           sigs.select(col("doc_id").as("match_id"), col("sig").as("sig_b")),
           "match_id")

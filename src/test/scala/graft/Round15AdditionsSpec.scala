@@ -135,7 +135,8 @@ class Round15AdditionsSpec extends AnyFunSuite {
       if (isBucketedScan(p)) Seq(List(p))
       else p.children.flatMap(paths).map(c => p :: c).toSeq
 
-    Seq("dedup_minhash_index_append", "dedup_minhash_index_compact")
+    Seq("dedup_minhash_index_append", "dedup_minhash_index_compact",
+      "cdc_store_append", "cdc_store_compact", "index_maintenance_plan")
       .foreach { q =>
         val qe = SparkEntry.queries(q)(spark, TestSpark.Sf)
           .asInstanceOf[CDataset[Row]].queryExecution
