@@ -54,6 +54,55 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
 }
 
+/** Parallelism floor for degenerate scan inputs (optimization guide
+  * §2.5, "input skew: one huge unsplittable file … repartition
+  * immediately after the read"). The driver testdata ships each table as
+  * ONE parquet file with ONE row group, so every scan stage — and every
+  * per-row kernel fused above it (tokenization, shingling, minhash
+  * signing, rolling hashes, per-row checksums) — runs as a single task
+  * no matter how many cores the session has. For such inputs one cheap
+  * bounded round-robin exchange to `defaultParallelism` unlocks the
+  * whole machine.
+  *
+  * Scale-adaptive by construction, not a local-mode constant: the fan
+  * fires only when the source's TOTAL bytes are at most
+  * `spark.graft.scanFan.maxBytes` (default 256 MiB ≈ two default scan
+  * splits), i.e. exactly when (a) the scan cannot feed the cores by
+  * splitting and (b) the exchange is bounded-cheap. Any production-sized
+  * input skips it and the plan is byte-identical to before. Filters
+  * still push through the Repartition to the parquet reader
+  * (PushPredicateThroughNonJoin) and column pruning applies below it,
+  * both plan-asserted in PlanAssertionsSpec.
+  */
+object Scans {
+  private val bytesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def bytesOf(path: String): Long =
+    bytesMemo.computeIfAbsent(path, p => {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+      java.lang.Long.valueOf(walk(new java.io.File(p)))
+    }).longValue()
+
+  private[graft] val DefaultMaxFanBytes: Long = 256L * 1024 * 1024
+
+  def fanSmall(spark: SparkSession, df: DataFrame, path: String): DataFrame = {
+    val enabled =
+      try spark.conf.getOption("spark.graft.scanFan.enabled").forall(_.toLowerCase != "false")
+      catch { case _: Throwable => true }
+    if (!enabled) return df
+    val maxBytes =
+      try spark.conf.getOption("spark.graft.scanFan.maxBytes").map(_.toLong)
+        .getOrElse(DefaultMaxFanBytes)
+      catch { case _: Throwable => DefaultMaxFanBytes }
+    val target = spark.sparkContext.defaultParallelism
+    val b      = bytesOf(path)
+    if (target > 1 && b > 0 && b <= maxBytes) df.repartition(target) else df
+  }
+}
+
 /** Loaders for the driver testdata tables ({sfDir}/{name}.parquet).
   * Plain parquet scans: Catalyst pushes filters/projections down to the
   * reader, so callers should NOT pre-select columns "for performance" —
@@ -192,6 +241,19 @@ object Tables {
     raw.withColumn("ts", us)
   }
   def documents(s: SparkSession, d: String) = table(s, d, "documents")
+
+  /** documents with the [[Scans.fanSmall]] parallelism floor — used by
+    * the operators whose per-row kernel above the scan (n-gram scoring,
+    * shingling + packed-posting pair expansion, char tokenization) is
+    * heavy enough that the bounded exchange pays for itself. NOT applied
+    * blanket at the table boundary: the A/B sweep measured consistent
+    * regressions for plans whose heavy work starts after their first
+    * key exchange anyway (the extra stage + AQE boundary costs more
+    * than the parallelism buys on e.g. the substring strip tier and the
+    * broadcast-building detector-agreement plan).
+    */
+  def documentsFanned(s: SparkSession, d: String): DataFrame =
+    Scans.fanSmall(s, table(s, d, "documents"), s"$d/documents.parquet")
   def embeddings(s: SparkSession, d: String) = table(s, d, "embeddings")
 }
 

@@ -159,7 +159,8 @@ object Curation {
       .withColumn("scrubbed", regexp_replace(col("s2"), DigitRe, "<NUM>"))
 
   def piiScrub(spark: SparkSession, dir: String): DataFrame =
-    scrubText(Tables.documents(spark, dir).select(col("doc_id"), col("source"), col("text")))
+    // scan-fan (guide §2.5): three regex scrub passes per document
+    scrubText(Tables.documentsFanned(spark, dir).select(col("doc_id"), col("source"), col("text")))
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -578,8 +579,10 @@ object Curation {
     * the consuming plan.
     */
   def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // scan-fan (guide §2.5): the n-gram window expansion + md5-h60 per
+    // window is per-row CPU above the scan
     val sh = Tables
-      .documents(spark, dir)
+      .documentsFanned(spark, dir)
       .select(col("source"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= OverlapN)
       .select(

@@ -233,7 +233,9 @@ object Dedup {
     // df-subquery + self-join SQL. Capacity: sz < 2^24 distinct
     // shingles per doc, doc_id < 2^39 — both far above any real
     // corpus row (ExactDocCap bounds this path to 100k docs anyway).
-    dedupJaccardOf(Tables.documents(spark, dir), mass)
+    // scan-fan (guide §2.5): shingling + array_distinct + packed-index
+    // expansion is per-row CPU above the scan
+    dedupJaccardOf(Tables.documentsFanned(spark, dir), mass)
   }
 
   /** The exact-Jaccard kernel over an arbitrary (doc_id, text) frame —
@@ -451,8 +453,11 @@ object Dedup {
         math.max(2L, math.ceil(math.sqrt(mass.toDouble / pairBudget)).toLong)
       else 1L
     val m = math.max(mCap, mMass)
+    // scan-fan (guide §2.5): same shingling kernel as dedup_jaccard —
+    // per-row CPU above the scan (the sample filter stays below the fan
+    // so the predicate still reaches the reader)
     val docs =
-      if (m <= 1L) Tables.documents(spark, dir)
+      if (m <= 1L) Tables.documentsFanned(spark, dir)
       else {
         if (mMass > mCap)
           graft.Downgrades.record(
@@ -461,8 +466,11 @@ object Dedup {
         else
           graft.Downgrades.record(
             "dedup_containment", s"1/$m doc-hash sample", nDocs, cap)
-        Tables.documents(spark, dir)
-          .filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0)
+        graft.Scans.fanSmall(
+          spark,
+          Tables.documents(spark, dir)
+            .filter(pmod(xxhash64(col("doc_id")), lit(m)) === 0),
+          s"$dir/documents.parquet")
       }
     // mass under a 1/m doc-hash sample scales ~1/m² (the same relation
     // mMass inverts) — size the expansion stage for the SAMPLED volume

@@ -141,41 +141,52 @@ object Graph {
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 15): DataFrame = {
     val fwd = pairs.toDF("src", "dst")
+    val sym = fwd.union(fwd.select(col("dst"), col("src"))).toDF("src", "dst")
     // iteration-invariant: partition the edge list by the join key ONCE
     // (same recipe as pagerankParts) — the checkpointed partitioning is
     // reused by every round's labels join, so the per-round exchanges
     // drop to just the groupBy(dst); without this the full edge list
-    // re-shuffles every round
-    val edges = fwd
-      .union(fwd.select(col("dst"), col("src")))
-      .toDF("src", "dst")
+    // re-shuffles every round. SELF-LOOPS are folded in once: with
+    // (v, v) present, each round's neighbor-min already includes the
+    // node's own label, so a round is ONE join + ONE aggregate — the
+    // previous shape needed a second (left) join per round just to keep
+    // the own label, i.e. one more codegen'd join plan and shuffle per
+    // round on every CC consumer.
+    val edges = sym
+      .union(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
       .repartition(col("src"))
       .cutLineage()
+    // round 1 folds into initialization: label₁(v) = min(v, min
+    // neighbor id) is just min(src) over the self-looped in-edges
     var labels = edges
-      .select(col("src").as("node"))
-      .distinct()
-      .withColumn("label", col("node"))
+      .groupBy(col("dst").as("node"))
+      .agg(min(col("src")).as("label"))
       .cutLineage()
+    // labels decrease monotonically under min-propagation, so the
+    // fixpoint test is "label sum unchanged" — one tiny aggregate job
+    // over the already-checkpointed frame, replacing the per-round
+    // changed-rows scan AND the prev_label plumbing. DECIMAL(38,0) so
+    // the sum cannot overflow at any node-id magnitude.
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val r = df.agg(
+        sum(col("label").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("s")).head()
+      if (r.isNullAt(0)) java.math.BigDecimal.ZERO else r.getDecimal(0)
+    }
+    var prevSum   = labelSum(labels)
     var converged = false
-    var iter      = 0
+    var iter      = 1 // init consumed round 1
     while (!converged && iter < maxIters) {
-      val prop = edges
+      val next = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(min(col("label")).as("nbr_min"))
-      // carry the previous label through the checkpoint so convergence
-      // is a filter scan over the materialized rows, not a second join
-      // (one fewer codegen'd join plan per round — the cold-start cost
-      // of iterative queries is per-plan compilation, not data)
-      val next = labels
-        .join(prop, Seq("node"), "left")
-        .select(
-          col("node"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"),
-          col("label").as("prev_label"))
+        .agg(min(col("label")).as("label"))
         .cutLineage()
-      converged = next.filter(col("label") =!= col("prev_label")).isEmpty
-      labels = next.select(col("node"), col("label"))
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
       iter += 1
     }
     labels

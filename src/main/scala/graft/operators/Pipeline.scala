@@ -137,8 +137,9 @@ object Pipeline {
     * state anywhere.
     */
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    // scan-fan (guide §2.5): the n-gram window expansion is per-row CPU
     Tables
-      .documents(spark, dir)
+      .documentsFanned(spark, dir)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= BoilerN)
       .select(

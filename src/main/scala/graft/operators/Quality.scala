@@ -206,7 +206,13 @@ object Quality {
     val n = Tables.cachedCount(spark, dir, "orders")
     if (n > cap)
       graft.Downgrades.record("orders_profile", "kmv-ndv profile", n, cap)
-    tableProfile(Tables.orders(spark, dir), exactDistinct = n <= cap)
+    // scan-fan (guide §2.5): the exact profile's Expand multiplies every
+    // scanned row by (distinct-columns + 1) and feeds a wide partial
+    // aggregate — on a single-row-group source all of that runs on one
+    // core without the bounded fan (no-op at scale)
+    tableProfile(
+      graft.Scans.fanSmall(spark, Tables.orders(spark, dir), s"$dir/orders.parquet"),
+      exactDistinct = n <= cap)
   }
 
   private val ordersProfileSql = {
@@ -262,8 +268,10 @@ object Quality {
       "o_totalprice"    -> col("o_totalprice").cast(Det.Money).cast("string"),
       "o_orderdate"     -> date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss"),
       "o_orderpriority" -> col("o_orderpriority"))
-    val hashed = Tables
-      .orders(spark, dir)
+    // scan-fan (guide §2.5): six md5-h60 serializations per row is
+    // per-row CPU work that otherwise runs on the source's single task
+    val hashed = graft.Scans
+      .fanSmall(spark, Tables.orders(spark, dir), s"$dir/orders.parquet")
       .select(sers.map { case (n, c) =>
         Det.md5h60Col(c).cast("long").as(s"${n}__h")
       }: _*)
@@ -460,7 +468,10 @@ object Quality {
     * formatter, not the data).
     */
   def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
-    def sig(name: String, df: DataFrame): DataFrame =
+    // NOT scan-fanned: measured A/B showed the bounded fan's extra
+    // exchange costs more than the md5 serialization saves here (the
+    // partial sum already collapses map-side; the row payload is wide)
+    def sig(name: String, df: DataFrame): DataFrame = {
       df.select(Det.md5h60Col(col("__ser")).as("h"))
         .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("hs"))
         .select(
@@ -469,6 +480,7 @@ object Quality {
           (col("hs") % expr(s"CAST($ChecksumMod AS DECIMAL(38,0))"))
             .cast("long")
             .as("checksum"))
+    }
 
     def withSer(df: DataFrame, ser: Column): DataFrame =
       df.withColumn("__ser", ser)

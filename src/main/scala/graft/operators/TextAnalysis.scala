@@ -171,7 +171,8 @@ object TextAnalysis {
   }
 
   def langId(spark: SparkSession, dir: String): DataFrame =
-    classifyLang(Tables.documents(spark, dir))
+    // scan-fan (guide §2.5): rank-profile n-gram scoring is per-row CPU
+    classifyLang(Tables.documentsFanned(spark, dir))
 
   /** The classifier CTE chain through `best` (per-doc winning language)
     * — shared by the lang_id oracle and the lang_confusion rollup so

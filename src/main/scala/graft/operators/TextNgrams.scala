@@ -27,8 +27,9 @@ object TextNgrams {
     * pairs are built by a single in-row transform over the token array.
     */
   def bigramTopK(spark: SparkSession, dir: String): DataFrame = {
+    // scan-fan (guide §2.5): tokenization + bigram expansion above the scan
     Tables
-      .documents(spark, dir)
+      .documentsFanned(spark, dir)
       .select(
         expr("filter(split(lower(text), '[^a-z0-9]+'), x -> x <> '')").as("t"))
       .filter(size(col("t")) >= 2)
@@ -800,8 +801,10 @@ object TextNgrams {
     */
   def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
     val merges = trainedMerges(spark, dir)
+    // scan-fan (guide §2.5): per-word regex char-spacing + 8 chained
+    // replaces are the heaviest per-row expressions in the text tier
     val perWord = Tables
-      .documents(spark, dir)
+      .documentsFanned(spark, dir)
       .select(
         col("lang"),
         explode(
