@@ -106,8 +106,9 @@ object Bench {
     "dedup_minhash_index_append", "dedup_minhash_index_compact",
     "cdc_store_append", "cdc_store_compact",
     "index_maintenance_plan", "dedup_pipeline_report",
-    // LM model
-    "lm_score_bigram",
+    // LM model + BPE merge table (trainedMerges memo — 9 training jobs
+    // that otherwise land inside whichever bpe_* query runs first)
+    "lm_score_bigram", "bpe_train",
     // ANN stored indexes + trained models
     "ann_recall", "retrieval_eval", "ann_ivf_stored", "ann_ivf_trained",
     "ann_pq_stored", "ann_ivf_incremental", "ann_filtered",

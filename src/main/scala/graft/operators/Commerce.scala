@@ -134,8 +134,11 @@ object Commerce {
     // Expand (row-doubling) plan countDistinct-with-other-aggs needs;
     // the first shuffle's map-side partial aggregation also shrinks the
     // skewed hot-product partitions before they concentrate.
-    val pre = Tables
-      .lineitem(spark, dir)
+    // scan-fan (guide §2.5): the (part, order) pre-aggregate has ~zero
+    // map-side collapse (the pair is near-unique), so on a single-split
+    // source the whole decimal partial-agg pass runs on one core
+    val pre = graft.Scans
+      .fanSmall(spark, Tables.lineitem(spark, dir), s"$dir/lineitem.parquet")
       .groupBy(col("l_partkey"), col("l_orderkey"))
       .agg(
         sum(col("l_quantity").cast(Det.Money)).as("q_dec"),

@@ -123,13 +123,25 @@ object Extended {
   def revenueRollup(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val p  = Tables.part(spark, dir).select(col("p_partkey"), col("p_brand"))
-    li.join(broadcast(p), li("l_partkey") === p("p_partkey"), "left")
+    // Pre-aggregate to exact DECIMAL partials per (l_partkey,
+    // l_returnflag) BEFORE the rollup: ROLLUP plans as an Expand that
+    // multiplies every input row by (grouping sets), so feeding it the
+    // fact table triples the fact-sized aggregation (guide §2.3,
+    // aggregate before you shuffle). SUM/COUNT decompose exactly —
+    // DECIMAL addition is associative — so rolling up the partials is
+    // bit-identical to rolling up the rows. The Expand now runs over a
+    // |parts|·|flags|-sized frame at any corpus size.
+    val pre = li
+      .groupBy(col("l_partkey"), col("l_returnflag"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Det.Fine))
+          .as("rev_dec"),
+        count(lit(1)).as("n"))
+    pre.join(broadcast(p), pre("l_partkey") === p("p_partkey"), "left")
       .rollup(col("p_brand"), col("l_returnflag"))
       .agg(
-        Det.detRound(
-          Det.fineSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
-          .as("revenue"),
-        count(lit(1)).as("n_items"),
+        Det.detRound(sum(col("rev_dec")).cast("double"), 2).as("revenue"),
+        sum(col("n")).as("n_items"),
         grouping(col("p_brand")).cast("long").as("g_brand"),
         grouping(col("l_returnflag")).cast("long").as("g_flag"))
       .orderBy(

@@ -273,8 +273,15 @@ object Olap {
     // the SAME expressions the final output emits (rounded spend double)
     // so the top-100 boundary is identical. Only (orderkey, count, sums)
     // ever shuffle here; whole carts never do. TakeOrderedAndProject
-    // keeps 100 rows per partition → 100 global.
-    val top = perPart(li)
+    // keeps 100 rows per partition → 100 global. The ranking pass needs
+    // only the spend partial — qty is dropped from it (one fewer
+    // DECIMAL aggregate over the fact-sized group set; qty is computed
+    // only for the 100 surviving carts in the second pass).
+    val top = li
+      .groupBy(col("l_orderkey"), col("l_partkey"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Det.Fine))
+          .as("spend"))
       .groupBy(col("l_orderkey"))
       .agg(
         count(lit(1)).as("cart_distinct_items"),

@@ -47,6 +47,18 @@ object Similarity {
   private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
 
+  // scan-fan (guide §2.5): the PQ subspace encode (slice + per-codeword
+  // argmin over PqK centroids) is the heaviest per-row kernel in the
+  // tier and runs fused above the scan — on a single-row-group source
+  // it is otherwise serial (StageProfile: ann_pq spent 1.2 s of 1.8 s
+  // in a one-task encode stage; fanning it measured −0.87 s on ann_pq
+  // and −0.85 s on ann_ivfpq). A blanket corpus() fan was tried and
+  // REVERTED: the LSH-pair family's heavy work starts after its bucket
+  // exchange, and the extra stage measured +0.2 s there.
+  private def fannedCorpus(spark: SparkSession, dir: String): DataFrame =
+    graft.Scans.fanSmall(
+      spark, Tables.embeddings(spark, dir), s"$dir/embeddings.parquet")
+
   private def queries(spark: SparkSession, dir: String): DataFrame =
     corpus(spark, dir)
       .filter(col("vec_id") < NumQueries)
@@ -1638,7 +1650,7 @@ object Similarity {
     * subspace axis is an in-row transform+explode, not PqM reads.
     */
   private def pqSubspaces(spark: SparkSession, dir: String): DataFrame =
-    corpus(spark, dir)
+    fannedCorpus(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("fv"))
       .select(
         col("vec_id"),
@@ -2413,7 +2425,7 @@ object Similarity {
     // array_position of the minimum = FIRST minimal d2 = lowest cent_id
     // (sorted), the same tie contract as kmeansAssign and the oracle.
     val sorted = cents.sortBy(_._1)
-    corpus(spark, dir)
+    fannedCorpus(spark, dir)
       .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
       .withColumn("cvecs", typedLit(sorted.map(_._2)))
       .withColumn("cids", typedLit(sorted.map(_._1)))

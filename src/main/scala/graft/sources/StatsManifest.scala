@@ -52,7 +52,7 @@ import scala.jdk.CollectionConverters._
 object BuildLog {
   final case class Item(name: String, sec: Double)
   private val q = new java.util.concurrent.ConcurrentLinkedQueue[Item]()
-  private[sources] def record(name: String, sec: Double): Unit = {
+  private[graft] def record(name: String, sec: Double): Unit = {
     q.add(Item(name, sec)); ()
   }
   def drain(): Seq[Item] = {
