@@ -105,9 +105,18 @@ object Commerce {
       .groupBy(col("part_x"), col("part_y"))
       .agg(count(lit(1)).as("pair_count"))
 
+  /** The (l_orderkey, l_partkey) item frame feeding every co-purchase
+    * pair derivation — shared by the pair queries and the graph tier.
+    * NOT scan-fanned: measured (StageProfile A/B) — the collect_set
+    * partial aggregate gains less from parallelism than the added
+    * exchange + sort-before-repartition cost on this narrow frame
+    * (pagerank_parts 1.70 → 2.37 s with the fan; reverted).
+    */
+  private[operators] def liPairItems(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+
   def alsoBoughtPairs(spark: SparkSession, dir: String): DataFrame = {
-    pairCounts(
-      Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+    pairCounts(liPairItems(spark, dir))
       .orderBy(desc("pair_count"), asc("part_x"), asc("part_y"))
       .limit(50)
   }
@@ -324,9 +333,7 @@ object Commerce {
     * confidence, and lift from exact integer counts. Top 20 by lift.
     */
   def pairLift(spark: SparkSession, dir: String): DataFrame = {
-    val items = Tables
-      .lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey"))
+    val items = liPairItems(spark, dir)
       .na.drop()
       .distinct()
     // order total as a broadcast one-row frame — no driver-side count()

@@ -43,8 +43,7 @@ object Graph {
   def pagerankParts(spark: SparkSession, dir: String): DataFrame = {
     val iters = 3
     val pairs = Commerce
-      .pairCounts(
-        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+      .pairCounts(Commerce.liPairItems(spark, dir))
       .filter(col("pair_count") >= 2)
       // pairs feeds rawEdges twice and outWeight through it — checkpoint
       // so the distinct+self-join+groupBy pair generation (the expensive
@@ -178,6 +177,11 @@ object Graph {
     var converged = false
     var iter      = 1 // init consumed round 1
     while (!converged && iter < maxIters) {
+      // (a pointer-jumping shortcut — label ← label(label) — was tried
+      // here and REVERTED: on the near-dup graphs this engine builds,
+      // min-propagation already converges in ~4-5 rounds, so the extra
+      // node-sized self-join per round cost more than the rounds it
+      // could save; StageProfile measured embedding_clusters 3.4 → 4.2 s)
       val next = edges
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -248,8 +252,7 @@ object Graph {
     // scratch, the expensive part of the whole query. Same fix the 10×
     // probe forced on pagerankParts above.
     val pairs = Commerce
-      .pairCounts(
-        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+      .pairCounts(Commerce.liPairItems(spark, dir))
       .filter(col("pair_count") >= 2)
       .select(col("part_x").as("a"), col("part_y").as("b")) // canonical a < b
       .cutLineage()
@@ -330,8 +333,7 @@ object Graph {
     val whole = org.apache.spark.sql.expressions.Window
       .partitionBy(lit(1))
     val pairs = Commerce
-      .pairCounts(
-        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+      .pairCounts(Commerce.liPairItems(spark, dir))
       .filter(col("pair_count") >= 2)
       // pairs feeds both unionAll legs — checkpoint so the expensive
       // pair generation runs once (pagerankParts' measured lesson)
@@ -406,8 +408,7 @@ object Graph {
     */
   def kCore(spark: SparkSession, dir: String): DataFrame = {
     val pairs = Commerce
-      .pairCounts(
-        Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey")))
+      .pairCounts(Commerce.liPairItems(spark, dir))
       .filter(col("pair_count") >= 2)
       .select(col("part_x").as("a"), col("part_y").as("b"))
       .cutLineage()

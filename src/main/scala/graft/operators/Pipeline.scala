@@ -200,16 +200,24 @@ object Pipeline {
     * wider than one shingle.
     */
   def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    // scan-fan (guide §2.5) + ONE window expansion: occ feeds both the
+    // boiler selection (via the broadcast subtree) and the coverage
+    // join, and nothing between the scan and occ is an exchange Spark
+    // could reuse — without the lazy cut the n-gram string expansion
+    // ran TWICE, both times on the source's single task (StageProfile:
+    // 0.72 s + 0.51 s one-task stages).
     val docs = Tables
-      .documents(spark, dir)
+      .documentsFanned(spark, dir)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
-    val occ = docs
-      .filter(size(col("t")) >= BoilerN)
-      .select(
-        col("doc_id"),
-        posexplode(expr(
-          s"transform(sequence(0, size(t) - $BoilerN), i -> concat_ws(' ', slice(t, i + 1, $BoilerN)))"))
-          .as(Seq("pos", "s")))
+    val occ = graft.Ckpt.cut(
+      docs
+        .filter(size(col("t")) >= BoilerN)
+        .select(
+          col("doc_id"),
+          posexplode(expr(
+            s"transform(sequence(0, size(t) - $BoilerN), i -> concat_ws(' ', slice(t, i + 1, $BoilerN)))"))
+            .as(Seq("pos", "s"))),
+      eager = false)
     val boiler = occ
       .groupBy(col("doc_id"), col("s"))
       .agg(count(lit(1)).as("c"))

@@ -48,6 +48,17 @@ object Rank {
     // The 10× scale probe caught the recomputation as 16× growth.
     val df = dfIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = df.count()
+    // Small inputs skip the distribution machinery entirely: below the
+    // cap a one-bucket window is a single sort of a frame that fits one
+    // task with room to spare, and the quantile probe + per-bucket base
+    // offsets are two extra jobs that cannot pay for themselves. The
+    // ranks are identical either way (the buckets only parallelize the
+    // sort); the cap bounds the single-task sort, not a local core
+    // count, so the branch is scale-adaptive, not local-tuned.
+    if (n <= SingleWindowCap) {
+      val bucketed = df.withColumn("__bucket", lit(0))
+      return rankOverBuckets(bucketed, Seq((0, 0L)), n, valueCol, tieBreak)
+    }
     // ~(buckets-1) split points; dedup keeps bucketing well-defined when
     // the distribution is spiky.
     val probs = (1 until buckets).map(_.toDouble / buckets).toArray
@@ -73,7 +84,27 @@ object Rank {
       .sliding(2)
       .collect { case Array((_, prior), (b, _)) => (b, prior) }
       .toSeq
-    val spark = df.sparkSession
+    rankOverBuckets(bucketed, bases, n, valueCol, tieBreak)
+  }
+
+  /** Below this row count the one-bucket window (a single in-task sort)
+    * beats the quantile probe + per-bucket base offsets by two jobs; the
+    * cap bounds the single-task sort size, not a core count.
+    */
+  private val SingleWindowCap = 1000000L
+
+  /** The shared rank/pct/cume tail over a pre-bucketed frame with known
+    * cumulative base offsets — one bucket with base 0 IS the global
+    * window, so the small-input branch and the distributed branch share
+    * every expression (identical results by construction).
+    */
+  private def rankOverBuckets(
+      bucketed: DataFrame,
+      bases: Seq[(Int, Long)],
+      n: Long,
+      valueCol: String,
+      tieBreak: Seq[String]): DataFrame = {
+    val spark = bucketed.sparkSession
     import spark.implicits._
     val baseDf = bases.toDF("__bucket", "__base")
     val wRank = Window.partitionBy(col("__bucket")).orderBy(col(valueCol))
