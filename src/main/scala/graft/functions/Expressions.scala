@@ -590,11 +590,118 @@ object TokenWindowHashes {
   * graft_minhash, graft_lsh_bucket) so queries can use them via expr(...)
   * / spark.sql(...). Idempotent per session.
   */
+/** Count of positionally equal elements across two integral arrays —
+  * the codegen'd replacement for the
+  * `size(filter(zip_with(a, b, (x, y) -> x = y), b -> b))` HOF chain on
+  * the minhash verify paths. The HOF form allocates two intermediate
+  * arrays PER ROW, and on the verify paths that row is every candidate
+  * pair (StageProfile: dedup_detector_agreement's scoring stage at
+  * 10.3 CPU-s, allocation-dominated). Semantics match the HOF form
+  * exactly: positions beyond the shorter array (zip_with's null
+  * padding) and null elements never count. Element types may be int or
+  * long on either side (the funnel narrows sigs to int32 for the band
+  * shuffle), compared widened.
+  */
+case class SigMatches(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  private def isInt(e: Expression): Boolean = e.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _                         => false
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigMatches.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], isInt(left), isInt(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SigMatches.compute($a, $b, ${isInt(left)}, ${isInt(right)})")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigMatches =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sig_matches"
+}
+
+object SigMatches {
+  def compute(a: ArrayData, b: ArrayData, aInt: Boolean, bInt: Boolean): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val x = if (aInt) a.getInt(i).toLong else a.getLong(i)
+        val y = if (bInt) b.getInt(i).toLong else b.getLong(i)
+        if (x == y) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+}
+
+/** True iff some aligned band of `bandSize` consecutive positions is
+  * entirely equal across the two sig arrays — the codegen'd form of
+  * `exists(sequence(0, bands-1), b -> eqs[w*b] AND … AND eqs[w*b+w-1])`
+  * over the zip_with equality array. Only bands fully inside BOTH
+  * arrays can hit (a zip_with-padded position is null, and an AND with
+  * null can never be true), so the trailing partial band is skipped —
+  * identical verdicts to the HOF form on the equal-length sigs the
+  * dedup tier compares.
+  */
+case class SigBandHit(left: Expression, right: Expression, bandSize: Int)
+    extends BinaryExpression {
+  require(bandSize > 0, "bandSize must be positive")
+  override def dataType: DataType = BooleanType
+  private def isInt(e: Expression): Boolean = e.dataType match {
+    case ArrayType(IntegerType, _) => true
+    case _                         => false
+  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SigBandHit.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      bandSize, isInt(left), isInt(right))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SigBandHit.compute($a, $b, $bandSize, ${isInt(left)}, ${isInt(right)})")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SigBandHit =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "graft_sig_band_hit"
+}
+
+object SigBandHit {
+  def compute(
+      a: ArrayData, b: ArrayData, w: Int, aInt: Boolean, bInt: Boolean): Boolean = {
+    val n = math.min(a.numElements(), b.numElements())
+    var base = 0
+    while (base + w <= n) {
+      var i = base
+      var all = true
+      while (all && i < base + w) {
+        all = !a.isNullAt(i) && !b.isNullAt(i) && {
+          val x = if (aInt) a.getInt(i).toLong else a.getLong(i)
+          val y = if (bInt) b.getInt(i).toLong else b.getLong(i)
+          x == y
+        }
+        i += 1
+      }
+      if (all) return true
+      base += w
+    }
+    false
+  }
+}
+
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSim(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sig_matches", exprs => SigMatches(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sig_band_hit",
+      exprs => SigBandHit(exprs(0), exprs(1), exprs(2).eval().asInstanceOf[Int]),
+      "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

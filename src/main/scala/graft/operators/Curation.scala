@@ -752,7 +752,12 @@ object Curation {
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val k = Dedup.MinhashK
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    // scan-fan (guide §2.5): `flagged` is persisted and every later
+    // stage (keep-first hashing, minhash signing, band grouping) reads
+    // those cached partitions — unfanned, the persist pins ONE
+    // partition and the whole funnel tail runs serial (StageProfile:
+    // 0.88 s one-task signing stage)
+    val docs = Tables.documentsFanned(spark, dir).select(col("doc_id"), col("text"))
 
     val gramStats = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -817,7 +822,7 @@ object Curation {
       .select(explode(expr(
         s"""filter(transform(ms, (m, i) ->
            |  IF(exists(slice(ms, 1, i), a ->
-           |       size(filter(zip_with(a.sig, m.sig, (x, y) -> x = y), eq -> eq)) >= $k / 2),
+           |       graft_sig_matches(a.sig, m.sig) >= $k / 2),
            |     m.doc_id, CAST(NULL AS BIGINT))),
            |  x -> x IS NOT NULL)""".stripMargin))
         .as("doc_id"))

@@ -581,7 +581,7 @@ object Dedup {
       .select(col("p.doc_a"), col("p.doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val est = expr(
-      s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)")
+      s"graft_sig_matches(sig_a, sig_b) / CAST($k AS DOUBLE)")
     // sizes ride the signature frame so the candidate stream is joined
     // exactly TWICE (the dedup_minhash shape) — a first cut joined sigs
     // and sizes separately (four joins), which re-shuffled the 64-long
@@ -796,7 +796,7 @@ object Dedup {
         col("doc_a"),
         col("doc_b"),
         Det.detRound(
-          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
+          expr(s"graft_sig_matches(sig_a, sig_b) / CAST($k AS DOUBLE)"),
           6).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
   }
@@ -1271,7 +1271,7 @@ object Dedup {
         .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
         .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         .filter(
-          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($MinhashK AS DOUBLE)") >= 0.5)
+          expr(s"graft_sig_matches(sig_a, sig_b) / CAST($MinhashK AS DOUBLE)") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
   }
 
@@ -1773,7 +1773,7 @@ object Dedup {
         col("delta_id"),
         col("base_id"),
         Det.detRound(
-          expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
+          expr(s"graft_sig_matches(sig_a, sig_b) / CAST($k AS DOUBLE)"),
           6).as("est"))
       .filter(col("est") >= 0.5)
     // best match + match count per delta doc in ONE aggregation (the
@@ -1940,7 +1940,7 @@ object Dedup {
         .select(
           col("delta_id"), col("match_id"), lit(tier).as("tier"),
           Det.detRound(
-            expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
+            expr(s"graft_sig_matches(sig_a, sig_b) / CAST($k AS DOUBLE)"),
             6).as("est"))
         .filter(col("est") >= 0.5)
     }.reduce(_ unionByName _)
@@ -2562,7 +2562,7 @@ object Dedup {
         .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
         .filter(
           Det.detRound(
-            expr(s"size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b)) / CAST($k AS DOUBLE)"),
+            expr(s"graft_sig_matches(sig_a, sig_b) / CAST($k AS DOUBLE)"),
             6) >= 0.5)
         .agg(count(lit(1)).as("n_verified"))
       hot.crossJoin(nCand).crossJoin(nVer)
@@ -2909,19 +2909,17 @@ object Dedup {
           col("doc_id").as("doc_b"), col("sig").as("sig_b"),
           col("hi").as("hi_b"), col("lo").as("lo_b"))),
         "doc_b")
-      // ONE position-equality pass feeds both minhash measures: est is
-      // the match count, the band test reads 4 bools per band from the
-      // same array — the first cut's per-band slice() compares allocated
-      // 32 throwaway lists per pair (16 bands × 2 sides) and cost ~2× the
-      // whole pair kernel on the ×1 probe's 1.1M-pair stream
-      .withColumn("eqs", expr("zip_with(sig_a, sig_b, (x, y) -> x = y)"))
+      // Both minhash measures come from the codegen'd comparison
+      // kernels (functions.SigMatches / SigBandHit) — the earlier
+      // zip_with form allocated an intermediate equality array per pair
+      // and the per-band reads on top of it; on the 1.1M-pair stream
+      // the scoring stage measured 10.3 CPU-s, allocation-dominated.
       .select(
         col("jaccard"),
         Det.detRound(
-          expr(s"size(filter(eqs, b -> b)) / CAST($k AS DOUBLE)"), 6).as("est_jaccard"),
-        expr(
-          "exists(sequence(0, 15), b -> eqs[4 * b] AND eqs[4 * b + 1] AND eqs[4 * b + 2] AND eqs[4 * b + 3])")
-          .as("band_hit"),
+          expr(s"graft_sig_matches(sig_a, sig_b) / CAST($k AS DOUBLE)"), 6)
+          .as("est_jaccard"),
+        expr("graft_sig_band_hit(sig_a, sig_b, 4)").as("band_hit"),
         (expr("bit_count(hi_a ^ hi_b)") + expr("bit_count(lo_a ^ lo_b)"))
           .cast("long").as("hamming"))
     scored

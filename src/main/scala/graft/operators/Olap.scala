@@ -277,7 +277,10 @@ object Olap {
     // only the spend partial — qty is dropped from it (one fewer
     // DECIMAL aggregate over the fact-sized group set; qty is computed
     // only for the 100 surviving carts in the second pass).
-    val top = li
+    // scan-fan (guide §2.5): no-collapse (order, part) pre-aggregate,
+    // the product_popularity case — serial on a single-split source
+    val top = graft.Scans
+      .fanSmall(spark, li, s"$dir/lineitem.parquet")
       .groupBy(col("l_orderkey"), col("l_partkey"))
       .agg(
         sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast(Det.Fine))

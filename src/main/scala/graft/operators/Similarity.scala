@@ -526,9 +526,21 @@ object Similarity {
              |  t -> struct(t AS tbl, graft_lsh_bucket_md5(embedding, t, $planes) AS bucket))""".stripMargin))
           .as("lsh"))
       .select(col("vec_id"), col("lsh.tbl"), col("lsh.bucket"))
+    // The bucket frame is tables·2^planes rows (256 here) REGARDLESS of
+    // corpus size, so AQE coalesces it to a handful of tasks — and the
+    // in-row pair expansion below then emits its ≤ C(bucketCap,2)·256
+    // pair stream from those few tasks (LshProbe measured the distinct
+    // over the 2M-pair stream at ~1.0 s because its map side was ~4
+    // tasks). Spreading the tiny bucket frame across the shuffle width
+    // first is the same volume-aware re-key pairCommonOf uses: the
+    // optimizer sizes stages by SHUFFLED bytes and cannot see what a
+    // generator will emit. Bounded at any scale (the frame is
+    // bucket-count-sized by construction).
+    val width = spark.sessionState.conf.numShufflePartitions
     val pairs = buckets
       .groupBy(col("tbl"), col("bucket"))
       .agg(slice(sort_array(collect_list(col("vec_id"))), 1, bucketCap).as("ids"))
+      .repartition(width)
       .select(posexplode(col("ids")).as(Seq("i", "vec_a")), col("ids"))
       .select(col("vec_a"), explode(expr("slice(ids, i + 2, size(ids))")).as("vec_b"))
       .distinct()

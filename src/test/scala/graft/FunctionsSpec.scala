@@ -72,4 +72,31 @@ class FunctionsSpec extends AnyFunSuite {
     // a different table gives (almost surely) a different projection
     assert(LshBucket.compute(v, 1, 6) >= 0)
   }
+
+  test("sig_matches: equals the zip_with/filter/size HOF form") {
+    def la(xs: Long*) = new GenericArrayData(xs.toArray)
+    def ia(xs: Int*)  = new GenericArrayData(xs.toArray)
+    val a = la(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val b = la(1L, 9L, 3L, 4L, 0L, 6L, 7L, 1L)
+    // HOF reference: positions equal -> 1,3,4,6,7 (0-based 0,2,3,5,6)
+    assert(SigMatches.compute(a, b, false, false) === 5)
+    // length mismatch: zip_with pads with null, padded positions never count
+    assert(SigMatches.compute(la(1L, 2L, 3L), la(1L, 2L, 3L, 4L), false, false) === 3)
+    // int/long mixed sides compare widened (the funnel narrows to int32)
+    assert(SigMatches.compute(ia(1, 2, 3), la(1L, 9L, 3L), true, false) === 2)
+    assert(SigMatches.compute(la(), la(1L), false, false) === 0)
+  }
+
+  test("sig_band_hit: aligned all-equal band of width w, trailing partial skipped") {
+    def la(xs: Long*) = new GenericArrayData(xs.toArray)
+    // band 1 (positions 4..7) fully equal -> hit
+    val a = la(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    val b = la(9L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+    assert(SigBandHit.compute(a, b, 4, false, false))
+    // every band has one mismatch -> no hit
+    val c = la(9L, 2L, 3L, 4L, 5L, 0L, 7L, 8L)
+    assert(!SigBandHit.compute(a, c, 4, false, false))
+    // 3 trailing equal positions do NOT form a band at w=4
+    assert(!SigBandHit.compute(la(0L, 1L, 2L, 3L), la(9L, 1L, 2L, 3L), 4, false, false))
+  }
 }
